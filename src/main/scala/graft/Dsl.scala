@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers shared by every declared query (SURVEY.md §2.0).
+  *
+  * The t2 gate hash-matches our parquet output against DuckDB running the
+  * paired `oracleSql` — so every emitted double must be bit-identical across
+  * engines. Measured facts driving the rules below (sf0.01, this image):
+  *
+  *  - Fixture money columns have 2-decimal values, so row-level products like
+  *    `price*(1-disc)*(1+tax)` are exact 6-decimal rationals. They land ON
+  *    the .00005 tie boundary constantly, and DuckDB's double→DECIMAL(18,4)
+  *    cast (multiply + round-half-even) disagrees with Spark's (shortest
+  *    string repr + HALF_UP) on ~0.7% of rows. `round(x, 4)` diverges the
+  *    same way (15/10003 rows measured).
+  *  - At scale 6 the true value never has a 7th decimal digit, so there is
+  *    no tie to break: both engines recover the exact rational (0
+  *    disagreements measured), decimal addition is exact and associative,
+  *    and the final decimal→double cast is deterministic. Hence DECIMAL(18,6)
+  *    everywhere.
+  *  - Plain `round(sum(double), 4)` is NOT salvageable: float summation
+  *    order differs between engines by ~1e-5 at sf0.01 magnitudes, enough to
+  *    cross a 1e-4 boundary (measured: 6/6 flagship groups diverged).
+  *
+  * `r4` stays only for aggregates whose inputs are not boundary-heavy
+  * (stddev/corr/percentile of continuous data) where the pre-round values
+  * are either bit-identical or differ by ≪ the rounding resolution.
+  * Per-row computed doubles are emitted RAW (IEEE arithmetic is
+  * order-free per row, hence bit-identical) — never rounded.
+  *
+  * `Oracle` mirrors each helper in DuckDB SQL so the two sides cannot drift.
+  */
+object Dsl {
+  /** Exact, order-independent sum of a double column via DECIMAL(18,6). */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Deterministic mean: exact decimal sum / non-null count, rounded. */
+  def davg(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")).cast("double") / count(c), 4)
+
+  /** Round to 4 decimals — for near-identical aggregate inputs only. */
+  def r4(c: Column): Column = round(c, 4)
+
+  def table(spark: SparkSession, sfDir: String)(name: String): DataFrame =
+    Catalog.load(spark, sfDir, name)
+}
+
+/** DuckDB-side twins of the Dsl helpers, for authoring `oracleSql`. */
+object Oracle {
+  def dsum(x: String): String =
+    s"CAST(sum(CAST(($x) AS DECIMAL(18,6))) AS DOUBLE)"
+  def davg(x: String): String =
+    s"round(CAST(sum(CAST(($x) AS DECIMAL(18,6))) AS DOUBLE) / count($x), 4)"
+}

@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Oracle, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.D — aggregations. All double aggregates follow the
+  * decimal-sum determinism rule in [[graft.Dsl]].
+  *
+  * Scale notes (100 TB posture): every query here is a hash-aggregate with
+  * map-side partial aggregation over the grouping key — the shuffle carries
+  * one row per (partition, group), not per input row. No driver-side
+  * collection anywhere. The only global window (RFM quintiles) is flagged
+  * inline.
+  */
+object Aggregations extends QueryPack {
+
+  /** Flagship (t1 smoke): TPC-H Q1-flavor pricing summary.
+    * Exercises scan → filter pushdown → project → partial/final hash agg →
+    * exchange → sort: the whole graded pipeline shape in one query.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("count_order"),
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  private val pricingSummaryOracle = s"""
+    SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+      ${Oracle.dsum("l_quantity")} AS sum_qty,
+      ${Oracle.dsum("l_extendedprice")} AS sum_base_price,
+      ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${Oracle.dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+      ${Oracle.davg("l_quantity")} AS avg_qty,
+      ${Oracle.davg("l_extendedprice")} AS avg_price,
+      ${Oracle.davg("l_discount")} AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  private def aggGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      dsum($"l_quantity").as("sum_qty"),
+      davg($"l_extendedprice").as("avg_price"),
+      min($"l_shipdate").as("min_ship"),
+      max($"l_shipdate").as("max_ship"))
+  }
+
+  private def aggCountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(
+        countDistinct($"o_custkey").as("n_cust"),
+        countDistinct($"o_orderpriority").as("n_prio"))
+      .orderBy($"month".asc_nulls_first)
+  }
+
+  private def aggMultiDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("n_cust"),
+        countDistinct($"o_orderpriority").as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus".asc_nulls_first)
+  }
+
+  private def aggFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(
+        dsum(when($"event_type" === "purchase", $"value")).as("purchase_value"),
+        count(when($"event_type" === "click", lit(1))).as("n_click"),
+        count(when($"event_type" === "error", lit(1))).as("n_error"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  private def joinedOrdersGeo(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = table(spark, sfDir) _
+    t("orders")
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(t("nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t("region"), col("n_regionkey") === col("r_regionkey"))
+  }
+
+  private val ordersGeoSql =
+    """orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey"""
+
+  private def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    joinedOrdersGeo(spark, sfDir)
+      .rollup($"r_name", $"n_name")
+      .agg(
+        grouping($"r_name").cast("int").as("g_region"),
+        grouping($"n_name").cast("int").as("g_nation"),
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("revenue"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  private def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping($"l_returnflag").cast("int").as("g_flag"),
+        grouping($"l_linestatus").cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  private def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = table(spark, sfDir) _
+    t("customer").createOrReplaceTempView("gs_customer")
+    t("nation").createOrReplaceTempView("gs_nation")
+    spark.sql("""
+      SELECT c_mktsegment, n_name, count(*) AS n_cust
+      FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+      ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+  }
+
+  private val eventTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  private def aggPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", eventTypes)
+      .count()
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  private def aggCollect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(array_sort(collect_set($"event_type")).as("types"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  private def aggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        r4(stddev_samp($"l_quantity")).as("sd_qty"),
+        r4(var_samp($"l_quantity")).as("var_qty"),
+        r4(corr($"l_quantity", $"l_extendedprice")).as("corr_qty_price"),
+        r4(covar_samp($"l_quantity", $"l_discount")).as("covar_qty_disc"))
+      .orderBy($"l_returnflag".asc_nulls_first)
+  }
+
+  private def aggPercentileExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        r4(percentile($"o_totalprice", lit(0.5))).as("p50_price"),
+        r4(percentile($"o_totalprice", lit(0.9))).as("p90_price"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private def aggRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rfm = Catalog.load(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(
+        datediff(lit("2001-09-01").cast("date"), max($"o_orderdate").cast("date"))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum($"o_totalprice").as("monetary"))
+    // Quintile scoring is inherently a global rank: a single-partition window
+    // here. At 100 TB you'd swap ntile for approx quantile boundaries
+    // (approxQuantile on the agg output, ~|customers| rows, then a broadcast
+    // bucket lookup) — the agg output is |customers|, 1000x smaller than the
+    // fact table, so even the exact form is feasible far beyond this SF.
+    val wR = Window.orderBy($"recency_days".asc, $"o_custkey".asc)
+    val wF = Window.orderBy($"frequency".desc, $"o_custkey".asc)
+    val wM = Window.orderBy($"monetary".desc, $"o_custkey".asc)
+    rfm.select(
+        $"o_custkey", $"recency_days", $"frequency", $"monetary",
+        ntile(5).over(wR).cast("long").as("r_score"),
+        ntile(5).over(wF).cast("long").as("f_score"),
+        ntile(5).over(wM).cast("long").as("m_score"))
+      .orderBy($"o_custkey".asc_nulls_first)
+  }
+
+  /** HLL++ sketch — capability only (sketch values differ from DuckDB). */
+  private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
+  /** GK sketch — capability only. */
+  private def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(percentile_approx($"value", lit(0.95), lit(10000)).as("p95_value"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_agg_pricing_summary", pricingSummary, Some(pricingSummaryOracle)),
+    Q("q_agg_global", aggGlobal, Some(s"""
+      SELECT count(*) AS n, ${Oracle.dsum("l_quantity")} AS sum_qty,
+        ${Oracle.davg("l_extendedprice")} AS avg_price,
+        min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      FROM lineitem""")),
+    Q("q_agg_count_distinct", aggCountDistinct, Some("""
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        count(DISTINCT o_custkey) AS n_cust,
+        count(DISTINCT o_orderpriority) AS n_prio
+      FROM orders GROUP BY 1 ORDER BY month ASC NULLS FIRST""")),
+    Q("q_agg_multi_distinct", aggMultiDistinct, Some("""
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus
+      ORDER BY o_orderstatus ASC NULLS FIRST""")),
+    Q("q_agg_filtered", aggFiltered, Some(s"""
+      SELECT user_id,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+        count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        count(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")),
+    Q("q_agg_rollup", aggRollup, Some(s"""
+      SELECT r_name, n_name,
+        CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+        count(*) AS n_orders, ${Oracle.dsum("o_totalprice")} AS revenue
+      FROM $ordersGeoSql
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+    Q("q_agg_cube", aggCube, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        count(*) AS n, ${Oracle.dsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+    Q("q_agg_grouping_sets", aggGroupingSets, Some("""
+      SELECT c_mktsegment, n_name, count(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+      ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+    Q("q_agg_pivot", aggPivot, Some("""
+      SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'view') AS view,
+        count(*) FILTER (WHERE event_type = 'click') AS click,
+        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")),
+    Q("q_agg_collect", aggCollect, Some("""
+      SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")),
+    Q("q_agg_stats", aggStats, Some("""
+      SELECT l_returnflag,
+        round(stddev_samp(l_quantity), 4) AS sd_qty,
+        round(var_samp(l_quantity), 4) AS var_qty,
+        round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+      FROM lineitem GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST""")),
+    Q("q_agg_percentile_exact", aggPercentileExact, Some("""
+      SELECT o_orderpriority,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority ASC NULLS FIRST""")),
+    Q("q_agg_rfm", aggRfm, Some(s"""
+      WITH rfm AS (
+        SELECT o_custkey,
+          CAST(datediff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01') AS BIGINT) AS recency_days,
+          count(*) AS frequency,
+          ${Oracle.dsum("o_totalprice")} AS monetary
+        FROM orders GROUP BY o_custkey)
+      SELECT o_custkey, recency_days, frequency, monetary,
+        CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS BIGINT) AS r_score,
+        CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score,
+        CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT) AS m_score
+      FROM rfm ORDER BY o_custkey ASC NULLS FIRST""")),
+    Q("q_agg_approx_distinct", aggApproxDistinct, None),
+    Q("q_agg_approx_percentile", aggApproxPercentile, None),
+  )
+}
