@@ -11,7 +11,11 @@ import graft.operators._
   */
 object SparkEntry {
   private def packs: Vector[QueryPack] = Vector(
+    graft.sources.Scans,
+    FiltersProjections,
+    Joins,
     Aggregations,
+    SortsSetOps,
   )
 
   lazy val all: Vector[Q] = {

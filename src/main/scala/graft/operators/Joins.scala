@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Oracle, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.C — joins.
+  *
+  * Scale notes (100 TB posture):
+  *  - Dimension joins use explicit `broadcast()` — a hash-join with no
+  *    shuffle of the fact side. Fact-fact joins use `hint("merge")` so the
+  *    plan is a sort-merge join partitioned on the join key.
+  *  - The theta/as-of joins keep an equi component (`user_id`) so the
+  *    engine shuffles both sides by user and the range predicate is
+  *    evaluated within a partition — never a broadcast-nested-loop over
+  *    the full fact table. As-of = range join + per-key window top-1.
+  *  - Skew: the fixtures are uniform; at scale, AQE's skew-join splitting
+  *    covers moderate skew, and the per-user patterns here bound fan-out
+  *    by construction (time-bounded self-join window).
+  */
+object Joins extends QueryPack {
+
+  private def joinBroadcastInner(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Catalog.load(spark, sfDir, "lineitem")
+    val part = Catalog.load(spark, sfDir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"), "inner")
+      .groupBy($"p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"p_brand".asc_nulls_first)
+  }
+
+  private def joinSortMergeInner(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Catalog.load(spark, sfDir, "lineitem")
+    val o = Catalog.load(spark, sfDir, "orders")
+    li.hint("merge")
+      .join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  /** TPC-H Q5 flavor: revenue per (region, nation) where the customer and
+    * the supplier sit in the same nation. Dimensions are broadcast; only
+    * lineitem⋈orders is a shuffled join.
+    */
+  private def joinStar5Way(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Catalog.load(spark, sfDir, "customer")
+    val o = Catalog.load(spark, sfDir, "orders")
+    val li = Catalog.load(spark, sfDir, "lineitem")
+    val s = Catalog.load(spark, sfDir, "supplier")
+    val n = Catalog.load(spark, sfDir, "nation")
+    val r = Catalog.load(spark, sfDir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+                          c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  private def joinLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Catalog.load(spark, sfDir, "customer")
+    val o98 = Catalog.load(spark, sfDir, "orders")
+      .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+    c.join(o98, c("c_custkey") === o98("o_custkey"), "left")
+      .groupBy($"c_custkey")
+      .agg(
+        count($"o_orderkey").as("n_orders_1998"),
+        dsum($"o_totalprice").as("spend_1998"))
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
+  private def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Catalog.load(spark, sfDir, "orders")
+    def active(year: Int) = o
+      .filter($"o_orderdate" >= lit(s"$year-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .groupBy($"o_custkey").agg(count(lit(1)).as(s"n_$year"))
+      .withColumnRenamed("o_custkey", s"k_$year")
+    val a = active(1997)
+    val b = active(1998)
+    a.join(b, a("k_1997") === b("k_1998"), "full")
+      .select(
+        coalesce($"k_1997", $"k_1998").as("custkey"),
+        $"n_1997", $"n_1998")
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private def urgentOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Catalog.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+
+  private def joinLeftSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Catalog.load(spark, sfDir, "customer")
+    val u = urgentOrders(spark, sfDir)
+    c.join(u, c("c_custkey") === u("o_custkey"), "left_semi")
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
+  private def joinLeftAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Catalog.load(spark, sfDir, "customer")
+    val u = urgentOrders(spark, sfDir)
+    c.join(u, c("c_custkey") === u("o_custkey"), "left_anti")
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
+  private def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val r = Catalog.load(spark, sfDir, "region")
+    val n = Catalog.load(spark, sfDir, "nation").select($"n_nationkey", $"n_name")
+    r.crossJoin(n)
+      .orderBy($"r_regionkey".asc_nulls_first, $"n_nationkey".asc_nulls_first)
+  }
+
+  /** Event pairs per user within one hour, bounded to one day of data.
+    * The equi key (user_id) keeps this a shuffled hash/merge join; the
+    * range predicate filters within the key group.
+    */
+  private def joinThetaRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val day = Catalog.load(spark, sfDir, "events")
+      .filter($"ts" >= lit("2024-01-05").cast("timestamp") &&
+              $"ts" < lit("2024-01-06").cast("timestamp"))
+    val a = day.select($"user_id", $"event_id".as("e1"), $"ts".as("ts1"))
+    val b = day.select($"user_id".as("uid_b"), $"event_id".as("e2"), $"ts".as("ts2"))
+    a.join(b, a("user_id") === b("uid_b") &&
+              a("ts1") < b("ts2") &&
+              b("ts2") <= a("ts1") + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"e1", $"e2", $"ts1", $"ts2")
+      .orderBy($"e1".asc_nulls_first, $"e2".asc_nulls_first)
+  }
+
+  /** As-of join: latest event per user at-or-before each probe timestamp.
+    * Expressed as range join + per-(user, probe) window top-1 — the
+    * standard distributed as-of formulation (no single-node sort).
+    */
+  private def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "events")
+    val probes = e.select($"user_id").distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-08").cast("timestamp"),
+        lit("2024-01-15").cast("timestamp"),
+        lit("2024-01-22").cast("timestamp"))))
+    val j = probes.alias("p")
+      .join(e.alias("ev"), col("p.user_id") === col("ev.user_id") &&
+                           col("ev.ts") <= col("p.probe_ts"))
+      .select(col("p.user_id"), col("p.probe_ts"), col("ev.event_id"), col("ev.ts"))
+    val w = Window.partitionBy($"user_id", $"probe_ts")
+      .orderBy($"ts".desc, $"event_id".desc)
+    j.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn")
+      .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
+  }
+
+  /** Sessionization precursor: gap to the previous event per user — the
+    * self-join is avoided entirely via lag() over (user, time). */
+  private def joinSelfInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Catalog.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros($"prev_ts"))
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_join_broadcast_inner", joinBroadcastInner, Some(s"""
+      SELECT p_brand, count(*) AS n_items,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand ASC NULLS FIRST""")),
+    Q("q_join_sortmerge_inner", joinSortMergeInner, Some(s"""
+      SELECT o_orderpriority, count(*) AS n_items,
+        ${Oracle.dsum("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority ASC NULLS FIRST""")),
+    Q("q_join_star_5way", joinStar5Way, Some(s"""
+      SELECT r_name, n_name, count(*) AS n_items,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+    Q("q_join_left_outer", joinLeftOuter, Some(s"""
+      SELECT c_custkey, count(o_orderkey) AS n_orders_1998,
+        ${Oracle.dsum("o_totalprice")} AS spend_1998
+      FROM customer LEFT JOIN (
+        SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01') o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey ASC NULLS FIRST""")),
+    Q("q_join_full_outer", joinFullOuter, Some("""
+      WITH a AS (
+        SELECT o_custkey AS k_1997, count(*) AS n_1997 FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey),
+      b AS (
+        SELECT o_custkey AS k_1998, count(*) AS n_1998 FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY o_custkey)
+      SELECT coalesce(k_1997, k_1998) AS custkey, n_1997, n_1998
+      FROM a FULL OUTER JOIN b ON k_1997 = k_1998
+      ORDER BY custkey ASC NULLS FIRST""")),
+    Q("q_join_left_semi", joinLeftSemi, Some("""
+      SELECT * FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey ASC NULLS FIRST""")),
+    Q("q_join_left_anti", joinLeftAnti, Some("""
+      SELECT * FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey ASC NULLS FIRST""")),
+    Q("q_join_cross", joinCross, Some("""
+      SELECT r.*, n.n_nationkey, n.n_name
+      FROM region r CROSS JOIN (SELECT n_nationkey, n_name FROM nation) n
+      ORDER BY r_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""")),
+    Q("q_join_theta_range", joinThetaRange, Some("""
+      WITH day AS (
+        SELECT * FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06')
+      SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+             a.ts AS ts1, b.ts AS ts2
+      FROM day a JOIN day b
+        ON a.user_id = b.user_id
+       AND a.ts < b.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      ORDER BY e1 ASC NULLS FIRST, e2 ASC NULLS FIRST""")),
+    Q("q_join_asof", joinAsof, Some("""
+      WITH probes AS (
+        SELECT DISTINCT user_id, p.probe_ts
+        FROM events, (VALUES (TIMESTAMP '2024-01-08'), (TIMESTAMP '2024-01-15'),
+                             (TIMESTAMP '2024-01-22')) p(probe_ts)),
+      j AS (
+        SELECT pr.user_id, pr.probe_ts, e.event_id, e.ts,
+          row_number() OVER (PARTITION BY pr.user_id, pr.probe_ts
+                             ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM probes pr JOIN events e
+          ON e.user_id = pr.user_id AND e.ts <= pr.probe_ts)
+      SELECT user_id, probe_ts, event_id, ts FROM j WHERE rn = 1
+      ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST""")),
+    Q("q_join_self_interval", joinSelfInterval, Some("""
+      SELECT event_id, user_id, ts,
+        lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts,
+        epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_us
+      FROM events ORDER BY event_id ASC NULLS FIRST""")),
+  )
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+
+/** SURVEY.md §2.A — scans, sources, sinks.
+  *
+  * Scale notes: projection/filter queries are written so Catalyst pushes both
+  * into the parquet scan (`ReadSchema` only carries selected columns,
+  * `PushedFilters` carries the predicate) — at 100 TB that's the difference
+  * between reading 2 columns of the row groups that can match vs the whole
+  * table. The CSV/JSON roundtrips prove non-parquet ingestion with explicit
+  * schemas (never schema inference, which would double-scan the source).
+  */
+object Scans extends QueryPack {
+
+  private def scanParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "region").orderBy($"r_regionkey".asc_nulls_first)
+  }
+
+  private def scanProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first)
+  }
+
+  private def scanFilterPushdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= lit("1998-06-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first)
+  }
+
+  private val scratch = "/tmp/graft_scratch"
+
+  private def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"$scratch/nation_csv"
+    Catalog.load(spark, sfDir, "nation")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true")
+      .csv(dir)
+      .orderBy($"n_nationkey".asc_nulls_first)
+  }
+
+  private def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"$scratch/customer_json"
+    Catalog.load(spark, sfDir, "customer")
+      .write.mode("overwrite").json(dir)
+    spark.read
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .json(dir)
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_scan_parquet", scanParquet, Some(
+      "SELECT * FROM region ORDER BY r_regionkey ASC NULLS FIRST")),
+    Q("q_scan_projection_pushdown", scanProjection, Some("""
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""")),
+    Q("q_scan_filter_pushdown", scanFilterPushdown, Some("""
+      SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""")),
+    Q("q_source_csv_roundtrip", csvRoundtrip, Some(
+      "SELECT * FROM nation ORDER BY n_nationkey ASC NULLS FIRST")),
+    Q("q_source_json_roundtrip", jsonRoundtrip, Some(
+      "SELECT * FROM customer ORDER BY c_custkey ASC NULLS FIRST")),
+  )
+}
