@@ -1,0 +1,287 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.H — scalar function surface (string / date / math / array /
+  * map / JSON). Every query here is pure per-row computation: it stays
+  * inside whole-stage codegen with no shuffle except the final order.
+  *
+  * Dialect notes baked into the oracle pairs (probed against DuckDB 1.0):
+  *  - Spark `length`/`size`/`year`/... return INT, DuckDB BIGINT → Spark
+  *    side casts to long.
+  *  - Spark `dayofweek` is 1=Sunday, DuckDB 0=Sunday → Spark emits -1.
+  *  - DuckDB `date_trunc` yields DATE for day-or-coarser units → oracle
+  *    casts back to TIMESTAMP where Spark yields timestamps.
+  *  - DuckDB `regexp_replace` is first-match unless the 'g' flag is given.
+  *  - DuckDB `list_distinct` has unspecified order → both sides sort.
+  *  - Transcendentals (ln/log10) may differ 1 ulp across libm
+  *    implementations → rounded to 4dp; sqrt is IEEE-exact → raw.
+  */
+object Scalars extends QueryPack {
+
+  private def strFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "customer")
+      .select(
+        $"c_custkey",
+        upper($"c_name").as("up"),
+        lower($"c_mktsegment").as("lo"),
+        substring($"c_name", 10, 9).as("sub"),
+        concat($"c_name", lit(":"), $"c_mktsegment").as("cat"),
+        lpad($"c_custkey".cast("string"), 10, "0").as("pad"),
+        length($"c_name").cast("long").as("len"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("rep"),
+        trim(concat(lit("  "), $"c_name", lit("  "))).as("trimmed"),
+        split($"c_name", "#").as("parts"))
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
+  private def strRegexp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "part")
+      .select(
+        $"p_partkey",
+        regexp_extract($"p_brand", "#(\\d+)", 1).cast("int").as("brand_num"),
+        regexp_replace($"p_name", " ", "_").as("name_snake"),
+        $"p_name".rlike("^(hot|cold)").as("is_temp"))
+      .orderBy($"p_partkey".asc_nulls_first)
+  }
+
+  private def strLevenshtein(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = Catalog.load(spark, sfDir, "nation")
+    val r = Catalog.load(spark, sfDir, "region")
+    n.crossJoin(r)
+      .select(
+        $"n_nationkey", $"r_regionkey",
+        levenshtein($"n_name", $"r_name").cast("long").as("lev"))
+      .orderBy($"n_nationkey".asc_nulls_first, $"r_regionkey".asc_nulls_first)
+  }
+
+  private def dateFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"),
+        dayofmonth($"o_orderdate").cast("long").as("d"),
+        quarter($"o_orderdate").cast("long").as("q"),
+        (dayofweek($"o_orderdate") - 1).cast("long").as("dow0"),
+        date_trunc("week", $"o_orderdate").as("week_start"),
+        datediff(lit("2001-09-01").cast("date"), $"o_orderdate".cast("date"))
+          .cast("long").as("days_to_ref"),
+        ((lit(2001) - year($"o_orderdate")) * 12 + (lit(9) - month($"o_orderdate")))
+          .cast("long").as("months_to_ref"),
+        unix_timestamp($"o_orderdate").as("epoch_s"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  private def mathFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "lineitem")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        abs($"l_extendedprice" - 50000.0).as("abs_diff"),
+        ceil($"l_quantity" / 7.0).as("ceil_q"),
+        floor($"l_quantity" / 7.0).as("floor_q"),
+        ($"l_quantity" * $"l_quantity").as("sq"),
+        sqrt($"l_extendedprice").as("sqrt_p"),
+        r4(log($"l_extendedprice")).as("ln_p"),
+        r4(log10($"l_extendedprice")).as("log10_p"),
+        ($"l_quantity" % 7.0).as("mod7"),
+        signum($"l_extendedprice" - 50000.0).as("sgn"))
+      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first)
+  }
+
+  private def castMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .select(
+        $"o_orderkey",
+        $"o_custkey".cast("int").as("k_int"),
+        $"o_custkey".cast("double").as("k_dbl"),
+        $"o_orderkey".cast("string").as("k_str"),
+        $"o_orderkey".cast("string").cast("long").as("k_rt"),
+        $"o_totalprice".cast("decimal(14,2)").as("price_dec"),
+        $"o_totalprice".cast("string").as("price_str"),
+        $"o_orderdate".cast("date").as("date_d"),
+        $"o_orderdate".cast("date").cast("string").as("date_str"),
+        $"o_orderdate".cast("date").cast("timestamp").as("back_ts"),
+        (($"o_orderkey" % 2) === 0).as("flag_b"),
+        (($"o_orderkey" % 2) === 0).cast("int").as("flag_i"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  private def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select(
+        $"doc_id",
+        size($"toks").cast("long").as("n_toks"),
+        array_contains($"toks", "spark").as("has_spark"),
+        slice($"toks", 1, 5).as("first5"),
+        sort_array(array_distinct($"toks")).as("vocab"),
+        flatten(array(slice($"toks", 1, 2), slice($"toks", 3, 2))).as("first4"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private def arrayHigherOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select(
+        $"doc_id",
+        transform($"toks", t => length(t)).as("tok_lens"),
+        filter($"toks", t => length(t) > 4).as("long_toks"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("total_chars"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private def explodeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc_nulls_last, $"token".asc_nulls_first)
+      .limit(20)
+  }
+
+  private def mapFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perType = Catalog.load(spark, sfDir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    perType
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"event_type".as("k"), $"cnt".as("v"))))
+        .as("entries"))
+      .select(
+        $"user_id",
+        $"entries".as("type_counts"),
+        map_keys(map_from_entries($"entries")).as("keys"),
+        size(map_from_entries($"entries")).cast("long").as("n_types"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  private def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        round(sum($"k").cast("double") / count($"k"), 4).as("avg_k"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_str_funcs", strFuncs, Some("""
+      SELECT c_custkey,
+        upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        substring(c_name, 10, 9) AS sub,
+        concat(c_name, ':', c_mktsegment) AS cat,
+        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS pad,
+        CAST(length(c_name) AS BIGINT) AS len,
+        replace(c_name, 'Customer', 'Cust') AS rep,
+        trim(concat('  ', c_name, '  ')) AS trimmed,
+        string_split(c_name, '#') AS parts
+      FROM customer ORDER BY c_custkey ASC NULLS FIRST""")),
+    Q("q_str_regexp", strRegexp, Some("""
+      SELECT p_partkey,
+        CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INTEGER) AS brand_num,
+        regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        regexp_matches(p_name, '^(hot|cold)') AS is_temp
+      FROM part ORDER BY p_partkey ASC NULLS FIRST""")),
+    Q("q_str_levenshtein", strLevenshtein, Some("""
+      SELECT n_nationkey, r_regionkey,
+        CAST(levenshtein(n_name, r_name) AS BIGINT) AS lev
+      FROM nation CROSS JOIN region
+      ORDER BY n_nationkey ASC NULLS FIRST, r_regionkey ASC NULLS FIRST""")),
+    Q("q_date_funcs", dateFuncs, Some("""
+      SELECT o_orderkey,
+        year(o_orderdate) AS y, month(o_orderdate) AS m,
+        day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+        CAST(dayofweek(o_orderdate) AS BIGINT) AS dow0,
+        CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+        datediff('day', CAST(o_orderdate AS DATE), DATE '2001-09-01') AS days_to_ref,
+        (2001 - year(o_orderdate)) * 12 + (9 - month(o_orderdate)) AS months_to_ref,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders ORDER BY o_orderkey ASC NULLS FIRST""")),
+    Q("q_math_funcs", mathFuncs, Some("""
+      SELECT l_orderkey, l_linenumber,
+        abs(l_extendedprice - 50000.0) AS abs_diff,
+        CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+        CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_q,
+        l_quantity * l_quantity AS sq,
+        sqrt(l_extendedprice) AS sqrt_p,
+        round(ln(l_extendedprice), 4) AS ln_p,
+        round(log10(l_extendedprice), 4) AS log10_p,
+        mod(l_quantity, 7.0) AS mod7,
+        CAST(sign(l_extendedprice - 50000.0) AS DOUBLE) AS sgn
+      FROM lineitem
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""")),
+    Q("q_cast_matrix", castMatrix, Some("""
+      SELECT o_orderkey,
+        CAST(o_custkey AS INTEGER) AS k_int,
+        CAST(o_custkey AS DOUBLE) AS k_dbl,
+        CAST(o_orderkey AS VARCHAR) AS k_str,
+        CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS k_rt,
+        CAST(o_totalprice AS DECIMAL(14,2)) AS price_dec,
+        CAST(o_totalprice AS VARCHAR) AS price_str,
+        CAST(o_orderdate AS DATE) AS date_d,
+        CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+        CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS back_ts,
+        o_orderkey % 2 = 0 AS flag_b,
+        CAST(o_orderkey % 2 = 0 AS INTEGER) AS flag_i
+      FROM orders ORDER BY o_orderkey ASC NULLS FIRST""")),
+    Q("q_array_funcs", arrayFuncs, Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_toks,
+        list_contains(toks, 'spark') AS has_spark,
+        toks[1:5] AS first5,
+        list_sort(list_distinct(toks)) AS vocab,
+        flatten([toks[1:2], toks[3:4]]) AS first4
+      FROM d ORDER BY doc_id ASC NULLS FIRST""")),
+    Q("q_array_higher_order", arrayHigherOrder, Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id,
+        list_transform(toks, t -> CAST(length(t) AS INTEGER)) AS tok_lens,
+        list_filter(toks, t -> length(t) > 4) AS long_toks,
+        CAST(list_aggregate(list_transform(toks, t -> CAST(length(t) AS BIGINT)), 'sum') AS BIGINT) AS total_chars
+      FROM d ORDER BY doc_id ASC NULLS FIRST""")),
+    Q("q_explode_tokens", explodeTokens, Some("""
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+      ORDER BY cnt DESC NULLS LAST, token ASC NULLS FIRST
+      LIMIT 20""")),
+    Q("q_map_funcs", mapFuncs, Some("""
+      WITH pc AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type)
+      SELECT user_id,
+        list_sort(list({'k': event_type, 'v': cnt})) AS type_counts,
+        list_transform(list_sort(list({'k': event_type, 'v': cnt})), e -> e.k) AS keys,
+        CAST(count(*) AS BIGINT) AS n_types
+      FROM pc GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")),
+    Q("q_json_extract", jsonExtract, Some("""
+      WITH e AS (
+        SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events)
+      SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+        round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k
+      FROM e GROUP BY event_type ORDER BY event_type ASC NULLS FIRST""")),
+  )
+}
