@@ -16,12 +16,12 @@ object Catalog {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(tableNames.contains(name), s"unknown table $name")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-      // as a timestamp. Read it as raw nanos and truncate to micros with
-      // integer division (`div`, exact on longs — a double division would
-      // lose precision at 1.7e18). DuckDB truncates ns→µs identically, so
-      // the oracle sees the same values.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is parquet TIMESTAMP(NANOS), read as raw nanos (the
+      // session sets spark.sql.legacy.parquet.nanosAsLong at construction —
+      // see graft.Sessions) and truncated to micros with integer division
+      // (`div`, exact on longs — a double division would lose precision at
+      // 1.7e18). DuckDB truncates ns→µs identically, so the oracle sees the
+      // same values.
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {

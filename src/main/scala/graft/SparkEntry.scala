@@ -16,6 +16,7 @@ object SparkEntry {
     Joins,
     Aggregations,
     SortsSetOps,
+    graft.functions.Scalars,
   )
 
   lazy val all: Vector[Q] = {

@@ -135,12 +135,12 @@ object Aggregations extends QueryPack {
   }
 
   private def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = table(spark, sfDir) _
-    t("customer").createOrReplaceTempView("gs_customer")
-    t("nation").createOrReplaceTempView("gs_nation")
-    spark.sql("""
+    // SQL entry point without catalog mutation: `parquet.`-path relations
+    // instead of temp views, so concurrent sessions never clobber each other.
+    spark.sql(s"""
       SELECT c_mktsegment, n_name, count(*) AS n_cust
-      FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+      FROM parquet.`$sfDir/customer.parquet` c
+      JOIN parquet.`$sfDir/nation.parquet` n ON c_nationkey = n_nationkey
       GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
       ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""")
   }
@@ -160,7 +160,8 @@ object Aggregations extends QueryPack {
     import spark.implicits._
     Catalog.load(spark, sfDir, "events")
       .groupBy($"user_id")
-      .agg(array_sort(collect_set($"event_type")).as("types"))
+      // Serialized to a string: the driver's differ cannot hash array cells.
+      .agg(array_join(array_sort(collect_set($"event_type")), ",").as("types"))
       .orderBy($"user_id".asc_nulls_first)
   }
 
@@ -283,7 +284,7 @@ object Aggregations extends QueryPack {
         count(*) FILTER (WHERE event_type = 'error') AS error
       FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")),
     Q("q_agg_collect", aggCollect, Some("""
-      SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
       FROM events GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")),
     Q("q_agg_stats", aggStats, Some("""
       SELECT l_returnflag,

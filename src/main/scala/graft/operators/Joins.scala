@@ -60,8 +60,12 @@ object Joins extends QueryPack {
     val s = Catalog.load(spark, sfDir, "supplier")
     val n = Catalog.load(spark, sfDir, "nation")
     val r = Catalog.load(spark, sfDir, "region")
+    // customer scales with the fact tables — broadcasting it would OOM
+    // executors at 100 TB; it joins shuffled (AQE may still convert when
+    // genuinely small). Only the true dims (supplier/nation/region) are
+    // broadcast.
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
                           c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))

@@ -36,7 +36,9 @@ object Scans extends QueryPack {
       .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first)
   }
 
-  private val scratch = "/tmp/graft_scratch"
+  // Per-JVM temp dir: concurrent Verify/Bench runs never clobber each other.
+  private lazy val scratch =
+    java.nio.file.Files.createTempDirectory("graft_scratch_").toString
 
   private def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
