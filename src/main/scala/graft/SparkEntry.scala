@@ -17,6 +17,7 @@ object SparkEntry {
     Aggregations,
     SortsSetOps,
     graft.functions.Scalars,
+    Windows,
   )
 
   lazy val all: Vector[Q] = {

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.E — window functions.
+  *
+  * Scale notes (100 TB posture): every window here is partitioned by a
+  * high-cardinality key (customer / user / brand), so window evaluation is a
+  * single shuffle on the partition key followed by per-partition sorts — no
+  * global single-partition window anywhere in this pack. The one ordered-only
+  * window (7-day moving average) runs AFTER a daily pre-aggregation, whose
+  * output is |days| rows regardless of input scale.
+  *
+  * Determinism notes: every `orderBy` inside a window carries a unique
+  * tie-breaker key. Windowed double sums go through DECIMAL(18,6) exactly
+  * like grouped sums (see [[graft.Dsl]]) — DuckDB evaluates window aggregates
+  * with a segment tree whose summation order differs from Spark's sequential
+  * accumulation, so raw-double running sums would diverge in the last bits.
+  */
+object Windows extends QueryPack {
+
+  /** Exact windowed double sum: decimal accumulation is order-free. */
+  private def wsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(18,6)"))
+
+  private def winRanking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Catalog.load(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("nt4", ntile(4).over(w).cast("long"))
+      .orderBy($"o_custkey".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  private def winTopnPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Catalog.load(spark, sfDir, "lineitem")
+    val part = Catalog.load(spark, sfDir, "part")
+    val rev = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy($"p_brand", $"p_partkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    val w = Window.partitionBy($"p_brand")
+      .orderBy($"revenue".desc, $"p_partkey".asc)
+    rev.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .orderBy($"p_brand".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  private def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    Catalog.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      // `div` (integer division): DuckDB's `//` floors identically for the
+      // always-nonnegative gaps here.
+      .withColumn("gap_s",
+        expr("(unix_micros(ts) - unix_micros(lag(ts, 1) over " +
+          "(partition by user_id order by ts asc, event_id asc))) div 1000000"))
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
+  private def winRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Catalog.load(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("running_spend", wsum($"o_totalprice").over(w).cast("double"))
+      .withColumn("order_seq", row_number().over(
+        Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".asc, $"o_orderkey".asc)).cast("long"))
+      .orderBy($"o_custkey".asc_nulls_first, $"order_seq".asc_nulls_first)
+  }
+
+  private def winMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Pre-aggregate to daily totals first (SURVEY §2.E): the window then runs
+    // over |days| rows — constant in input scale — so the ordered-only window
+    // is safe here and both engines see identical 7-row frames.
+    val daily = Catalog.load(spark, sfDir, "events")
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(dsum($"value").as("daily_val"))
+      .withColumn("day_idx",
+        datediff($"day".cast("date"), lit("2024-01-01").cast("date")))
+    val w = Window.orderBy($"day_idx").rangeBetween(-6, 0)
+    daily.select(
+        $"day", $"daily_val",
+        round(wsum($"daily_val").over(w).cast("double") /
+          count(lit(1)).over(w), 4).as("ma7"))
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private def winFirstLast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Catalog.load(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .withColumn("first_prio", first($"o_orderpriority").over(w))
+      .withColumn("last_prio", last($"o_orderpriority").over(w))
+      .orderBy($"o_custkey".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+  }
+
+  private def winSessionIds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Catalog.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts")
+      .withColumn("gap_s",
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(wOrd))) / lit(1000000L))
+      .withColumn("is_new",
+        when($"gap_s".isNull || $"gap_s" > 1800, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id", sum($"is_new").over(wRun))
+      .select($"event_id", $"user_id", $"ts", $"session_id")
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_win_ranking", winRanking, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(row_number() OVER w AS BIGINT) AS rn,
+        CAST(rank() OVER w AS BIGINT) AS rnk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        CAST(ntile(4) OVER w AS BIGINT) AS nt4
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""")),
+    Q("q_win_topn_per_group", winTopnPerGroup, Some(s"""
+      WITH rev AS (
+        SELECT p_brand, p_partkey,
+          ${graft.Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC) AS BIGINT) AS rn
+        FROM rev)
+      SELECT p_brand, p_partkey, revenue, rn FROM ranked WHERE rn <= 3
+      ORDER BY p_brand ASC NULLS FIRST, rn ASC NULLS FIRST""")),
+    Q("q_win_lag_lead", winLagLead, Some("""
+      SELECT event_id, user_id, ts, event_type, value,
+        lag(value, 1) OVER w AS prev_value,
+        lead(event_type, 1) OVER w AS next_type,
+        (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) // 1000000 AS gap_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      ORDER BY event_id ASC NULLS FIRST""")),
+    Q("q_win_running_sum", winRunningSum, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        CAST(row_number() OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS order_seq
+      FROM orders
+      ORDER BY o_custkey ASC NULLS FIRST, order_seq ASC NULLS FIRST""")),
+    Q("q_win_moving_avg", winMovingAvg, Some("""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS daily_val,
+          datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx
+        FROM events GROUP BY 1, 3)
+      SELECT day, daily_val,
+        round(CAST(sum(CAST(daily_val AS DECIMAL(18,6))) OVER w AS DOUBLE)
+              / count(*) OVER w, 4) AS ma7
+      FROM daily
+      WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY day ASC NULLS FIRST""")),
+    Q("q_win_first_last", winFirstLast, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        first_value(o_orderpriority) OVER w AS first_prio,
+        last_value(o_orderpriority) OVER w AS last_prio
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""")),
+    Q("q_win_session_ids", winSessionIds, Some("""
+      WITH g AS (
+        SELECT event_id, user_id, ts,
+          (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) / 1000000 AS gap_s
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_new
+        FROM g)
+      SELECT event_id, user_id, ts,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM f ORDER BY event_id ASC NULLS FIRST""")),
+  )
+}
