@@ -18,6 +18,7 @@ object SparkEntry {
     SortsSetOps,
     graft.functions.Scalars,
     Windows,
+    graft.streaming.Streams,
   )
 
   lazy val all: Vector[Q] = {
