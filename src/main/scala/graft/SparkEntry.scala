@@ -19,6 +19,7 @@ object SparkEntry {
     graft.functions.Scalars,
     Windows,
     graft.streaming.Streams,
+    LlmPipeline,
   )
 
   lazy val all: Vector[Q] = {

@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Oracle, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.J — LLM-training-data pipeline operators over the
+  * `documents` and `embeddings` fixtures: text normalization/analysis,
+  * exact + near + MinHash dedup, similarity search, multimodal join.
+  *
+  * Scale notes (100 TB posture):
+  *  - Near-dup is shingle-bucketed, never all-pairs: explode 5-gram shingles,
+  *    self equi-join ON the shingle, aggregate pair intersections. A
+  *    document-frequency cap (shingles present in > SHINGLE_DF_CAP docs are
+  *    dropped from every doc's shingle set) bounds each join bucket, so one
+  *    stop-word shingle can never produce a quadratic bucket. The cap is part
+  *    of the operator's semantics and the oracle applies it identically
+  *    (no-op at this SF: max observed df = 3).
+  *  - kNN broadcasts the tiny probe set and scans candidates once — top-k per
+  *    probe via partitioned window, no driver-side collection.
+  *  - Cosine math uses codegen'd higher-order functions (zip_with/aggregate),
+  *    not UDFs, all in double precision.
+  *  - Centroids output the flat (label, pos, value) relation — grouped
+  *    map-side partial aggregation, and no array columns in the graded
+  *    output (the driver differ cannot hash arrays).
+  */
+object LlmPipeline extends QueryPack {
+
+  /** Max docs a shingle may appear in before it is dropped (see scale note). */
+  private val SHINGLE_DF_CAP = 100
+
+  private def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  private val normTextSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .select(
+        $"doc_id",
+        normText($"text").as("norm_text"),
+        size(split(normText($"text"), " ")).cast("long").as("n_tokens"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        davg($"n_chars").as("avg_chars"),
+        davg(size(split($"text", " "))).as("avg_tokens"),
+        expr("bool_and(n_chars = length(text))").as("chars_consistent"))
+      .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+  }
+
+  private def textTf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Catalog.load(spark, sfDir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"lang")
+      .orderBy($"cnt".desc, $"token".asc)
+    counts.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 20)
+      .orderBy($"lang".asc_nulls_first, $"rn".asc_nulls_first)
+  }
+
+  private def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Keep the smallest doc_id per normalized text; n_dups = group size.
+    val d = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", normText($"text").as("norm_text"))
+    val wp = Window.partitionBy($"norm_text")
+    d.withColumn("rn", row_number().over(wp.orderBy($"doc_id".asc)))
+      .withColumn("n_dups", count(lit(1)).over(wp).cast("long"))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"norm_text", $"n_dups")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** Distinct 5-gram token shingles per doc, document-frequency capped. */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = split(normText(col("text")), " ")
+    val raw = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        explode(when(size(toks) >= 5,
+            array_distinct(transform(sequence(lit(0), size(toks) - 5),
+              i => concat_ws(" ", slice(toks, i + 1, lit(5))))))
+          .otherwise(array())).as("shingle"))
+    val hot = raw.groupBy($"shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" > SHINGLE_DF_CAP)
+      .select($"shingle")
+    raw.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  private val shinglesSql = s"""
+      sh AS (
+        SELECT doc_id, shingle FROM (
+          SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle
+          FROM (SELECT doc_id, string_split($normTextSql, ' ') AS toks FROM documents),
+               range(10000) t(i)
+          WHERE i + 5 <= len(toks))
+        QUALIFY count(*) OVER (PARTITION BY shingle) <= $SHINGLE_DF_CAP)"""
+
+  private def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingles(spark, sfDir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
+    val b = sh.select($"doc_id".as("doc_b"), $"shingle")
+    val inter = a.join(b, Seq("shingle"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round($"n_inter".cast("double") / ($"n_a" + $"n_b" - $"n_inter"), 4))
+      .filter($"jaccard" >= 0.8)
+      .select($"doc_a", $"doc_b", $"n_inter", $"jaccard")
+      .orderBy($"doc_a".asc_nulls_first, $"doc_b".asc_nulls_first)
+  }
+
+  /** MinHashLSH candidate pairs — probabilistic twin of q_dedup_near.
+    * Capability-only (no oracle): banding/minhash is engine-specific.
+    * Seeded, so deterministic run-to-run within Spark.
+    */
+  private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    import spark.implicits._
+    val docs = shingles(spark, sfDir)
+      .groupBy($"doc_id")
+      .agg(collect_list($"shingle").as("sh"))
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18)
+    val feats = tf.transform(docs)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, 0.4, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(col("jaccard_dist"), 4).as("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+  }
+
+  /** dot(a,b) in double precision via codegen'd higher-order functions. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB twin: unnest(list_zip(a,b)) then fold in array order. */
+  private def cosineSql(a: String, b: String): String = s"""(
+      SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+             / (sqrt(sum(CAST(r[1] AS DOUBLE) * CAST(r[1] AS DOUBLE)))
+                * sqrt(sum(CAST(r[2] AS DOUBLE) * CAST(r[2] AS DOUBLE))))
+      FROM (SELECT unnest(list_zip($a, $b)) AS r))"""
+
+  private def simCosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings").filter($"vec_id" < 10)
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("emb_b"))
+    a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", round(cosine($"emb_a", $"emb_b"), 4).as("cos_sim"))
+      .orderBy($"id_a".asc_nulls_first, $"id_b".asc_nulls_first)
+  }
+
+  private def simKnnBruteforce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val cands = e.select($"vec_id".as("cand_id"), $"embedding".as("cand_emb"))
+    // Rank on the ROUNDED cosine (ties broken by cand_id) so ordering is
+    // invariant to last-bit summation differences across engines.
+    val scored = cands.join(broadcast(probes), $"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id",
+        round(cosine($"probe_emb", $"cand_emb"), 4).as("cos_sim"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"cos_sim".desc, $"cand_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  private def simCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum($"v".cast("double")) / count(lit(1)), 4).as("centroid_val"))
+      .select($"label", $"pos".cast("long").as("pos"), $"n_vecs", $"centroid_val")
+      .orderBy($"label".asc_nulls_first, $"pos".asc_nulls_first)
+  }
+
+  private def multimodalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Catalog.load(spark, sfDir, "documents")
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(
+        $"doc_id", $"lang", $"source", $"n_chars", $"label",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        // Vector serialized via DECIMAL(10,4) so both engines print
+        // identical fixed-point strings (double→string would use scientific
+        // notation for small values in Spark but not DuckDB).
+        array_join(transform($"embedding",
+          x => x.cast("double").cast("decimal(10,4)").cast("string")), ",")
+          .as("vec_str"),
+        round(sqrt(dot($"embedding", $"embedding")), 4).as("vec_norm"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_text_normalize", textNormalize, Some(s"""
+      SELECT doc_id, $normTextSql AS norm_text,
+        CAST(len(string_split($normTextSql, ' ')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id ASC NULLS FIRST""")),
+    Q("q_text_stats", textStats, Some(s"""
+      SELECT lang, source, count(*) AS n_docs,
+        ${Oracle.davg("n_chars")} AS avg_chars,
+        ${Oracle.davg("len(string_split(text, ' '))")} AS avg_tokens,
+        bool_and(n_chars = length(text)) AS chars_consistent
+      FROM documents GROUP BY lang, source
+      ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""")),
+    Q("q_text_tf", textTf, Some("""
+      WITH c AS (
+        SELECT lang, token, count(*) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY lang, token),
+      r AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS BIGINT) AS rn
+        FROM c)
+      SELECT lang, token, cnt, rn FROM r WHERE rn <= 20
+      ORDER BY lang ASC NULLS FIRST, rn ASC NULLS FIRST""")),
+    Q("q_dedup_exact", dedupExact, Some(s"""
+      WITH d AS (SELECT doc_id, $normTextSql AS norm_text FROM documents),
+      r AS (
+        SELECT doc_id, norm_text,
+          row_number() OVER (PARTITION BY norm_text ORDER BY doc_id ASC) AS rn,
+          CAST(count(*) OVER (PARTITION BY norm_text) AS BIGINT) AS n_dups
+        FROM d)
+      SELECT doc_id, norm_text, n_dups FROM r WHERE rn = 1
+      ORDER BY doc_id ASC NULLS FIRST""")),
+    Q("q_dedup_near", dedupNear, Some(s"""
+      WITH $shinglesSql,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (
+        SELECT doc_a, doc_b, n_inter,
+          round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, n_inter, jaccard FROM j WHERE jaccard >= 0.8
+      ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""")),
+    Q("q_dedup_minhash", dedupMinhash, None),
+    Q("q_sim_cosine_pairs", simCosinePairs, Some(s"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(${cosineSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 10 AND b.vec_id < 10
+      ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""")),
+    Q("q_sim_knn_bruteforce", simKnnBruteforce, Some(s"""
+      WITH scored AS (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          round(${cosineSql("p.embedding", "c.embedding")}, 4) AS cos_sim
+        FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT probe_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 5
+      ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST""")),
+    Q("q_sim_centroids", simCentroids, Some("""
+      WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v
+        FROM embeddings)
+      SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
+        round(sum(CAST(v AS DOUBLE)) / count(*), 4) AS centroid_val
+      FROM flat GROUP BY label, pos
+      ORDER BY label ASC NULLS FIRST, pos ASC NULLS FIRST""")),
+    Q("q_multimodal_join", multimodalJoin, Some(s"""
+      SELECT doc_id, lang, source, n_chars, label,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        array_to_string(list_transform(embedding,
+          x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,4)) AS VARCHAR)), ',') AS vec_str,
+        round(sqrt(${"(SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE)) FROM (SELECT unnest(list_zip(embedding, embedding)) AS r))"}), 4) AS vec_norm
+      FROM documents JOIN embeddings ON doc_id = vec_id
+      ORDER BY doc_id ASC NULLS FIRST""")),
+  )
+}
