@@ -20,6 +20,7 @@ object SparkEntry {
     Windows,
     graft.streaming.Streams,
     LlmPipeline,
+    graft.functions.Udfs,
   )
 
   lazy val all: Vector[Q] = {
