@@ -196,19 +196,20 @@ object Aggregations extends QueryPack {
           .cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         dsum($"o_totalprice").as("monetary"))
-    // Quintile scoring is inherently a global rank: a single-partition window
-    // here. At 100 TB you'd swap ntile for approx quantile boundaries
-    // (approxQuantile on the agg output, ~|customers| rows, then a broadcast
-    // bucket lookup) — the agg output is |customers|, 1000x smaller than the
-    // fact table, so even the exact form is feasible far beyond this SF.
-    val wR = Window.orderBy($"recency_days".asc, $"o_custkey".asc)
-    val wF = Window.orderBy($"frequency".desc, $"o_custkey".asc)
-    val wM = Window.orderBy($"monetary".desc, $"o_custkey".asc)
-    rfm.select(
+    // Quintile scoring is a global rank. A bare ntile window would funnel
+    // all customers through one task; DistributedRank.ntileExact computes the
+    // identical tiles via range repartition + per-partition ranks + broadcast
+    // offsets — exact at any scale, no single-partition stage.
+    val scored = Seq[(String, Seq[org.apache.spark.sql.Column])](
+      ("r_score", Seq($"recency_days".asc, $"o_custkey".asc)),
+      ("f_score", Seq($"frequency".desc, $"o_custkey".asc)),
+      ("m_score", Seq($"monetary".desc, $"o_custkey".asc)))
+      .foldLeft(rfm) { case (df, (out, order)) =>
+        DistributedRank.ntileExact(df, 5, order, out)
+      }
+    scored.select(
         $"o_custkey", $"recency_days", $"frequency", $"monetary",
-        ntile(5).over(wR).cast("long").as("r_score"),
-        ntile(5).over(wF).cast("long").as("f_score"),
-        ntile(5).over(wM).cast("long").as("m_score"))
+        $"r_score", $"f_score", $"m_score")
       .orderBy($"o_custkey".asc_nulls_first)
   }
 
