@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.DistributedRank
+
+/** Hand-computed expectations on tiny literal frames — operator semantics
+  * independent of the fixture data.
+  */
+class OperatorUnitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("Dsl.dsum is an exact decimal sum cast back to double") {
+    val df = Seq(0.1, 0.2, 0.3).toDF("x")
+    val got = df.agg(Dsl.dsum($"x")).as[Double].head()
+    assert(got == 0.6) // decimal path: no 0.6000000000000001
+  }
+
+  test("sessionization: 30-minute gap starts a new session") {
+    val events = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:20:00")), // 20 min → same session
+      (3L, 7L, ts("2024-01-01 10:50:00")), // exactly 30 min → NEW (gap >= 30m)
+      (4L, 7L, ts("2024-01-01 11:10:00")), // 20 min → same
+      (5L, 8L, ts("2024-01-01 10:00:00"))  // other user → own session
+    ).toDF("event_id", "user_id", "ts")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gap = unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))
+    val got = events
+      .withColumn("is_new",
+        when(gap.isNull || gap >= lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("DistributedRank.ntileExact matches the ntile window bit-for-bit") {
+    // 103 rows, k=5 → tiles of 21,21,21,20,20; includes duplicate values
+    // (tie-break on id) and enough rows to span several range partitions.
+    val rng = new scala.util.Random(7)
+    val data = (1L to 103L).map(i => (i, rng.nextInt(20))).toDF("id", "v")
+    val order = Seq($"v".asc, $"id".asc)
+    val expected = data.withColumn("nt",
+      ntile(5).over(Window.orderBy(order: _*)).cast("long"))
+    val got = DistributedRank.ntileExact(data, 5, order, "nt", buckets = 7)
+    assert(got.select($"id", $"nt").except(expected.select($"id", $"nt")).isEmpty)
+    assert(expected.select($"id", $"nt").except(got.select($"id", $"nt")).isEmpty)
+  }
+
+  test("near-dup Jaccard: identical shingle sets give 1.0, disjoint give no pair") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),          // identical → jaccard 1.0
+      (3L, "z y x w v u t s r q")   // disjoint
+    ).toDF("doc_id", "text")
+    val toks = split($"text", " ")
+    val sh = docs.select($"doc_id",
+      explode(array_distinct(transform(sequence(lit(0), size(toks) - 5),
+        i => concat_ws(" ", slice(toks, i + 1, lit(5)))))).as("shingle"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .agg(count(lit(1)).as("ninter"))
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .withColumn("j", $"ninter".cast("double") / ($"na" + $"nb" - $"ninter"))
+      .select($"da", $"db", $"j").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("cosine via zip_with/aggregate matches hand computation") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val got = df.select(
+      (dot($"a", $"b") / (sqrt(dot($"a", $"a")) * sqrt(dot($"b", $"b"))))
+        .as("c")).as[Double].head()
+    assert(math.abs(got - 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))) < 1e-12)
+  }
+
+  test("udf feature hash agrees with its oracle arithmetic") {
+    // (31*len + sum of char codes) % 100 — the exact SQL-mirrored formula.
+    val s = "Customer#000000007"
+    val expected = (31L * s.length + s.map(_.toLong).sum) % 100L
+    val viaSql = spark.sql(
+      s"SELECT (31 * length('$s') + " +
+        s"aggregate(transform(split('$s', ''), c -> ascii(c)), 0, (a, x) -> a + x)) % 100")
+      .as[Long].head()
+    assert(viaSql == expected)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming twins of the graded batch queries (SURVEY §2.I and
+  * §5.5): the same logic through `readStream` + watermark must agree with the
+  * batch answer once the stream is fully consumed.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Replay source: events re-written as micros-timestamp parquet (the raw
+  // fixture is TIMESTAMP(NANOS), which the streaming reader would refuse).
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_stream_events_").toString
+    Catalog.load(spark, sf0001, "events")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def batchEvents: DataFrame = spark.read.parquet(eventsDir)
+
+  private def streamEvents: DataFrame =
+    spark.readStream.schema(batchEvents.schema).parquet(eventsDir)
+
+  /** Run a streaming aggregation to completion, return the sink contents. */
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft_ckpt_$name").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("tumbling window: streaming with watermark equals batch") {
+    val agg = (df: DataFrame) => df
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n")
+    val streamed = runToMemory(agg(streamEvents), "tumbling_sink", "complete")
+    val batch = batchEvents
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("hour_start"), $"event_type", $"n")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("streaming dedup agrees with batch distinct count") {
+    val keyed = (df: DataFrame) =>
+      df.select($"user_id", $"event_type", date_trunc("day", $"ts").as("day"), $"ts")
+    val streamed = runToMemory(
+      keyed(streamEvents)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type", "day"),
+      "dedup_sink", "append")
+    val batchDistinct = keyed(batchEvents)
+      .select($"user_id", $"event_type", $"day").distinct().count()
+    assert(streamed.count() == batchDistinct)
+  }
+
+  test("session_window session count equals batch sessionization") {
+    val streamed = runToMemory(
+      streamEvents
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events")),
+      "session_sink", "complete")
+    // Batch twin: gap >= 30 min starts a new session (same boundary rule as
+    // session_window — see graft.streaming.Streams.sessionized).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gap = unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))
+    val batchSessions = batchEvents
+      .withColumn("is_new", when(gap.isNull || gap >= lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"sid").distinct().count()
+    assert(streamed.count() == batchSessions)
+    // And identical per-session event counts, not just the count of sessions.
+    val streamedSizes = streamed.groupBy($"n_events").count()
+    val batchSizes = batchEvents
+      .withColumn("is_new", when(gap.isNull || gap >= lit(1800000000L), 1L).otherwise(0L))
+      .withColumn("sid", sum($"is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid").agg(count(lit(1)).as("n_events"))
+      .groupBy($"n_events").count()
+    assert(streamedSizes.except(batchSizes).isEmpty &&
+      batchSizes.except(streamedSizes).isEmpty)
+  }
+}
