@@ -86,15 +86,20 @@ object LlmPipeline extends QueryPack {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
-  /** Distinct 5-gram token shingles per doc, document-frequency capped. */
+  /** Distinct 5-gram token shingles per doc, document-frequency capped.
+    * `toks` is materialized as a column BEFORE the transform: higher-order
+    * functions re-evaluate expressions captured by their lambda once per
+    * array element, so an inline regex+split here would run ~|tokens| times
+    * per document (measured 3x slower at sf0.1).
+    */
   private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val toks = split(normText(col("text")), " ")
     val raw = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split(normText($"text"), " ").as("toks"))
       .select($"doc_id",
-        explode(when(size(toks) >= 5,
-            array_distinct(transform(sequence(lit(0), size(toks) - 5),
-              i => concat_ws(" ", slice(toks, i + 1, lit(5))))))
+        explode(when(size($"toks") >= 5,
+            array_distinct(transform(sequence(lit(0), size($"toks") - 5),
+              i => concat_ws(" ", slice($"toks", i + 1, lit(5))))))
           .otherwise(array())).as("shingle"))
     val hot = raw.groupBy($"shingle")
       .agg(count(lit(1)).as("df"))
