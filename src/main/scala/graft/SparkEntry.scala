@@ -20,6 +20,7 @@ object SparkEntry {
     Windows,
     graft.streaming.Streams,
     LlmPipeline,
+    LlmExtras,
     graft.functions.Udfs,
   )
 

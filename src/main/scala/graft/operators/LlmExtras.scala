@@ -1,0 +1,359 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+import graft.Dsl._
+
+/** Training-data-pipeline operators beyond SURVEY §2.J's core set (declared
+  * as §2.J2): language ID, quality scoring, document fingerprinting, SimHash
+  * near-dup, LSH-bucketed ANN, and a multimodal binary column with a stubbed
+  * decoder. All heuristics use pure integer/string arithmetic mirrored
+  * verbatim in the oracle SQL.
+  *
+  * Scale notes (100 TB posture):
+  *  - Everything per-document is a narrow projection or an explode feeding a
+  *    map-side-combined aggregation keyed by doc_id — no global stage.
+  *  - SimHash candidate pairing joins on 16-bit bands (union of two
+  *    equi-joins), never all-pairs; Hamming distance filters the candidates.
+  *  - The ANN query joins probes to candidates on an 8-bit hyperplane-LSH
+  *    bucket — the "scan only the bucket" scale path vs q_sim_knn_bruteforce's
+  *    full scan — then reranks the bucket exactly.
+  */
+object LlmExtras extends QueryPack {
+
+  private def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  private val normTextSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Exact occurrence count of literal `w` in `s` via length arithmetic —
+    * identical semantics in both engines (replace is literal on both).
+    */
+  private def occ(s: Column, w: String): Column =
+    ((length(s) - length(regexp_replace(s, java.util.regex.Pattern.quote(w), "")))
+      / w.length).cast("long")
+
+  private def occSql(s: String, w: String): String =
+    s"CAST((length($s) - length(replace($s, '$w', ''))) / ${w.length} AS BIGINT)"
+
+  // occ uses literal replace on the Spark side too (regexp with quoted
+  // pattern == literal), so the two sides agree even for regex metachars.
+
+  private def langid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val padded = concat(lit(" "), normText($"text"), lit(" "))
+    val scores = Seq(
+      "en" -> Seq(" the ", " a ", " of "),
+      "de" -> Seq(" der ", " und ", " die "),
+      "es" -> Seq(" el ", " y ", " los "),
+      "fr" -> Seq(" le ", " et ", " les "))
+    val df = Catalog.load(spark, sfDir, "documents")
+      .select(($"doc_id" +: $"lang".as("labeled_lang") +:
+        scores.map { case (l, ws) =>
+          ws.map(occ(padded, _)).reduce(_ + _).as(s"s_$l")
+        }): _*)
+    // argmax with fixed tie order en > de > es > fr (first wins ties).
+    df.withColumn("predicted",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr", "en")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
+          .when($"s_es" >= $"s_fr", "es")
+          .otherwise("fr"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val langidSql = {
+    val p = s"concat(' ', $normTextSql, ' ')"
+    def sc(ws: Seq[String]) = ws.map(occSql(p, _)).mkString("(", " + ", ")")
+    s"""
+      WITH s AS (
+        SELECT doc_id, lang AS labeled_lang,
+          ${sc(Seq(" the ", " a ", " of "))} AS s_en,
+          ${sc(Seq(" der ", " und ", " die "))} AS s_de,
+          ${sc(Seq(" el ", " y ", " los "))} AS s_es,
+          ${sc(Seq(" le ", " et ", " les "))} AS s_fr
+        FROM documents)
+      SELECT *,
+        CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS predicted
+      FROM s ORDER BY doc_id ASC NULLS FIRST"""
+  }
+
+  private def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val norm = normText($"text")
+    val nToks = size(split(norm, " ")).cast("long")
+    val padded = concat(lit(" "), norm, lit(" "))
+    val stops = Seq(" the ", " a ", " of ", " and ", " to ")
+    val nStop = stops.map(occ(padded, _)).reduce(_ + _)
+    Catalog.load(spark, sfDir, "documents")
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("len"),
+        nToks.as("n_tokens"),
+        round(length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("double")
+          / length($"text"), 4).as("punct_ratio"),
+        round(length(regexp_replace(norm, " ", "")).cast("double") / nToks, 4)
+          .as("avg_tok_len"),
+        round(nStop.cast("double") / nToks, 4).as("stop_ratio"),
+        round(least(lit(1.0), nToks.cast("double") / 50)
+          * (lit(1.0) - length(regexp_replace($"text", "[a-z0-9 ]", ""))
+              .cast("double") / length($"text")), 4).as("quality"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val qualitySql = {
+    val norm = normTextSql
+    val p = s"concat(' ', $norm, ' ')"
+    val nToks = s"CAST(len(string_split($norm, ' ')) AS BIGINT)"
+    val nStop = Seq(" the ", " a ", " of ", " and ", " to ")
+      .map(occSql(p, _)).mkString("(", " + ", ")")
+    val punct = s"CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+    s"""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS len,
+        $nToks AS n_tokens,
+        round($punct, 4) AS punct_ratio,
+        round(CAST(length(replace($norm, ' ', '')) AS DOUBLE) / $nToks, 4) AS avg_tok_len,
+        round(CAST($nStop AS DOUBLE) / $nToks, 4) AS stop_ratio,
+        round(least(1.0, CAST($nToks AS DOUBLE) / 50) * (1.0 - $punct), 4) AS quality
+      FROM documents ORDER BY doc_id ASC NULLS FIRST"""
+  }
+
+  /** Sum of character codes of a token — lambda over an attribute, so the
+    * capture is cheap (see LlmPipeline.shingles on lambda re-evaluation).
+    */
+  private def sumAscii(tok: Column): Column =
+    aggregate(transform(split(tok, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  private val sumAsciiSql =
+    "list_aggregate(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), 'sum')"
+
+  /** Positional token-hash document fingerprint (order-sensitive, unlike a
+    * bag-of-tokens hash): fp = sum((pos+1) * tokenhash) mod p.
+    */
+  private def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", posexplode(split(normText($"text"), " ")).as(Seq("pos", "tok")))
+    val th = (lit(31L) * length($"tok") + sumAscii($"tok")) * lit(2654435761L) % 1000000007L
+    toks
+      .select($"doc_id", (($"pos" + 1) * th).as("contrib"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum($"contrib") % 1000000007L).as("fingerprint"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val fingerprintSql = s"""
+      WITH toks AS (
+        SELECT doc_id,
+          generate_subscripts(string_split($normTextSql, ' '), 1) - 1 AS pos,
+          unnest(string_split($normTextSql, ' ')) AS tok
+        FROM documents)
+      SELECT doc_id, count(*) AS n_tokens,
+        sum((pos + 1) * ((31 * length(tok) + $sumAsciiSql) * 2654435761 % 1000000007))
+          % 1000000007 AS fingerprint
+      FROM toks GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST"""
+
+  /** SimHash near-dup: 32-bit simhash over distinct token hashes, candidate
+    * pairs via 16-bit band equi-joins, Hamming <= 6 confirms.
+    */
+  private def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", explode(split(normText($"text"), " ")).as("tok"))
+      .distinct()
+    // Second multiplier is kept small (1000003): (2^32 - 1) * 1000003 stays
+    // far below Long.Max — a 2^31-scale multiplier would overflow int64,
+    // which Spark 4's ANSI mode turns into a runtime error.
+    val h0 = (lit(31L) * length($"tok") + sumAscii($"tok")) * lit(2654435761L) % lit(4294967296L)
+    val h1 = h0.bitwiseXOR(shiftright(h0, 13))
+    val h = (h1 * lit(1000003L) % lit(4294967296L))
+    val hashed = toks.select($"doc_id",
+      h.bitwiseXOR(shiftright(h, 16)).as("h"))
+    val bits = hashed
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy($"doc_id", $"j")
+      .agg(sum(when(expr("shiftright(h, cast(j as int)) & 1") === 1, 1L)
+        .otherwise(-1L)).as("s"))
+    val sh = bits.groupBy($"doc_id")
+      .agg(sum(when($"s" > 0, expr("shiftleft(cast(1 as bigint), cast(j as int))"))
+        .otherwise(0L)).as("simhash"))
+    // Dedup proper: docs sharing a simhash form one duplicate class; keep
+    // the smallest doc_id as canonical. Linear in |docs| (one shuffle on the
+    // simhash) — listing near-miss PAIRS instead would be quadratic in class
+    // size, which this corpus's tiny shared vocabulary makes explosive
+    // (measured 1.19M pairs at sf0.1).
+    val w = Window.partitionBy($"simhash")
+    sh.withColumn("canonical_id", min($"doc_id").over(w))
+      .withColumn("class_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("is_dup", $"doc_id" =!= $"canonical_id")
+      .select($"doc_id", $"simhash", $"canonical_id", $"class_size", $"is_dup")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val dedupSimhashSql = s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS tok
+          FROM documents)),
+      h0 AS (
+        SELECT doc_id,
+          (31 * length(tok) + $sumAsciiSql) * 2654435761 % 4294967296 AS v
+        FROM toks),
+      h1 AS (SELECT doc_id, xor(v, v >> 13) AS v FROM h0),
+      h2 AS (SELECT doc_id, v * 1000003 % 4294967296 AS v FROM h1),
+      hashed AS (SELECT doc_id, xor(v, v >> 16) AS h FROM h2),
+      bits AS (
+        SELECT doc_id, j,
+          sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hashed CROSS JOIN range(32) t(j) GROUP BY doc_id, j),
+      sh AS (
+        SELECT doc_id,
+          sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id)
+      SELECT doc_id, simhash,
+        min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+        CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS class_size,
+        doc_id <> min(doc_id) OVER (PARTITION BY simhash) AS is_dup
+      FROM sh
+      ORDER BY doc_id ASC NULLS FIRST"""
+
+  /** Hyperplane-LSH ANN: 8 deterministic pseudo-random hyperplanes -> 8-bit
+    * bucket; probes join candidates in the SAME bucket only, then exact
+    * cosine rerank. The bucketed-scan scale path vs brute force.
+    */
+  private def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val flat = e.select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+    // LCG plane weights in [-1000, 1000], pure integer arithmetic.
+    val g = (lit(1103515245L) * ($"b" * 64 + $"pos") + 12345L) % 2001L - 1000L
+    val buckets = flat
+      .select($"vec_id", $"pos", $"v", explode(sequence(lit(0), lit(7))).as("b"))
+      .groupBy($"vec_id", $"b")
+      .agg(sum($"v".cast("double") * g.cast("double")).as("dot"))
+      .groupBy($"vec_id")
+      .agg(sum(when($"dot" > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+        .otherwise(0L)).as("bucket"))
+    val withEmb = buckets.join(e, "vec_id")
+    val probes = withEmb.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"bucket", $"embedding".as("p_emb"))
+    val cands = withEmb
+      .select($"vec_id".as("cand_id"), $"bucket", $"embedding".as("c_emb"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val scored = probes.join(cands, Seq("bucket"))
+      .filter($"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id", $"bucket",
+        round(dot($"p_emb", $"c_emb")
+          / (sqrt(dot($"p_emb", $"p_emb")) * sqrt(dot($"c_emb", $"c_emb"))), 4)
+          .as("cos_sim"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos_sim".desc, $"cand_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  private val simAnnLshSql = {
+    val cos = s"""(
+      SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+             / (sqrt(sum(CAST(r[1] AS DOUBLE) * CAST(r[1] AS DOUBLE)))
+                * sqrt(sum(CAST(r[2] AS DOUBLE) * CAST(r[2] AS DOUBLE))))
+      FROM (SELECT unnest(list_zip(p.embedding, c.embedding)) AS r))"""
+    s"""
+      WITH flat AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v
+        FROM embeddings),
+      dots AS (
+        SELECT vec_id, b,
+          sum(CAST(v AS DOUBLE) *
+              CAST((1103515245 * (b * 64 + pos) + 12345) % 2001 - 1000 AS DOUBLE)) AS dot
+        FROM flat CROSS JOIN range(8) t(b) GROUP BY vec_id, b),
+      buckets AS (
+        SELECT vec_id,
+          sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id),
+      scored AS (
+        SELECT pb.vec_id AS probe_id, cb.vec_id AS cand_id, pb.bucket,
+          round($cos, 4) AS cos_sim
+        FROM buckets pb
+        JOIN buckets cb ON pb.bucket = cb.bucket AND cb.vec_id <> pb.vec_id
+        JOIN embeddings p ON p.vec_id = pb.vec_id
+        JOIN embeddings c ON c.vec_id = cb.vec_id
+        WHERE pb.vec_id < 10),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT probe_id, cand_id, bucket, cos_sim, rank FROM ranked WHERE rank <= 3
+      ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+  }
+
+  /** Multimodal binary column + stubbed decoder: the payload is a real
+    * binary column (UTF-8 bytes of the doc — image/audio libs are not in
+    * this container, SURVEY §2.J2); the "decode" is a deterministic stub UDF
+    * over the payload digest, with its arithmetic mirrored in the oracle.
+    * Exercises the real plumbing: binary column, digest, UDF signature,
+    * flattened typed metadata output.
+    */
+  private val decodeStub: (String, Long) => (String, Long, Long, Long) = {
+    (digest: String, byteLen: Long) =>
+      val fmt = (digest.charAt(0).toInt % 3) match {
+        case 0 => "png"; case 1 => "jpg"; case _ => "webp"
+      }
+      val width = 64L + digest.charAt(1).toInt * 7 % 512
+      val height = 64L + digest.charAt(2).toInt * 11 % 512
+      val frames = byteLen / 100 + 1
+      (fmt, width, height, frames)
+  }
+
+  private def multimodalBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val decode = udf(decodeStub)
+    Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        encode($"text", "UTF-8").as("payload"))
+      .select($"doc_id",
+        octet_length($"payload").cast("long").as("byte_len"),
+        md5($"payload").as("payload_md5"))
+      .withColumn("meta", decode($"payload_md5", $"byte_len"))
+      .select($"doc_id", $"byte_len", $"payload_md5",
+        $"meta._1".as("format"), $"meta._2".as("width"),
+        $"meta._3".as("height"), $"meta._4".as("n_frames"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val multimodalBinarySql = """
+      WITH p AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          md5(text) AS payload_md5
+        FROM documents)
+      SELECT doc_id, byte_len, payload_md5,
+        CASE ascii(substring(payload_md5, 1, 1)) % 3
+          WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
+        CAST(64 + ascii(substring(payload_md5, 2, 1)) * 7 % 512 AS BIGINT) AS width,
+        CAST(64 + ascii(substring(payload_md5, 3, 1)) * 11 % 512 AS BIGINT) AS height,
+        CAST(byte_len // 100 + 1 AS BIGINT) AS n_frames
+      FROM p ORDER BY doc_id ASC NULLS FIRST"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_text_langid", langid, Some(langidSql)),
+    Q("q_text_quality", quality, Some(qualitySql)),
+    Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
+    Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    Q("q_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
+    Q("q_multimodal_binary", multimodalBinary, Some(multimodalBinarySql)),
+  )
+}
