@@ -179,14 +179,18 @@ object LlmExtras extends QueryPack {
     val h = (h1 * lit(1000003L) % lit(4294967296L))
     val hashed = toks.select($"doc_id",
       h.bitwiseXOR(shiftright(h, 16)).as("h"))
-    val bits = hashed
-      .select($"doc_id", $"h", explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy($"doc_id", $"j")
-      .agg(sum(when(expr("shiftright(h, cast(j as int)) & 1") === 1, 1L)
-        .otherwise(-1L)).as("s"))
-    val sh = bits.groupBy($"doc_id")
-      .agg(sum(when($"s" > 0, expr("shiftleft(cast(1 as bigint), cast(j as int))"))
-        .otherwise(0L)).as("simhash"))
+    // All 32 bit-sums in ONE aggregation pass (map-side combined) instead of
+    // exploding tokens x 32 bit rows — the explode formulation shuffled 8M
+    // rows at sf0.1 (measured 5 s); this shuffles one 33-column row per doc.
+    // Sign rule: sum of +-1 over tokens > 0  <=>  2*popcount_j > n.
+    val bitAggs = (0 until 32).map(j =>
+      sum(expr(s"shiftright(h, $j) & 1")).as(s"b$j"))
+    val sh = hashed.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), bitAggs: _*)
+      .select($"doc_id",
+        (0 until 32).map(j =>
+          when(col(s"b$j") * 2 > $"n", lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
     // Dedup proper: docs sharing a simhash form one duplicate class; keep
     // the smallest doc_id as canonical. Linear in |docs| (one shuffle on the
     // simhash) — listing near-miss PAIRS instead would be quadratic in class
