@@ -9,6 +9,9 @@ object Sessions {
   def build(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // Custom Catalyst surface (native codegen'd cosine for the similarity
+      // hot paths) — injected here so SQL/expr() sees it in every session.
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read

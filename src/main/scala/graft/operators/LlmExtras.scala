@@ -253,15 +253,11 @@ object LlmExtras extends QueryPack {
       .select($"vec_id".as("probe_id"), $"bucket", $"embedding".as("p_emb"))
     val cands = withEmb
       .select($"vec_id".as("cand_id"), $"bucket", $"embedding".as("c_emb"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+    // Rerank with the native codegen'd cosine (see graft.plans).
     val scored = probes.join(cands, Seq("bucket"))
       .filter($"cand_id" =!= $"probe_id")
       .select($"probe_id", $"cand_id", $"bucket",
-        round(dot($"p_emb", $"c_emb")
-          / (sqrt(dot($"p_emb", $"p_emb")) * sqrt(dot($"c_emb", $"c_emb"))), 4)
-          .as("cos_sim"))
+        round(expr("graft_cosine(p_emb, c_emb)"), 4).as("cos_sim"))
     val w = Window.partitionBy($"probe_id").orderBy($"cos_sim".desc, $"cand_id".asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)

@@ -194,10 +194,13 @@ object LlmPipeline extends QueryPack {
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
     val cands = e.select($"vec_id".as("cand_id"), $"embedding".as("cand_emb"))
     // Rank on the ROUNDED cosine (ties broken by cand_id) so ordering is
-    // invariant to last-bit summation differences across engines.
+    // invariant to last-bit summation differences across engines. The hot
+    // path uses the native codegen'd expression (graft.plans.CosineSimilarity,
+    // registered in Sessions) — same index-order double accumulation as the
+    // composed zip_with/aggregate form, so results are bit-identical.
     val scored = cands.join(broadcast(probes), $"cand_id" =!= $"probe_id")
       .select($"probe_id", $"cand_id",
-        round(cosine($"probe_emb", $"cand_emb"), 4).as("cos_sim"))
+        round(expr("graft_cosine(probe_emb, cand_emb)"), 4).as("cos_sim"))
     val w = Window.partitionBy($"probe_id")
       .orderBy($"cos_sim".desc, $"cand_id".asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native CosineSimilarity expression must be a drop-in replacement for
+  * the composed zip_with/aggregate formulation: bit-identical doubles
+  * (same index-order accumulation), null-safe, and codegen-compatible.
+  */
+class CosineExpressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  test("bit-identical to the composed higher-order formulation") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() - 0.5f))
+    }.toDF("id", "v")
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.id" < $"b.id").limit(500)
+      .select(
+        expr("graft_cosine(a.v, b.v)").as("native"),
+        hofCosine($"a.v", $"b.v").as("composed"))
+    // Exact equality, not tolerance: both accumulate in index order.
+    assert(pairs.filter($"native" =!= $"composed").isEmpty)
+  }
+
+  test("null inputs yield null") {
+    val df = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(expr("graft_cosine(a, b)")).head().isNullAt(0))
+  }
+
+  test("identical vectors give cosine 1.0") {
+    val df = Seq(Array(0.3f, -0.7f, 0.2f)).toDF("v")
+    val c = df.select(expr("graft_cosine(v, v)")).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("usable from SQL via the session extension") {
+    val c = spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))").as[Double].head()
+    assert(c == 0.0)
+  }
+}
