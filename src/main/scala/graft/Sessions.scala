@@ -19,6 +19,10 @@ object Sessions {
       // Session-global by design — set here, at construction, never mutated
       // mid-run.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Catalog tables (bucketing demos/tests) land in a per-JVM temp
+      // warehouse, never in the repo working dir.
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse_").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

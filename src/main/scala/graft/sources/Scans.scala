@@ -63,6 +63,24 @@ object Scans extends QueryPack {
       .orderBy($"c_custkey".asc_nulls_first)
   }
 
+  /** Hive-style partitioned write + partition-pruned read: at 100 TB the
+    * year filter prunes whole directories before any IO — the scan lists
+    * only `o_year=1998/`. (The flat fixtures can't show pruning, so the
+    * query creates the layout itself.)
+    */
+  private def partitionedRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"$scratch/orders_by_year"
+    Catalog.load(spark, sfDir, "orders")
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    spark.read.parquet(dir)
+      .filter($"o_year" === 1998)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_year".cast("long").as("o_year"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_scan_parquet", scanParquet, Some(
       "SELECT * FROM region ORDER BY r_regionkey ASC NULLS FIRST")),
@@ -77,5 +95,10 @@ object Scans extends QueryPack {
       "SELECT * FROM nation ORDER BY n_nationkey ASC NULLS FIRST")),
     Q("q_source_json_roundtrip", jsonRoundtrip, Some(
       "SELECT * FROM customer ORDER BY c_custkey ASC NULLS FIRST")),
+    Q("q_source_partitioned_roundtrip", partitionedRoundtrip, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CAST(year(o_orderdate) AS BIGINT) AS o_year
+      FROM orders WHERE year(o_orderdate) = 1998
+      ORDER BY o_orderkey ASC NULLS FIRST""")),
   )
 }

@@ -105,4 +105,39 @@ class WatermarkSpec extends SparkTestBase {
       .collect().toMap
     assert(finalCounts == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("flatMapGroupsWithState emits variable-arity output per group") {
+    val dir = Files.createTempDirectory("graft_fgs_").toString
+    Seq(Ev(1, 1, ts("2024-01-01 09:00:00"), 2.0),
+        Ev(2, 1, ts("2024-01-01 09:01:00"), 3.0),
+        Ev(3, 2, ts("2024-01-01 09:02:00"), 5.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/all/f1")
+
+    val src = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .parquet(s"$dir/all/*")
+      .as[Ev]
+    // Emit one row per EVENT above a threshold, carrying the running count —
+    // the 0..n-rows-per-group shape mapGroupsWithState can't express.
+    val flagged = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserCount](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val big = evs.filter(_.value > 2.5).toSeq
+          val n = state.getOption.getOrElse(0L) + big.size
+          state.update(n)
+          big.map(_ => UserCount(uid, n)).iterator
+      }
+    val q = flagged.writeStream.format("memory").queryName("fgs_sink")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft_fgs_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("fgs_sink").as[UserCount].collect()
+    // user 1 has one event > 2.5 (value 3.0), user 2 has one (5.0).
+    assert(out.map(_.user_id).sorted.toSeq == Seq(1L, 2L))
+  }
 }
