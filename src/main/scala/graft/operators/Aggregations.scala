@@ -213,6 +213,27 @@ object Aggregations extends QueryPack {
       .orderBy($"o_custkey".asc_nulls_first)
   }
 
+  /** Skew-safe two-phase aggregation: events has only 5 event types, so a
+    * direct groupBy funnels everything through 5 reducers at any scale. The
+    * salt spreads each hot key over 16 partial groups (map-side combined),
+    * and the final merge handles 5x16 tiny rows. Decimal partials keep the
+    * result bit-identical to the direct form (the unchanged oracle).
+    */
+  private def aggSaltedSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val salted = Catalog.load(spark, sfDir, "events")
+      .withColumn("salt", pmod(hash($"event_id"), lit(16)))
+      .groupBy($"event_type", $"salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum($"value".cast("decimal(18,6)")).as("psum"))
+    salted.groupBy($"event_type")
+      .agg(
+        sum($"pn").as("n"),
+        sum($"psum").cast("double").as("sum_value"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
   /** HLL++ sketch — capability only (sketch values differ from DuckDB). */
   private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -313,6 +334,10 @@ object Aggregations extends QueryPack {
         CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score,
         CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT) AS m_score
       FROM rfm ORDER BY o_custkey ASC NULLS FIRST""")),
+    Q("q_agg_salted_skew", aggSaltedSkew, Some(s"""
+      SELECT event_type, count(*) AS n, ${Oracle.dsum("value")} AS sum_value
+      FROM events GROUP BY event_type
+      ORDER BY event_type ASC NULLS FIRST""")),
     Q("q_agg_approx_distinct", aggApproxDistinct, None),
     Q("q_agg_approx_percentile", aggApproxPercentile, None),
   )

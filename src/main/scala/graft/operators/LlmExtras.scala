@@ -300,6 +300,96 @@ object LlmExtras extends QueryPack {
       ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
   }
 
+  /** IVF-style ANN: the label column serves as the inverted-file cell (at
+    * scale these are k-means cells). Per-cell centroids (tiny — |cells|
+    * rows) broadcast to the probes; each probe picks its nearest centroid
+    * and reranks ONLY that cell's vectors via an equi-join on the cell id —
+    * the classic scan-one-cell scale path, complementing the hyperplane-LSH
+    * bucketing of q_sim_ann_lsh.
+    */
+  private def simIvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val centroids = e
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg(avg($"v".cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        s => s("c")).as("centroid"))
+    // Probe → nearest centroid by cosine (float probe x double centroid,
+    // composed double-precision fold mirrored in the oracle).
+    def dotFD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val assigned = probes.join(broadcast(centroids))
+      .select($"probe_id", $"p_emb", $"label",
+        round(dotFD($"p_emb", $"centroid")
+          / (sqrt(dotFD($"p_emb", transform($"p_emb", x => x.cast("double"))))
+             * sqrt(dotFD($"centroid", $"centroid"))), 4).as("cc"))
+    val wAssign = Window.partitionBy($"probe_id")
+      .orderBy($"cc".desc, $"label".asc)
+    val probeCell = assigned
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"probe_id", $"p_emb", $"label".as("cell"))
+    // Rerank inside the cell only (equi-join on the cell id).
+    val cands = e.select($"vec_id".as("cand_id"), $"label".as("cell"),
+      $"embedding".as("c_emb"))
+    val scored = probeCell.join(cands, Seq("cell"))
+      .filter($"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cell", $"cand_id",
+        round(expr("graft_cosine(p_emb, c_emb)"), 4).as("cos_sim"))
+    val w = Window.partitionBy($"probe_id").orderBy($"cos_sim".desc, $"cand_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  private val simIvfAnnSql = {
+    def zipdot(a: String, b: String) = s"""(
+      SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+      FROM (SELECT unnest(list_zip($a, $b)) AS r))"""
+    s"""
+      WITH flat AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label,
+          list_transform(list_sort(list({'pos': pos, 'c': c})), s -> s.c) AS centroid
+        FROM (SELECT label, pos, sum(CAST(v AS DOUBLE)) / count(*) AS c
+              FROM flat GROUP BY label, pos)
+        GROUP BY label),
+      assigned AS (
+        SELECT p.vec_id AS probe_id, ct.label,
+          round(${zipdot("p.embedding", "ct.centroid")}
+                / (sqrt(${zipdot("p.embedding", "p.embedding")})
+                   * sqrt(${zipdot("ct.centroid", "ct.centroid")})), 4) AS cc
+        FROM embeddings p CROSS JOIN cent ct
+        WHERE p.vec_id < 10),
+      probe_cell AS (
+        SELECT probe_id, label AS cell FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY probe_id ORDER BY cc DESC, label ASC) AS rn
+          FROM assigned) WHERE rn = 1),
+      scored AS (
+        SELECT pc.probe_id, pc.cell, c.vec_id AS cand_id,
+          round(${zipdot("p.embedding", "c.embedding")}
+                / (sqrt(${zipdot("p.embedding", "p.embedding")})
+                   * sqrt(${zipdot("c.embedding", "c.embedding")})), 4) AS cos_sim
+        FROM probe_cell pc
+        JOIN embeddings p ON p.vec_id = pc.probe_id
+        JOIN embeddings c ON c.label = pc.cell AND c.vec_id <> pc.probe_id),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER
+          (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+        FROM scored)
+      SELECT probe_id, cell, cand_id, cos_sim, rank FROM ranked WHERE rank <= 3
+      ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+  }
+
   /** Multimodal binary column + stubbed decoder: the payload is a real
     * binary column (UTF-8 bytes of the doc — image/audio libs are not in
     * this container, SURVEY §2.J2); the "decode" is a deterministic stub UDF
@@ -354,6 +444,7 @@ object LlmExtras extends QueryPack {
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("q_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
+    Q("q_sim_ann_ivf", simIvfAnn, Some(simIvfAnnSql)),
     Q("q_multimodal_binary", multimodalBinary, Some(multimodalBinarySql)),
   )
 }
