@@ -63,6 +63,20 @@ object Scans extends QueryPack {
       .orderBy($"c_custkey".asc_nulls_first)
   }
 
+  /** Columnar non-parquet format: ORC roundtrip via Spark's native reader
+    * (vectorized, predicate-pushdown-capable — the same scan properties as
+    * parquet; spark-avro is not on this classpath, so ORC is the second
+    * columnar format).
+    */
+  private def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"$scratch/part_orc"
+    Catalog.load(spark, sfDir, "part")
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .orderBy($"p_partkey".asc_nulls_first)
+  }
+
   /** Hive-style partitioned write + partition-pruned read: at 100 TB the
     * year filter prunes whole directories before any IO — the scan lists
     * only `o_year=1998/`. (The flat fixtures can't show pruning, so the
@@ -95,6 +109,8 @@ object Scans extends QueryPack {
       "SELECT * FROM nation ORDER BY n_nationkey ASC NULLS FIRST")),
     Q("q_source_json_roundtrip", jsonRoundtrip, Some(
       "SELECT * FROM customer ORDER BY c_custkey ASC NULLS FIRST")),
+    Q("q_source_orc_roundtrip", orcRoundtrip, Some(
+      "SELECT * FROM part ORDER BY p_partkey ASC NULLS FIRST")),
     Q("q_source_partitioned_roundtrip", partitionedRoundtrip, Some("""
       SELECT o_orderkey, o_custkey, o_totalprice,
         CAST(year(o_orderdate) AS BIGINT) AS o_year
