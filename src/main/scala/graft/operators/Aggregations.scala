@@ -234,6 +234,71 @@ object Aggregations extends QueryPack {
       .orderBy($"event_type".asc_nulls_first)
   }
 
+  /** Incremental-refresh pattern: the nightly ETL shape where yesterday's
+    * stored partial aggregates merge with today's delta instead of
+    * rescanning history. Modeled here by splitting events at a cutoff,
+    * aggregating each side to (user, day) partials, and merging — decimal
+    * partials make the merge exact, so the result equals the direct
+    * aggregation (the oracle). At 100 TB the "old" side is a stored partial
+    * table ~1000x smaller than the raw history.
+    */
+  private def aggIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("2024-01-20").cast("timestamp")
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum($"value".cast("decimal(18,6)")).as("psum"))
+    val events = Catalog.load(spark, sfDir, "events")
+    val stored = partials(events.filter($"ts" < cutoff))
+    val delta = partials(events.filter($"ts" >= cutoff))
+    stored.unionByName(delta)
+      .groupBy($"user_id")
+      .agg(
+        sum($"pn").as("n_events"),
+        sum($"psum").cast("double").as("total_value"),
+        max($"day").as("last_day"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  /** Unpivot (melt): the inverse of q_agg_pivot — wide per-type counts back
+    * to long (user, event_type, n) form. Narrow operator, no shuffle beyond
+    * the pivot's own.
+    */
+  private def aggUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Catalog.load(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", eventTypes)
+      .count()
+    wide.unpivot(
+        Array($"user_id"),
+        eventTypes.map(col).toArray,
+        "event_type", "n")
+      .filter($"n".isNotNull)
+      .orderBy($"user_id".asc_nulls_first, $"event_type".asc_nulls_first)
+  }
+
+  /** SQL entry path: TPC-H Q3 flavor (filter + 3-way join + agg + top-k)
+    * submitted as one SQL string over parquet-path relations — proves the
+    * textual surface end-to-end, not just the DataFrame DSL.
+    */
+  private def sqlTpchQ3Flavor(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      SELECT l_orderkey,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        o_orderdate, o_orderpriority
+      FROM parquet.`$sfDir/customer.parquet`
+      JOIN parquet.`$sfDir/orders.parquet` ON c_custkey = o_custkey
+      JOIN parquet.`$sfDir/lineitem.parquet` ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST
+      LIMIT 10""")
+
   /** HLL++ sketch — capability only (sketch values differ from DuckDB). */
   private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -334,6 +399,29 @@ object Aggregations extends QueryPack {
         CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score,
         CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT) AS m_score
       FROM rfm ORDER BY o_custkey ASC NULLS FIRST""")),
+    Q("q_agg_incremental", aggIncremental, Some(s"""
+      SELECT user_id, count(*) AS n_events,
+        ${Oracle.dsum("value")} AS total_value,
+        max(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS last_day
+      FROM events GROUP BY user_id
+      ORDER BY user_id ASC NULLS FIRST""")),
+    Q("q_agg_unpivot", aggUnpivot, Some("""
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
+    Q("q_sql_tpch_q3_flavor", sqlTpchQ3Flavor, Some(s"""
+      SELECT l_orderkey,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+        o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST
+      LIMIT 10""")),
     Q("q_agg_salted_skew", aggSaltedSkew, Some(s"""
       SELECT event_type, count(*) AS n, ${Oracle.dsum("value")} AS sum_value
       FROM events GROUP BY event_type
