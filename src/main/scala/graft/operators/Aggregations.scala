@@ -234,6 +234,39 @@ object Aggregations extends QueryPack {
       .orderBy($"event_type".asc_nulls_first)
   }
 
+  /** The engine's flagship ETL output shape: one row per customer merging
+    * order-side RFM facts with event-side engagement — the "customer 360"
+    * export a marketing platform ingests. Left joins + explicit coalesce:
+    * only 1 in 10 customers has events, so the null path is real.
+    */
+  private def aggCustomer360(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val c = Catalog.load(spark, sfDir, "customer")
+    val orderFacts = Catalog.load(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("lifetime_value"),
+        max($"o_orderdate").as("last_order"))
+    val eventFacts = Catalog.load(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when($"event_type" === "purchase", lit(1))).as("n_purchases"),
+        dsum($"value").as("engagement_value"))
+    c.join(orderFacts, $"c_custkey" === $"o_custkey", "left")
+      .join(eventFacts, $"c_custkey" === $"user_id", "left")
+      .select(
+        $"c_custkey", $"c_mktsegment",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"lifetime_value", lit(0.0)).as("lifetime_value"),
+        $"last_order",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        coalesce($"engagement_value", lit(0.0)).as("engagement_value"))
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
   /** Incremental-refresh pattern: the nightly ETL shape where yesterday's
     * stored partial aggregates merge with today's delta instead of
     * rescanning history. Modeled here by splitting events at a cutoff,
@@ -399,6 +432,28 @@ object Aggregations extends QueryPack {
         CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score,
         CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS BIGINT) AS m_score
       FROM rfm ORDER BY o_custkey ASC NULLS FIRST""")),
+    Q("q_agg_customer360", aggCustomer360, Some(s"""
+      WITH of AS (
+        SELECT o_custkey, count(*) AS n_orders,
+          ${Oracle.dsum("o_totalprice")} AS lifetime_value,
+          max(o_orderdate) AS last_order
+        FROM orders GROUP BY o_custkey),
+      ef AS (
+        SELECT user_id, count(*) AS n_events,
+          count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+          ${Oracle.dsum("value")} AS engagement_value
+        FROM events GROUP BY user_id)
+      SELECT c_custkey, c_mktsegment,
+        coalesce(n_orders, 0) AS n_orders,
+        coalesce(lifetime_value, 0.0) AS lifetime_value,
+        last_order,
+        coalesce(n_events, 0) AS n_events,
+        coalesce(n_purchases, 0) AS n_purchases,
+        coalesce(engagement_value, 0.0) AS engagement_value
+      FROM customer
+      LEFT JOIN of ON c_custkey = o_custkey
+      LEFT JOIN ef ON c_custkey = user_id
+      ORDER BY c_custkey ASC NULLS FIRST""")),
     Q("q_agg_incremental", aggIncremental, Some(s"""
       SELECT user_id, count(*) AS n_events,
         ${Oracle.dsum("value")} AS total_value,
