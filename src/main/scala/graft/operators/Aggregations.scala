@@ -200,12 +200,12 @@ object Aggregations extends QueryPack {
     // all customers through one task; DistributedRank.ntileExact computes the
     // identical tiles via range repartition + per-partition ranks + broadcast
     // offsets — exact at any scale, no single-partition stage.
-    val scored = Seq[(String, Seq[org.apache.spark.sql.Column])](
-      ("r_score", Seq($"recency_days".asc, $"o_custkey".asc)),
-      ("f_score", Seq($"frequency".desc, $"o_custkey".asc)),
-      ("m_score", Seq($"monetary".desc, $"o_custkey".asc)))
-      .foldLeft(rfm) { case (df, (out, order)) =>
-        DistributedRank.ntileExact(df, 5, order, out)
+    val scored = Seq(
+      ("r_score", "recency_days", true),
+      ("f_score", "frequency", false),
+      ("m_score", "monetary", false))
+      .foldLeft(rfm) { case (df, (out, value, asc)) =>
+        DistributedRank.ntileExact(df, 5, value, asc, "o_custkey", out)
       }
     scored.select(
         $"o_custkey", $"recency_days", $"frequency", $"monetary",

@@ -9,28 +9,47 @@ import org.apache.spark.sql.functions._
   * with no `partitionBy` (which Spark executes as one task holding the whole
   * input).
   *
-  * Shape: range-repartition on the sort key (contiguous key ranges per
-  * partition), rank within each partition, then add per-partition offsets
-  * computed from the tiny (|partitions|-row) count table joined back via
-  * broadcast. Global rank = offset + local rank, exact for any total order —
-  * range boundaries only affect balance, never correctness.
+  * Shape: bucket each row by LITERAL range boundaries (one `approxQuantile`
+  * pass, boundaries embedded in the plan), rank within each bucket, then add
+  * per-bucket offsets computed from the tiny (|buckets|-row) count table
+  * joined back via broadcast. Global rank = offset + local rank, exact for
+  * any total order — boundary placement only affects balance, never
+  * correctness, because rows equal on the bucket key always land in the
+  * same bucket and buckets respect the sort order.
+  *
+  * The boundaries MUST be literals: an earlier version bucketed with
+  * `repartitionByRange` + `spark_partition_id()`, and the two plan branches
+  * (ranks, offsets) re-sampled different boundaries — consistent at small
+  * row counts by luck, wrong by a few ranks at sf0.1.
   */
 object DistributedRank {
 
-  /** Appends `out` = exact ntile(k) over the given total order.
-    * Matches SQL `ntile(k) OVER (ORDER BY sortCols)` bit-for-bit: first
-    * n%k tiles get ceil(n/k) rows. Requires n >= k (true for any fixture
-    * dimension here) and a tie-free sort order.
+  /** Appends `out` = exact ntile(k) over (`value` asc/desc, `tie` asc).
+    * Matches SQL `ntile(k) OVER (ORDER BY value [DESC], tie)` bit-for-bit:
+    * first n%k tiles get ceil(n/k) rows. Requires n >= k and a unique `tie`.
     */
-  def ntileExact(df: DataFrame, k: Int, sortCols: Seq[Column], out: String,
-                 buckets: Int = 32): DataFrame = {
+  def ntileExact(df: DataFrame, k: Int, valueCol: String, ascending: Boolean,
+                 tieCol: String, out: String, buckets: Int = 32): DataFrame = {
     val keep = df.columns.toSeq
-    val part = df.repartitionByRange(buckets, sortCols: _*)
-      .withColumn("__bkt", spark_partition_id())
-    val ranked = part.withColumn("__rn",
-      row_number().over(Window.partitionBy(col("__bkt")).orderBy(sortCols: _*))
-        .cast("long"))
-    // |buckets| rows: the one ordered-only window here is over ~32 rows.
+    // One bounded driver-side action: ~(buckets-1) doubles, embedded as
+    // literals so every branch of the plan sees identical bucketing.
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(valueCol, probs, 0.001).distinct
+    val v = col(valueCol).cast("double")
+    // Strict comparison: rows equal to a boundary all fall on one side, so
+    // equal keys always share a bucket and bucket order follows sort order.
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + (if (ascending) when(v > lit(b), 1).otherwise(0)
+             else when(v < lit(b), 1).otherwise(0))
+    }
+    val order = Seq(
+      if (ascending) col(valueCol).asc else col(valueCol).desc,
+      col(tieCol).asc)
+    val ranked = df.withColumn("__bkt", bucket)
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__bkt")).orderBy(order: _*))
+          .cast("long"))
+    // |buckets| rows: the one ordered-only window here is over <= 32 rows.
     val wB = Window.orderBy(col("__bkt"))
     val offsets = ranked.groupBy(col("__bkt"))
       .agg(count(lit(1)).as("__cnt"))

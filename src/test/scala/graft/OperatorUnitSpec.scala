@@ -41,16 +41,20 @@ class OperatorUnitSpec extends SparkTestBase {
   }
 
   test("DistributedRank.ntileExact matches the ntile window bit-for-bit") {
-    // 103 rows, k=5 → tiles of 21,21,21,20,20; includes duplicate values
-    // (tie-break on id) and enough rows to span several range partitions.
+    // Tie-heavy data (20 distinct values over 2003 rows) in both sort
+    // directions — large enough that inconsistent bucketing between the
+    // rank and offset branches would show (the sf0.1 regression class).
     val rng = new scala.util.Random(7)
-    val data = (1L to 103L).map(i => (i, rng.nextInt(20))).toDF("id", "v")
-    val order = Seq($"v".asc, $"id".asc)
-    val expected = data.withColumn("nt",
-      ntile(5).over(Window.orderBy(order: _*)).cast("long"))
-    val got = DistributedRank.ntileExact(data, 5, order, "nt", buckets = 7)
-    assert(got.select($"id", $"nt").except(expected.select($"id", $"nt")).isEmpty)
-    assert(expected.select($"id", $"nt").except(got.select($"id", $"nt")).isEmpty)
+    val data = (1L to 2003L).map(i => (i, rng.nextInt(20))).toDF("id", "v")
+    for (asc <- Seq(true, false)) {
+      val order = Seq(if (asc) $"v".asc else $"v".desc, $"id".asc)
+      val expected = data.withColumn("nt",
+        ntile(5).over(Window.orderBy(order: _*)).cast("long"))
+      val got = DistributedRank.ntileExact(data, 5, "v", asc, "id", "nt", buckets = 7)
+      assert(got.select($"id", $"nt").except(expected.select($"id", $"nt")).isEmpty
+        && expected.select($"id", $"nt").except(got.select($"id", $"nt")).isEmpty,
+        s"ntileExact(asc=$asc) diverged from the ntile window")
+    }
   }
 
   test("near-dup Jaccard: identical shingle sets give 1.0, disjoint give no pair") {
