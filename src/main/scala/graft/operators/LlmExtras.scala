@@ -390,6 +390,60 @@ object LlmExtras extends QueryPack {
       ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
   }
 
+  /** The end-to-end corpus-cleaning pipeline in one query — the composition
+    * story for the individual operators: normalize → quality-gate →
+    * exact-dedup (keep min doc_id per normalized text) → per-(lang, source)
+    * stats of the surviving corpus. Every stage is a narrow projection or a
+    * doc-keyed aggregation; the only shuffles are the dedup window and the
+    * final rollup.
+    */
+  private def corpusClean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val norm = normText($"text")
+    val nToks = size(split(norm, " ")).cast("long")
+    val punct = length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("double") /
+      length($"text")
+    val scored = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"source", norm.as("norm_text"),
+        nToks.as("n_tokens"), punct.as("punct_ratio"))
+      .filter($"n_tokens" >= 20 && $"punct_ratio" < 0.1)
+    val deduped = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"norm_text").orderBy($"doc_id".asc)))
+      .filter($"rn" === 1)
+    deduped.groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        round(sum($"punct_ratio".cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 4).as("avg_punct"))
+      .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+  }
+
+  private val corpusCleanSql = {
+    val norm = normTextSql
+    s"""
+      WITH scored AS (
+        SELECT doc_id, lang, source, $norm AS norm_text,
+          CAST(len(string_split($norm, ' ')) AS BIGINT) AS n_tokens,
+          CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / length(text) AS punct_ratio
+        FROM documents),
+      gated AS (
+        SELECT * FROM scored WHERE n_tokens >= 20 AND punct_ratio < 0.1),
+      deduped AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER
+            (PARTITION BY norm_text ORDER BY doc_id ASC) AS rn
+          FROM gated) WHERE rn = 1)
+      SELECT lang, source, count(*) AS n_docs,
+        sum(n_tokens) AS total_tokens,
+        round(CAST(sum(CAST(punct_ratio AS DECIMAL(18,6))) AS DOUBLE)
+          / count(*), 4) AS avg_punct
+      FROM deduped GROUP BY lang, source
+      ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"""
+  }
+
   /** Multimodal binary column + stubbed decoder: the payload is a real
     * binary column (UTF-8 bytes of the doc — image/audio libs are not in
     * this container, SURVEY §2.J2); the "decode" is a deterministic stub UDF
@@ -446,5 +500,6 @@ object LlmExtras extends QueryPack {
     Q("q_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
     Q("q_sim_ann_ivf", simIvfAnn, Some(simIvfAnnSql)),
     Q("q_multimodal_binary", multimodalBinary, Some(multimodalBinarySql)),
+    Q("q_corpus_clean", corpusClean, Some(corpusCleanSql)),
   )
 }
