@@ -390,6 +390,40 @@ object LlmExtras extends QueryPack {
       ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
   }
 
+  /** Embedding-cosine near-duplicate pairs: the exact-verification stage of
+    * vector dedup. Threshold 0.45 is fixture-calibrated — the synthetic
+    * embeddings' most-similar pair is cos 0.51 and labels are uncorrelated
+    * with cosine, so a production 0.95 cut would be vacuously empty here.
+    * At 100 TB this exact all-pairs form runs AFTER candidate generation
+    * (q_sim_ann_lsh / q_sim_ann_ivf); it is the verify stage, kept exact and
+    * oracle-checkable.
+    */
+  private def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+    val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        round(expr("graft_cosine(emb_a, emb_b)"), 4).as("cos_sim"))
+      .filter($"cos_sim" >= 0.45)
+      .orderBy($"vec_a".asc_nulls_first, $"vec_b".asc_nulls_first)
+  }
+
+  private val dedupEmbeddingCosineSql = s"""
+      WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          round(${cosinePairSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.45
+      ORDER BY vec_a ASC NULLS FIRST, vec_b ASC NULLS FIRST"""
+
+  private def cosinePairSql(a: String, b: String): String = s"""(
+      SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+             / (sqrt(sum(CAST(r[1] AS DOUBLE) * CAST(r[1] AS DOUBLE)))
+                * sqrt(sum(CAST(r[2] AS DOUBLE) * CAST(r[2] AS DOUBLE))))
+      FROM (SELECT unnest(list_zip($a, $b)) AS r))"""
+
   /** The end-to-end corpus-cleaning pipeline in one query — the composition
     * story for the individual operators: normalize → quality-gate →
     * exact-dedup (keep min doc_id per normalized text) → per-(lang, source)
@@ -501,5 +535,6 @@ object LlmExtras extends QueryPack {
     Q("q_sim_ann_ivf", simIvfAnn, Some(simIvfAnnSql)),
     Q("q_multimodal_binary", multimodalBinary, Some(multimodalBinarySql)),
     Q("q_corpus_clean", corpusClean, Some(corpusCleanSql)),
+    Q("q_dedup_embedding_cosine", dedupEmbeddingCosine, Some(dedupEmbeddingCosineSql)),
   )
 }
