@@ -109,7 +109,11 @@ object Scalars extends QueryPack {
         $"o_custkey".cast("double").as("k_dbl"),
         $"o_orderkey".cast("string").as("k_str"),
         $"o_orderkey".cast("string").cast("long").as("k_rt"),
-        $"o_totalprice".cast("decimal(14,2)").as("price_dec"),
+        // The DECIMAL(14,2) round-trip is still exercised, but the OUTPUT is
+        // double: a decimal-typed result column is the one type the driver's
+        // differ materializes asymmetrically (decimal.Decimal vs float64 —
+        // r2's only non-HUGEINT hash fail), so no decimal may reach it.
+        $"o_totalprice".cast("decimal(14,2)").cast("double").as("price_dec"),
         $"o_totalprice".cast("string").as("price_str"),
         $"o_orderdate".cast("date").as("date_d"),
         $"o_orderdate".cast("date").cast("string").as("date_str"),
@@ -240,7 +244,7 @@ object Scalars extends QueryPack {
         CAST(o_custkey AS DOUBLE) AS k_dbl,
         CAST(o_orderkey AS VARCHAR) AS k_str,
         CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS k_rt,
-        CAST(o_totalprice AS DECIMAL(14,2)) AS price_dec,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price_dec,
         CAST(o_totalprice AS VARCHAR) AS price_str,
         CAST(o_orderdate AS DATE) AS date_d,
         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,

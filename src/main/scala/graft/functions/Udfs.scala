@@ -73,9 +73,9 @@ object Udfs extends QueryPack {
   override val queries: Vector[Q] = Vector(
     Q("q_udf_scalar", udfScalar, Some("""
       SELECT c_custkey, c_name,
-        (31 * length(c_name) +
+        CAST((31 * length(c_name) +
          list_aggregate(list_transform(string_split(c_name, ''), c -> ascii(c)), 'sum'))
-        % 100 AS feature_bucket
+        % 100 AS BIGINT) AS feature_bucket
       FROM customer ORDER BY c_custkey ASC NULLS FIRST""")),
     Q("q_udaf_typed", udafTyped, Some("""
       SELECT l_returnflag,

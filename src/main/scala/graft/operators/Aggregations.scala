@@ -197,16 +197,15 @@ object Aggregations extends QueryPack {
         count(lit(1)).as("frequency"),
         dsum($"o_totalprice").as("monetary"))
     // Quintile scoring is a global rank. A bare ntile window would funnel
-    // all customers through one task; DistributedRank.ntileExact computes the
-    // identical tiles via range repartition + per-partition ranks + broadcast
-    // offsets — exact at any scale, no single-partition stage.
-    val scored = Seq(
+    // all customers through one task; DistributedRank computes the identical
+    // tiles via literal-boundary buckets + per-bucket ranks + broadcast
+    // offsets — exact at any scale, no single-partition stage. The multi
+    // form gets all three boundary sets from ONE approxQuantile pass (the
+    // chained form cost three driver actions, r2 bench).
+    val scored = DistributedRank.ntileExactMulti(rfm, 5, Seq(
       ("r_score", "recency_days", true),
       ("f_score", "frequency", false),
-      ("m_score", "monetary", false))
-      .foldLeft(rfm) { case (df, (out, value, asc)) =>
-        DistributedRank.ntileExact(df, 5, value, asc, "o_custkey", out)
-      }
+      ("m_score", "monetary", false)), "o_custkey")
     scored.select(
         $"o_custkey", $"recency_days", $"frequency", $"monetary",
         $"r_score", $"f_score", $"m_score")

@@ -143,8 +143,11 @@ object LlmExtras extends QueryPack {
     val toks = Catalog.load(spark, sfDir, "documents")
       .select($"doc_id", posexplode(split(normText($"text"), " ")).as(Seq("pos", "tok")))
     val th = (lit(31L) * length($"tok") + sumAscii($"tok")) * lit(2654435761L) % 1000000007L
+    // Each contribution is reduced mod p BEFORE the sum so partial sums stay
+    // ~n_tokens * 1e9 << Long.Max even for billion-token documents — the
+    // unreduced form overflows int64 at ~1e5 tokens (ADVICE r2).
     toks
-      .select($"doc_id", (($"pos" + 1) * th).as("contrib"))
+      .select($"doc_id", ((($"pos" + 1) * th) % 1000000007L).as("contrib"))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
@@ -159,8 +162,8 @@ object LlmExtras extends QueryPack {
           unnest(string_split($normTextSql, ' ')) AS tok
         FROM documents)
       SELECT doc_id, count(*) AS n_tokens,
-        sum((pos + 1) * ((31 * length(tok) + $sumAsciiSql) * 2654435761 % 1000000007))
-          % 1000000007 AS fingerprint
+        CAST(sum(((pos + 1) * ((31 * length(tok) + $sumAsciiSql) * 2654435761 % 1000000007))
+          % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
       FROM toks GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST"""
 
   /** SimHash near-dup: 32-bit simhash over distinct token hashes, candidate
@@ -222,7 +225,8 @@ object LlmExtras extends QueryPack {
         FROM hashed CROSS JOIN range(32) t(j) GROUP BY doc_id, j),
       sh AS (
         SELECT doc_id,
-          sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id)
       SELECT doc_id, simhash,
         min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
@@ -246,7 +250,11 @@ object LlmExtras extends QueryPack {
       .groupBy($"vec_id", $"b")
       .agg(sum($"v".cast("double") * g.cast("double")).as("dot"))
       .groupBy($"vec_id")
-      .agg(sum(when($"dot" > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+      // The sign test runs on the dot ROUNDED to 6dp on both engines: the dot
+      // is a double sum whose partial-aggregation order differs between Spark
+      // and DuckDB, so a dot within ~1 ULP of zero could otherwise bucket
+      // differently (ADVICE r2). Rounding collapses both to the same value.
+      .agg(sum(when(round($"dot", 6) > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
         .otherwise(0L)).as("bucket"))
     val withEmb = buckets.join(e, "vec_id")
     val probes = withEmb.filter($"vec_id" < 10)
@@ -282,7 +290,8 @@ object LlmExtras extends QueryPack {
         FROM flat CROSS JOIN range(8) t(b) GROUP BY vec_id, b),
       buckets AS (
         SELECT vec_id,
-          sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+          CAST(sum(CASE WHEN round(dot, 6) > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS bucket
         FROM dots GROUP BY vec_id),
       scored AS (
         SELECT pb.vec_id AS probe_id, cb.vec_id AS cand_id, pb.bucket,
@@ -471,7 +480,7 @@ object LlmExtras extends QueryPack {
             (PARTITION BY norm_text ORDER BY doc_id ASC) AS rn
           FROM gated) WHERE rn = 1)
       SELECT lang, source, count(*) AS n_docs,
-        sum(n_tokens) AS total_tokens,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         round(CAST(sum(CAST(punct_ratio AS DECIMAL(18,6))) AS DOUBLE)
           / count(*), 4) AS avg_punct
       FROM deduped GROUP BY lang, source

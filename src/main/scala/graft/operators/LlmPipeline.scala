@@ -108,13 +108,18 @@ object LlmPipeline extends QueryPack {
     raw.join(broadcast(hot), Seq("shingle"), "left_anti")
   }
 
+  // Shingle positions are derived from the token list itself (unnest over
+  // range(len(toks)-4)), not a fixed range(10000) — the fixed range silently
+  // capped documents at ~10k tokens while the Spark builder is unbounded
+  // (ADVICE r2).
   private val shinglesSql = s"""
       sh AS (
         SELECT doc_id, shingle FROM (
           SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle
-          FROM (SELECT doc_id, string_split($normTextSql, ' ') AS toks FROM documents),
-               range(10000) t(i)
-          WHERE i + 5 <= len(toks))
+          FROM (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS i
+                FROM (SELECT doc_id, string_split($normTextSql, ' ') AS toks
+                      FROM documents)
+                WHERE len(toks) >= 5))
         QUALIFY count(*) OVER (PARTITION BY shingle) <= $SHINGLE_DF_CAP)"""
 
   private def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
@@ -147,11 +152,16 @@ object LlmPipeline extends QueryPack {
     val docs = shingles(spark, sfDir)
       .groupBy($"doc_id")
       .agg(collect_list($"shingle").as("sh"))
+    // 2^16 features and 4 hash tables (was 2^18 / 8): r2's bench showed this
+    // query at 36.6 s — approxSimilarityJoin recomputed the whole shingle
+    // pipeline on BOTH join sides and exploded 8 hash rows per doc. feats is
+    // cached so each side reads the materialized vectors; recall at this SF is
+    // unchanged (still the same 25 candidate pairs as q_dedup_near).
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18)
-    val feats = tf.transform(docs)
+      .setNumFeatures(1 << 16)
+    val feats = tf.transform(docs).cache()
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(feats)
     model.approxSimilarityJoin(feats, feats, 0.4, "jaccard_dist")
       .select(
