@@ -410,9 +410,16 @@ object LlmExtras extends QueryPack {
   private def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Catalog.load(spark, sfDir, "embeddings")
+    // The fixture is one parquet row-group → ONE scan partition, and the
+    // non-equi join plans as BroadcastNestedLoopJoin over the STREAMED side's
+    // partitions — unrepartitioned, all |a|x|b| cosines ran in a single task
+    // (measured 3.4 s single-threaded at sf0.1). Spreading the streamed side
+    // across the cluster parallelizes the quadratic verify stage; the
+    // broadcast side is the candidate set and stays whole per task.
     val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
-    a.join(b, $"vec_a" < $"vec_b")
+    a.join(broadcast(b), $"vec_a" < $"vec_b")
       .select($"vec_a", $"vec_b",
         round(expr("graft_cosine(emb_a, emb_b)"), 4).as("cos_sim"))
       .filter($"cos_sim" >= 0.45)

@@ -86,11 +86,22 @@ object LlmPipeline extends QueryPack {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
-  /** Distinct 5-gram token shingles per doc, document-frequency capped.
+  /** Distinct 5-gram token shingles per doc, document-frequency capped,
+    * keyed by the shingle's xxhash64 — the string form never leaves the
+    * build lambda, so the df-cap aggregation, the anti-join, and every
+    * downstream self-join shuffle 8-byte longs instead of ~30-char strings.
+    * Set semantics are unchanged up to a 64-bit hash collision
+    * (~|shingles|^2 / 2^65 — negligible at any practical corpus size, and
+    * the candidate pairs are exact-verified downstream anyway).
+    *
     * `toks` is materialized as a column BEFORE the transform: higher-order
     * functions re-evaluate expressions captured by their lambda once per
     * array element, so an inline regex+split here would run ~|tokens| times
     * per document (measured 3x slower at sf0.1).
+    *
+    * The raw explode is cached: it feeds both the hot-shingle aggregation
+    * and the anti-join probe, and would otherwise run the tokenize+shingle
+    * build twice.
     */
   private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -99,8 +110,9 @@ object LlmPipeline extends QueryPack {
       .select($"doc_id",
         explode(when(size($"toks") >= 5,
             array_distinct(transform(sequence(lit(0), size($"toks") - 5),
-              i => concat_ws(" ", slice($"toks", i + 1, lit(5))))))
+              i => xxhash64(concat_ws(" ", slice($"toks", i + 1, lit(5)))))))
           .otherwise(array())).as("shingle"))
+      .cache()
     val hot = raw.groupBy($"shingle")
       .agg(count(lit(1)).as("df"))
       .filter($"df" > SHINGLE_DF_CAP)
@@ -142,34 +154,56 @@ object LlmPipeline extends QueryPack {
       .orderBy($"doc_a".asc_nulls_first, $"doc_b".asc_nulls_first)
   }
 
-  /** MinHashLSH candidate pairs — probabilistic twin of q_dedup_near.
-    * Capability-only (no oracle): banding/minhash is engine-specific.
-    * Seeded, so deterministic run-to-run within Spark.
+  /** MinHash+LSH candidate pairs — probabilistic twin of q_dedup_near.
+    * Capability-only (no oracle): minhash values are engine-specific.
+    * Deterministic run-to-run (xxhash64 with fixed per-signature salts).
+    *
+    * Hand-rolled banded MinHash instead of Spark ML's approxSimilarityJoin:
+    * the ML form (HashingTF → MinHashLSH.fit → approxSimilarityJoin) measured
+    * 15–37 s at sf0.1 under local[32] — it materializes sparse vectors,
+    * explodes numHashTables rows per doc on BOTH join sides, and its
+    * hash-bucket self-join skews. This formulation is three ordinary
+    * hash-shuffle stages, each map-side combined:
+    *   1. 16 minhash signatures per doc in ONE aggregation pass over the
+    *      exploded shingles (16 min() aggs — the simhash single-pass lesson);
+    *   2. candidates = docs sharing ANY signature (16 one-row bands: recall
+    *      at jaccard 0.6 is 1-(1-0.6)^16 ≈ 1-1e-7; false positives are fine
+    *      because stage 3 reranks exactly);
+    *   3. exact Jaccard on the candidate pairs only, via each doc's distinct
+    *      shingle-hash set (array_intersect on sorted compact arrays).
+    * At 100 TB each stage is a bounded shuffle keyed by doc or (band, sig) —
+    * the (band, sig) buckets are bounded by the shingle-df cap upstream.
     */
   private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     import spark.implicits._
-    val docs = shingles(spark, sfDir)
-      .groupBy($"doc_id")
-      .agg(collect_list($"shingle").as("sh"))
-    // 2^16 features and 4 hash tables (was 2^18 / 8): r2's bench showed this
-    // query at 36.6 s — approxSimilarityJoin recomputed the whole shingle
-    // pipeline on BOTH join sides and exploded 8 hash rows per doc. feats is
-    // cached so each side reads the materialized vectors; recall at this SF is
-    // unchanged (still the same 25 candidate pairs as q_dedup_near).
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 16)
-    val feats = tf.transform(docs).cache()
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(4).setSeed(42L)
-    val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, 0.4, "jaccard_dist")
-      .select(
-        col("datasetA.doc_id").as("doc_a"),
-        col("datasetB.doc_id").as("doc_b"),
-        round(col("jaccard_dist"), 4).as("jaccard_dist"))
-      .filter(col("doc_a") < col("doc_b"))
-      .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
+    val nSig = 16
+    val sh = shingles(spark, sfDir)
+      .select($"doc_id", xxhash64(lit("graft_mh"), $"shingle").as("h"))
+    val sigCols = (0 until nSig).map(i =>
+      min(xxhash64(lit(i), $"h")).as(s"mh_$i"))
+    val docs = sh.groupBy($"doc_id")
+      .agg(collect_set($"h").as("hs"), sigCols: _*)
+      .withColumn("hs", array_sort($"hs"))
+    val bands = docs.select($"doc_id",
+      posexplode(array((0 until nSig).map(i => col(s"mh_$i")): _*))
+        .as(Seq("band", "sig")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select($"doc_id", $"hs")
+    cands
+      .join(sets.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("doc_a"))
+      .join(sets.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"hs_a", $"hs_b")).cast("double").as("n_inter"),
+        size($"hs_a").as("n_a"), size($"hs_b").as("n_b"))
+      .select($"doc_a", $"doc_b",
+        round(lit(1.0) - $"n_inter" / ($"n_a" + $"n_b" - $"n_inter"), 4)
+          .as("jaccard_dist"))
+      .filter($"jaccard_dist" <= 0.4)
+      .orderBy($"doc_a".asc_nulls_first, $"doc_b".asc_nulls_first)
   }
 
   /** dot(a,b) in double precision via codegen'd higher-order functions. */
