@@ -82,6 +82,20 @@ def main():
                   ", ".join(f"{c}: spark={gt[c]} oracle={et[c]}" for c in tmis))
             fails.append(name)
             continue
+        # Pandas-materialized dtypes — the representation the driver's differ
+        # actually hashes. DBAPI typecodes are too coarse: DuckDB sum(BIGINT)
+        # returns HUGEINT which typecodes as NUMBER like BIGINT but lands in
+        # pandas as float64 vs Spark's int64 (6 hash-fails in round 2).
+        gdt = {c: str(t) for c, t in con.execute(
+            "SELECT * FROM read_parquet([" +
+            ",".join(f"'{f}'" for f in files) + "])").df().dtypes.items()}
+        edt = {c: str(t) for c, t in con.execute(sql).df().dtypes.items()}
+        dmis = [c for c in gdt if gdt[c] != edt.get(c)]
+        if dmis:
+            print(f"FAIL {name}: pandas dtype drift " + ", ".join(
+                f"{c}: spark={gdt[c]} oracle={edt.get(c)}" for c in dmis))
+            fails.append(name)
+            continue
         got, names_s = canon(got, gnames)
         exp, _ = canon(exp, enames)
         if len(got) != len(exp):

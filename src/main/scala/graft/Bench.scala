@@ -56,7 +56,9 @@ object Bench {
         (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(full)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // Distinct metric name: a consumer iterating every metric line must not
+    // double-count the total (the full line above carries the same value).
+    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -62,7 +62,9 @@ object DistributedRank {
       specs.map(_._2).toArray, quantileProbs(buckets), 0.001)
     specs.zip(allBounds).foldLeft(cached) {
       case (acc, ((out, value, asc), bounds)) =>
-        withNtile(acc, k, value, asc, tieCol, out, bounds)
+        // Cache between layers too: layer N's offsets branch would otherwise
+        // re-execute layers 1..N-1's window+join chain (quadratic re-work).
+        withNtile(acc, k, value, asc, tieCol, out, bounds).cache()
     }
   }
 

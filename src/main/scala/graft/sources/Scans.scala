@@ -51,7 +51,9 @@ object Scans extends QueryPack {
 
   private def materializeOnce(key: String, sfDir: String)(write: String => Unit): String =
     materialized.computeIfAbsent(s"$sfDir#$key", { _ =>
-      val dir = s"$scratch/${key}_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+      // Full sanitized sfDir in the directory name — a hashCode suffix could
+      // collide across two sfDirs and silently serve one's rows to the other.
+      val dir = s"$scratch/${key}_${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}"
       write(dir)
       dir
     })
