@@ -31,6 +31,11 @@ object DistributedRank {
     * null ordering for each direction), and are bucketed consistently with
     * that order. n < k degrades like SQL ntile (tile = rank, tiles n+1..k
     * empty) instead of dividing by zero.
+    *
+    * Oracle-parity caveat: DuckDB defaults to NULLS LAST for BOTH directions,
+    * so an oracle-checked tile over a NULLABLE ascending column diverges
+    * unless the oracle SQL says NULLS FIRST explicitly. Every current call
+    * site (RFM recency/frequency/monetary) is non-null by construction.
     */
   def ntileExact(df: DataFrame, k: Int, valueCol: String, ascending: Boolean,
                  tieCol: String, out: String, buckets: Int = 32): DataFrame = {
