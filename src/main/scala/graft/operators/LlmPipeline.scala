@@ -181,9 +181,13 @@ object LlmPipeline extends QueryPack {
       .select($"doc_id", xxhash64(lit("graft_mh"), $"shingle").as("h"))
     val sigCols = (0 until nSig).map(i =>
       min(xxhash64(lit(i), $"h")).as(s"mh_$i"))
+    // Cached: this one aggregate feeds BOTH sides of the band self-join and
+    // both set lookups of the rerank — uncached it executed four times
+    // (executed-plan audit, r4).
     val docs = sh.groupBy($"doc_id")
       .agg(collect_set($"h").as("hs"), sigCols: _*)
       .withColumn("hs", array_sort($"hs"))
+      .cache()
     val bands = docs.select($"doc_id",
       posexplode(array((0 until nSig).map(i => col(s"mh_$i")): _*))
         .as(Seq("band", "sig")))
