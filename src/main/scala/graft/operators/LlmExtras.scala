@@ -419,10 +419,16 @@ object LlmExtras extends QueryPack {
     val a = e.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"))
       .repartition(spark.sparkContext.defaultParallelism)
     val b = e.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"))
-    a.join(broadcast(b), $"vec_a" < $"vec_b")
+    // The threshold lives IN the join condition, AFTER the id conjunct:
+    // written as a post-join filter, Catalyst pushes it into the NLJ
+    // condition ahead of `vec_a < vec_b`, and the generated predicate then
+    // evaluates the cosine for every ORDERED pair — 2x the necessary work
+    // (conjuncts short-circuit in order). Survivors re-evaluate the cosine
+    // once in the projection; at >= 0.45 they are a handful of rows.
+    a.join(broadcast(b), $"vec_a" < $"vec_b" &&
+        round(expr("graft_cosine(emb_a, emb_b)"), 4) >= 0.45)
       .select($"vec_a", $"vec_b",
         round(expr("graft_cosine(emb_a, emb_b)"), 4).as("cos_sim"))
-      .filter($"cos_sim" >= 0.45)
       .orderBy($"vec_a".asc_nulls_first, $"vec_b".asc_nulls_first)
   }
 
