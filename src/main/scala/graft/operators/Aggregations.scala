@@ -202,10 +202,15 @@ object Aggregations extends QueryPack {
     // offsets — exact at any scale, no single-partition stage. The multi
     // form gets all three boundary sets from ONE approxQuantile pass (the
     // chained form cost three driver actions, r2 bench).
+    // 16 range buckets: plenty of spread for k=5 tiles at this SF (each
+    // bucket still holds ~1k rows), and half the codegen of the default 32 —
+    // the three 31-arm when-chains dominated this query's first-run compile
+    // (r4 bench: 4.5 s first run vs 1.8 s steady). At cluster scale pass
+    // buckets ~ parallelism; correctness never depends on the count.
     val scored = DistributedRank.ntileExactMulti(rfm, 5, Seq(
       ("r_score", "recency_days", true),
       ("f_score", "frequency", false),
-      ("m_score", "monetary", false)), "o_custkey")
+      ("m_score", "monetary", false)), "o_custkey", buckets = 16)
     scored.select(
         $"o_custkey", $"recency_days", $"frequency", $"monetary",
         $"r_score", $"f_score", $"m_score")
