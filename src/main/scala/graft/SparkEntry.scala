@@ -23,6 +23,8 @@ object SparkEntry {
     LlmExtras,
     TypedOps,
     graft.functions.Udfs,
+    Marketing,
+    RelationalExtras,
   )
 
   lazy val all: Vector[Q] = {

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Oracle, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.L — marketing-ETL operators (added round 4): the
+  * splio-flavor analytics a customer-data platform computes over an event
+  * stream and an order history — funnel progression, weekly cohort
+  * retention, activity streaks, SCD1 upsert-merge and SCD2 history builds.
+  *
+  * Scale notes (100 TB posture):
+  *  - Every aggregation and join in this pack is keyed on `user_id` /
+  *    `custkey` — high-cardinality keys, so each stage is one hash shuffle
+  *    with map-side partial aggregation, and consecutive stages reuse the
+  *    same hash partitioning (Catalyst's EnsureRequirements elides the
+  *    re-exchange when the child is already partitioned on the join key).
+  *  - The funnel is three chained filtered min-aggregations, NOT a per-user
+  *    sort: each stage scans events once with the `event_type` filter pushed
+  *    to parquet and shuffles only (user, ts) pairs.
+  *  - Retention counts distinct users per (cohort, offset) — the distinct
+  *    runs inside a two-phase aggregate, never a driver-side set.
+  *  - SCD2 uses a per-user window (lead) after a per-(user, day) pre-agg:
+  *    the window input is bounded by |users| × |days|, not |events|.
+  */
+object Marketing extends QueryPack {
+
+  /** Funnel view → click → purchase: per user, the first view, the first
+    * click AFTER that view, the first purchase AFTER that click, and the
+    * stage reached (1..3). Strictly-ordered funnel: each stage's timestamp
+    * must exceed the previous stage's.
+    */
+  private def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val clicks = ev.filter($"event_type" === "click")
+      .join(views, "user_id")
+      .filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(clicks, "user_id")
+      .filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+        (lit(1L)
+          + when($"t_click".isNotNull, 1L).otherwise(0L)
+          + when($"t_purchase".isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of the user's first event;
+    * for each (cohort week, week offset) the count of distinct active users.
+    * Week offset = whole weeks between the two Monday-truncated week starts
+    * (day difference of week starts is an exact multiple of 7).
+    */
+  private def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Catalog.load(spark, sfDir, "events").select($"user_id", $"ts")
+    val cohorts = ev.groupBy($"user_id")
+      .agg(min(date_trunc("week", $"ts")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(date_trunc("week", $"ts").cast("date"),
+          $"cohort_week".cast("date")) / 7).cast("long"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"cohort_week".asc_nulls_first, $"week_offset".asc_nulls_first)
+  }
+
+  /** Gaps-and-islands: per user, maximal runs of consecutive active days.
+    * Island key = day index minus per-user row_number — constant within a
+    * consecutive run, strictly decreasing across a gap.
+    */
+  private def streaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val days = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+    days
+      .withColumn("island",
+        datediff($"day".cast("date"), lit("2024-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy($"user_id", $"island")
+      .agg(
+        min($"day").as("streak_start"),
+        max($"day").as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .select($"user_id", $"streak_start", $"streak_end", $"streak_days")
+      .orderBy($"user_id".asc_nulls_first, $"streak_start".asc_nulls_first)
+  }
+
+  /** SCD1 upsert-merge: a stale dimension snapshot (customers with
+    * custkey % 3 != 0 — simulating keys that existed at last load) merged
+    * with a delta (1998 order spend per customer). Full-outer join +
+    * coalesce implements MERGE: matched rows update the balance, unmatched
+    * base rows are kept, unmatched delta rows are inserted.
+    */
+  private def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "customer")
+      .filter($"c_custkey" % 3 =!= 0)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    val delta = Catalog.load(spark, sfDir, "orders")
+      .filter(year($"o_orderdate") === 1998)
+      .groupBy($"o_custkey")
+      .agg(dsum($"o_totalprice").as("spend"))
+    base.join(delta, $"c_custkey" === $"o_custkey", "full")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        coalesce($"c_name", concat(lit("NEW#"), $"o_custkey")).as("name"),
+        (coalesce($"c_acctbal", lit(0.0)) + coalesce($"spend", lit(0.0)))
+          .as("balance"),
+        when($"c_custkey".isNull, "I")
+          .when($"spend".isNull, "K")
+          .otherwise("U").as("action"))
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  /** SCD2 history build: each (user, purchase day) becomes a version row
+    * with [valid_from, valid_to) validity — valid_to = next version's start
+    * (NULL marks the current row). The classic type-2 dimension shape.
+    */
+  private def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", date_trunc("day", $"ts").as("valid_from"))
+      .agg(dsum($"value").as("day_value"))
+    val w = Window.partitionBy($"user_id").orderBy($"valid_from".asc)
+    daily
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(w))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"version", $"valid_from", $"valid_to",
+        $"day_value", $"is_current")
+      .orderBy($"user_id".asc_nulls_first, $"version".asc_nulls_first)
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_funnel_steps", funnelSteps, Some("""
+      WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id)
+      SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        CAST(1 + (CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END)
+               + (CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+      FROM v
+      LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id
+      ORDER BY v.user_id ASC NULLS FIRST""")),
+    Q("q_retention_cohorts", retentionCohorts, Some("""
+      WITH f AS (
+        SELECT user_id,
+          CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id)
+      SELECT cohort_week,
+        CAST(datediff('day', CAST(cohort_week AS DATE),
+          CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+        count(DISTINCT e.user_id) AS active_users
+      FROM events e JOIN f ON e.user_id = f.user_id
+      GROUP BY 1, 2
+      ORDER BY cohort_week ASC NULLS FIRST, week_offset ASC NULLS FIRST""")),
+    Q("q_streak_islands", streaks, Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events),
+      isl AS (
+        SELECT user_id, day,
+          datediff('day', DATE '2024-01-01', CAST(day AS DATE))
+            - row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS island
+        FROM days)
+      SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+        count(*) AS streak_days
+      FROM isl GROUP BY user_id, island
+      ORDER BY user_id ASC NULLS FIRST, streak_start ASC NULLS FIRST""")),
+    Q("q_merge_upsert", mergeUpsert, Some(s"""
+      WITH base AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 3 <> 0),
+      delta AS (
+        SELECT o_custkey, ${Oracle.dsum("o_totalprice")} AS spend
+        FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey)
+      SELECT
+        coalesce(c_custkey, o_custkey) AS custkey,
+        coalesce(c_name, 'NEW#' || CAST(o_custkey AS VARCHAR)) AS name,
+        coalesce(c_acctbal, 0.0) + coalesce(spend, 0.0) AS balance,
+        CASE WHEN c_custkey IS NULL THEN 'I'
+             WHEN spend IS NULL THEN 'K'
+             ELSE 'U' END AS action
+      FROM base FULL JOIN delta ON c_custkey = o_custkey
+      ORDER BY custkey ASC NULLS FIRST""")),
+    Q("q_scd2_history", scd2History, Some(s"""
+      WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS valid_from,
+          ${Oracle.dsum("value")} AS day_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, 2)
+      SELECT user_id,
+        CAST(row_number() OVER w AS BIGINT) AS version,
+        valid_from,
+        lead(valid_from, 1) OVER w AS valid_to,
+        day_value,
+        (lead(valid_from, 1) OVER w IS NULL) AS is_current
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from ASC)
+      ORDER BY user_id ASC NULLS FIRST, version ASC NULLS FIRST""")),
+  )
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Oracle, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.M — relational depth (added round 4): bucketed co-located
+  * join, correlated subqueries, distribution window functions, and
+  * deterministic hash sampling.
+  *
+  * Scale notes (100 TB posture):
+  *  - The bucketed join is THE shuffle-elimination lever for repeated
+  *    fact-fact joins: both tables are written bucketed by the join key, so
+  *    the sort-merge join reads co-located buckets with NO Exchange on
+  *    either side (verified in the executed plan — see PLANS.md). At 100 TB
+  *    this turns every downstream orderkey-join into a shuffle-free merge.
+  *  - Subqueries decorrelate: Catalyst rewrites IN → left-semi and EXISTS →
+  *    left-semi, and the correlated scalar count becomes an aggregate +
+  *    equi-join (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery)
+  *    — no per-row re-execution anywhere.
+  *  - Sampling is a pure per-row arithmetic filter (engine-independent
+  *    multiplicative hash on the key), so it pushes into the scan and
+  *    samples each partition independently — no global pass, no RNG state,
+  *    reproducible across engines and runs.
+  */
+object RelationalExtras extends QueryPack {
+
+  /** Bucketed tables are written once per (catalog, sfDir): the write is the
+    * setup step (like the source-roundtrip scratch artifacts, see
+    * [[graft.sources.Scans]]), the query itself is the co-located read+join.
+    * Keyed on the session's sharedState so a different catalog (fresh test
+    * session) re-materializes its own tables.
+    */
+  private val bucketed =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketTables(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = s"${System.identityHashCode(spark.sharedState)}#$sfDir"
+    bucketed.computeIfAbsent(key, { _ =>
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val o = s"graft_orders_bkt_$tag"
+      val l = s"graft_lineitem_bkt_$tag"
+      Catalog.load(spark, sfDir, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(o)
+      Catalog.load(spark, sfDir, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(l)
+      (o, l)
+    })
+  }
+
+  /** Fact-fact join on co-bucketed tables: sort-merge with zero exchanges
+    * (both sides pre-hashed into 8 buckets on the join key at write time).
+    * The merge hint keeps the demonstration stable across scale factors —
+    * without it AQE would broadcast at small SF and hide the property.
+    */
+  private def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (oTbl, lTbl) = bucketTables(spark, sfDir)
+    val o = spark.table(oTbl)
+    val l = spark.table(lTbl)
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  /** The three subquery shapes in one statement — uncorrelated IN,
+    * correlated EXISTS, correlated scalar aggregate — submitted as SQL text
+    * so Catalyst's decorrelation rules (not hand-written joins) produce the
+    * plan.
+    */
+  private def subquerySuite(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      FROM parquet.`$sfDir/orders.parquet` o
+      WHERE o.o_custkey IN (
+          SELECT c_custkey FROM parquet.`$sfDir/customer.parquet`
+          WHERE c_mktsegment = 'BUILDING')
+        AND EXISTS (
+          SELECT 1 FROM parquet.`$sfDir/lineitem.parquet` l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        AND (SELECT count(*) FROM parquet.`$sfDir/orders.parquet` o2
+             WHERE o2.o_custkey = o.o_custkey) > 12
+      ORDER BY o.o_orderkey ASC NULLS FIRST""")
+
+  /** Distribution windows: percent_rank / cume_dist / nth_value over
+    * customers ranked by account balance within their nation. The rank-based
+    * ratios divide identical small integers on both engines — bit-identical
+    * doubles, emitted raw.
+    */
+  private def winDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Catalog.load(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("second_poorest", nth_value($"c_custkey", 2).over(wFull))
+      .orderBy($"c_nationkey".asc_nulls_first, $"c_custkey".asc_nulls_first)
+  }
+
+  /** Deterministic ~10% stratified sample via a multiplicative hash of the
+    * row key (Knuth constant, exact BIGINT arithmetic in both engines — no
+    * engine-specific hash, no RNG): per event_type, population vs sample
+    * counts, achieved rate, and the decimal-exact sampled value sum.
+    */
+  private def sampleHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "events")
+      .withColumn("in_sample",
+        ($"event_id" * lit(2654435761L)) % lit(4294967296L) < lit(429496730L))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"in_sample", 1L).otherwise(0L)).as("n_sample"),
+        round(sum(when($"in_sample", 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("rate"),
+        dsum(when($"in_sample", $"value").otherwise(lit(0.0))).as("sample_value"))
+      .orderBy($"event_type".asc_nulls_first)
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_join_bucketed", joinBucketed, Some(s"""
+      SELECT o_orderpriority, count(*) AS n_items,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority ASC NULLS FIRST""")),
+    Q("q_subquery_suite", subquerySuite, Some("""
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      FROM orders o
+      WHERE o.o_custkey IN (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        AND (SELECT count(*) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey) > 12
+      ORDER BY o.o_orderkey ASC NULLS FIRST""")),
+    Q("q_win_distribution", winDistribution, Some("""
+      SELECT c_custkey, c_nationkey, c_acctbal,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume,
+        nth_value(c_custkey, 2) OVER
+          (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_poorest
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+      ORDER BY c_nationkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""")),
+    Q("q_sample_hash", sampleHash, Some(s"""
+      WITH s AS (
+        SELECT *,
+          ((event_id * 2654435761) % 4294967296) < 429496730 AS in_sample
+        FROM events)
+      SELECT event_type, count(*) AS n_total,
+        CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+        round(CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 4) AS rate,
+        ${Oracle.dsum("CASE WHEN in_sample THEN value ELSE 0.0 END")} AS sample_value
+      FROM s GROUP BY event_type
+      ORDER BY event_type ASC NULLS FIRST""")),
+  )
+}
