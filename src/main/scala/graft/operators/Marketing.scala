@@ -37,12 +37,17 @@ object Marketing extends QueryPack {
     import spark.implicits._
     val ev = Catalog.load(spark, sfDir, "events")
       .select($"user_id", $"event_type", $"ts")
+    // views/clicks feed two plan branches each (the output spine and the
+    // next stage's join); uncached, Spark re-executes the branch and events
+    // would be scanned ~6x instead of 3x. Both are per-user aggregates —
+    // |users| rows, bounded — so caching is safe at any scale (the events
+    // table itself is never cached). Verify/Bench clear the cache per query.
     val views = ev.filter($"event_type" === "view")
-      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      .groupBy($"user_id").agg(min($"ts").as("t_view")).cache()
     val clicks = ev.filter($"event_type" === "click")
       .join(views, "user_id")
       .filter($"ts" > $"t_view")
-      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      .groupBy($"user_id").agg(min($"ts").as("t_click")).cache()
     val purchases = ev.filter($"event_type" === "purchase")
       .join(clicks, "user_id")
       .filter($"ts" > $"t_click")
