@@ -548,7 +548,56 @@ object LlmExtras extends QueryPack {
         CAST(byte_len // 100 + 1 AS BIGINT) AS n_frames
       FROM p ORDER BY doc_id ASC NULLS FIRST"""
 
+  /** BPE-style pre-tokenization count (the GPT-2 pre-tokenizer shape,
+    * lookaheads removed — RE2/Java-portable): a token is an optional leading
+    * space plus a run of letters, digits, or other non-space chars. The
+    * BPE-token : whitespace-word ratio is the standard "how many tokens will
+    * this doc cost" estimator a training pipeline budgets with.
+    *
+    * Scale: one narrow projection, regex arrays materialized ONCE in a
+    * sub-select so the size/filter consumers don't re-run the regex (HOF
+    * lambda re-evaluation), no shuffle except the output sort.
+    */
+  private val bpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  private def tokenBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .select(
+        $"doc_id",
+        regexp_extract_all($"text", lit(bpePattern), lit(0)).as("bpe"),
+        regexp_extract_all($"text", lit("\\S+"), lit(0)).as("words"))
+      .select(
+        $"doc_id",
+        size($"bpe").cast("long").as("n_bpe"),
+        size(filter($"bpe", t => t.rlike("^ ?[a-zA-Z]+$"))).cast("long")
+          .as("n_alpha"),
+        size(filter($"bpe", t => t.rlike("^ ?[0-9]+$"))).cast("long")
+          .as("n_num"),
+        size($"words").cast("long").as("n_words"),
+        when(size($"words") > 0,
+          round(size($"bpe").cast("double") / size($"words"), 4))
+          .as("bpe_per_word"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val tokenBpeSql = """
+    WITH t AS (
+      SELECT doc_id,
+        regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+') AS bpe,
+        regexp_extract_all(text, '\S+') AS words
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(bpe) AS BIGINT) AS n_bpe,
+      CAST(len(list_filter(bpe, x -> regexp_matches(x, '^ ?[a-zA-Z]+$'))) AS BIGINT) AS n_alpha,
+      CAST(len(list_filter(bpe, x -> regexp_matches(x, '^ ?[0-9]+$'))) AS BIGINT) AS n_num,
+      CAST(len(words) AS BIGINT) AS n_words,
+      CASE WHEN len(words) > 0
+        THEN round(CAST(len(bpe) AS DOUBLE) / len(words), 4) END AS bpe_per_word
+    FROM t ORDER BY doc_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_text_token_bpe", tokenBpe, Some(tokenBpeSql)),
     Q("q_text_langid", langid, Some(langidSql)),
     Q("q_text_quality", quality, Some(qualitySql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),

@@ -39,7 +39,51 @@ object TypedOps extends QueryPack {
       .orderBy($"orderkey".asc_nulls_first)
   }
 
+  /** Typed grouped-map surface (`KeyValueGroupedDataset.flatMapGroups`):
+    * per-customer order cadence — order count, first/last order, and the
+    * longest day-gap between consecutive orders — computed imperatively
+    * inside the group, the shape Catalyst can't express when the per-group
+    * logic is genuinely sequential.
+    *
+    * Scale: ONE hash shuffle on the high-cardinality custkey; each group is
+    * bounded by orders-per-customer (tens), so the in-group sort/buffer is
+    * O(group), never O(partition). Gaps depend only on the sorted DATE
+    * sequence, so equal-date tie order cannot change the result (oracle
+    * parity is deterministic).
+    */
+  private def typedGroupmap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val utc = java.time.ZoneOffset.UTC
+    Catalog.load(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_orderdate")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroups { (custkey: Long, it: Iterator[(Long, java.sql.Timestamp)]) =>
+        val ts = it.map(_._2).toArray.sortBy(_.getTime)
+        val days = ts.map(_.toInstant.atZone(utc).toLocalDate.toEpochDay)
+        val maxGap =
+          if (days.length < 2) None
+          else Some(days.iterator.zip(days.iterator.drop(1)).map { case (p, c) => c - p }.max)
+        Iterator((custkey, ts.length.toLong, ts.head, ts.last, maxGap))
+      }
+      .toDF("custkey", "n_orders", "first_order", "last_order", "max_gap_days")
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_typed_groupmap", typedGroupmap, Some("""
+      WITH g AS (
+        SELECT o_custkey, o_orderdate,
+          datediff('day',
+            CAST(lag(o_orderdate) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate) AS DATE),
+            CAST(o_orderdate AS DATE)) AS gap
+        FROM orders)
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+        min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+        CAST(max(gap) AS BIGINT) AS max_gap_days
+      FROM g GROUP BY o_custkey
+      ORDER BY custkey ASC NULLS FIRST""")),
     Q("q_typed_dataset", typedDataset, Some("""
       SELECT o_custkey AS custkey, o_orderkey AS orderkey,
         round(o_totalprice * 0.1, 2) AS commission
