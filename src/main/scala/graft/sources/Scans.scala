@@ -115,7 +115,43 @@ object Scans extends QueryPack {
       .orderBy($"o_orderkey".asc_nulls_first)
   }
 
+  /** Dynamic partition pruning: the qualifying years are derived from a
+    * lineitem filter at RUNTIME (not a literal), so static pruning is
+    * impossible — Spark broadcasts the year dim and injects a
+    * `dynamicpruningexpression` into the fact scan's PartitionFilters,
+    * reading only the matching `o_year=` directories. At 100 TB this is the
+    * difference between scanning one year and scanning thirty.
+    * PlanPropertiesSpec asserts the pruning subquery is present in the executed plan.
+    */
+  private def scanDpp(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = materializeOnce("orders_by_year", sfDir) { d =>
+      Catalog.load(spark, sfDir, "orders")
+        .withColumn("o_year", year($"o_orderdate"))
+        .write.mode("overwrite").partitionBy("o_year").parquet(d)
+    }
+    val dim = Catalog.load(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= lit("1998-06-01").cast("timestamp"))
+      .select(year($"l_shipdate").as("ship_year")).distinct()
+    spark.read.parquet(dir)
+      .join(dim, $"o_year" === $"ship_year")
+      .groupBy($"o_year".cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        graft.Dsl.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"o_year".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_scan_partition_pruning_dynamic", scanDpp, Some(s"""
+      WITH y AS (
+        SELECT DISTINCT year(l_shipdate) AS ship_year FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-06-01')
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        count(*) AS n_orders,
+        ${graft.Oracle.dsum("o_totalprice")} AS revenue
+      FROM orders JOIN y ON year(o_orderdate) = ship_year
+      GROUP BY 1 ORDER BY o_year ASC NULLS FIRST""")),
     Q("q_scan_parquet", scanParquet, Some(
       "SELECT * FROM region ORDER BY r_regionkey ASC NULLS FIRST")),
     Q("q_scan_projection_pushdown", scanProjection, Some("""

@@ -56,4 +56,13 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters") && p.contains("o_year"),
       s"expected a partition filter on o_year:\n$p")
   }
+
+  test("runtime-derived year dim triggers dynamic partition pruning") {
+    val p = plan("q_scan_partition_pruning_dynamic")
+    // The qualifying years come from a lineitem filter at execution time, so
+    // the fact scan must carry a dynamicpruning subquery in its partition
+    // filters — not a static literal, not an unpruned full scan.
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression on the o_year scan:\n$p")
+  }
 }
