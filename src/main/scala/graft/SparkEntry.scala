@@ -25,6 +25,7 @@ object SparkEntry {
     graft.functions.Udfs,
     Marketing,
     RelationalExtras,
+    TimeSeries,
   )
 
   lazy val all: Vector[Q] = {

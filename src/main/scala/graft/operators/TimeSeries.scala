@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Oracle, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.N — time-series depth (added round 5): calendar-spine
+  * gap-fill, linear interpolation over gaps, RANGE-frame trailing windows,
+  * and a finite-horizon EWMA.
+  *
+  * Scale notes (100 TB posture):
+  *  - The calendar spine is bounded by CALENDAR LENGTH (|days| rows from one
+  *    `sequence()` over the min/max bounds), never by data volume: at 100 TB
+  *    the spine is still ~2.4k rows and every spine join broadcasts. The
+  *    big side is always the pre-aggregated daily table, whose size is
+  *    |days × dims| regardless of raw row count.
+  *  - Interpolation and EWMA run ordered-only windows over that bounded
+  *    daily series (same justification as q_win_moving_avg: the window input
+  *    is |days| rows post-aggregation, not the raw table, so the single
+  *    ordered partition holds ~2.4k rows at any scale factor).
+  *  - The RANGE-frame trailing spend partitions by `o_custkey`
+  *    (high-cardinality) and orders by an epoch-day integer — one hash
+  *    shuffle, per-customer frames evaluated with Spark's sliding
+  *    window-frame machinery; no self-join, no spine needed.
+  *  - Window sums go through DECIMAL(18,6) (Dsl rule): DuckDB evaluates
+  *    window aggregates with a segment tree whose double-summation order
+  *    differs from Spark's sequential accumulation — decimal addition is
+  *    exact and order-free, so both engines recover the same value.
+  */
+object TimeSeries extends QueryPack {
+
+  /** Daily (day × priority) order counts/revenue with missing cells filled
+    * with zeros from a generated calendar spine × dimension grid.
+    */
+  private def gapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Catalog.load(spark, sfDir, "orders")
+      .select(date_trunc("day", $"o_orderdate").as("day"),
+        $"o_orderpriority", $"o_totalprice")
+    val spine = o.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val dims = o.select($"o_orderpriority").distinct()
+    val daily = o.groupBy($"day", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+    // spine × dims is |days × priorities| (tiny, data-independent) — it is
+    // the BUILD side; the probe side `daily` is already aggregated.
+    spine.crossJoin(broadcast(dims))
+      .join(daily, Seq("day", "o_orderpriority"), "left")
+      .select($"day", $"o_orderpriority",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"revenue", lit(0.0)).as("revenue"))
+      .orderBy($"day".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val gapfillOracle = s"""
+    WITH o AS (
+      SELECT date_trunc('day', o_orderdate) AS day, o_orderpriority, o_totalprice
+      FROM orders),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+    spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+    dims AS (SELECT DISTINCT o_orderpriority FROM o),
+    daily AS (
+      SELECT day, o_orderpriority, count(*) AS n_orders,
+             ${Oracle.dsum("o_totalprice")} AS revenue
+      FROM o GROUP BY day, o_orderpriority)
+    SELECT s.day, dims.o_orderpriority,
+           coalesce(d.n_orders, 0) AS n_orders,
+           coalesce(d.revenue, 0.0) AS revenue
+    FROM spine s CROSS JOIN dims
+    LEFT JOIN daily d ON d.day = s.day AND d.o_orderpriority = dims.o_orderpriority
+    ORDER BY s.day ASC NULLS FIRST, dims.o_orderpriority ASC NULLS FIRST"""
+
+  /** Linear interpolation of gap days in the URGENT daily-revenue series:
+    * actual value where present, linear between bracketing observations in
+    * interior gaps, nearest-observation hold at the edges. The two
+    * ignore-nulls window scans are over the bounded |days| spine.
+    */
+  private def interpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Catalog.load(spark, sfDir, "orders")
+      .select(date_trunc("day", $"o_orderdate").as("day"),
+        $"o_orderpriority", $"o_totalprice")
+    val spine = o.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("day"))
+    val daily = o.filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"day").agg(dsum($"o_totalprice").as("rev"))
+    val di = datediff($"day", to_date(lit("1970-01-01"))).cast("long")
+    val joined = spine.join(daily, Seq("day"), "left")
+      .select($"day", di.as("di"), $"rev",
+        when($"rev".isNotNull, di).as("obs_di"))
+    val wPrev = Window.orderBy($"di".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy($"di".asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val stepped = joined
+      .withColumn("prev_rev", last($"rev", ignoreNulls = true).over(wPrev))
+      .withColumn("prev_di", last($"obs_di", ignoreNulls = true).over(wPrev))
+      .withColumn("next_rev", first($"rev", ignoreNulls = true).over(wNext))
+      .withColumn("next_di", first($"obs_di", ignoreNulls = true).over(wNext))
+    // Identical arithmetic shape on both sides: prev + (next-prev) * (dt/dT).
+    val interp = $"prev_rev" + ($"next_rev" - $"prev_rev") *
+      (($"di" - $"prev_di").cast("double") / ($"next_di" - $"prev_di").cast("double"))
+    stepped.select($"day", $"rev",
+        when($"rev".isNotNull, $"rev")
+          .when($"prev_rev".isNotNull && $"next_rev".isNotNull, interp)
+          .otherwise(coalesce($"prev_rev", $"next_rev")).as("rev_filled"),
+        when($"rev".isNotNull, lit("actual"))
+          .when($"prev_rev".isNotNull && $"next_rev".isNotNull, lit("interp"))
+          .otherwise(lit("edge")).as("fill_kind"))
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val interpolateOracle = s"""
+    WITH o AS (
+      SELECT date_trunc('day', o_orderdate) AS day, o_orderpriority, o_totalprice
+      FROM orders),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+    spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+    daily AS (
+      SELECT day, ${Oracle.dsum("o_totalprice")} AS rev
+      FROM o WHERE o_orderpriority = '1-URGENT' GROUP BY day),
+    j AS (
+      SELECT s.day, date_diff('day', DATE '1970-01-01', CAST(s.day AS DATE)) AS di,
+             d.rev,
+             CASE WHEN d.rev IS NOT NULL
+                  THEN date_diff('day', DATE '1970-01-01', CAST(s.day AS DATE)) END AS obs_di
+      FROM spine s LEFT JOIN daily d ON d.day = s.day),
+    st AS (
+      SELECT day, di, rev,
+        last_value(rev IGNORE NULLS) OVER
+          (ORDER BY di ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_rev,
+        last_value(obs_di IGNORE NULLS) OVER
+          (ORDER BY di ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_di,
+        first_value(rev IGNORE NULLS) OVER
+          (ORDER BY di ASC ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rev,
+        first_value(obs_di IGNORE NULLS) OVER
+          (ORDER BY di ASC ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_di
+      FROM j)
+    SELECT day, rev,
+      CASE WHEN rev IS NOT NULL THEN rev
+           WHEN prev_rev IS NOT NULL AND next_rev IS NOT NULL
+             THEN prev_rev + (next_rev - prev_rev) *
+                  (CAST(di - prev_di AS DOUBLE) / CAST(next_di - prev_di AS DOUBLE))
+           ELSE coalesce(prev_rev, next_rev) END AS rev_filled,
+      CASE WHEN rev IS NOT NULL THEN 'actual'
+           WHEN prev_rev IS NOT NULL AND next_rev IS NOT NULL THEN 'interp'
+           ELSE 'edge' END AS fill_kind
+    FROM st
+    ORDER BY day ASC NULLS FIRST"""
+
+  /** Trailing 90-day spend per customer via a RANGE frame over an epoch-day
+    * integer sort key — value-based frames (peers included by VALUE distance,
+    * not row count), partitioned on the high-cardinality customer key.
+    */
+  private def rangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        datediff(to_date($"o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long").as("di"))
+    val w = Window.partitionBy($"o_custkey").orderBy($"di".asc)
+      .rangeBetween(-89, Window.currentRow)
+    o.select($"o_orderkey", $"o_custkey", $"di",
+        count(lit(1)).over(w).as("n_orders_90d"),
+        sum($"o_totalprice".cast("decimal(18,6)")).over(w).cast("double")
+          .as("spend_90d"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  private val rangeFrameOracle = """
+    SELECT o_orderkey, o_custkey,
+      date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS di,
+      count(*) OVER w AS n_orders_90d,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS spend_90d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) ASC
+                 RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey ASC NULLS FIRST"""
+
+  private val EwmaTerms = 14
+
+  /** Finite-horizon EWMA (alpha = 0.5, 14 terms) over the global daily
+    * revenue series. Weights 0.5^k are exactly representable doubles, each
+    * product is an exact binary scaling, and both engines evaluate the same
+    * left-associated sum — bit-identical without rounding. Missing leading
+    * terms (series start) drop out of numerator AND denominator.
+    */
+  private def ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(dsum($"o_totalprice").as("rev"))
+    val w = Window.orderBy($"day".asc)
+    val lagged = daily.select($"day" +: $"rev" +:
+      (0 until EwmaTerms).map(k => lag($"rev", k).over(w).as(s"x$k")): _*)
+    val num = (0 until EwmaTerms).map { k =>
+      when(col(s"x$k").isNotNull, col(s"x$k") * lit(math.pow(0.5, k)))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = (0 until EwmaTerms).map { k =>
+      when(col(s"x$k").isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    lagged.select($"day", $"rev", (num / den).as("ewma"))
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val ewmaOracle: String = {
+    val lags = (0 until EwmaTerms)
+      .map(k => s"lag(rev, $k) OVER (ORDER BY day ASC) AS x$k").mkString(",\n        ")
+    def wLit(k: Int) = new java.math.BigDecimal(math.pow(0.5, k)).toPlainString
+    val num = (0 until EwmaTerms)
+      .map(k => s"(CASE WHEN x$k IS NOT NULL THEN x$k * CAST('${wLit(k)}' AS DOUBLE) ELSE 0.0 END)")
+      .mkString(" + ")
+    val den = (0 until EwmaTerms)
+      .map(k => s"(CASE WHEN x$k IS NOT NULL THEN CAST('${wLit(k)}' AS DOUBLE) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             ${Oracle.dsum("o_totalprice")} AS rev
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT day, rev,
+        $lags
+      FROM daily)
+    SELECT day, rev, ($num) / ($den) AS ewma
+    FROM lagged
+    ORDER BY day ASC NULLS FIRST"""
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
+    Q("q_ts_interpolate", interpolate, Some(interpolateOracle)),
+    Q("q_win_range_frame", rangeFrame, Some(rangeFrameOracle)),
+    Q("q_ts_ewma", ewma, Some(ewmaOracle)),
+  )
+}
