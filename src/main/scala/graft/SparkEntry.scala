@@ -26,6 +26,7 @@ object SparkEntry {
     Marketing,
     RelationalExtras,
     TimeSeries,
+    GraphOps,
   )
 
   lazy val all: Vector[Q] = {

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.{Catalog, Q, QueryPack}
+
+/** SURVEY.md §2.O — graph operators (added round 5): connected components
+  * over the near-duplicate pair graph (the clustering stage every dedup
+  * pipeline needs AFTER candidate-pair generation — pairs alone don't tell
+  * you which doc to keep when duplicates chain a→b→c), and triangle
+  * counting over a co-purchase graph.
+  *
+  * Scale notes (100 TB posture):
+  *  - Components run min-label propagation: per round one equi-join of the
+  *    label table with the edge list and one min-aggregation — all hash
+  *    shuffles on node id, map-side combined. Rounds = graph diameter;
+  *    near-dup clusters are shallow (duplicates of a common source), so a
+  *    handful of rounds. For adversarial deep graphs the same loop shape
+  *    takes the large-star/small-star form (O(log n) rounds, same per-round
+  *    cost) — the driver only ever sees one Long per round (the label-sum
+  *    convergence check), never the data.
+  *  - Convergence detection via a monotone invariant: labels only ever
+  *    decrease, so the label SUM is strictly decreasing until fixpoint —
+  *    one cheap aggregate action per round instead of a change-count join.
+  *  - Triangles: canonical a<b<c orientation makes each triangle counted
+  *    exactly once, and the two equi-joins are plain shuffle joins on node
+  *    keys. Skew lever at scale: orienting edges low-degree→high-degree
+  *    bounds each node's join fan-out by sqrt(|E|) (documented here; the
+  *    fixture graph is balanced enough that plain a<b is fine).
+  */
+object GraphOps extends QueryPack {
+
+  private val MaxRounds = 20
+
+  /** doc_id → component id (= min doc_id reachable through near-dup pairs),
+    * plus component size; singletons are their own component. Edges are
+    * EXACTLY `q_dedup_near`'s output pairs (shared code + shared oracle CTE).
+    */
+  private def components(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = LlmPipeline.dedupNear(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    val und = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = und.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var sum0 = lbl.agg(sum($"lbl")).as[Long].first()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < MaxRounds) {
+      val nbrMin = und
+        .join(lbl.select($"node".as("v"), $"lbl".as("vlbl")), Seq("v"))
+        .groupBy($"u").agg(min($"vlbl").as("nbr_lbl"))
+      val next = lbl
+        .join(nbrMin.select($"u".as("node"), $"nbr_lbl"), Seq("node"), "left")
+        .select($"node", least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sum1 = next.agg(sum($"lbl")).as[Long].first()
+      lbl.unpersist()
+      lbl = next
+      converged = sum1 == sum0
+      sum0 = sum1
+      rounds += 1
+    }
+    und.unpersist()
+    val docs = Catalog.load(spark, sfDir, "documents").select($"doc_id")
+    val comp = docs
+      .join(lbl.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("component_id"))
+    val sizes = comp.groupBy($"component_id").agg(count(lit(1)).as("comp_size"))
+    comp.join(sizes, Seq("component_id"))
+      .select($"doc_id", $"component_id", $"comp_size")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val componentsOracle = s"""
+    WITH RECURSIVE ${LlmPipeline.nearPairsCtes},
+    edges AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT e.u, reach.r FROM und e JOIN reach ON e.v = reach.node),
+    comp0 AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    comp AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp0 c ON d.doc_id = c.node),
+    csizes AS (SELECT component_id, count(*) AS comp_size FROM comp GROUP BY 1)
+    SELECT comp.doc_id, comp.component_id, csizes.comp_size
+    FROM comp JOIN csizes ON comp.component_id = csizes.component_id
+    ORDER BY comp.doc_id ASC NULLS FIRST"""
+
+  /** Per-customer triangle count over the co-purchase graph: customers are
+    * adjacent iff both placed an URGENT order on the same day. Canonical
+    * a<b<c enumeration; output covers every node of the edge set (zero
+    * counts included). Pure integer counting — no float parity risk.
+    */
+  private def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = Catalog.load(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c"), date_trunc("day", $"o_orderdate").as("day"))
+      .distinct()
+    val edges = urgent.as("x").join(urgent.as("y"), Seq("day"))
+      .filter($"x.c" < $"y.c")
+      .select($"x.c".as("a"), $"y.c".as("b"))
+      .distinct()
+      .cache()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), $"e1.b" === $"e2.a")
+      .join(edges.as("e3"), $"e1.a" === $"e3.a" && $"e2.b" === $"e3.b")
+      .select($"e1.a".as("n1"), $"e1.b".as("n2"), $"e2.b".as("n3"))
+    val perNode = tri.select($"n1".as("node"))
+      .union(tri.select($"n2"))
+      .union(tri.select($"n3"))
+      .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+    val nodes = edges.select($"a".as("node")).union(edges.select($"b")).distinct()
+    nodes.join(perNode, Seq("node"), "left")
+      .select($"node".as("custkey"),
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private val trianglesOracle = """
+    WITH urgent AS (
+      SELECT DISTINCT o_custkey AS c, date_trunc('day', o_orderdate) AS day
+      FROM orders WHERE o_orderpriority = '1-URGENT'),
+    edges AS (
+      SELECT DISTINCT x.c AS a, y.c AS b
+      FROM urgent x JOIN urgent y ON x.day = y.day AND x.c < y.c),
+    tri AS (
+      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+    per_node AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT n1 AS node FROM tri
+        UNION ALL SELECT n2 FROM tri
+        UNION ALL SELECT n3 FROM tri)
+      GROUP BY node),
+    nodes AS (SELECT DISTINCT node FROM
+      (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges))
+    SELECT nodes.node AS custkey, coalesce(p.n_triangles, 0) AS n_triangles
+    FROM nodes LEFT JOIN per_node p ON nodes.node = p.node
+    ORDER BY custkey ASC NULLS FIRST"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_graph_components", components, Some(componentsOracle)),
+    Q("q_graph_triangles", triangles, Some(trianglesOracle)),
+  )
+}

@@ -134,7 +134,10 @@ object LlmPipeline extends QueryPack {
                 WHERE len(toks) >= 5))
         QUALIFY count(*) OVER (PARTITION BY shingle) <= $SHINGLE_DF_CAP)"""
 
-  private def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Near-dup pairs; also the edge set of `q_graph_components`
+    * ([[GraphOps]]), hence package-visible.
+    */
+  private[operators] def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = shingles(spark, sfDir).cache()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -153,6 +156,24 @@ object LlmPipeline extends QueryPack {
       .select($"doc_a", $"doc_b", $"n_inter", $"jaccard")
       .orderBy($"doc_a".asc_nulls_first, $"doc_b".asc_nulls_first)
   }
+
+  /** Near-dup pair CTE chain (no `WITH` keyword, so callers can prepend
+    * `WITH` or `WITH RECURSIVE`): ends in `j(doc_a, doc_b, n_inter,
+    * jaccard)`. Shared by q_dedup_near's oracle and q_graph_components'
+    * ([[GraphOps]]) so the two edge definitions cannot drift.
+    */
+  private[operators] val nearPairsCtes: String = s"""$shinglesSql,
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      j AS (
+        SELECT doc_a, doc_b, n_inter,
+          round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id)"""
 
   /** MinHash+LSH candidate pairs — probabilistic twin of q_dedup_near.
     * Capability-only (no oracle): minhash values are engine-specific.
@@ -319,18 +340,7 @@ object LlmPipeline extends QueryPack {
       SELECT doc_id, norm_text, n_dups FROM r WHERE rn = 1
       ORDER BY doc_id ASC NULLS FIRST""")),
     Q("q_dedup_near", dedupNear, Some(s"""
-      WITH $shinglesSql,
-      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      j AS (
-        SELECT doc_a, doc_b, n_inter,
-          round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id)
+      WITH $nearPairsCtes
       SELECT doc_a, doc_b, n_inter, jaccard FROM j WHERE jaccard >= 0.8
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""")),
     Q("q_dedup_minhash", dedupMinhash, None),
