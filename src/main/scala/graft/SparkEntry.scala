@@ -27,6 +27,7 @@ object SparkEntry {
     RelationalExtras,
     TimeSeries,
     GraphOps,
+    Profiling,
   )
 
   lazy val all: Vector[Q] = {

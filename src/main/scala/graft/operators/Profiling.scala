@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+
+/** SURVEY.md §2.P — data profiling / statistics (added round 5): the
+  * data-quality layer a training-data pipeline runs before anything else.
+  *
+  * Scale notes (100 TB posture):
+  *  - The column profiler is ONE aggregation pass over the table. The exact
+  *    multi-column `countDistinct` expands the input ×(distinct columns+1)
+  *    before the shuffle (Spark's Expand) — acceptable for a profiling scan;
+  *    at 100 TB swap `approx_count_distinct` in (declared in the scaladoc,
+  *    same plan minus the Expand). Everything else is plain min/max/count
+  *    partials.
+  *  - The histogram is two passes: a min/max bounds pass (broadcast back as
+  *    a 1-row build side), then a per-row bin computation that pushes into
+  *    the scan and one |bins|-cell hash aggregation.
+  *  - The correlation matrix computes ALL pairwise moments in one
+  *    map-side-combined pass (15 aggregates over 4 columns), then derives
+  *    corr/covariance/slope from the moments in plain column arithmetic.
+  *    Decimal moment sums make the result BIT-EXACT and order-independent:
+  *    fixture values are 2-decimal rationals, so x·y and x² are exact
+  *    4-decimal rationals, decimal addition is associative, and the final
+  *    double arithmetic is the same IEEE expression on both engines — no
+  *    `corr()` builtin (whose one-pass update order is engine-specific), no
+  *    rounding tolerance needed.
+  */
+object Profiling extends QueryPack {
+
+  /** One-pass profile of five `orders` columns: row/null/distinct counts,
+    * numeric min/max (as double), string min/max — long form, one row per
+    * column.
+    */
+  private def profileSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val a = Catalog.load(spark, sfDir, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      count($"o_orderkey").as("nn_okey"),
+      countDistinct($"o_orderkey").as("nd_okey"),
+      min($"o_orderkey").as("mn_okey"), max($"o_orderkey").as("mx_okey"),
+      count($"o_custkey").as("nn_ckey"),
+      countDistinct($"o_custkey").as("nd_ckey"),
+      min($"o_custkey").as("mn_ckey"), max($"o_custkey").as("mx_ckey"),
+      count($"o_totalprice").as("nn_tp"),
+      countDistinct($"o_totalprice").as("nd_tp"),
+      min($"o_totalprice").as("mn_tp"), max($"o_totalprice").as("mx_tp"),
+      count($"o_orderstatus").as("nn_os"),
+      countDistinct($"o_orderstatus").as("nd_os"),
+      min($"o_orderstatus").as("mn_os"), max($"o_orderstatus").as("mx_os"),
+      count($"o_orderpriority").as("nn_op"),
+      countDistinct($"o_orderpriority").as("nd_op"),
+      min($"o_orderpriority").as("mn_op"), max($"o_orderpriority").as("mx_op"))
+    val dNull = lit(null).cast("double")
+    val sNull = lit(null).cast("string")
+    def num(name: String, nn: String, nd: String, mn: String, mx: String) =
+      struct(lit(name).as("col_name"), $"n_rows",
+        ($"n_rows" - col(nn)).as("n_nulls"), col(nd).as("n_distinct"),
+        col(mn).cast("double").as("min_v"), col(mx).cast("double").as("max_v"),
+        sNull.as("min_s"), sNull.as("max_s"))
+    def str(name: String, nn: String, nd: String, mn: String, mx: String) =
+      struct(lit(name).as("col_name"), $"n_rows",
+        ($"n_rows" - col(nn)).as("n_nulls"), col(nd).as("n_distinct"),
+        dNull.as("min_v"), dNull.as("max_v"),
+        col(mn).as("min_s"), col(mx).as("max_s"))
+    a.select(inline(array(
+        num("o_orderkey", "nn_okey", "nd_okey", "mn_okey", "mx_okey"),
+        num("o_custkey", "nn_ckey", "nd_ckey", "mn_ckey", "mx_ckey"),
+        num("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"),
+        str("o_orderstatus", "nn_os", "nd_os", "mn_os", "mx_os"),
+        str("o_orderpriority", "nn_op", "nd_op", "mn_op", "mx_op"))))
+      .orderBy($"col_name".asc_nulls_first)
+  }
+
+  private val profileSummaryOracle = """
+    WITH a AS (SELECT
+        count(*) AS n_rows,
+        count(o_orderkey) AS nn_okey, count(DISTINCT o_orderkey) AS nd_okey,
+        min(o_orderkey) AS mn_okey, max(o_orderkey) AS mx_okey,
+        count(o_custkey) AS nn_ckey, count(DISTINCT o_custkey) AS nd_ckey,
+        min(o_custkey) AS mn_ckey, max(o_custkey) AS mx_ckey,
+        count(o_totalprice) AS nn_tp, count(DISTINCT o_totalprice) AS nd_tp,
+        min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+        count(o_orderstatus) AS nn_os, count(DISTINCT o_orderstatus) AS nd_os,
+        min(o_orderstatus) AS mn_os, max(o_orderstatus) AS mx_os,
+        count(o_orderpriority) AS nn_op, count(DISTINCT o_orderpriority) AS nd_op,
+        min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op
+      FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn_okey AS n_nulls,
+        nd_okey AS n_distinct, CAST(mn_okey AS DOUBLE) AS min_v,
+        CAST(mx_okey AS DOUBLE) AS max_v,
+        CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s FROM a
+      UNION ALL
+      SELECT 'o_custkey', n_rows, n_rows - nn_ckey, nd_ckey,
+        CAST(mn_ckey AS DOUBLE), CAST(mx_ckey AS DOUBLE), NULL, NULL FROM a
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, n_rows - nn_tp, nd_tp,
+        mn_tp, mx_tp, NULL, NULL FROM a
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, n_rows - nn_os, nd_os,
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_os, mx_os FROM a
+      UNION ALL
+      SELECT 'o_orderpriority', n_rows, n_rows - nn_op, nd_op,
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_op, mx_op FROM a)
+    ORDER BY col_name ASC NULLS FIRST"""
+
+  /** 20-bin equi-width histogram of o_totalprice between the observed
+    * min/max; identical bin/edge arithmetic on both engines.
+    */
+  private def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Catalog.load(spark, sfDir, "orders").select($"o_totalprice")
+    val b = o.agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+    val bin = least(floor(($"o_totalprice" - $"mn") * lit(20.0) / ($"mx" - $"mn")),
+      lit(19.0)).cast("long")
+    o.crossJoin(broadcast(b))
+      .select(bin.as("bin"), $"mn", $"mx")
+      .groupBy($"bin", $"mn", $"mx")
+      .agg(count(lit(1)).as("n"))
+      .select($"bin",
+        ($"mn" + $"bin".cast("double") * (($"mx" - $"mn") / lit(20.0))).as("lo"),
+        ($"mn" + ($"bin" + lit(1L)).cast("double") * (($"mx" - $"mn") / lit(20.0))).as("hi"),
+        $"n",
+        ($"n".cast("double") / sum($"n").over(Window.partitionBy())).as("share"))
+      .orderBy($"bin".asc_nulls_first)
+  }
+
+  private val histogramOracle = """
+    WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+    binned AS (
+      SELECT CAST(least(floor((o_totalprice - mn) * 20.0 / (mx - mn)), 19.0) AS BIGINT) AS bin,
+             mn, mx
+      FROM orders CROSS JOIN b),
+    g AS (SELECT bin, mn, mx, count(*) AS n FROM binned GROUP BY bin, mn, mx)
+    SELECT bin,
+      mn + CAST(bin AS DOUBLE) * ((mx - mn) / 20.0) AS lo,
+      mn + CAST(bin + 1 AS DOUBLE) * ((mx - mn) / 20.0) AS hi,
+      n,
+      CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE) AS share
+    FROM g
+    ORDER BY bin ASC NULLS FIRST"""
+
+  /** Exact top-5 most frequent values of three categorical columns (from
+    * three different tables), with frequency share. Ties broken by value.
+    */
+  private def freqValues(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def counted(df: DataFrame, colName: String): DataFrame =
+      df.groupBy(col(colName).as("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(colName).as("col_name"), $"value", $"n")
+    val all =
+      counted(Catalog.load(spark, sfDir, "orders"), "o_orderpriority")
+        .union(counted(Catalog.load(spark, sfDir, "customer"), "c_mktsegment"))
+        .union(counted(Catalog.load(spark, sfDir, "part"), "p_brand"))
+    val w = Window.partitionBy($"col_name")
+      .orderBy($"n".desc, $"value".asc_nulls_first)
+    val wTot = Window.partitionBy($"col_name")
+    all
+      .withColumn("share", $"n".cast("double") / sum($"n").over(wTot).cast("double"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"col_name", $"value", $"n", $"share", $"rk")
+      .orderBy($"col_name".asc_nulls_first, $"rk".asc_nulls_first)
+  }
+
+  private val freqValuesOracle = """
+    WITH counted AS (
+      SELECT 'o_orderpriority' AS col_name, o_orderpriority AS value, count(*) AS n
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'c_mktsegment', c_mktsegment, count(*) FROM customer GROUP BY 2
+      UNION ALL
+      SELECT 'p_brand', p_brand, count(*) FROM part GROUP BY 2),
+    ranked AS (
+      SELECT col_name, value, n,
+        CAST(n AS DOUBLE) /
+          CAST(CAST(sum(n) OVER (PARTITION BY col_name) AS BIGINT) AS DOUBLE) AS share,
+        row_number() OVER (PARTITION BY col_name
+                           ORDER BY n DESC, value ASC NULLS FIRST) AS rk
+      FROM counted)
+    SELECT col_name, value, n, share, rk FROM ranked WHERE rk <= 5
+    ORDER BY col_name ASC NULLS FIRST, rk ASC NULLS FIRST"""
+
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise Pearson correlation / population covariance / regression slope
+    * over four lineitem measures, from one pass of exact decimal moments.
+    */
+  private def corrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    // Cast to decimal BEFORE multiplying: the double product of two ~1e5
+    // values has a ulp above the 8th decimal, so casting the product rounds
+    // engine-specifically (measured: last-2-bit drift in ss at sf0.1). The
+    // decimal×decimal product of the exactly-recovered 2-decimal inputs is
+    // an exact rational on both engines.
+    def dec(c: String) = col(c).cast("decimal(14,2)")
+    def msum(e: Column) = sum(e).cast("double")
+    val moments =
+      corrCols.map(c => msum(dec(c)).as(s"s_$c")) ++
+      corrCols.map(c => msum(dec(c) * dec(c)).as(s"ss_$c")) ++
+      pairs.map { case (a, b) => msum(dec(a) * dec(b)).as(s"sp_${a}_$b") }
+    val agg = Catalog.load(spark, sfDir, "lineitem")
+      .agg(count(lit(1)).cast("double").as("n"), moments: _*)
+    val rows = pairs.map { case (a, b) =>
+      val mx = col(s"s_$a") / $"n"
+      val my = col(s"s_$b") / $"n"
+      val cov = col(s"sp_${a}_$b") / $"n" - mx * my
+      val vx = col(s"ss_$a") / $"n" - mx * mx
+      val vy = col(s"ss_$b") / $"n" - my * my
+      struct(lit(s"$a~$b").as("pair"), $"n".cast("long").as("n_rows"),
+        cov.as("cov_pop"), (cov / (sqrt(vx) * sqrt(vy))).as("pearson_r"),
+        (cov / vx).as("slope"))
+    }
+    agg.select(inline(array(rows: _*))).orderBy($"pair".asc_nulls_first)
+  }
+
+  private val corrMatrixOracle: String = {
+    val pairs = for {
+      i <- corrCols.indices; j <- corrCols.indices if i < j
+    } yield (corrCols(i), corrCols(j))
+    // DuckDB's direct DECIMAL→DOUBLE cast is not correctly rounded once the
+    // significand exceeds 2^53 (measured: ...123.1690 → ...123.0, off by one
+    // ulp from the correctly-rounded ...123.25 that Spark's BigDecimal cast
+    // and strtod produce). Route through VARCHAR: decimal→text is exact and
+    // text→double is correctly rounded on both engines.
+    def dec(c: String) = s"CAST($c AS DECIMAL(14,2))"
+    def msum(e: String) = s"CAST(CAST(sum($e) AS VARCHAR) AS DOUBLE)"
+    val moments =
+      (corrCols.map(c => s"${msum(dec(c))} AS s_$c") ++
+       corrCols.map(c => s"${msum(s"${dec(c)} * ${dec(c)}")} AS ss_$c") ++
+       pairs.map { case (a, b) => s"${msum(s"${dec(a)} * ${dec(b)}")} AS sp_${a}_$b" })
+        .mkString(",\n        ")
+    val selects = pairs.map { case (a, b) =>
+      val mx = s"(s_$a / n)"
+      val my = s"(s_$b / n)"
+      val cov = s"(sp_${a}_$b / n - $mx * $my)"
+      val vx = s"(ss_$a / n - $mx * $mx)"
+      val vy = s"(ss_$b / n - $my * $my)"
+      s"""SELECT '$a~$b' AS pair, CAST(n AS BIGINT) AS n_rows, $cov AS cov_pop,
+        $cov / (sqrt($vx) * sqrt($vy)) AS pearson_r, $cov / $vx AS slope FROM m"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+        $moments
+      FROM lineitem)
+    SELECT * FROM (
+      $selects)
+    ORDER BY pair ASC NULLS FIRST"""
+  }
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_profile_summary", profileSummary, Some(profileSummaryOracle)),
+    Q("q_profile_histogram", histogram, Some(histogramOracle)),
+    Q("q_profile_freq", freqValues, Some(freqValuesOracle)),
+    Q("q_stat_corr", corrMatrix, Some(corrMatrixOracle)),
+  )
+}
