@@ -28,6 +28,7 @@ object SparkEntry {
     TimeSeries,
     GraphOps,
     Profiling,
+    Governance,
   )
 
   lazy val all: Vector[Q] = {

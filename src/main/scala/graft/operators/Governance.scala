@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Oracle, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.Q — data governance (added round 5): PII
+  * masking/pseudonymization and stratified sampling — the compliance and
+  * downsampling stages of a training-data pipeline.
+  *
+  * Scale notes (100 TB posture):
+  *  - Masking is pure per-row column arithmetic (hash, substring, pad) —
+  *    fully pushed into the scan projection, no shuffle at all, trivially
+  *    parallel. sha2 is a codegen'd built-in, not a UDF.
+  *  - Stratified sampling is a per-row deterministic hash filter with a
+  *    per-stratum threshold (CASE on the stratum column) — pushes into the
+  *    scan, samples every partition independently, no RNG state, no global
+  *    pass, reproducible across engines/runs/retries (exactly-once-friendly:
+  *    a re-read of the same row makes the same keep/drop decision). The
+  *    only shuffle is the final per-stratum audit aggregation.
+  */
+object Governance extends QueryPack {
+
+  /** Pseudonymize customers: synthesized email (fixtures carry no real PII),
+    * masked email local-part, SHA-256 name digest, last-4-visible key mask,
+    * and a coarse balance bucket — the typical outbound "safe view".
+    */
+  private def piiMask(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val email = concat(lower(regexp_replace($"c_name", "#", ".")),
+      lit("@example.com"))
+    Catalog.load(spark, sfDir, "customer")
+      .select($"c_custkey", email.as("email"))
+      .select(
+        $"c_custkey",
+        $"email",
+        concat(substring($"email", 1, 1), lit("***@"),
+          substring_index($"email", "@", -1)).as("masked_email"),
+        sha2(concat(lit("graft_salt:"),
+          lpad($"c_custkey".cast("string"), 12, "0")), 256).as("key_digest"),
+        concat(lit("****"),
+          substring(lpad($"c_custkey".cast("string"), 9, "0"), 6, 4))
+          .as("key_mask"))
+      .orderBy($"c_custkey".asc_nulls_first)
+  }
+
+  private val piiMaskOracle = """
+    WITH e AS (
+      SELECT c_custkey,
+             lower(regexp_replace(c_name, '#', '.')) || '@example.com' AS email
+      FROM customer)
+    SELECT c_custkey, email,
+      substring(email, 1, 1) || '***@' ||
+        split_part(email, '@', 2) AS masked_email,
+      sha256('graft_salt:' || lpad(CAST(c_custkey AS VARCHAR), 12, '0'))
+        AS key_digest,
+      '****' || substring(lpad(CAST(c_custkey AS VARCHAR), 9, '0'), 6, 4)
+        AS key_mask
+    FROM e
+    ORDER BY c_custkey ASC NULLS FIRST"""
+
+  /** Deterministic stratified sample of orders with per-stratum rates
+    * (URGENT 20%, HIGH 10%, rest 5%) via the Knuth multiplicative hash on
+    * the row key; output is the per-stratum sampling audit.
+    */
+  private def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val threshold = when($"o_orderpriority" === "1-URGENT", lit(858993459L))
+      .when($"o_orderpriority" === "2-HIGH", lit(429496730L))
+      .otherwise(lit(214748365L))
+    val inSample =
+      ($"o_orderkey" * lit(2654435761L)) % lit(4294967296L) < threshold
+    Catalog.load(spark, sfDir, "orders")
+      .withColumn("in_sample", inSample)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_pop"),
+        sum(when($"in_sample", 1L).otherwise(0L)).as("n_sample"),
+        dsum(when($"in_sample", $"o_totalprice")).as("sampled_revenue"))
+      .withColumn("rate", $"n_sample".cast("double") / $"n_pop".cast("double"))
+      .select($"o_orderpriority", $"n_pop", $"n_sample", $"rate",
+        $"sampled_revenue")
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private val sampleStratifiedOracle = s"""
+    WITH s AS (
+      SELECT o_orderpriority, o_totalprice,
+        ((o_orderkey * 2654435761) % 4294967296) <
+          (CASE o_orderpriority WHEN '1-URGENT' THEN 858993459
+                                WHEN '2-HIGH' THEN 429496730
+                                ELSE 214748365 END) AS in_sample
+      FROM orders)
+    SELECT o_orderpriority,
+      count(*) AS n_pop,
+      CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+      CAST(CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) /
+        CAST(count(*) AS DOUBLE) AS rate,
+      ${Oracle.dsum("CASE WHEN in_sample THEN o_totalprice END")} AS sampled_revenue
+    FROM s
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_pii_mask", piiMask, Some(piiMaskOracle)),
+    Q("q_sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
+  )
+}

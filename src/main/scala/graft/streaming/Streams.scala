@@ -87,6 +87,31 @@ object Streams extends QueryPack {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** Stream-stream interval join, graded via its deterministic batch
+    * formulation: per view event, clicks by the same user inside
+    * (view_ts, view_ts + 30 min]. The streaming twin (both sides
+    * watermarked, interval-bounded state — see StreamJoinSpec) computes the
+    * same pairs; zero-click views are kept (left join) so the output covers
+    * the full view stream. One shuffle on user_id; per-user fan-out is
+    * bounded by the 30-minute horizon, which is exactly the state bound the
+    * streaming form's watermark enforces.
+    */
+  private def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Catalog.load(spark, sfDir, "events")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    views.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"c_ts" > $"view_ts" &&
+          $"c_ts" <= $"view_ts" + expr("INTERVAL 30 MINUTES"), "left")
+      .groupBy($"view_id", $"user_id", $"view_ts")
+      .agg(count($"c_id").as("n_clicks_30m"))
+      .orderBy($"view_id".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_stream_tumbling", tumbling, Some(s"""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
@@ -128,5 +153,19 @@ object Streams extends QueryPack {
         FROM events)
       SELECT event_id, user_id, event_type, ts, value FROM r WHERE rn = 1
       ORDER BY event_id ASC NULLS FIRST""")),
+    Q("q_stream_join", streamJoin, Some("""
+      WITH views AS (
+        SELECT event_id AS view_id, user_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'),
+      clicks AS (
+        SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
+        FROM events WHERE event_type = 'click')
+      SELECT v.view_id, v.user_id, v.view_ts, count(c.c_id) AS n_clicks_30m
+      FROM views v LEFT JOIN clicks c
+        ON c.c_user = v.user_id
+       AND c.c_ts > v.view_ts
+       AND c.c_ts <= v.view_ts + INTERVAL 30 MINUTE
+      GROUP BY v.view_id, v.user_id, v.view_ts
+      ORDER BY v.view_id ASC NULLS FIRST""")),
   )
 }
