@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-5 packs (SURVEY §2.N time-series, §2.O
+  * graph, §2.P profiling, §2.Q governance, plus the graded stream join) on
+  * the sf0.001 fixture — the DuckDB oracle covers value equality; these pin
+  * the SEMANTICS (spine coverage, interpolation bracketing, component
+  * consistency, triangle closure, audit arithmetic) independently.
+  */
+class Round5PacksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(id: String) =
+    SparkEntry.queries(id)(spark, sf0001).cache()
+
+  test("gapfill covers the full day x priority grid and preserves totals") {
+    val g = q("q_ts_gapfill")
+    val orders = Catalog.load(spark, sf0001, "orders")
+    val nDays = orders
+      .select(datediff(max($"o_orderdate"), min($"o_orderdate"))).as[Int].head() + 1
+    val nPrio = orders.select($"o_orderpriority").distinct().count()
+    assert(g.count() == nDays.toLong * nPrio, "spine x dims grid is complete")
+    assert(g.agg(sum($"n_orders")).as[Long].head() == orders.count(),
+      "zero-filling preserves the order total")
+    assert(g.filter($"n_orders" === 0 && $"revenue" =!= 0.0).count() == 0)
+    assert(g.filter($"n_orders" === 0).count() > 0, "fixture has real gaps")
+  }
+
+  test("interpolated values are bracketed by their observed neighbors") {
+    val i = q("q_ts_interpolate")
+    val urgentDays = Catalog.load(spark, sf0001, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select(date_trunc("day", $"o_orderdate")).distinct().count()
+    assert(i.filter($"fill_kind" === "actual").count() == urgentDays)
+    assert(i.filter($"rev_filled".isNull).count() == 0)
+    // An interpolated value lies strictly between (inclusive) the bracketing
+    // observations: check against running min/max of observed values.
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"day".asc)
+      .rowsBetween(Long.MinValue, -1)
+    val wn = org.apache.spark.sql.expressions.Window.orderBy($"day".asc)
+      .rowsBetween(1, Long.MaxValue)
+    val bad = i
+      .withColumn("prev", last(when($"fill_kind" === "actual", $"rev_filled"),
+        ignoreNulls = true).over(w))
+      .withColumn("next", first(when($"fill_kind" === "actual", $"rev_filled"),
+        ignoreNulls = true).over(wn))
+      .filter($"fill_kind" === "interp")
+      .filter($"rev_filled" < least($"prev", $"next") ||
+        $"rev_filled" > greatest($"prev", $"next"))
+    assert(bad.count() == 0, "interpolation escapes its bracket")
+  }
+
+  test("range-frame trailing spend includes the current order and is monotone-safe") {
+    val r = q("q_win_range_frame")
+    val orders = Catalog.load(spark, sf0001, "orders")
+    assert(r.count() == orders.count())
+    assert(r.filter($"n_orders_90d" < 1).count() == 0,
+      "every order is inside its own frame")
+    val own = r.select($"o_orderkey".as("k"), $"spend_90d")
+      .join(orders.select($"o_orderkey".as("k"), $"o_totalprice"), Seq("k"))
+      .filter($"spend_90d" < $"o_totalprice" - 0.01)
+    assert(own.count() == 0, "trailing spend can never be below the own order")
+  }
+
+  test("ewma equals the raw value on the first observation and stays in range") {
+    val e = q("q_ts_ewma").orderBy($"day".asc)
+    val first = e.limit(1).select($"rev", $"ewma").as[(Double, Double)].head()
+    assert(first._1 == first._2, "one-term EWMA is the value itself")
+    assert(e.filter($"ewma".isNull).count() == 0)
+    // EWMA is a convex combination of the last 14 observations.
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"day".asc)
+      .rowsBetween(-13, 0)
+    val bad = e
+      .withColumn("mn", min($"rev").over(w)).withColumn("mx", max($"rev").over(w))
+      .filter($"ewma" < $"mn" - 1e-9 || $"ewma" > $"mx" + 1e-9)
+    assert(bad.count() == 0, "EWMA escapes the convex hull of its window")
+  }
+
+  test("connected components: endpoints agree, labels are minimal, sizes consistent") {
+    val c = q("q_graph_components")
+    val docs = Catalog.load(spark, sf0001, "documents")
+    assert(c.count() == docs.count(), "every document is assigned a component")
+    assert(c.filter($"component_id" > $"doc_id").count() == 0,
+      "component id is the minimum member")
+    val pairs = SparkEntry.queries("q_dedup_near")(spark, sf0001)
+      .select($"doc_a", $"doc_b")
+    val lblA = c.select($"doc_id".as("doc_a"), $"component_id".as("ca"))
+    val lblB = c.select($"doc_id".as("doc_b"), $"component_id".as("cb"))
+    val disagree = pairs.join(lblA, Seq("doc_a")).join(lblB, Seq("doc_b"))
+      .filter($"ca" =!= $"cb").count()
+    assert(disagree == 0, "edge endpoints must share a component")
+    // comp_size really is the component cardinality.
+    val sizeBad = c.groupBy($"component_id", $"comp_size")
+      .agg(count(lit(1)).as("n")).filter($"n" =!= $"comp_size").count()
+    assert(sizeBad == 0)
+    // Non-trivial: at least one multi-doc cluster exists in the fixture.
+    assert(c.filter($"comp_size" > 1).count() > 0)
+  }
+
+  test("triangle counts: per-node sum is 3x the triangle total and closure holds") {
+    val t = q("q_graph_triangles")
+    val total = t.agg(sum($"n_triangles")).as[Long].head()
+    assert(total % 3 == 0, "each triangle is counted at its 3 corners")
+    assert(t.filter($"n_triangles" < 0).count() == 0)
+  }
+
+  test("profile summary matches direct recomputation") {
+    val p = q("q_profile_summary")
+    val orders = Catalog.load(spark, sf0001, "orders")
+    assert(p.count() == 5)
+    assert(p.filter($"n_rows" =!= orders.count()).count() == 0)
+    assert(p.filter($"n_nulls" =!= 0).count() == 0, "fixtures are null-free")
+    val okey = p.filter($"col_name" === "o_orderkey").head()
+    assert(okey.getAs[Long]("n_distinct") == orders.count(), "o_orderkey unique")
+  }
+
+  test("histogram bins partition the rows and shares sum to one") {
+    val h = q("q_profile_histogram")
+    val orders = Catalog.load(spark, sf0001, "orders")
+    assert(h.agg(sum($"n")).as[Long].head() == orders.count())
+    assert(h.filter($"lo" >= $"hi").count() == 0)
+    val shareSum = h.agg(sum($"share")).as[Double].head()
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+  }
+
+  test("frequent values are exact and correctly ranked") {
+    val f = q("q_profile_freq")
+    assert(f.groupBy($"col_name").count().filter($"count" =!= 5).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"col_name").orderBy($"rk".asc)
+    assert(f.withColumn("pn", lag($"n", 1).over(w))
+      .filter($"pn".isNotNull && $"n" > $"pn").count() == 0,
+      "counts are non-increasing in rank")
+    // Spot-check one cell against a direct count.
+    val top = f.filter($"col_name" === "o_orderpriority" && $"rk" === 1)
+      .select($"value", $"n").as[(String, Long)].head()
+    val direct = Catalog.load(spark, sf0001, "orders")
+      .groupBy($"o_orderpriority").count()
+      .orderBy($"count".desc, $"o_orderpriority".asc)
+      .as[(String, Long)].head()
+    assert(top == direct)
+  }
+
+  test("correlation matrix is bounded and self-consistent") {
+    val c = q("q_stat_corr")
+    assert(c.count() == 6)
+    assert(c.filter($"pearson_r" < -1.0 || $"pearson_r" > 1.0).count() == 0)
+    val li = Catalog.load(spark, sf0001, "lineitem")
+    assert(c.filter($"n_rows" =!= li.count()).count() == 0)
+    // Sign consistency: r, covariance, and slope share a sign (slope and r
+    // are covariance rescaled by positive variances).
+    assert(c.filter(signum($"pearson_r") =!= signum($"cov_pop")).count() == 0)
+    assert(c.filter(signum($"slope") =!= signum($"cov_pop")).count() == 0)
+  }
+
+  test("PII mask output leaks no raw name and digests are well-formed") {
+    val m = q("q_pii_mask")
+    assert(m.filter(length($"key_digest") =!= 64).count() == 0)
+    assert(m.filter(!$"key_digest".rlike("^[0-9a-f]{64}$")).count() == 0)
+    assert(m.filter(!$"masked_email".rlike("^.\\*\\*\\*@example\\.com$")).count() == 0)
+    assert(m.filter(!$"key_mask".rlike("^\\*\\*\\*\\*[0-9]{4}$")).count() == 0)
+  }
+
+  test("stratified sample audit arithmetic is exact and rates ordered") {
+    val s = q("q_sample_stratified").cache()
+    assert(s.filter($"n_sample" > $"n_pop").count() == 0)
+    assert(s.filter(
+      $"rate" =!= $"n_sample".cast("double") / $"n_pop".cast("double")).count() == 0)
+    val urgent = s.filter($"o_orderpriority" === "1-URGENT")
+      .select($"rate").as[Double].head()
+    assert(urgent > 0.1 && urgent < 0.3, s"urgent rate $urgent far from 20%")
+  }
+
+  test("stream join counts agree with the click-side formulation") {
+    val j = q("q_stream_join")
+    val ev = Catalog.load(spark, sf0001, "events")
+    val nViews = ev.filter($"event_type" === "view").count()
+    assert(j.count() == nViews, "zero-click views are kept")
+    // Symmetric recount: per click, number of views in [click-30min, click).
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"))
+    val pairTotal = clicks.join(views,
+        $"user_id" === $"v_user" &&
+          $"v_ts" < $"c_ts" && $"v_ts" >= $"c_ts" - expr("INTERVAL 30 MINUTES"))
+      .count()
+    assert(j.agg(sum($"n_clicks_30m")).as[Long].head() == pairTotal)
+  }
+}
