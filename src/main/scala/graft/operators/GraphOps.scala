@@ -38,16 +38,37 @@ object GraphOps extends QueryPack {
     * plus component size; singletons are their own component. Edges are
     * EXACTLY `q_dedup_near`'s output pairs (shared code + shared oracle CTE).
     */
-  private def components(spark: SparkSession, sfDir: String): DataFrame = {
+  private val debug = sys.env.contains("GRAFT_CC_DEBUG")
+  private def dbg[A](tag: String)(f: => A): A =
+    if (!debug) f else {
+      val t0 = System.nanoTime
+      val r = f
+      Console.err.println(f"CCPHASE $tag ${(System.nanoTime - t0) / 1e9}%.2f")
+      r
+    }
+
+  /** Min-label propagation over an undirected edge list `(u, v)` (both
+    * directions present). Returns `(node, lbl)` with `lbl` = component
+    * minimum. REQUIRES convergence within [[MaxRounds]] — a too-deep graph
+    * fails loudly instead of returning silently-wrong labels. Rounds =
+    * component diameter (minus the seeded step); swap in large-star/
+    * small-star for O(log n) rounds if adversarial depth ever matters.
+    */
+  private[graft] def propagateMinLabels(
+      spark: SparkSession,
+      und: DataFrame): DataFrame = {
     import spark.implicits._
-    val pairs = LlmPipeline.dedupNear(spark, sfDir)
-      .select($"doc_a", $"doc_b")
-    val und = pairs.select($"doc_a".as("u"), $"doc_b".as("v"))
-      .union(pairs.select($"doc_b".as("u"), $"doc_a".as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var lbl = und.select($"u".as("node")).distinct()
-      .select($"node", $"node".as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each round's label table is EAGERLY localCheckpoint-ed: iterative
+    // lineage otherwise doubles the logical plan every round (a 14-round
+    // chain OOM-ed the planner just *printing* the plan). Checkpointing
+    // makes per-round plans constant-size — on a real cluster swap
+    // localCheckpoint for `spark.sparkContext.setCheckpointDir` + reliable
+    // checkpoint to survive executor loss.
+    // Seed labels one propagation step ahead: lbl(n) = min(n, neighbors) —
+    // shallow (star-shaped) components then converge on the first check.
+    var lbl = dbg("seed")(und.groupBy($"u").agg(min($"v").as("mn"))
+      .select($"u".as("node"), least($"u", $"mn").as("lbl"))
+      .localCheckpoint(true))
     var sum0 = lbl.agg(sum($"lbl")).as[Long].first()
     var rounds = 0
     var converged = false
@@ -55,24 +76,46 @@ object GraphOps extends QueryPack {
       val nbrMin = und
         .join(lbl.select($"node".as("v"), $"lbl".as("vlbl")), Seq("v"))
         .groupBy($"u").agg(min($"vlbl").as("nbr_lbl"))
-      val next = lbl
+      val next = dbg(s"round$rounds")(lbl
         .join(nbrMin.select($"u".as("node"), $"nbr_lbl"), Seq("node"), "left")
         .select($"node", least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true))
       val sum1 = next.agg(sum($"lbl")).as[Long].first()
-      lbl.unpersist()
       lbl = next
       converged = sum1 == sum0
       sum0 = sum1
       rounds += 1
     }
+    require(converged,
+      s"connected components did not converge within $MaxRounds rounds")
+    lbl
+  }
+
+  private def components(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Both edge directions from ONE explode over the pair pipeline — a
+    // union of two selects would embed the shingle→join→jaccard subtree
+    // twice in the plan and execute it twice (measured ~1.5 s extra at
+    // sf0.1). Every driver action below is load-bearing: one per round plus
+    // the initial materialization, nothing else (each round's plan is new,
+    // so extra actions pay fresh whole-stage-codegen compiles, which
+    // dominated the first cut of this operator).
+    val und = LlmPipeline.dedupNear(spark, sfDir)
+      .select(explode(array(
+        struct($"doc_a".as("u"), $"doc_b".as("v")),
+        struct($"doc_b".as("u"), $"doc_a".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lbl = propagateMinLabels(spark, und)
     und.unpersist()
     val docs = Catalog.load(spark, sfDir, "documents").select($"doc_id")
-    val comp = docs
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"component_id")
+    docs
       .join(lbl.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("component_id"))
-    val sizes = comp.groupBy($"component_id").agg(count(lit(1)).as("comp_size"))
-    comp.join(sizes, Seq("component_id"))
+      // Window, not a groupBy+self-join: one shuffle on component_id and the
+      // comp subtree stays single in the plan.
+      .withColumn("comp_size", count(lit(1)).over(w))
       .select($"doc_id", $"component_id", $"comp_size")
       .orderBy($"doc_id".asc_nulls_first)
   }

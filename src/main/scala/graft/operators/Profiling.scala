@@ -201,13 +201,15 @@ object Profiling extends QueryPack {
     // engine-specifically (measured: last-2-bit drift in ss at sf0.1). The
     // decimal×decimal product of the exactly-recovered 2-decimal inputs is
     // an exact rational on both engines.
-    def dec(c: String) = col(c).cast("decimal(14,2)")
     def msum(e: Column) = sum(e).cast("double")
     val moments =
-      corrCols.map(c => msum(dec(c)).as(s"s_$c")) ++
-      corrCols.map(c => msum(dec(c) * dec(c)).as(s"ss_$c")) ++
-      pairs.map { case (a, b) => msum(dec(a) * dec(b)).as(s"sp_${a}_$b") }
+      corrCols.map(c => msum(col(c)).as(s"s_$c")) ++
+      corrCols.map(c => msum(col(c) * col(c)).as(s"ss_$c")) ++
+      pairs.map { case (a, b) => msum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    // Materialize the decimal casts ONCE in a projection — 14 products over
+    // re-cast inputs would repeat the double→decimal conversion per term.
     val agg = Catalog.load(spark, sfDir, "lineitem")
+      .select(corrCols.map(c => col(c).cast("decimal(14,2)").as(c)): _*)
       .agg(count(lit(1)).cast("double").as("n"), moments: _*)
     val rows = pairs.map { case (a, b) =>
       val mx = col(s"s_$a") / $"n"

@@ -98,6 +98,19 @@ class Round5PacksSpec extends SparkTestBase {
     assert(c.filter($"comp_size" > 1).count() > 0)
   }
 
+  test("min-label propagation handles deep chains (diameter >> 1) exactly") {
+    // A 15-node path 0-1-2-...-14 plus a disjoint 3-clique {20,21,22}:
+    // propagation must walk the full chain, not just one hop.
+    val path = (0L until 14L).map(i => (i, i + 1))
+    val clique = Seq((20L, 21L), (20L, 22L), (21L, 22L))
+    val edges = (path ++ clique).toDF("u", "v")
+    val und = edges.union(edges.select($"v", $"u")).toDF("u", "v")
+    val lbl = graft.operators.GraphOps.propagateMinLabels(spark, und)
+      .as[(Long, Long)].collect().toMap
+    (0L to 14L).foreach(n => assert(lbl(n) == 0L, s"node $n got ${lbl(n)}"))
+    Seq(20L, 21L, 22L).foreach(n => assert(lbl(n) == 20L))
+  }
+
   test("triangle counts: per-node sum is 3x the triangle total and closure holds") {
     val t = q("q_graph_triangles")
     val total = t.agg(sum($"n_triangles")).as[Long].head()
