@@ -65,4 +65,54 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(p.contains("dynamicpruning"),
       s"expected a dynamicpruningexpression on the o_year scan:\n$p")
   }
+
+  test("column profiler stays on the HashAggregate path") {
+    // String min/max buffers inside a multi-distinct single agg degrade the
+    // whole profile to SortAggregate over a 6x Expand (measured 5x slower) —
+    // the per-column two-phase form must keep every stage hash-based.
+    val p = plan("q_profile_summary")
+    // A residual SortAggregate is fine where its input is the <=|distinct|
+    // row value table (string min/max buffers); the pathology is the Expand
+    // over the RAW rows plus the raw-width sorts it forces.
+    assert(!p.contains("Expand"), s"profiler re-grew a multi-distinct Expand:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"value-dedup phase must be hash-based:\n$p")
+  }
+
+  test("histogram reads only the profiled column") {
+    val p = plan("q_profile_histogram")
+    assert(p.contains("ReadSchema: struct<o_totalprice:double>"),
+      s"histogram scan must prune to the single measured column:\n$p")
+  }
+
+  test("stratified sample filter is computed in the scan stage, not post-shuffle") {
+    val p = plan("q_sample_stratified")
+    // The hash-threshold filter must appear below the first Exchange: the
+    // sampled row set is decided per-partition with no global pass.
+    val firstExchange = p.indexOf("Exchange")
+    val filterPos = p.indexOf("2654435761")
+    assert(filterPos >= 0, s"expected the Knuth-hash filter in the plan:\n$p")
+    assert(firstExchange < 0 || filterPos > firstExchange,
+      s"hash filter must sit scan-side (below the exchange in plan text):\n$p")
+  }
+
+  test("range-frame window partitions by customer (no global window)") {
+    val p = plan("q_win_range_frame")
+    assert(p.contains("RangeFrame, -89"),
+      s"expected a value-based RANGE frame:\n$p")
+    assert(p.contains("windowspecdefinition(o_custkey"),
+      s"window must be partitioned on o_custkey:\n$p")
+  }
+
+  test("PII masking plan has no exchange at all") {
+    val p = plan("q_pii_mask")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"masking is pure projection — no hash shuffle belongs in the plan:\n$p")
+  }
+
+  test("stream join is a single equi-join on user, not a nested-loop") {
+    val p = plan("q_stream_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval condition must ride the user_id equi-join:\n$p")
+  }
 }
