@@ -143,17 +143,32 @@ object GraphOps extends QueryPack {
     * a<b<c enumeration; output covers every node of the edge set (zero
     * counts included). Pure integer counting — no float parity risk.
     */
-  private def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Canonical (a<b, distinct) co-purchase edges: customers adjacent iff
+    * both placed an URGENT order on the same day. Shared by triangles and
+    * PageRank (code + oracle CTE, so the graphs cannot drift).
+    */
+  private def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val urgent = Catalog.load(spark, sfDir, "orders")
       .filter($"o_orderpriority" === "1-URGENT")
       .select($"o_custkey".as("c"), date_trunc("day", $"o_orderdate").as("day"))
       .distinct()
-    val edges = urgent.as("x").join(urgent.as("y"), Seq("day"))
+    urgent.as("x").join(urgent.as("y"), Seq("day"))
       .filter($"x.c" < $"y.c")
       .select($"x.c".as("a"), $"y.c".as("b"))
       .distinct()
-      .cache()
+  }
+
+  private val coPurchaseEdgesCtes = """urgent AS (
+      SELECT DISTINCT o_custkey AS c, date_trunc('day', o_orderdate) AS day
+      FROM orders WHERE o_orderpriority = '1-URGENT'),
+    edges AS (
+      SELECT DISTINCT x.c AS a, y.c AS b
+      FROM urgent x JOIN urgent y ON x.day = y.day AND x.c < y.c)"""
+
+  private def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, sfDir).cache()
     val tri = edges.as("e1")
       .join(edges.as("e2"), $"e1.b" === $"e2.a")
       .join(edges.as("e3"), $"e1.a" === $"e3.a" && $"e2.b" === $"e3.b")
@@ -169,13 +184,8 @@ object GraphOps extends QueryPack {
       .orderBy($"custkey".asc_nulls_first)
   }
 
-  private val trianglesOracle = """
-    WITH urgent AS (
-      SELECT DISTINCT o_custkey AS c, date_trunc('day', o_orderdate) AS day
-      FROM orders WHERE o_orderpriority = '1-URGENT'),
-    edges AS (
-      SELECT DISTINCT x.c AS a, y.c AS b
-      FROM urgent x JOIN urgent y ON x.day = y.day AND x.c < y.c),
+  private val trianglesOracle = s"""
+    WITH $coPurchaseEdgesCtes,
     tri AS (
       SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
       FROM edges e1
@@ -193,8 +203,66 @@ object GraphOps extends QueryPack {
     FROM nodes LEFT JOIN per_node p ON nodes.node = p.node
     ORDER BY custkey ASC NULLS FIRST"""
 
+  private val PrIters = 5
+  private val PrScale = 1000000000L // rank 1.0 == 10^9
+
+  /** Fixed-iteration PageRank (damping 0.85, 5 iterations) over the
+    * co-purchase graph in SCALED INTEGER arithmetic: ranks live as
+    * rank×10^9 BIGINTs and every division is integral (`div` ↔ DuckDB `//`),
+    * so the result is engine-exact — float PageRank would diverge across
+    * engines in summation order. The whole computation is ONE declarative
+    * plan (no driver actions): 5 unrolled join+aggregate rounds over the
+    * cached edge/degree tables, each a hash shuffle on node id.
+    */
+  private def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, sfDir)
+    val und = edges
+      .select(explode(array(
+        struct($"a".as("u"), $"b".as("v")),
+        struct($"b".as("u"), $"a".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .cache()
+    val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")).cache()
+    var pr = deg.select($"node", lit(PrScale).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = pr.join(deg, Seq("node"))
+        .select($"node".as("u"), expr("pr div deg").as("c"))
+      pr = und.join(contrib, Seq("u"))
+        .groupBy($"v".as("node"))
+        .agg(sum($"c").as("sumc"))
+        .select($"node",
+          (lit(PrScale * 15 / 100) + expr("(85 * sumc) div 100")).as("pr"))
+    }
+    pr.select($"node".as("custkey"), $"pr")
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private val pagerankOracle: String = {
+    val base = PrScale * 15 / 100
+    val iters = (1 to PrIters).map { k =>
+      s"""it$k AS (
+      SELECT e.v AS node,
+             $base + (85 * CAST(sum(p.pr // d.deg) AS BIGINT)) // 100 AS pr
+      FROM und e
+      JOIN it${k - 1} p ON e.u = p.node
+      JOIN deg d ON d.node = p.node
+      GROUP BY e.v)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+    it0 AS (SELECT node, CAST($PrScale AS BIGINT) AS pr FROM deg),
+    $iters
+    SELECT node AS custkey, pr FROM it$PrIters
+    ORDER BY custkey ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_graph_components", components, Some(componentsOracle)),
     Q("q_graph_triangles", triangles, Some(trianglesOracle)),
+    Q("q_graph_pagerank", pagerank, Some(pagerankOracle)),
   )
 }

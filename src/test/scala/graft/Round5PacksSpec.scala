@@ -118,6 +118,17 @@ class Round5PacksSpec extends SparkTestBase {
     assert(t.filter($"n_triangles" < 0).count() == 0)
   }
 
+  test("integer pagerank: covers the edge-node set, respects the damping floor") {
+    val pr = q("q_graph_pagerank")
+    val tri = q("q_graph_triangles")
+    assert(pr.count() == tri.count(), "same node universe as triangles")
+    // (1-d) floor: every rank is at least 0.15 (scaled), and integer
+    // truncation can only lose mass — total stays <= n * scale.
+    assert(pr.filter($"pr" < 150000000L).count() == 0)
+    val n = pr.count()
+    assert(pr.agg(sum($"pr")).as[Long].head() <= n * 1000000000L)
+  }
+
   test("profile summary matches direct recomputation") {
     val p = q("q_profile_summary")
     val orders = Catalog.load(spark, sf0001, "orders")
