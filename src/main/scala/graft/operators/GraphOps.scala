@@ -203,6 +203,61 @@ object GraphOps extends QueryPack {
     FROM nodes LEFT JOIN per_node p ON nodes.node = p.node
     ORDER BY custkey ASC NULLS FIRST"""
 
+  /** The dedup ENDGAME: per near-dup cluster, the canonical survivor
+    * (min doc_id) and what deduplication drops — members, dropped count,
+    * kept/dropped characters. This is the decision table a corpus dedup
+    * actually ships: q_dedup_near finds pairs, q_graph_components closes
+    * them transitively, this picks winners. Single-member components are
+    * included (nothing dropped) so the output partitions the corpus.
+    */
+  private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = LlmPipeline.dedupNear(spark, sfDir)
+      .select(explode(array(
+        struct($"doc_a".as("u"), $"doc_b".as("v")),
+        struct($"doc_b".as("u"), $"doc_a".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lbl = propagateMinLabels(spark, und)
+    und.unpersist()
+    Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars")
+      .join(lbl.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars", coalesce($"lbl", $"doc_id").as("component_id"))
+      .groupBy($"component_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        min(when($"doc_id" === $"component_id", $"n_chars")).as("chars_kept"),
+        coalesce(sum(when($"doc_id" =!= $"component_id", $"n_chars")), lit(0L))
+          .as("chars_dropped"))
+      .orderBy($"component_id".asc_nulls_first)
+  }
+
+  private val dedupClustersOracle = s"""
+    WITH RECURSIVE ${LlmPipeline.nearPairsCtes},
+    edges AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT e.u, reach.r FROM und e JOIN reach ON e.v = reach.node),
+    comp0 AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    comp AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp0 c ON d.doc_id = c.node)
+    SELECT component_id,
+      count(*) AS n_members,
+      count(*) - 1 AS n_dropped,
+      min(CASE WHEN doc_id = component_id THEN n_chars END) AS chars_kept,
+      coalesce(CAST(sum(CASE WHEN doc_id <> component_id THEN n_chars END)
+        AS BIGINT), 0) AS chars_dropped
+    FROM comp
+    GROUP BY component_id
+    ORDER BY component_id ASC NULLS FIRST"""
+
   private val PrIters = 5
   private val PrScale = 1000000000L // rank 1.0 == 10^9
 
@@ -264,5 +319,6 @@ object GraphOps extends QueryPack {
     Q("q_graph_components", components, Some(componentsOracle)),
     Q("q_graph_triangles", triangles, Some(trianglesOracle)),
     Q("q_graph_pagerank", pagerank, Some(pagerankOracle)),
+    Q("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
   )
 }

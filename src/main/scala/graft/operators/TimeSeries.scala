@@ -232,10 +232,70 @@ object TimeSeries extends QueryPack {
     ORDER BY day ASC NULLS FIRST"""
   }
 
+  /** Trailing z-score anomaly flags over the global daily revenue series:
+    * each day scored against the mean/std of the PRECEDING 28 observations
+    * (current day excluded — an outlier must not dilute its own baseline).
+    * Mean/std derive from decimal moment sums in the window (order-free),
+    * so z is the same IEEE expression on both engines; days with fewer than
+    * 8 history points or zero variance get a null z.
+    */
+  private def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(dsum($"o_totalprice").as("rev"))
+    val w = Window.orderBy($"day".asc).rowsBetween(-28, -1)
+    val revDec = $"rev".cast("decimal(18,6)")
+    val scored = daily.select($"day", $"rev",
+      count($"rev").over(w).as("n_hist"),
+      sum(revDec).over(w).cast("double").as("s1"),
+      sum((revDec * revDec).cast("decimal(38,12)")).over(w).cast("double").as("s2"))
+    val mean = $"s1" / $"n_hist".cast("double")
+    val variance = $"s2" / $"n_hist".cast("double") - mean * mean
+    val std = sqrt(greatest(variance, lit(0.0)))
+    scored.select($"day", $"rev", $"n_hist",
+        when($"n_hist" >= 8, ($"rev" - mean) / nullif(std, lit(0.0)))
+          .as("z"))
+      .withColumn("is_anomaly", coalesce(abs($"z") > 2.0, lit(false)))
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val anomalyOracle = s"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             ${Oracle.dsum("o_totalprice")} AS rev
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT day, rev,
+        count(rev) OVER w AS n_hist,
+        CAST(CAST(sum(CAST(rev AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS s1,
+        -- DECIMAL(19,6) inputs force DuckDB's int128 multiply (the 18-digit
+        -- form multiplies int64 significands and overflows); 19+19 = 38 stays
+        -- within the precision cap and the exact product equals Spark's
+        -- DECIMAL(18,6) x DECIMAL(18,6).
+        CAST(CAST(sum(CAST(CAST(rev AS DECIMAL(19,6)) * CAST(rev AS DECIMAL(19,6))
+          AS DECIMAL(38,12))) OVER w AS VARCHAR) AS DOUBLE) AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY day ASC ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT day, rev, n_hist,
+        CASE WHEN n_hist >= 8 THEN
+          (rev - s1 / CAST(n_hist AS DOUBLE)) /
+          nullif(sqrt(greatest(
+            s2 / CAST(n_hist AS DOUBLE) -
+              (s1 / CAST(n_hist AS DOUBLE)) * (s1 / CAST(n_hist AS DOUBLE)),
+            0.0)), 0.0)
+        END AS z
+      FROM scored)
+    SELECT day, rev, n_hist, z, coalesce(abs(z) > 2.0, false) AS is_anomaly
+    FROM z
+    ORDER BY day ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
     Q("q_ts_interpolate", interpolate, Some(interpolateOracle)),
     Q("q_win_range_frame", rangeFrame, Some(rangeFrameOracle)),
     Q("q_ts_ewma", ewma, Some(ewmaOracle)),
+    Q("q_ts_anomaly", anomaly, Some(anomalyOracle)),
   )
 }

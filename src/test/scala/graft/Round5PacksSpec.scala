@@ -118,6 +118,29 @@ class Round5PacksSpec extends SparkTestBase {
     assert(t.filter($"n_triangles" < 0).count() == 0)
   }
 
+  test("dedup clusters partition the corpus and drop exactly the non-canonical members") {
+    val c = q("q_dedup_clusters")
+    val docs = Catalog.load(spark, sf0001, "documents")
+    assert(c.agg(sum($"n_members")).as[Long].head() == docs.count(),
+      "clusters partition the document set")
+    assert(c.filter($"n_dropped" =!= $"n_members" - 1).count() == 0)
+    assert(c.filter($"chars_kept".isNull).count() == 0,
+      "every cluster keeps its canonical doc")
+    assert(c.filter($"n_dropped" === 0 && $"chars_dropped" =!= 0).count() == 0)
+    // Consistent with the component assignment query.
+    val comp = q("q_graph_components")
+    val compCount = comp.select($"component_id").distinct().count()
+    assert(c.count() == compCount)
+  }
+
+  test("anomaly z-scores: warmup rows null, flags only past the history gate") {
+    val a = q("q_ts_anomaly")
+    assert(a.filter($"n_hist" < 8 && $"z".isNotNull).count() == 0)
+    assert(a.filter($"is_anomaly" && $"z".isNull).count() == 0)
+    assert(a.filter($"is_anomaly" && abs($"z") <= 2.0).count() == 0)
+    assert(a.filter($"z".isNotNull).count() > 0, "fixture produces scored days")
+  }
+
   test("integer pagerank: covers the edge-node set, respects the damping floor") {
     val pr = q("q_graph_pagerank")
     val tri = q("q_graph_triangles")
