@@ -518,7 +518,10 @@ object LlmExtras extends QueryPack {
       (fmt, width, height, frames)
   }
 
-  private def multimodalBinary(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared decoded-metadata table for the multimodal family: binary
+    * payload digest/length plus the deterministic decode-stub fields.
+    */
+  private def binaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val decode = udf(decodeStub)
     Catalog.load(spark, sfDir, "documents")
@@ -531,8 +534,58 @@ object LlmExtras extends QueryPack {
       .select($"doc_id", $"byte_len", $"payload_md5",
         $"meta._1".as("format"), $"meta._2".as("width"),
         $"meta._3".as("height"), $"meta._4".as("n_frames"))
-      .orderBy($"doc_id".asc_nulls_first)
   }
+
+  private def multimodalBinary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    binaryMeta(spark, sfDir).orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** Uniform frame sampling + thumbnail resize over the decoded (stubbed)
+    * video metadata: up to ~8 evenly-spaced frame indices per doc via an
+    * integer stride, one row per sampled frame with a deterministic
+    * per-frame digest (the stand-in for a frame feature vector — no codec
+    * libs in-container, same declared stub as the decoder) and halved
+    * thumbnail dimensions. The generator (`explode(sequence(...))`) is the
+    * batch shape real frame extraction uses: per-frame rows fan out inside
+    * the task, no shuffle until the output sort; stride keeps the fan-out
+    * bounded regardless of clip length.
+    */
+  private def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    binaryMeta(spark, sfDir)
+      .select($"doc_id", $"payload_md5", $"width", $"height",
+        explode(sequence(lit(0L), $"n_frames" - 1,
+          greatest(lit(1L), expr("n_frames div 8")))).as("frame_idx"))
+      .select($"doc_id", $"frame_idx",
+        md5(concat($"payload_md5", lit(":"), $"frame_idx".cast("string")))
+          .as("frame_md5"),
+        expr("width div 2").as("thumb_w"),
+        expr("height div 2").as("thumb_h"))
+      .orderBy($"doc_id".asc_nulls_first, $"frame_idx".asc_nulls_first)
+  }
+
+  private val multimodalFramesSql = """
+      WITH p AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          md5(text) AS payload_md5
+        FROM documents),
+      meta AS (
+        SELECT doc_id, payload_md5,
+          CAST(64 + ascii(substring(payload_md5, 2, 1)) * 7 % 512 AS BIGINT) AS width,
+          CAST(64 + ascii(substring(payload_md5, 3, 1)) * 11 % 512 AS BIGINT) AS height,
+          CAST(byte_len // 100 + 1 AS BIGINT) AS n_frames
+        FROM p)
+      SELECT doc_id,
+        unnest(generate_series(0, n_frames - 1, greatest(1, n_frames // 8))) AS frame_idx,
+        md5(payload_md5 || ':' ||
+          CAST(unnest(generate_series(0, n_frames - 1, greatest(1, n_frames // 8))) AS VARCHAR))
+          AS frame_md5,
+        width // 2 AS thumb_w,
+        height // 2 AS thumb_h
+      FROM meta
+      ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST"""
 
   private val multimodalBinarySql = """
       WITH p AS (
@@ -605,6 +658,7 @@ object LlmExtras extends QueryPack {
     Q("q_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
     Q("q_sim_ann_ivf", simIvfAnn, Some(simIvfAnnSql)),
     Q("q_multimodal_binary", multimodalBinary, Some(multimodalBinarySql)),
+    Q("q_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("q_corpus_clean", corpusClean, Some(corpusCleanSql)),
     Q("q_dedup_embedding_cosine", dedupEmbeddingCosine, Some(dedupEmbeddingCosineSql)),
   )

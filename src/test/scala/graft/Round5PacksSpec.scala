@@ -219,6 +219,19 @@ class Round5PacksSpec extends SparkTestBase {
     assert(urgent > 0.1 && urgent < 0.3, s"urgent rate $urgent far from 20%")
   }
 
+  test("frame sampling is strided, bounded, and per-frame digests are unique") {
+    val f = q("q_multimodal_frames")
+    val perDoc = f.groupBy($"doc_id").count()
+    assert(perDoc.filter($"count" > 15).count() == 0,
+      "stride bounds the per-doc fan-out")
+    assert(f.filter($"frame_idx" < 0).count() == 0)
+    assert(f.select($"doc_id", $"frame_md5").distinct().count() == f.count(),
+      "per-frame digests must differ within a doc")
+    val meta = q("q_multimodal_binary").select($"doc_id", $"n_frames")
+    val over = f.join(meta, Seq("doc_id")).filter($"frame_idx" >= $"n_frames")
+    assert(over.count() == 0, "sampled indices stay inside the clip")
+  }
+
   test("stream join counts agree with the click-side formulation") {
     val j = q("q_stream_join")
     val ev = Catalog.load(spark, sf0001, "events")
