@@ -601,6 +601,73 @@ object LlmExtras extends QueryPack {
         CAST(byte_len // 100 + 1 AS BIGINT) AS n_frames
       FROM p ORDER BY doc_id ASC NULLS FIRST"""
 
+  /** Top bigram collocations by LIFT, in exact integer arithmetic:
+    * lift = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), emitted scaled ×10^6
+    * with integral division so the score is engine-exact (a log-PMI would
+    * hang correctness on libm last-ulp agreement). Overflow bound:
+    * n_ab·N·10^6 needs n_ab·N < 9.2e12 — fine up to ~3M bigrams; beyond
+    * that, drop the scale factor or pre-divide (documented, not needed at
+    * fixture scales).
+    *
+    * Scale: one explode over token positions (narrow projection), two
+    * hash-agg count tables, two equi-joins of a bigram table against the
+    * (broadcast-able) unigram table, one top-k window over the filtered
+    * candidate set.
+    */
+  private def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+    val bi = toks
+      .select(explode(when(size($"t") >= 2,
+          transform(sequence(lit(0), size($"t") - 2),
+            i => struct(element_at($"t", i + 1).as("w1"),
+              element_at($"t", i + 2).as("w2"))))
+        .otherwise(array())).as("b"))
+      .select($"b.w1", $"b.w2")
+      .cache()
+    val nBi = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val uni = bi.groupBy($"w1".as("w")).agg(count(lit(1)).as("n_w"))
+    val total = bi.agg(count(lit(1)).as("n_total"))
+    val scored = nBi
+      .join(uni.select($"w".as("w1"), $"n_w".as("n_a")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"n_w".as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .filter($"n_ab" >= 5)
+      .select($"w1", $"w2", $"n_ab",
+        expr("(n_ab * n_total * 1000000) div (n_a * n_b)").as("lift_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"lift_ppm".desc, $"w1".asc_nulls_first, $"w2".asc_nulls_first)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 20)
+      .select($"rk", $"w1", $"w2", $"n_ab", $"lift_ppm")
+      .orderBy($"rk".asc_nulls_first)
+  }
+
+  private val collocationsSql = """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bi AS (
+        SELECT t[i+1] AS w1, t[i+2] AS w2
+        FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM toks WHERE len(t) >= 2)),
+      nbi AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY w1, w2),
+      uni AS (SELECT w1 AS w, count(*) AS n_w FROM bi GROUP BY w1),
+      tot AS (SELECT count(*) AS n_total FROM bi),
+      scored AS (
+        SELECT nbi.w1, nbi.w2, n_ab,
+          (n_ab * n_total * 1000000) // (ua.n_w * ub.n_w) AS lift_ppm
+        FROM nbi
+        JOIN uni ua ON ua.w = nbi.w1
+        JOIN uni ub ON ub.w = nbi.w2
+        CROSS JOIN tot
+        WHERE n_ab >= 5),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY lift_ppm DESC,
+          w1 ASC NULLS FIRST, w2 ASC NULLS FIRST) AS rk
+        FROM scored)
+      SELECT rk, w1, w2, n_ab, lift_ppm FROM ranked WHERE rk <= 20
+      ORDER BY rk ASC NULLS FIRST"""
+
   /** BPE-style pre-tokenization count (the GPT-2 pre-tokenizer shape,
     * lookaheads removed — RE2/Java-portable): a token is an optional leading
     * space plus a run of letters, digits, or other non-space chars. The
@@ -659,6 +726,7 @@ object LlmExtras extends QueryPack {
     Q("q_sim_ann_ivf", simIvfAnn, Some(simIvfAnnSql)),
     Q("q_multimodal_binary", multimodalBinary, Some(multimodalBinarySql)),
     Q("q_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
+    Q("q_text_collocations", collocations, Some(collocationsSql)),
     Q("q_corpus_clean", corpusClean, Some(corpusCleanSql)),
     Q("q_dedup_embedding_cosine", dedupEmbeddingCosine, Some(dedupEmbeddingCosineSql)),
   )

@@ -291,11 +291,59 @@ object TimeSeries extends QueryPack {
     FROM z
     ORDER BY day ASC NULLS FIRST"""
 
+  /** Rolling 7-day distinct active users (WAU) per day. Spark has no
+    * `count(DISTINCT) OVER`, and a `collect_set` window would funnel a
+    * data-sized (day × user) table through one ordered partition — instead
+    * each (user, active-day) pair is EXPANDED to the ≤7 trailing days it
+    * keeps the user "active" for, then deduped and counted: three hash
+    * shuffles, no window, fan-out bounded by the window length. (The same
+    * expansion trick as the sliding-window oracle.)
+    */
+  private def rollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dayUser = Catalog.load(spark, sfDir, "events")
+      .select(datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+        .cast("long").as("di"), $"user_id")
+      .distinct()
+    val bounds = dayUser.agg(min($"di").as("d0"), max($"di").as("d1"))
+    dayUser
+      .select($"user_id", explode(sequence($"di", $"di" + 6)).as("d"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter($"d" <= $"d1")
+      .groupBy($"d")
+      // (user, d) is already deduped above — a plain count IS the distinct
+      // count, without a second dedup shuffle.
+      .agg(count(lit(1)).as("wau"))
+      .select(
+        to_timestamp(date_add(to_date(lit("1970-01-01")), $"d".cast("int")))
+          .as("day"),
+        $"wau")
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val rollingDistinctOracle = """
+    WITH du AS (
+      SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di,
+             user_id
+      FROM events),
+    b AS (SELECT min(di) AS d0, max(di) AS d1 FROM du),
+    expanded AS (
+      SELECT DISTINCT user_id, di + i AS d
+      FROM du CROSS JOIN range(7) t(i))
+    SELECT CAST(CAST(DATE '1970-01-01' + CAST(e.d AS INTEGER) AS DATE) AS TIMESTAMP) AS day,
+           count(DISTINCT e.user_id) AS wau
+    FROM expanded e CROSS JOIN b
+    WHERE e.d <= b.d1
+    GROUP BY e.d
+    ORDER BY day ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
     Q("q_ts_interpolate", interpolate, Some(interpolateOracle)),
     Q("q_win_range_frame", rangeFrame, Some(rangeFrameOracle)),
     Q("q_ts_ewma", ewma, Some(ewmaOracle)),
     Q("q_ts_anomaly", anomaly, Some(anomalyOracle)),
+    Q("q_win_rolling_distinct", rollingDistinct, Some(rollingDistinctOracle)),
   )
 }

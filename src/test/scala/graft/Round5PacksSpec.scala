@@ -232,6 +232,40 @@ class Round5PacksSpec extends SparkTestBase {
     assert(over.count() == 0, "sampled indices stay inside the clip")
   }
 
+  test("rolling 7-day actives dominate daily actives and never exceed the universe") {
+    val r = q("q_win_rolling_distinct")
+    val ev = Catalog.load(spark, sf0001, "events")
+    val daily = ev.select(date_trunc("day", $"ts").as("day"), $"user_id")
+      .distinct().groupBy($"day").agg(count(lit(1)).as("dau"))
+    val bad = r.join(daily, Seq("day")).filter($"wau" < $"dau").count()
+    assert(bad == 0, "WAU >= DAU on every observed day")
+    val users = ev.select($"user_id").distinct().count()
+    assert(r.filter($"wau" > users).count() == 0)
+  }
+
+  test("collocation lift is exact integer arithmetic and respects min support") {
+    val c = q("q_text_collocations")
+    assert(c.count() <= 20)
+    assert(c.filter($"n_ab" < 5).count() == 0)
+    assert(c.filter($"lift_ppm" <= 0).count() == 0)
+    // Spot-check one lift against a direct recount.
+    val top = c.orderBy($"rk".asc).head()
+    val (w1, w2, nab, lift) = (top.getAs[String]("w1"), top.getAs[String]("w2"),
+      top.getAs[Long]("n_ab"), top.getAs[Long]("lift_ppm"))
+    val toks = Catalog.load(spark, sf0001, "documents")
+      .select(split($"text", " ").as("t")).filter(size($"t") >= 2)
+    val bi = toks.select(explode(transform(sequence(lit(0), size($"t") - 2),
+        i => struct(element_at($"t", i + 1).as("w1"),
+          element_at($"t", i + 2).as("w2")))).as("b"))
+      .select($"b.w1", $"b.w2").cache()
+    val n = bi.count()
+    val nab2 = bi.filter($"w1" === w1 && $"w2" === w2).count()
+    val na = bi.filter($"w1" === w1).count()
+    val nb = bi.filter($"w1" === w2).count()
+    assert(nab2 == nab)
+    assert(lift == nab2 * n * 1000000L / (na * nb))
+  }
+
   test("stream join counts agree with the click-side formulation") {
     val j = q("q_stream_join")
     val ev = Catalog.load(spark, sf0001, "events")
