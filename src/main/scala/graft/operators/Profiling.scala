@@ -258,10 +258,82 @@ object Profiling extends QueryPack {
     ORDER BY pair ASC NULLS FIRST"""
   }
 
+  /** Referential-integrity audit across every FK edge of the star schema:
+    * per edge the row count, distinct key count, and orphan count
+    * (child keys with no parent — left-anti semantics via a left join on
+    * the DISTINCT child keys, so each parent table is probed once with a
+    * key set, not once per child row). All integers; fixtures are
+    * orphan-free by construction (FIXTURES.md invariant 2), which is
+    * exactly what an audit should report.
+    */
+  private def auditReferential(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame = {
+      val keys = child.select(col(key).as("k"))
+      val dk = keys.distinct()
+      val orphans = dk.join(parent.select(col(pkey).as("k"), lit(1).as("hit")),
+          Seq("k"), "left")
+        .agg(coalesce(sum(when($"hit".isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphan_keys"))
+      keys.agg(count(lit(1)).as("n_rows"), countDistinct($"k").as("n_keys"))
+        .crossJoin(orphans)
+        .select(lit(name).as("fk_edge"), $"n_rows", $"n_keys", $"n_orphan_keys")
+    }
+    val li = Catalog.load(spark, sfDir, "lineitem")
+    val o = Catalog.load(spark, sfDir, "orders")
+    val c = Catalog.load(spark, sfDir, "customer")
+    val p = Catalog.load(spark, sfDir, "part")
+    val s = Catalog.load(spark, sfDir, "supplier")
+    val n = Catalog.load(spark, sfDir, "nation")
+    edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .union(edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+      .union(edge("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"))
+      .union(edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+      .union(edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
+      .orderBy($"fk_edge".asc_nulls_first)
+  }
+
+  private val auditReferentialOracle = """
+    WITH e AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        (SELECT count(*) FROM lineitem) AS n_rows,
+        (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_keys,
+        (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+          LEFT JOIN orders ON k.l_orderkey = o_orderkey
+          WHERE o_orderkey IS NULL) AS n_orphan_keys
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem) k
+          LEFT JOIN part ON k.l_partkey = p_partkey WHERE p_partkey IS NULL)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+        (SELECT count(*) FROM lineitem),
+        (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) k
+          LEFT JOIN supplier ON k.l_suppkey = s_suppkey WHERE s_suppkey IS NULL)
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+        (SELECT count(*) FROM orders),
+        (SELECT count(DISTINCT o_custkey) FROM orders),
+        (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) k
+          LEFT JOIN customer ON k.o_custkey = c_custkey WHERE c_custkey IS NULL)
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+        (SELECT count(*) FROM customer),
+        (SELECT count(DISTINCT c_nationkey) FROM customer),
+        (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer) k
+          LEFT JOIN nation ON k.c_nationkey = n_nationkey WHERE n_nationkey IS NULL))
+    SELECT fk_edge, n_rows, n_keys, n_orphan_keys FROM e
+    ORDER BY fk_edge ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_profile_summary", profileSummary, Some(profileSummaryOracle)),
     Q("q_profile_histogram", histogram, Some(histogramOracle)),
     Q("q_profile_freq", freqValues, Some(freqValuesOracle)),
     Q("q_stat_corr", corrMatrix, Some(corrMatrixOracle)),
+    Q("q_audit_referential", auditReferential, Some(auditReferentialOracle)),
   )
 }
