@@ -105,9 +105,8 @@ object GraphOps extends QueryPack {
         struct($"doc_a".as("u"), $"doc_b".as("v")),
         struct($"doc_b".as("u"), $"doc_a".as("v")))).as("e"))
       .select($"e.u".as("u"), $"e.v".as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // leaf for every propagation round (see pagerank)
     val lbl = propagateMinLabels(spark, und)
-    und.unpersist()
     val docs = Catalog.load(spark, sfDir, "documents").select($"doc_id")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"component_id")
     docs
@@ -138,11 +137,6 @@ object GraphOps extends QueryPack {
     FROM comp JOIN csizes ON comp.component_id = csizes.component_id
     ORDER BY comp.doc_id ASC NULLS FIRST"""
 
-  /** Per-customer triangle count over the co-purchase graph: customers are
-    * adjacent iff both placed an URGENT order on the same day. Canonical
-    * a<b<c enumeration; output covers every node of the edge set (zero
-    * counts included). Pure integer counting — no float parity risk.
-    */
   /** Canonical (a<b, distinct) co-purchase edges: customers adjacent iff
     * both placed an URGENT order on the same day. Shared by triangles and
     * PageRank (code + oracle CTE, so the graphs cannot drift).
@@ -166,6 +160,10 @@ object GraphOps extends QueryPack {
       SELECT DISTINCT x.c AS a, y.c AS b
       FROM urgent x JOIN urgent y ON x.day = y.day AND x.c < y.c)"""
 
+  /** Per-customer triangle count over the co-purchase graph: canonical
+    * a<b<c enumeration; output covers every node of the edge set (zero
+    * counts included). Pure integer counting — no float parity risk.
+    */
   private def triangles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val edges = coPurchaseEdges(spark, sfDir).cache()
@@ -217,9 +215,8 @@ object GraphOps extends QueryPack {
         struct($"doc_a".as("u"), $"doc_b".as("v")),
         struct($"doc_b".as("u"), $"doc_a".as("v")))).as("e"))
       .select($"e.u".as("u"), $"e.v".as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // leaf for every propagation round (see pagerank)
     val lbl = propagateMinLabels(spark, und)
-    und.unpersist()
     Catalog.load(spark, sfDir, "documents")
       .select($"doc_id", $"n_chars")
       .join(lbl.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
@@ -272,12 +269,17 @@ object GraphOps extends QueryPack {
   private def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val edges = coPurchaseEdges(spark, sfDir)
+    // Eager localCheckpoint, not cache: all 5 unrolled iterations reference
+    // this table, and with plain caching each reference re-embeds the whole
+    // edge-build lineage in the (already deep) plan — checkpointing makes
+    // every reference a leaf, keeping plan size and codegen linear in the
+    // iteration count (the components-lineage lesson applied statically).
     val und = edges
       .select(explode(array(
         struct($"a".as("u"), $"b".as("v")),
         struct($"b".as("u"), $"a".as("v")))).as("e"))
       .select($"e.u".as("u"), $"e.v".as("v"))
-      .cache()
+      .localCheckpoint(true)
     val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")).cache()
     var pr = deg.select($"node", lit(PrScale).as("pr"))
     for (_ <- 1 to PrIters) {
