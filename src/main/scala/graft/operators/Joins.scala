@@ -190,6 +190,24 @@ object Joins extends QueryPack {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** Null-safe equality join (`<=>` / `IS NOT DISTINCT FROM`): the fixture
+    * is null-free, so nullable business keys are derived with `nullif`
+    * (status 'P' → NULL on BOTH sides) — the point is that NULL keys MATCH
+    * NULL keys, where a plain equi-join would drop every P-row. Spark
+    * executes `<=>` as an ordinary hash join (null-safe keys hash like
+    * values), so the plan is the same broadcast/shuffle join as `=`.
+    */
+  private def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Catalog.load(spark, sfDir, "orders")
+      .select(nullif($"o_orderstatus", lit("P")).as("k"), $"o_totalprice")
+    val dim = o.select($"k".as("dim_k")).distinct()
+    o.join(dim, $"k" <=> $"dim_k")
+      .groupBy($"dim_k")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"dim_k".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_join_broadcast_inner", joinBroadcastInner, Some(s"""
       SELECT p_brand, count(*) AS n_items,
@@ -275,5 +293,13 @@ object Joins extends QueryPack {
         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts,
         epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_us
       FROM events ORDER BY event_id ASC NULLS FIRST""")),
+    Q("q_join_null_safe", joinNullSafe, Some(s"""
+      WITH o AS (
+        SELECT nullif(o_orderstatus, 'P') AS k, o_totalprice FROM orders),
+      dim AS (SELECT DISTINCT k AS dim_k FROM o)
+      SELECT dim_k, count(*) AS n, ${Oracle.dsum("o_totalprice")} AS revenue
+      FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.dim_k
+      GROUP BY dim_k
+      ORDER BY dim_k ASC NULLS FIRST""")),
   )
 }
