@@ -354,6 +354,25 @@ object Aggregations extends QueryPack {
       .orderBy($"event_type".asc_nulls_first)
   }
 
+  /** Exact per-group mode with a DETERMINISTIC tie-break (min value among
+    * the most frequent) — engine `mode()` builtins leave ties unspecified,
+    * so the portable form is count + rank, which is also the scale-correct
+    * one: two hash aggregations and a per-group top-1 window over the
+    * (group, value) count table, never the raw rows.
+    */
+  private def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Catalog.load(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"n".desc, $"l_quantity".asc_nulls_first)
+    counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_quantity"), $"n")
+      .orderBy($"l_returnflag".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_agg_pricing_summary", pricingSummary, Some(pricingSummaryOracle)),
     Q("q_agg_global", aggGlobal, Some(s"""
@@ -481,6 +500,17 @@ object Aggregations extends QueryPack {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, o_orderdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST
       LIMIT 10""")),
+    Q("q_agg_mode", aggMode, Some("""
+      WITH c AS (
+        SELECT l_returnflag, l_quantity, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_quantity),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY n DESC, l_quantity ASC NULLS FIRST) AS rk
+        FROM c)
+      SELECT l_returnflag, l_quantity AS mode_quantity, n
+      FROM r WHERE rk = 1
+      ORDER BY l_returnflag ASC NULLS FIRST""")),
     Q("q_agg_salted_skew", aggSaltedSkew, Some(s"""
       SELECT event_type, count(*) AS n, ${Oracle.dsum("value")} AS sum_value
       FROM events GROUP BY event_type

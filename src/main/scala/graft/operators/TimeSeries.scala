@@ -338,6 +338,40 @@ object TimeSeries extends QueryPack {
     GROUP BY e.d
     ORDER BY day ASC NULLS FIRST"""
 
+  /** Cumulative unique users to date, per day — the scale-correct running
+    * distinct count: each user contributes on their FIRST-SEEN day (one hash
+    * agg), then a running sum over the bounded |days| series. A windowed
+    * `collect_set` would carry the whole user universe per row; first-touch
+    * reduces the window input to |days| rows regardless of user count.
+    */
+  private def cumulativeDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val firstSeen = Catalog.load(spark, sfDir, "events")
+      .groupBy($"user_id")
+      .agg(min(date_trunc("day", $"ts")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    val allDays = Catalog.load(spark, sfDir, "events")
+      .select(date_trunc("day", $"ts").as("day")).distinct()
+    val w = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allDays.join(firstSeen, Seq("day"), "left")
+      .select($"day", coalesce($"new_users", lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum($"new_users").over(w))
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val cumulativeDistinctOracle = """
+    WITH fs AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+      FROM events GROUP BY user_id),
+    nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day),
+    days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events)
+    SELECT d.day, coalesce(nu.new_users, 0) AS new_users,
+      CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM days d LEFT JOIN nu ON nu.day = d.day
+    ORDER BY d.day ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
     Q("q_ts_interpolate", interpolate, Some(interpolateOracle)),
@@ -345,5 +379,9 @@ object TimeSeries extends QueryPack {
     Q("q_ts_ewma", ewma, Some(ewmaOracle)),
     Q("q_ts_anomaly", anomaly, Some(anomalyOracle)),
     Q("q_win_rolling_distinct", rollingDistinct, Some(rollingDistinctOracle)),
+    Q("q_win_cumulative_distinct", cumulativeDistinct,
+      Some(cumulativeDistinctOracle)),
   )
+
+
 }
