@@ -128,6 +128,45 @@ object RelationalExtras extends QueryPack {
       .orderBy($"event_type".asc_nulls_first)
   }
 
+  /** 2-D Pareto skyline of one brand's parts (minimize retail price,
+    * maximize size): a part is optimal iff no other part is ≤ on price AND
+    * ≥ on size with at least one strict. Computed with the SORT-SWEEP, not
+    * the quadratic NOT-EXISTS: per-price max size (hash agg), running max
+    * over strictly-lower price levels (bounded window over |price levels|
+    * rows), then one equi-join back — O(n log n) where the naive form is
+    * O(n²) dominance tests. The oracle IS the quadratic NOT EXISTS, so the
+    * two formulations verify each other.
+    */
+  private def skylinePareto(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Catalog.load(spark, sfDir, "part")
+      .filter($"p_brand" === "Brand#1")
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+    val perPrice = parts.groupBy($"p_retailprice")
+      .agg(max($"p_size").as("max_sz"))
+    val w = Window.orderBy($"p_retailprice".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val levels = perPrice
+      .withColumn("max_sz_below", max($"max_sz").over(w))
+    parts.join(levels, Seq("p_retailprice"))
+      .filter($"p_size" === $"max_sz" &&
+        ($"max_sz_below".isNull || $"p_size" > $"max_sz_below"))
+      .select($"p_partkey", $"p_retailprice", $"p_size")
+      .orderBy($"p_partkey".asc_nulls_first)
+  }
+
+  private val skylineParetoOracle = """
+    WITH b AS (
+      SELECT p_partkey, p_retailprice, p_size
+      FROM part WHERE p_brand = 'Brand#1')
+    SELECT p_partkey, p_retailprice, p_size
+    FROM b p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY p_partkey ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_join_bucketed", joinBucketed, Some(s"""
       SELECT o_orderpriority, count(*) AS n_items,
@@ -168,5 +207,6 @@ object RelationalExtras extends QueryPack {
         ${Oracle.dsum("CASE WHEN in_sample THEN value ELSE 0.0 END")} AS sample_value
       FROM s GROUP BY event_type
       ORDER BY event_type ASC NULLS FIRST""")),
+    Q("q_skyline_pareto", skylinePareto, Some(skylineParetoOracle)),
   )
 }
