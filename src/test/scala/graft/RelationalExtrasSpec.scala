@@ -86,10 +86,29 @@ class RelationalExtrasSpec extends SparkTestBase {
     assert(rate > 0.05 && rate < 0.15, s"rate $rate out of band")
   }
 
-  test("pack registration: 4 queries, all with oracles") {
+  test("pack registration: 5 queries, all with oracles") {
     assert(RelationalExtras.queries.map(_.id).toSet == Set(
       "q_join_bucketed", "q_subquery_suite", "q_win_distribution",
-      "q_sample_hash"))
+      "q_sample_hash", "q_skyline_pareto"))
     assert(RelationalExtras.queries.forall(_.oracle.isDefined))
+  }
+
+  test("skyline members are mutually non-dominating and non-members are dominated") {
+    val s = SparkEntry.queries("q_skyline_pareto")(spark, sf0001).cache()
+    val all = Catalog.load(spark, sf0001, "part")
+      .filter($"p_brand" === "Brand#1")
+      .select($"p_partkey", $"p_retailprice", $"p_size").cache()
+    // No skyline member dominates another.
+    val dom = s.as("a").join(s.as("b"),
+      $"a.p_retailprice" <= $"b.p_retailprice" && $"a.p_size" >= $"b.p_size" &&
+        ($"a.p_retailprice" < $"b.p_retailprice" || $"a.p_size" > $"b.p_size"))
+    assert(dom.count() == 0)
+    // Every non-member has a dominator inside the skyline.
+    val nonMembers = all.join(s.select($"p_partkey"), Seq("p_partkey"), "left_anti")
+    val undominated = nonMembers.as("n").join(s.as("k"),
+        $"k.p_retailprice" <= $"n.p_retailprice" && $"k.p_size" >= $"n.p_size" &&
+          ($"k.p_retailprice" < $"n.p_retailprice" || $"k.p_size" > $"n.p_size"),
+        "left_anti")
+    assert(undominated.count() == 0)
   }
 }
