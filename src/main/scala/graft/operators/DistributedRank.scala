@@ -58,19 +58,28 @@ object DistributedRank {
   def ntileExactMulti(df: DataFrame, k: Int,
                       specs: Seq[(String, String, Boolean)], tieCol: String,
                       buckets: Int = 32): DataFrame = {
-    // Cache the input: without it, each layer's broadcast offsets table
-    // re-executes everything beneath it — the base plan ran 7x across the
-    // three RFM layers (quantile action + 2 branches x 3 layers, r3 bench
-    // ~5 s; cached ~1 s).
-    val cached = df.cache()
-    val allBounds = cached.stat.approxQuantile(
+    // localCheckpoint (eager), not cache: every layer's plan then starts from
+    // a LEAF. With cache, layer N's logical plan still embeds layers 1..N-1
+    // (window + join + 15-arm bucket expr each) and the final plan compiles
+    // one giant codegen unit — first-run planning/compile dominated the r5
+    // driver bench (12.6 s cold vs 1.7 s steady). Leaf-rooted layers keep
+    // each round's codegen small and constant; the checkpoint itself is one
+    // bounded job over the pre-aggregated input (|customers| rows, not raw).
+    val base = df.localCheckpoint(true)
+    val allBounds = base.stat.approxQuantile(
       specs.map(_._2).toArray, quantileProbs(buckets), 0.001)
-    specs.zip(allBounds).foldLeft(cached) {
-      case (acc, ((out, value, asc), bounds)) =>
-        // Cache between layers too: layer N's offsets branch would otherwise
-        // re-execute layers 1..N-1's window+join chain (quadratic re-work).
-        withNtile(acc, k, value, asc, tieCol, out, bounds).cache()
+    // Each tile column is computed on an independent SLIM branch off the
+    // leaf (tie, value) — not stacked on the previous layer's output. Stacked
+    // layers needed a checkpoint barrier each (3 sequential jobs) so layer
+    // N's offsets branch would not re-execute layers 1..N-1; independent
+    // branches share the one leaf and run in a single final job. The join
+    // back on the unique tie key hash-partitions everything by tie once —
+    // joins 2..3 reuse the first join's partitioning (no extra exchange).
+    val slim = specs.zip(allBounds).map { case ((out, value, asc), bounds) =>
+      withNtile(base.select(col(tieCol), col(value)), k, value, asc, tieCol,
+        out, bounds).select(col(tieCol), col(out))
     }
+    slim.foldLeft(base)((acc, s) => acc.join(s, Seq(tieCol)))
   }
 
   private def quantileProbs(buckets: Int): Array[Double] =
@@ -87,10 +96,13 @@ object DistributedRank {
     // NULL comparisons are null-safe false, which would silently drop every
     // null into bucket 0 — wrong under desc where Spark sorts nulls LAST, so
     // nulls are routed explicitly to match each direction's null order.
-    val nonNullBucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + (if (ascending) when(v > lit(b), 1).otherwise(0)
-             else when(v < lit(b), 1).otherwise(0))
-    }
+    // size(filter(literal bounds array)) instead of a |bounds|-arm when
+    // chain: same count-of-boundaries-passed semantics, but the generated
+    // code stays O(1) in bucket count (one ArrayFilter loop) where the when
+    // chain's unrolled branches grew each layer's codegen unit linearly.
+    val boundsArr = array(bounds.map(lit(_)): _*)
+    val nonNullBucket = size(filter(boundsArr,
+      b => if (ascending) v > b else v < b))
     val bucket = when(v.isNull,
         if (ascending) lit(0) else lit(bounds.length))
       .otherwise(nonNullBucket)
