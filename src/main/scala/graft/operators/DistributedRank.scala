@@ -54,6 +54,11 @@ object DistributedRank {
     * ONE `approxQuantile(Array(cols), probs)` pass — one driver action total,
     * where chaining ntileExact costs one per column (r2 bench: 3 sequential
     * quantile jobs in the RFM plan).
+    *
+    * REQUIRES `tieCol` unique AND non-null: the slim tile branches rejoin on
+    * it with inner USING joins, so a null tie key would silently drop the row
+    * (the stacked-fold form this replaced preserved such rows). Column order:
+    * the input's columns first, then the tile columns in spec order.
     */
   def ntileExactMulti(df: DataFrame, k: Int,
                       specs: Seq[(String, String, Boolean)], tieCol: String,
@@ -79,7 +84,10 @@ object DistributedRank {
       withNtile(base.select(col(tieCol), col(value)), k, value, asc, tieCol,
         out, bounds).select(col(tieCol), col(out))
     }
-    slim.foldLeft(base)((acc, s) => acc.join(s, Seq(tieCol)))
+    // USING-join moves tieCol to the front; restore input-then-tiles order so
+    // the public schema is append-only like the single-column form.
+    val joined = slim.foldLeft(base)((acc, s) => acc.join(s, Seq(tieCol)))
+    joined.select((df.columns.toSeq ++ specs.map(_._1)).map(col): _*)
   }
 
   private def quantileProbs(buckets: Int): Array[Double] =

@@ -50,10 +50,18 @@ object GraphOps extends QueryPack {
   private val edgeLeaves =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def memoEdgeLeaf(spark: SparkSession, sfDir: String, tag: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    // Evict leaves from other applications: their checkpointed RDDs died
+    // with their SparkContext, and in long-lived JVMs (test suites spinning
+    // up a session per suite) stale entries would otherwise accumulate
+    // unboundedly. Concurrent sessions share one context (= one appId), so
+    // dropping foreign-app keys never discards a live leaf.
+    edgeLeaves.keySet.removeIf(k => !k.startsWith(s"$appId#"))
     edgeLeaves.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}#$sfDir#$tag",
+      s"$appId#$sfDir#$tag",
       _ => build.localCheckpoint(true))
+  }
 
   /** doc_id → component id (= min doc_id reachable through near-dup pairs),
     * plus component size; singletons are their own component. Edges are
@@ -127,14 +135,24 @@ object GraphOps extends QueryPack {
         .select($"e.u".as("u"), $"e.v".as("v")))
   }
 
+  /** Memoized near-dup component labels: q_graph_components and
+    * q_dedup_clusters are two decision tables over the SAME propagation
+    * fixpoint, so only the first to run pays the iterative rounds (each
+    * round is a fresh plan = a fresh whole-stage-codegen compile). The
+    * propagation result is already a checkpoint leaf (every round ends in
+    * an eager localCheckpoint), so memoizing stores a leaf, not lineage.
+    */
+  private def nearDupLabels(spark: SparkSession, sfDir: String): DataFrame =
+    memoEdgeLeaf(spark, sfDir, "nearDupLabels")(
+      propagateMinLabels(spark, nearDupUnd(spark, sfDir)))
+
   private def components(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // Every driver action below is load-bearing: one per round plus the
     // initial materialization, nothing else (each round's plan is new, so
     // extra actions pay fresh whole-stage-codegen compiles, which dominated
     // the first cut of this operator).
-    val und = nearDupUnd(spark, sfDir)
-    val lbl = propagateMinLabels(spark, und)
+    val lbl = nearDupLabels(spark, sfDir)
     val docs = Catalog.load(spark, sfDir, "documents").select($"doc_id")
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"component_id")
     docs
@@ -255,8 +273,7 @@ object GraphOps extends QueryPack {
     */
   private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val und = nearDupUnd(spark, sfDir)
-    val lbl = propagateMinLabels(spark, und)
+    val lbl = nearDupLabels(spark, sfDir)
     Catalog.load(spark, sfDir, "documents")
       .select($"doc_id", $"n_chars")
       .join(lbl.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
