@@ -29,6 +29,7 @@ object SparkEntry {
     GraphOps,
     Profiling,
     Governance,
+    Retrieval,
   )
 
   lazy val all: Vector[Q] = {

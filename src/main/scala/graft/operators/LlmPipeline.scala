@@ -32,10 +32,10 @@ object LlmPipeline extends QueryPack {
   /** Max docs a shingle may appear in before it is dropped (see scale note). */
   private val SHINGLE_DF_CAP = 100
 
-  private def normText(c: Column): Column =
+  private[operators] def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  private val normTextSql =
+  private[operators] val normTextSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   private def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {

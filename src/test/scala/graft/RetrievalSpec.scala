@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-7 retrieval/layout pack (SURVEY §2.R) on
+  * the sf0.001 fixture — the DuckDB oracle covers value equality; these pin
+  * the SEMANTICS (index consistency, score monotonicity, quantization
+  * bounds, Z-order locality, median membership) independently.
+  */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(id: String) =
+    SparkEntry.queries(id)(spark, sf0001).cache()
+
+  test("inverted index: df <= cf, first_doc is a real posting, ranks dense") {
+    val idx = q("q_text_inverted_index")
+    assert(idx.count() == 25)
+    assert(idx.filter($"df" > $"cf").count() == 0, "df cannot exceed cf")
+    assert(idx.filter($"df" <= 0).count() == 0)
+    val ranks = idx.select($"rank").as[Long].collect().sorted
+    assert(ranks.sameElements(1L to 25L), "dense rank 1..25")
+    // df is non-increasing in rank (the window's ordering key).
+    val dfs = idx.orderBy($"rank").select($"df").as[Long].collect()
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25: scores positive, non-increasing, hit counts within term set") {
+    val r = q("q_text_bm25")
+    assert(r.count() == 10)
+    val scores = r.orderBy($"rank").select($"bm25_s").as[Long].collect()
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(r.filter($"n_terms_hit" < 1 || $"n_terms_hit" > 3).count() == 0)
+  }
+
+  test("tf-idf keywords: <=3 per doc, only sliced docs, tf consistent") {
+    val k = q("q_text_keyword_tfidf")
+    assert(k.filter($"doc_id" >= 50).count() == 0)
+    val perDoc = k.groupBy($"doc_id").count()
+    assert(perDoc.filter($"count" > 3).count() == 0)
+    assert(k.filter($"tfidf_s" <= 0 || $"tf" <= 0).count() == 0)
+  }
+
+  test("quantized dot product: bounded by 255^2*dim, self excluded, top-3") {
+    val s = q("q_sim_quantized")
+    val dim = Catalog.load(spark, sf0001, "embeddings")
+      .select(size($"embedding")).as[Int].head()
+    assert(s.filter($"qdot" < 0 || $"qdot" > 255L * 255L * dim).count() == 0)
+    assert(s.filter($"probe_id" === $"cand_id").count() == 0)
+    val perProbe = s.groupBy($"probe_id").count()
+    assert(perProbe.filter($"count" =!= 3).count() == 0)
+    assert(perProbe.count() == 10)
+  }
+
+  test("z-order bins bound BOTH key spans below the global span") {
+    val z = q("q_layout_zorder")
+    // Populated bins only (sf0.001's key grid doesn't reach all 16).
+    assert(z.count() >= 1 && z.count() <= 16)
+    // Every Z-bin of 4096 cells covers a 64x64 tile of the 256x256 key grid
+    // (top 4 z-bits = 2 from each dimension) — spans within a bin are < 64
+    // wherever a linear sort would leave the trailing key unbounded (~255).
+    assert(z.filter($"x_span" > 63 || $"y_span" > 63).count() == 0)
+    val totalRows = Catalog.load(spark, sf0001, "orders").count()
+    assert(z.agg(sum($"n_rows")).as[Long].head() == totalRows)
+  }
+
+  test("moving median is a member of its 7-day frame") {
+    val m = q("q_win_moving_median")
+    // Odd frame count => the median is one of the frame's values; check it
+    // lies within the frame's min/max and the output skips the 6-day rampup.
+    val daily = Catalog.load(spark, sf0001, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(Dsl.dsum($"o_totalprice").as("rev"))
+    assert(m.count() == daily.count() - 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"day".asc).rowsBetween(-6, 0)
+    val framed = daily
+      .withColumn("lo", min($"rev").over(w))
+      .withColumn("hi", max($"rev").over(w))
+      .select($"day", $"lo", $"hi")
+    val bad = m.join(framed, Seq("day"))
+      .filter($"med7" < $"lo" || $"med7" > $"hi")
+    assert(bad.count() == 0)
+  }
+}
