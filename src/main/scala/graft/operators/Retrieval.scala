@@ -96,9 +96,13 @@ object Retrieval extends QueryPack {
   private def bm25(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val terms = Seq("dup", "join", "hash")
+    // Cached: the tokenized base feeds BOTH the 1-row corpus-stats branch
+    // and the tf branch — uncached, the regex+split tokenization ran twice
+    // (measured ~0.5 s extra at sf0.1).
     val docs = Catalog.load(spark, sfDir, "documents")
       .select($"doc_id", split(LlmPipeline.normText($"text"), " ").as("toks"))
       .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+      .cache()
     // 1-row corpus-stats dimension; joined via broadcast cross join.
     val corpus = docs.agg(
       count(lit(1)).as("n_docs"), sum($"dl").as("t_tokens"))
