@@ -333,6 +333,10 @@ object GraphOps extends QueryPack {
     val und = coPurchaseUnd(spark, sfDir)
     val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")).cache()
     var pr = deg.select($"node", lit(PrScale).as("pr"))
+    // Stays ONE declarative 5-iteration plan deliberately: a mid-loop
+    // localCheckpoint leaf was measured (r7) at 6.2 s cold / 1.7-2.2 steady
+    // vs 3.5 / 1.2 for the unrolled chain — the blocking materialization
+    // costs more than the codegen depth it saves at this graph size.
     for (_ <- 1 to PrIters) {
       val contrib = pr.join(deg, Seq("node"))
         .select($"node".as("u"), expr("pr div deg").as("c"))

@@ -151,7 +151,62 @@ object Marketing extends QueryPack {
       .orderBy($"user_id".asc_nulls_first, $"version".asc_nulls_first)
   }
 
+  /** Session-level rollup over the 30-minute-gap sessionization (same
+    * session definition as q_win_session_ids — the gap/cumsum expressions
+    * are mirrored verbatim so the two queries cannot drift): per (user,
+    * session) the event count, bounds, duration, distinct event types and
+    * decimal-exact value total. The per-user window shuffles once on
+    * user_id (high cardinality); the rollup reuses that partitioning —
+    * grouping keys extend the partition key, so no second exchange.
+    * Added round 7.
+    */
+  private def sessionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Catalog.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      .withColumn("gap_s",
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(wOrd))) / lit(1000000L))
+      .withColumn("is_new",
+        when($"gap_s".isNull || $"gap_s" > 1800, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("t_start"),
+        max($"ts").as("t_end"),
+        ((unix_micros(max($"ts")) - unix_micros(min($"ts"))) / lit(1000000L))
+          .as("duration_s"),
+        countDistinct($"event_type").as("n_types"),
+        dsum($"value").as("total_value"))
+      .orderBy($"user_id".asc_nulls_first, $"session_id".asc_nulls_first)
+  }
+
+  private val sessionStatsOracle = s"""
+    WITH g AS (
+      SELECT event_id, user_id, ts, event_type, value,
+        (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+          (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) / 1000000 AS gap_s
+      FROM events),
+    f AS (
+      SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM g),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        ORDER BY ts ASC, event_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM f)
+    SELECT user_id, session_id, count(*) AS n_events,
+      min(ts) AS t_start, max(ts) AS t_end,
+      (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS duration_s,
+      count(DISTINCT event_type) AS n_types,
+      ${Oracle.dsum("value")} AS total_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id ASC NULLS FIRST, session_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_session_stats", sessionStats, Some(sessionStatsOracle)),
     Q("q_funnel_steps", funnelSteps, Some("""
       WITH v AS (
         SELECT user_id, min(ts) AS t_view FROM events

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Catalog, Q, QueryPack}
+import graft.Dsl.dsum
 
 /** SURVEY.md §2.P — data profiling / statistics (added round 5): the
   * data-quality layer a training-data pipeline runs before anything else.
@@ -329,8 +330,44 @@ object Profiling extends QueryPack {
     SELECT fk_edge, n_rows, n_keys, n_orphan_keys FROM e
     ORDER BY fk_edge ASC NULLS FIRST"""
 
+  /** Equi-DEPTH histogram of o_totalprice (20 tiles, ~equal row counts) —
+    * the quantile twin of q_profile_histogram's equi-width bins, and the
+    * user-facing face of [[DistributedRank.ntileExact]]: exact global
+    * ntile without a single-partition window (literal range boundaries →
+    * per-bucket rank → broadcast offsets), so the plan survives any scale
+    * where `ntile(20) OVER (ORDER BY …)` would funnel every row through one
+    * task. The oracle IS that single-partition form — the two formulations
+    * verify each other (the q_skyline_pareto pattern). Added round 7.
+    */
+  private def histogramEqdepth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    DistributedRank
+      .ntileExact(base, 20, "o_totalprice", ascending = true,
+        tieCol = "o_orderkey", out = "tile")
+      .groupBy($"tile")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"tile".asc_nulls_first)
+  }
+
+  private val histogramEqdepthOracle = s"""
+    WITH t AS (
+      SELECT o_totalprice,
+        CAST(ntile(20) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS tile
+      FROM orders)
+    SELECT tile, count(*) AS n_rows, min(o_totalprice) AS lo,
+      max(o_totalprice) AS hi, ${graft.Oracle.dsum("o_totalprice")} AS sum_price
+    FROM t GROUP BY tile
+    ORDER BY tile ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_profile_summary", profileSummary, Some(profileSummaryOracle)),
+    Q("q_profile_histogram_eqdepth", histogramEqdepth, Some(histogramEqdepthOracle)),
     Q("q_profile_histogram", histogram, Some(histogramOracle)),
     Q("q_profile_freq", freqValues, Some(freqValuesOracle)),
     Q("q_stat_corr", corrMatrix, Some(corrMatrixOracle)),

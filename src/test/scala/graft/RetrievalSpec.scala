@@ -65,6 +65,33 @@ class RetrievalSpec extends SparkTestBase {
     assert(z.agg(sum($"n_rows")).as[Long].head() == totalRows)
   }
 
+  test("equi-depth histogram: tiles partition the table with ~equal counts") {
+    val h = q("q_profile_histogram_eqdepth")
+    val orders = Catalog.load(spark, sf0001, "orders")
+    assert(h.count() == 20)
+    assert(h.agg(sum($"n_rows")).as[Long].head() == orders.count())
+    val counts = h.select($"n_rows").as[Long].collect()
+    assert(counts.max - counts.min <= 1, "SQL-ntile equal-depth property")
+    // Tile boundaries are non-decreasing: tile k's hi <= tile k+1's lo.
+    val rows = h.orderBy($"tile").select($"lo", $"hi").as[(Double, Double)].collect()
+    assert(rows.forall { case (lo, hi) => lo <= hi })
+    assert(rows.zip(rows.tail).forall { case ((_, hi), (lo2, _)) => hi <= lo2 })
+  }
+
+  test("session stats: totals reconcile with the event table") {
+    val s = q("q_session_stats")
+    val events = Catalog.load(spark, sf0001, "events")
+    assert(s.agg(sum($"n_events")).as[Long].head() == events.count(),
+      "sessions partition the events")
+    assert(s.filter($"duration_s" < 0).count() == 0)
+    assert(s.filter($"n_types" < 1 || $"n_types" > 4).count() == 0)
+    // Every (user, session) key is unique and sessions number from 1.
+    assert(s.groupBy($"user_id", $"session_id").count()
+      .filter($"count" > 1).count() == 0)
+    assert(s.groupBy($"user_id").agg(min($"session_id").as("m"))
+      .filter($"m" =!= 1).count() == 0)
+  }
+
   test("moving median is a member of its 7-day frame") {
     val m = q("q_win_moving_median")
     // Odd frame count => the median is one of the frame's values; check it
