@@ -208,7 +208,54 @@ object Joins extends QueryPack {
       .orderBy($"dim_k".asc_nulls_first)
   }
 
+  /** UN-keyed interval join, banded: purchases paired with any OTHER
+    * user's click within the following 5 minutes (one fixture day). With no
+    * equi key, a naive plan is a nested-loop over the day's cross product —
+    * instead each purchase explodes into its 5-minute bucket and the next
+    * (a click ≤5 min after falls in one of the two), the join runs on the
+    * bucket as an ordinary equi-join, and the exact predicate filters
+    * in-bucket. Bucket population is bounded by ARRIVAL RATE (events per 5
+    * minutes), not data volume, so the join stays hash-partitioned and
+    * linear at any scale. A (purchase, click) pair matches exactly one of
+    * the two exploded buckets, so no dedup is needed. The ORACLE is the
+    * naive theta join — the two formulations verify each other (the
+    * q_skyline_pareto pattern). Added round 7.
+    */
+  private def joinIntervalBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val day = Catalog.load(spark, sfDir, "events")
+      .filter($"ts" >= lit("2024-01-05").cast("timestamp") &&
+              $"ts" < lit("2024-01-06").cast("timestamp"))
+    val p = day.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val k = day.filter($"event_type" === "click")
+      .select($"event_id".as("k_id"), $"user_id".as("k_user"), $"ts".as("k_ts"))
+    val pb = p.withColumn("bkt", explode(array(
+      expr("unix_micros(p_ts) div 300000000"),
+      expr("unix_micros(p_ts) div 300000000 + 1"))))
+    val kb = k.withColumn("bkt", expr("unix_micros(k_ts) div 300000000"))
+    pb.join(kb, Seq("bkt"))
+      .filter($"k_user" =!= $"p_user" &&
+        $"k_ts" > $"p_ts" && $"k_ts" <= $"p_ts" + expr("INTERVAL 5 MINUTE"))
+      .select($"p_id", $"k_id", $"p_user", $"k_user", $"p_ts", $"k_ts")
+      .orderBy($"p_id".asc_nulls_first, $"k_id".asc_nulls_first)
+  }
+
+  private val joinIntervalBandedOracle = """
+    WITH day AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06')
+    SELECT p.event_id AS p_id, k.event_id AS k_id,
+           p.user_id AS p_user, k.user_id AS k_user,
+           p.ts AS p_ts, k.ts AS k_ts
+    FROM day p JOIN day k
+      ON p.event_type = 'purchase' AND k.event_type = 'click'
+     AND k.user_id <> p.user_id
+     AND k.ts > p.ts AND k.ts <= p.ts + INTERVAL 5 MINUTE
+    ORDER BY p_id ASC NULLS FIRST, k_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_join_interval_banded", joinIntervalBanded, Some(joinIntervalBandedOracle)),
     Q("q_join_broadcast_inner", joinBroadcastInner, Some(s"""
       SELECT p_brand, count(*) AS n_items,
         ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -92,6 +92,25 @@ class RetrievalSpec extends SparkTestBase {
       .filter($"m" =!= 1).count() == 0)
   }
 
+  test("banded interval join equals the naive theta join") {
+    val banded = q("q_join_interval_banded")
+    // Naive formulation (the oracle's shape) computed in Spark directly.
+    val day = Catalog.load(spark, sf0001, "events")
+      .filter($"ts" >= lit("2024-01-05").cast("timestamp") &&
+              $"ts" < lit("2024-01-06").cast("timestamp"))
+    val p = day.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+    val k = day.filter($"event_type" === "click")
+      .select($"event_id".as("k_id"), $"user_id".as("k_user"), $"ts".as("k_ts"))
+    val naive = p.join(k, $"k_user" =!= $"p_user" &&
+      $"k_ts" > $"p_ts" && $"k_ts" <= $"p_ts" + expr("INTERVAL 5 MINUTE"))
+    assert(banded.count() == naive.count())
+    assert(banded.join(naive, Seq("p_id", "k_id"), "left_anti").count() == 0)
+    // No pair appears twice (a pair matches exactly one exploded bucket).
+    assert(banded.groupBy($"p_id", $"k_id").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
   test("moving median is a member of its 7-day frame") {
     val m = q("q_win_moving_median")
     // Odd frame count => the median is one of the frame's values; check it
