@@ -228,10 +228,12 @@ object Retrieval extends QueryPack {
     val probes = q.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"qvec".as("probe_q"))
     val cands = q.select($"vec_id".as("cand_id"), $"qvec".as("cand_q"))
+    // graft_dot_long (plans.DotProductLong): one fused codegen'd loop —
+    // the composed zip_with/aggregate form is CodegenFallback and allocates
+    // the product array per pair. Integer sum ⇒ identical results.
     val scored = cands.join(broadcast(probes), $"cand_id" =!= $"probe_id")
       .select($"probe_id", $"cand_id",
-        aggregate(zip_with($"probe_q", $"cand_q", (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x).as("qdot"))
+        expr("graft_dot_long(probe_q, cand_q)").as("qdot"))
     val w = Window.partitionBy($"probe_id")
       .orderBy($"qdot".desc, $"cand_id".asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -47,4 +47,21 @@ class CosineExpressionSpec extends SparkTestBase {
       "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)))").as[Double].head()
     assert(c == 0.0)
   }
+
+  test("graft_dot_long equals the composed integer fold, null-safe") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)((rng.nextInt(256)).toLong))
+    }.toDF("id", "v")
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.id" < $"b.id").limit(300)
+      .select(
+        expr("graft_dot_long(a.v, b.v)").as("native"),
+        aggregate(zip_with($"a.v", $"b.v", (p, q) => p * q),
+          lit(0L), (acc, v) => acc + v).as("composed"))
+    assert(pairs.filter($"native" =!= $"composed").isEmpty)
+    val nulls = Seq((Some(Array(1L, 2L)), Option.empty[Array[Long]]))
+      .toDF("a", "b")
+    assert(nulls.select(expr("graft_dot_long(a, b)")).head().isNullAt(0))
+  }
 }
