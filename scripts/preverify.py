@@ -46,6 +46,21 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{vdir}/oracle_sql.json"))
     fails = []
+    # Registry-completeness gate (round 7: two queries crashed out of the
+    # verify run and their ABSENCE read as "all green" until diffed against
+    # the registry). Verify writes manifest.json = every registered id it was
+    # asked to run; any id with no output dir is a hard FAIL here even if it
+    # has no oracle (capability-only queries must still produce rows).
+    try:
+        manifest = json.load(open(f"{vdir}/manifest.json"))
+    except FileNotFoundError:
+        manifest = []
+    for name in sorted(manifest):
+        if (only and name not in only) or name in oracle:
+            continue  # oracle-declared ids get the full check below
+        if not glob.glob(f"{vdir}/{name}/*.parquet"):
+            print(f"FAIL {name}: registered but ABSENT from verify output")
+            fails.append(name)
     for name in sorted(oracle):
         if only and name not in only:
             continue

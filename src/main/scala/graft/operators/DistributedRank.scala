@@ -70,7 +70,16 @@ object DistributedRank {
     // driver bench (12.6 s cold vs 1.7 s steady). Leaf-rooted layers keep
     // each round's codegen small and constant; the checkpoint itself is one
     // bounded job over the pre-aggregated input (|customers| rows, not raw).
-    val base = df.localCheckpoint(true)
+    // The non-null half of the tie contract is ENFORCED, not just documented:
+    // a null tie key would be silently dropped by the inner rejoin, so it
+    // raises here instead — evaluated during the eager checkpoint, one null
+    // check per (pre-aggregated) row.
+    val base = df.withColumn(tieCol,
+        when(col(tieCol).isNull, raise_error(lit(
+          s"ntileExactMulti: tie column '$tieCol' must be non-null — " +
+            "a null tie key would be silently dropped by the tile rejoin")))
+          .otherwise(col(tieCol)))
+      .localCheckpoint(true)
     val allBounds = base.stat.approxQuantile(
       specs.map(_._2).toArray, quantileProbs(buckets), 0.001)
     // Each tile column is computed on an independent SLIM branch off the

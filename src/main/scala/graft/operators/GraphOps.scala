@@ -49,7 +49,11 @@ object GraphOps extends QueryPack {
     */
   private val edgeLeaves =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def memoEdgeLeaf(spark: SparkSession, sfDir: String, tag: String)(
+
+  /** Test hook: drop every memoized leaf so a suite can force rebuilds
+    * without spinning up a new SparkContext per iteration. */
+  private[graft] def clearMemoForTest(): Unit = edgeLeaves.clear()
+  private[graft] def memoEdgeLeaf(spark: SparkSession, sfDir: String, tag: String)(
       build: => DataFrame): DataFrame = {
     val appId = spark.sparkContext.applicationId
     // Evict leaves from other applications: their checkpointed RDDs died
@@ -58,9 +62,23 @@ object GraphOps extends QueryPack {
     // unboundedly. Concurrent sessions share one context (= one appId), so
     // dropping foreign-app keys never discards a live leaf.
     edgeLeaves.keySet.removeIf(k => !k.startsWith(s"$appId#"))
-    edgeLeaves.computeIfAbsent(
-      s"$appId#$sfDir#$tag",
-      _ => build.localCheckpoint(true))
+    // get -> build -> putIfAbsent, NOT computeIfAbsent: the labels leaf's
+    // build resolves the und-edges leaf through this same map, and the JDK
+    // forbids a computeIfAbsent mapping function updating the map it runs
+    // under — it throws IllegalStateException("Recursive update") whenever
+    // the two keys land in one hash bin, which depends on the applicationId
+    // string, i.e. strikes per-JVM at random (round 7's verify crash). With
+    // this shape no build ever runs under a bin lock; a racing duplicate
+    // build is benign (both sides produce equivalent checkpoint leaves and
+    // the loser is just an unreferenced cached RDD).
+    val key = s"$appId#$sfDir#$tag"
+    val cached = edgeLeaves.get(key)
+    if (cached != null) cached
+    else {
+      val built = build.localCheckpoint(true)
+      val prev = edgeLeaves.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** doc_id → component id (= min doc_id reachable through near-dup pairs),
@@ -142,9 +160,13 @@ object GraphOps extends QueryPack {
     * propagation result is already a checkpoint leaf (every round ends in
     * an eager localCheckpoint), so memoizing stores a leaf, not lineage.
     */
-  private def nearDupLabels(spark: SparkSession, sfDir: String): DataFrame =
-    memoEdgeLeaf(spark, sfDir, "nearDupLabels")(
-      propagateMinLabels(spark, nearDupUnd(spark, sfDir)))
+  private def nearDupLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    // Resolve the und-edges leaf BEFORE entering this leaf's build (belt to
+    // memoEdgeLeaf's no-lock-held-while-building braces): the nested memo
+    // call is then a plain argument, never a memo-inside-memo.
+    val und = nearDupUnd(spark, sfDir)
+    memoEdgeLeaf(spark, sfDir, "nearDupLabels")(propagateMinLabels(spark, und))
+  }
 
   private def components(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -57,6 +57,26 @@ class OperatorUnitSpec extends SparkTestBase {
     }
   }
 
+  test("DistributedRank.ntileExactMulti raises on a null tie key instead of dropping the row") {
+    // The multi-column form rejoins slim tile branches with inner USING
+    // joins on the tie key — a null key would silently vanish from the
+    // output, so the contract (unique AND non-null) is enforced eagerly.
+    val data = Seq((Some(1L), 10), (None: Option[Long], 20), (Some(3L), 30))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      DistributedRank.ntileExactMulti(data, 2, Seq(("nt", "v", true)), "id")
+        .count()
+    }
+    assert(e.getMessage.contains("must be non-null"),
+      s"expected the null-tie guard to fire, got: ${e.getMessage}")
+    // Non-null input is untouched: schema order stays input-then-tiles and
+    // every row survives.
+    val ok = DistributedRank.ntileExactMulti(
+      Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v"),
+      2, Seq(("nt", "v", true)), "id")
+    assert(ok.columns.toSeq == Seq("id", "v", "nt") && ok.count() == 3)
+  }
+
   test("near-dup Jaccard: identical shingle sets give 1.0, disjoint give no pair") {
     val docs = Seq(
       (1L, "a b c d e f"),
