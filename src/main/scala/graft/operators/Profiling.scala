@@ -196,21 +196,47 @@ object Profiling extends QueryPack {
     val pairs = for {
       i <- corrCols.indices; j <- corrCols.indices if i < j
     } yield (corrCols(i), corrCols(j))
-    // Cast to decimal BEFORE multiplying: the double product of two ~1e5
-    // values has a ulp above the 8th decimal, so casting the product rounds
-    // engine-specifically (measured: last-2-bit drift in ss at sf0.1). The
-    // decimal×decimal product of the exactly-recovered 2-decimal inputs is
-    // an exact rational on both engines.
-    def msum(e: Column) = sum(e).cast("double")
-    val moments =
-      corrCols.map(c => msum(col(c)).as(s"s_$c")) ++
-      corrCols.map(c => msum(col(c) * col(c)).as(s"ss_$c")) ++
-      pairs.map { case (a, b) => msum(col(a) * col(b)).as(s"sp_${a}_$b") }
-    // Materialize the decimal casts ONCE in a projection — 14 products over
-    // re-cast inputs would repeat the double→decimal conversion per term.
-    val agg = Catalog.load(spark, sfDir, "lineitem")
-      .select(corrCols.map(c => col(c).cast("decimal(14,2)").as(c)): _*)
-      .agg(count(lit(1)).cast("double").as("n"), moments: _*)
+    // Exactness strategy (same rationals as before, different arithmetic):
+    // the 2-decimal money values are exactly recovered by the decimal(14,2)
+    // cast, so ×100 + cast long gives exact integer CENTS, and every product
+    // and partial sum below is plain codegen'd LONG arithmetic — the
+    // previous single-pass decimal(38,4) sums ran interpreted BigDecimal
+    // per row, which made this the most contention-fragile plan in the
+    // suite (23.3 s in the loaded r7 driver bench vs 1.5-2.0 s quiet).
+    // Long partials are exact but can overflow, so the sums are TWO-level:
+    // rows are salted into groups sized so a group's sum stays far under
+    // Long.Max (max per-row term is price_cents² ≈ 1.2e14 → ≤ 2e4 rows per
+    // group keeps 4 orders of magnitude headroom), then the per-group
+    // partials — a few thousand rows, not millions — are summed in decimal.
+    // Spark 4's default ANSI mode makes any sizing violation a loud
+    // ArithmeticException, never a silent wrap. Salt cardinality derives
+    // from one bounded driver action (a count scalar, the accepted
+    // approxQuantile-class pattern), so the plan stays sized at any SF.
+    val li = Catalog.load(spark, sfDir, "lineitem")
+    val nRows = li.count()
+    val g = math.max(64L, nRows / 20000L + 1L)
+    val cents = corrCols.map(c =>
+      (col(c).cast("decimal(14,2)") * 100).cast("long").as(c))
+    val keyed = li.select(
+      pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(g)).as("__g") +: cents: _*)
+    val partials =
+      corrCols.map(c => sum(col(c)).as(s"s_$c")) ++
+      corrCols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val lvl1 = keyed.groupBy($"__g").agg(count(lit(1)).as("cnt"), partials: _*)
+    // Final decimal pass over |g| partial rows: /100 (cents) or /10000
+    // (cents²) is exact at scale >= 4, and the decimal(38,4) cast pins the
+    // SAME value+scale the old single-pass sums produced, so the
+    // correctly-rounded double conversion is bit-identical to before (and
+    // to the oracle's VARCHAR-routed conversion).
+    def fin(name: String, div: Int): Column =
+      (sum(col(name).cast("decimal(38,0)")) / lit(div))
+        .cast("decimal(38,4)").cast("double").as(name)
+    val finals =
+      corrCols.map(c => fin(s"s_$c", 100)) ++
+      corrCols.map(c => fin(s"ss_$c", 10000)) ++
+      pairs.map { case (a, b) => fin(s"sp_${a}_$b", 10000) }
+    val agg = lvl1.agg(sum($"cnt").cast("double").as("n"), finals: _*)
     val rows = pairs.map { case (a, b) =>
       val mx = col(s"s_$a") / $"n"
       val my = col(s"s_$b") / $"n"
