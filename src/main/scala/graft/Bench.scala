@@ -28,8 +28,11 @@ object Bench {
       // ~5-6 s of cold propagation (31.7 s under driver load in r7), and the
       // HashMap key order decided WHICH — warming moves the declared
       // materialize-once cost where the roundtrip scratch's already is.
+      // q_graph_triangles likewise warms the co-purchase edge leaf shared
+      // with q_graph_pagerank — with this, every materialize-once leaf in
+      // the suite is built before the timed pass.
       (SparkEntry.all.map(_.id).filter(_.startsWith("q_source_")) ++
-        Seq("q_join_bucketed", "q_graph_components"))
+        Seq("q_join_bucketed", "q_graph_components", "q_graph_triangles"))
         .foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
     } catch { case _: Throwable => () }
     var failed = List.empty[String]

@@ -298,6 +298,14 @@ object TimeSeries extends QueryPack {
     * keeps the user "active" for, then deduped and counted: three hash
     * shuffles, no window, fan-out bounded by the window length. (The same
     * expansion trick as the sliding-window oracle.)
+    *
+    * When to pick expansion vs per-day re-aggregation: expansion costs
+    * O(|pairs| × window) rows through hash shuffles — right for SHORT
+    * windows (here 7×). Re-aggregating from scratch per day (join days ×
+    * trailing pairs) costs O(|days| × avg pairs/window) and wins only when
+    * the window is long relative to the data's day span. A sketch
+    * (approx_count_distinct over merged HLLs) is the 100 TB answer when
+    * exactness is negotiable; this operator's contract is exact.
     */
   private def rollingDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
