@@ -334,6 +334,28 @@ object GraphOps extends QueryPack {
     GROUP BY component_id
     ORDER BY component_id ASC NULLS FIRST"""
 
+  /** Degree distribution of the co-purchase graph — the first profiling
+    * table a graph pipeline produces (skew in it decides whether the
+    * triangle/propagation joins need the low-degree→high-degree orientation
+    * documented above). Two hash aggregations over the memoized edge leaf;
+    * all integers.
+    */
+  private def degreeHist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    coPurchaseUnd(spark, sfDir)
+      .groupBy($"u").agg(count(lit(1)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"degree".asc_nulls_first)
+  }
+
+  private val degreeHistOracle = s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT u, count(*) AS degree FROM und GROUP BY u)
+    SELECT degree, count(*) AS n_nodes FROM deg
+    GROUP BY degree ORDER BY degree ASC NULLS FIRST"""
+
   private val PrIters = 5
   private val PrScale = 1000000000L // rank 1.0 == 10^9
 
@@ -397,6 +419,7 @@ object GraphOps extends QueryPack {
   override val queries: Vector[Q] = Vector(
     Q("q_graph_components", components, Some(componentsOracle)),
     Q("q_graph_triangles", triangles, Some(trianglesOracle)),
+    Q("q_graph_degree_hist", degreeHist, Some(degreeHistOracle)),
     Q("q_graph_pagerank", pagerank, Some(pagerankOracle)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
   )

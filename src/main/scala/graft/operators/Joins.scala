@@ -208,6 +208,32 @@ object Joins extends QueryPack {
       .orderBy($"dim_k".asc_nulls_first)
   }
 
+  /** Static salted join — the third leg of the skew story (q_agg_salted_skew
+    * covers aggregation, SkewJoinSpec demonstrates AQE's runtime split): the
+    * fact side salts its join key S ways, the dimension side replicates each
+    * row S times, and the equi-join runs on (key, salt) — a hot key's rows
+    * now spread over S shuffle partitions instead of one straggler task.
+    * `hint("shuffle_hash")` pins the shuffled form (Catalyst would broadcast
+    * this small dim, where salting is moot; the technique targets dims too
+    * big to broadcast under keys too skewed for even partitions). Results
+    * are EXACTLY the plain join's — the oracle is the unsalted SQL.
+    */
+  private def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val S = 8
+    val li = Catalog.load(spark, sfDir, "lineitem")
+      .select($"l_suppkey", $"l_extendedprice",
+        // Salt from row identity, NOT rand(): deterministic under task retry.
+        pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(S.toLong)).as("salt"))
+    val supp = Catalog.load(spark, sfDir, "supplier")
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+      .withColumn("salt", explode(array((0 until S).map(i => lit(i.toLong)): _*)))
+    li.hint("shuffle_hash").join(supp, Seq("l_suppkey", "salt"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"s_nationkey".asc_nulls_first)
+  }
+
   /** UN-keyed interval join, banded: purchases paired with any OTHER
     * user's click within the following 5 minutes (one fixture day). With no
     * equi key, a naive plan is a nested-loop over the day's cross product —
@@ -256,6 +282,11 @@ object Joins extends QueryPack {
 
   override val queries: Vector[Q] = Vector(
     Q("q_join_interval_banded", joinIntervalBanded, Some(joinIntervalBandedOracle)),
+    Q("q_join_skew_salted", joinSkewSalted, Some(s"""
+      SELECT s_nationkey, count(*) AS n_items,
+        ${Oracle.dsum("l_extendedprice")} AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey ASC NULLS FIRST""")),
     Q("q_join_broadcast_inner", joinBroadcastInner, Some(s"""
       SELECT p_brand, count(*) AS n_items,
         ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -380,8 +380,46 @@ object TimeSeries extends QueryPack {
     FROM days d LEFT JOIN nu ON nu.day = d.day
     ORDER BY d.day ASC NULLS FIRST"""
 
+  /** Weekly OHLC downsampling of the global daily revenue series — the
+    * resolution-reduction op every time-series store ships (candlestick
+    * bars / Gorilla-style rollups). open/close are the values at the
+    * week's first/last day (`min_by`/`max_by` ↔ DuckDB `arg_min`/`arg_max`
+    * — deterministic because `day` is unique after the daily aggregation),
+    * high/low are plain extrema. Scale: the daily pre-aggregation is the
+    * only pass over raw data; the OHLC agg runs over |days| rows.
+    */
+  private def downsampleOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(dsum($"o_totalprice").as("rev"))
+    daily
+      .groupBy(date_trunc("week", $"day").as("week"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        min_by($"rev", $"day").as("open"),
+        max($"rev").as("high"),
+        min($"rev").as("low"),
+        max_by($"rev", $"day").as("close"))
+      .orderBy($"week".asc_nulls_first)
+  }
+
+  private val downsampleOhlcOracle = s"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+        ${Oracle.dsum("o_totalprice")} AS rev
+      FROM orders GROUP BY 1)
+    SELECT date_trunc('week', day) AS week,
+      count(*) AS n_days,
+      arg_min(rev, day) AS open,
+      max(rev) AS high,
+      min(rev) AS low,
+      arg_max(rev, day) AS close
+    FROM daily GROUP BY 1 ORDER BY week ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
+    Q("q_ts_downsample_ohlc", downsampleOhlc, Some(downsampleOhlcOracle)),
     Q("q_ts_interpolate", interpolate, Some(interpolateOracle)),
     Q("q_win_range_frame", rangeFrame, Some(rangeFrameOracle)),
     Q("q_ts_ewma", ewma, Some(ewmaOracle)),
