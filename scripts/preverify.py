@@ -55,6 +55,15 @@ def main():
         manifest = json.load(open(f"{vdir}/manifest.json"))
     except FileNotFoundError:
         manifest = []
+    # Verify's explicit crash record (crashed.json, always written since
+    # round 9): a nonempty list is a hard FAIL even before diffing dirs.
+    try:
+        for name in json.load(open(f"{vdir}/crashed.json")):
+            if not only or name in only:
+                print(f"FAIL {name}: crashed during verify (crashed.json)")
+                fails.append(name)
+    except FileNotFoundError:
+        pass
     for name in sorted(manifest):
         if (only and name not in only) or name in oracle:
             continue  # oracle-declared ids get the full check below

@@ -14,27 +14,37 @@ object Bench {
     // artifact is written once per (JVM, sfDir) — see Scans.materializeOnce:
     // the timed pass then measures the declared steady-state READ path, not
     // first-use format classloading + the one-time write.
-    try {
+    // Per-warm isolation: one failing warm must not silently skip the rest
+    // (a single try around the whole block would revert every later leaf —
+    // including the graph leaves — to cold timings with no trace of why).
+    def warm(tag: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up '$tag' failed, its cold path will be timed: ${e.getMessage}")
+      }
+    warm("startup") {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       SparkEntry.entry(spark).count()
       // SQL-text entry path (parser/analyzer init is distinct from the
       // DataFrame path the flagship warms).
       spark.sql(s"SELECT r_name, count(*) FROM parquet.`$sfDir/region.parquet` GROUP BY r_name").count()
-      // q_join_bucketed memoizes its bucketed-table write the same way the
-      // roundtrip scratch is memoized — warm it so the timed pass measures
-      // the declared steady state (co-located read+join), not the write.
-      // q_graph_components warms the memoized near-dup label leaf (shared
-      // with q_dedup_clusters): whichever of the two ran first used to pay
-      // ~5-6 s of cold propagation (31.7 s under driver load in r7), and the
-      // HashMap key order decided WHICH — warming moves the declared
-      // materialize-once cost where the roundtrip scratch's already is.
-      // q_graph_triangles likewise warms the co-purchase edge leaf shared
-      // with q_graph_pagerank — with this, every materialize-once leaf in
-      // the suite is built before the timed pass.
-      (SparkEntry.all.map(_.id).filter(_.startsWith("q_source_")) ++
-        Seq("q_join_bucketed", "q_graph_components", "q_graph_triangles"))
-        .foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    }
+    // q_join_bucketed memoizes its bucketed-table write the same way the
+    // roundtrip scratch is memoized — warm it so the timed pass measures
+    // the declared steady state (co-located read+join), not the write.
+    // q_graph_components warms the memoized near-dup label leaf (shared
+    // with q_dedup_clusters): whichever of the two ran first used to pay
+    // ~5-6 s of cold propagation (31.7 s under driver load in r7), and the
+    // HashMap key order decided WHICH — warming moves the declared
+    // materialize-once cost where the roundtrip scratch's already is.
+    // q_graph_triangles likewise warms the co-purchase edge leaf shared
+    // with q_graph_pagerank — with this, every materialize-once leaf in
+    // the suite is built before the timed pass.
+    (SparkEntry.all.map(_.id).filter(_.startsWith("q_source_")) ++
+      Seq("q_join_bucketed", "q_graph_components", "q_graph_triangles"))
+      .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
+    // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
+    // resolving it materializes the eager checkpoint before the timed pass.
+    warm("docShingles_leaf")(graft.operators.LlmPipeline.warmShingleLeaf(spark, sfDir))
     var failed = List.empty[String]
     // Declaration order (SparkEntry.all), not the HashMap view: map order
     // changed whenever a key was added, silently re-assigning shared cold

@@ -54,6 +54,15 @@ object Verify {
     // preverify.py cross-checks this against the dirs actually present.
     Files.writeString(Paths.get(s"$outDir/manifest.json"),
       selected.map(x => q(x.id)).mkString("[", ",", "]"))
+    // Machine-visible crash record (ALWAYS written, empty on a clean run):
+    // a consumer reading outDir directly — not just preverify.py diffing
+    // manifest vs dirs — sees incompleteness without parsing stderr.
+    // manifest.json keeps its original list shape (consumers may already
+    // depend on it), and the exit code stays 0 because the driver's
+    // contract treats a nonzero Verify as a whole-run failure, which would
+    // turn one crashed query into zero correctness rows for the round.
+    Files.writeString(Paths.get(s"$outDir/crashed.json"),
+      crashed.sorted.map(q).mkString("[", ",", "]"))
     if (crashed.nonEmpty) {
       System.err.println(
         s"[verify] INCOMPLETE: ${crashed.size}/${selected.size} queries " +

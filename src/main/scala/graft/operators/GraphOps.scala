@@ -40,10 +40,11 @@ object GraphOps extends QueryPack {
     * share each edge set (components+clusters the near-dup graph,
     * triangles+pagerank the co-purchase graph); without memoization each of
     * the four re-built its edges from the raw tables, so the shared upstream
-    * stage was paid four times per session. The full pair-generation
-    * pipeline is still timed on every run of `q_dedup_near` itself — only
-    * the graph operators (downstream cluster-assignment stages in a real
-    * dedup pipeline) start from the materialized intermediate. Keyed on
+    * stage was paid four times per session. Since round 9 the dedup
+    * pipeline's tokenize→shingle→df-cap base is a leaf too
+    * ([[LlmPipeline]] `docShingles`, shared by q_dedup_near and
+    * q_dedup_minhash); every query still times its own declared stages
+    * downstream of the materialized intermediates. Keyed on
     * applicationId so test suites with their own sessions never share
     * checkpointed RDDs across contexts; entries are a few thousand rows.
     */

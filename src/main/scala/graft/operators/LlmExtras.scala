@@ -242,21 +242,26 @@ object LlmExtras extends QueryPack {
   private def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Catalog.load(spark, sfDir, "embeddings")
-    val flat = e.select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
-    // LCG plane weights in [-1000, 1000], pure integer arithmetic.
-    val g = (lit(1103515245L) * ($"b" * 64 + $"pos") + 12345L) % 2001L - 1000L
-    val buckets = flat
-      .select($"vec_id", $"pos", $"v", explode(sequence(lit(0), lit(7))).as("b"))
-      .groupBy($"vec_id", $"b")
-      .agg(sum($"v".cast("double") * g.cast("double")).as("dot"))
-      .groupBy($"vec_id")
-      // The sign test runs on the dot ROUNDED to 6dp on both engines: the dot
-      // is a double sum whose partial-aggregation order differs between Spark
-      // and DuckDB, so a dot within ~1 ULP of zero could otherwise bucket
-      // differently (ADVICE r2). Rounding collapses both to the same value.
-      .agg(sum(when(round($"dot", 6) > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-        .otherwise(0L)).as("bucket"))
-    val withEmb = buckets.join(e, "vec_id")
+    // Plane-b dot product as one codegen'd fold — the r8 shape posexploded
+    // 64 positions × 8 planes = 512 rows per vector through two hash
+    // aggregations before bucketing; all 8 dots are now a single projection
+    // on the scan, no fan-out, no shuffle. LCG plane weights in
+    // [-1000, 1000], pure integer arithmetic, identical to the oracle's.
+    def planeDot(b: Int): Column =
+      aggregate(
+        zip_with($"embedding",
+          transform(sequence(lit(0), size($"embedding") - 1),
+            pos => ((lit(1103515245L) * (lit(b.toLong) * 64 + pos) + 12345L) % 2001L - 1000L)
+              .cast("double")),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+    // The sign test runs on the dot ROUNDED to 6dp on both engines: the dot
+    // is a double sum whose summation order differs between Spark and
+    // DuckDB, so a dot within ~1 ULP of zero could otherwise bucket
+    // differently (ADVICE r2). Rounding collapses both to the same value.
+    val bucketCol = (0 until 8).map(b =>
+      when(round(planeDot(b), 6) > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val withEmb = e.select($"vec_id", $"embedding", bucketCol.as("bucket"))
     val probes = withEmb.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"bucket", $"embedding".as("p_emb"))
     val cands = withEmb
@@ -319,13 +324,14 @@ object LlmExtras extends QueryPack {
   private def simIvfAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Catalog.load(spark, sfDir, "embeddings")
-    val centroids = e
-      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .groupBy($"label", $"pos")
-      .agg(avg($"v".cast("double")).as("c"))
-      .groupBy($"label")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-        s => s("c")).as("centroid"))
+    // Element-wise centroid in ONE hash aggregation: 64 avg aggs assembled
+    // back into an array — the r8 shape posexploded every vector into 64
+    // (label, pos, v) rows and needed two aggregations plus a per-label
+    // array_sort(collect_list) rebuild. Dim 64 is already baked into this
+    // op family (the LSH LCG indexes planes by b*64+pos).
+    val centroids = e.groupBy($"label")
+      .agg(array((0 until 64).map(i =>
+        avg(element_at($"embedding", i + 1).cast("double"))): _*).as("centroid"))
     // Probe → nearest centroid by cosine (float probe x double centroid,
     // composed double-precision fold mirrored in the oracle).
     def dotFD(a: Column, b: Column): Column =

@@ -205,16 +205,18 @@ object Profiling extends QueryPack {
     // suite (23.3 s in the loaded r7 driver bench vs 1.5-2.0 s quiet).
     // Long partials are exact but can overflow, so the sums are TWO-level:
     // rows are salted into groups sized so a group's sum stays far under
-    // Long.Max (max per-row term is price_cents² ≈ 1.2e14 → ≤ 2e4 rows per
-    // group keeps 4 orders of magnitude headroom), then the per-group
-    // partials — a few thousand rows, not millions — are summed in decimal.
+    // Long.Max (max per-row term is price_cents² ≈ 1.2e14; ~5e3 expected
+    // rows per group → ~6e17 worst-case group sum, 15× under Long.Max —
+    // and xxhash64 group sizes concentrate tightly around the mean, so a
+    // 15× excursion cannot occur in practice), then the per-group
+    // partials — thousands of rows, not millions — are summed in decimal.
     // Spark 4's default ANSI mode makes any sizing violation a loud
     // ArithmeticException, never a silent wrap. Salt cardinality derives
     // from one bounded driver action (a count scalar, the accepted
     // approxQuantile-class pattern), so the plan stays sized at any SF.
     val li = Catalog.load(spark, sfDir, "lineitem")
     val nRows = li.count()
-    val g = math.max(64L, nRows / 20000L + 1L)
+    val g = math.max(64L, nRows / 5000L + 1L)
     val cents = corrCols.map(c =>
       (col(c).cast("decimal(14,2)") * 100).cast("long").as(c))
     val keyed = li.select(

@@ -394,7 +394,9 @@ object TimeSeries extends QueryPack {
       .groupBy(date_trunc("day", $"o_orderdate").as("day"))
       .agg(dsum($"o_totalprice").as("rev"))
     daily
-      .groupBy(date_trunc("week", $"day").as("week"))
+      // cast("date"): DuckDB 1.0's date_trunc('week') returns DATE, Spark's
+      // returns TIMESTAMP — align the declared output type (same instant).
+      .groupBy(date_trunc("week", $"day").cast("date").as("week"))
       .agg(
         count(lit(1)).as("n_days"),
         min_by($"rev", $"day").as("open"),
