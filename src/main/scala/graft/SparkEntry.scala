@@ -21,6 +21,7 @@ object SparkEntry {
     graft.streaming.Streams,
     LlmPipeline,
     LlmExtras,
+    CorpusOps,
     TypedOps,
     graft.functions.Udfs,
     Marketing,

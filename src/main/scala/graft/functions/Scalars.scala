@@ -178,6 +178,26 @@ object Scalars extends QueryPack {
       .orderBy($"user_id".asc_nulls_first)
   }
 
+  /** Bitwise scalar surface (added round 9): AND/OR/XOR/NOT, shifts, and
+    * popcount over the part key — the primitives behind bitmap indexes,
+    * bloom-filter probes and the repo's own SimHash/Z-order operators. All
+    * BIGINT-exact; pure narrow map over the scan.
+    */
+  private def bitwiseFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "part")
+      .select(
+        $"p_partkey",
+        $"p_partkey".bitwiseAND(lit(255L)).as("band"),
+        $"p_partkey".bitwiseOR(lit(4096L)).as("bor"),
+        $"p_partkey".bitwiseXOR(lit(21845L)).as("bxor"),
+        bitwise_not($"p_partkey").as("bnot"),
+        shiftleft($"p_partkey", 3).as("shl3"),
+        shiftright($"p_partkey", 2).as("shr2"),
+        bit_count($"p_partkey").cast("long").as("popcount"))
+      .orderBy($"p_partkey".asc_nulls_first)
+  }
+
   private def jsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Catalog.load(spark, sfDir, "events")
@@ -285,6 +305,16 @@ object Scalars extends QueryPack {
           e -> e.k), ',') AS keys,
         CAST(count(*) AS BIGINT) AS n_types
       FROM pc GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""")),
+    Q("q_bitwise_funcs", bitwiseFuncs, Some("""
+      SELECT p_partkey,
+        p_partkey & 255 AS band,
+        p_partkey | 4096 AS bor,
+        xor(p_partkey, 21845) AS bxor,
+        ~p_partkey AS bnot,
+        p_partkey << 3 AS shl3,
+        p_partkey >> 2 AS shr2,
+        CAST(bit_count(p_partkey) AS BIGINT) AS popcount
+      FROM part ORDER BY p_partkey ASC NULLS FIRST""")),
     Q("q_json_extract", jsonExtract, Some("""
       WITH e AS (
         SELECT event_type,

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+
+/** SURVEY.md §2.J3 — corpus-curation operators (added round 9): the three
+  * pipeline stages between raw dedup and the training run that the §2.J/J2
+  * packs did not yet cover — benchmark decontamination, repetition-based
+  * quality gating, and domain mixing to a token budget.
+  *
+  * Scale notes (100 TB posture):
+  *  - Decontamination reuses the SAME df-capped shingle leaf as the dedup
+  *    pipeline ([[LlmPipeline.shingles]]): one tokenize→shingle→cap pass
+  *    feeds near-dup, MinHash AND decontamination. The eval side of the
+  *    overlap join is the benchmark suite — thousands of documents, not
+  *    billions — so its distinct-shingle set broadcasts, and the train-side
+  *    scan joins against a hash map instead of shuffling the corpus. The
+  *    df-cap doubles as the standard "drop n-grams too common to be
+  *    discriminative" decontamination rule.
+  *  - Repetition scoring is a pure per-document projection (n-gram arrays
+  *    built with `transform` over the token array, counted with
+  *    `array_distinct` — no explode, no shuffle): the narrow-map shape that
+  *    saturates scan bandwidth at any corpus size.
+  *  - Domain mixing is deterministic hash sampling (the q_sample_hash
+  *    multiplicative-hash pattern — stable under task retry, no `rand()`),
+  *    with per-domain rates derived from a |domains|-row aggregate that
+  *    broadcasts back onto the scan. One shuffle for the rate table, one
+  *    map-side-combined aggregate for the report; the corpus itself is
+  *    never shuffled.
+  */
+object CorpusOps extends QueryPack {
+
+  /** Documents whose source marks them as the held-out benchmark set.
+    * A fixed slice of the fixture corpus stands in for the eval suite.
+    */
+  private val EvalSource = "src0"
+
+  /** Benchmark decontamination — flag every training document sharing at
+    * least one (df-capped) 5-gram shingle with the eval set, with the
+    * overlap size and the contaminated fraction of the document's own
+    * shingle set. The n-gram-overlap rule used to scrub pretraining
+    * corpora of benchmark text; output is the removal worklist.
+    */
+  private def textDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = LlmPipeline.shingles(spark, sfDir)
+    val evalIds = Catalog.load(spark, sfDir, "documents")
+      .filter($"source" === EvalSource)
+      .select($"doc_id")
+    // Eval-side shingles: distinct over the (small) benchmark suite —
+    // broadcast to the train-side probe join.
+    val evalSh = sh.join(broadcast(evalIds), Seq("doc_id"))
+      .select($"shingle").distinct()
+    val train = sh.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
+    val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    train.join(broadcast(evalSh), Seq("shingle"))
+      // (doc_id, shingle) is distinct in the leaf, so count(*) = distinct
+      // overlapping shingles.
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_overlap"))
+      .join(sizes, Seq("doc_id"))
+      .select($"doc_id", $"n_shingles", $"n_overlap",
+        round($"n_overlap".cast("double") / $"n_shingles", 4)
+          .as("contaminated_frac"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val textDecontaminateSql = s"""
+    WITH ${LlmPipeline.shinglesSql},
+    eval_ids AS (SELECT doc_id FROM documents WHERE source = '$EvalSource'),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM sh
+      WHERE doc_id IN (SELECT doc_id FROM eval_ids)),
+    train AS (
+      SELECT * FROM sh
+      WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, count(*) AS n_overlap
+      FROM train WHERE shingle IN (SELECT shingle FROM eval_sh)
+      GROUP BY doc_id)
+    SELECT h.doc_id, s.n_shingles, h.n_overlap,
+      round(CAST(h.n_overlap AS DOUBLE) / s.n_shingles, 4) AS contaminated_frac
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    ORDER BY h.doc_id ASC NULLS FIRST"""
+
+  /** Duplicate-n-gram repetition scoring (the Gopher-style quality rule):
+    * per document, the fraction of 2-gram and 3-gram occurrences that are
+    * repeats of an earlier occurrence, and the gate verdict. All n-gram
+    * machinery is per-row array arithmetic — `transform` over the token
+    * array, `array_distinct` for the unique count — so the operator is a
+    * narrow map over the scan.
+    *
+    * `toks` is materialized as a column before the `transform` lambdas for
+    * the same reason as [[LlmPipeline.shingles]]: higher-order functions
+    * re-evaluate captured expressions once per element.
+    */
+  private def textRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def grams(n: Int): Column =
+      transform(sequence(lit(0), size($"toks") - n),
+        i => concat_ws(" ", slice($"toks", i + 1, lit(n))))
+    def dupFrac(g: Column): Column =
+      round((size(g) - size(array_distinct(g))).cast("double") / size(g), 4)
+    Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split(LlmPipeline.normText($"text"), " ").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        when(size($"toks") >= 2, dupFrac(grams(2))).as("dup2_frac"),
+        when(size($"toks") >= 3, dupFrac(grams(3))).as("dup3_frac"))
+      .withColumn("flagged_repetitive",
+        coalesce($"dup2_frac" > 0.5 || $"dup3_frac" > 0.3, lit(false)))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val textRepetitionSql = s"""
+    WITH t AS (
+      SELECT doc_id, string_split(${LlmPipeline.normTextSql}, ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+        [array_to_string(toks[i+1:i+2], ' ') for i in range(len(toks) - 1)] AS g2,
+        [array_to_string(toks[i+1:i+3], ' ') for i in range(len(toks) - 2)] AS g3
+      FROM t),
+    f AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CASE WHEN n_tokens >= 2 THEN
+          round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+        END AS dup2_frac,
+        CASE WHEN n_tokens >= 3 THEN
+          round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+        END AS dup3_frac
+      FROM g)
+    SELECT doc_id, n_tokens, dup2_frac, dup3_frac,
+      coalesce(dup2_frac > 0.5 OR dup3_frac > 0.3, false) AS flagged_repetitive
+    FROM f ORDER BY doc_id ASC NULLS FIRST"""
+
+  /** Domain mixing to a token budget: every source domain is downsampled to
+    * (approximately) the token count of the smallest domain, so the mixed
+    * corpus is balanced across domains. The keep/drop decision is the
+    * deterministic multiplicative hash of the document id against the
+    * domain's rate — reproducible across retries and engines, no `rand()`.
+    * Output is the mixing report a curation run logs: per domain, documents
+    * and tokens before/after and the applied rate.
+    */
+  private def corpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source",
+        size(split(LlmPipeline.normText($"text"), " ")).cast("long").as("n_toks"))
+    val totals = docs.groupBy($"source").agg(sum($"n_toks").as("tok_total"))
+    val target = totals.agg(min($"tok_total").as("tok_target"))
+    // |domains|-row rate table: crossJoin against the 1-row target is a
+    // broadcast nested loop over 20 rows; the rate table itself broadcasts
+    // back onto the document scan.
+    val rates = totals.crossJoin(broadcast(target))
+      .select($"source", $"tok_total",
+        least(lit(1.0), $"tok_target".cast("double") / $"tok_total")
+          .as("rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("kept",
+        ($"doc_id" * lit(2654435761L)) % lit(4294967296L)
+          < $"rate" * lit(4294967296.0))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max($"tok_total").as("tok_total"),
+        round(max($"rate"), 4).as("rate"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when($"kept", $"n_toks")), lit(0L)).as("tok_kept"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
+  private val corpusMixSql = s"""
+    WITH docs AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(${LlmPipeline.normTextSql}, ' ')) AS BIGINT) AS n_toks
+      FROM documents),
+    totals AS (SELECT source, sum(n_toks) AS tok_total FROM docs GROUP BY source),
+    rates AS (
+      SELECT source, CAST(tok_total AS BIGINT) AS tok_total,
+        least(CAST(1.0 AS DOUBLE), CAST((SELECT min(tok_total) FROM totals) AS DOUBLE) / tok_total)
+          AS rate
+      FROM totals),
+    d AS (
+      SELECT docs.*, rates.tok_total, rates.rate,
+        ((doc_id * 2654435761) % 4294967296) < rate * 4294967296.0 AS kept
+      FROM docs JOIN rates USING (source))
+    SELECT source, count(*) AS n_docs, max(tok_total) AS tok_total,
+      round(max(rate), 4) AS rate,
+      CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      coalesce(CAST(sum(CASE WHEN kept THEN n_toks END) AS BIGINT), 0) AS tok_kept
+    FROM d GROUP BY source
+    ORDER BY source ASC NULLS FIRST"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
+    Q("q_text_repetition", textRepetition, Some(textRepetitionSql)),
+    Q("q_corpus_mix", corpusMix, Some(corpusMixSql)),
+  )
+}

@@ -357,6 +357,61 @@ object GraphOps extends QueryPack {
     SELECT degree, count(*) AS n_nodes FROM deg
     GROUP BY degree ORDER BY degree ASC NULLS FIRST"""
 
+  /** Common-neighbor link prediction (added round 9): for every
+    * NON-adjacent node pair sharing at least one neighbor, the common
+    * count and the neighbor-set Jaccard in parts-per-million SCALED
+    * INTEGER (`div` ↔ DuckDB `//` — engine-exact where float division
+    * would be last-ulp fragile); top-20 candidate links.
+    *
+    * Scale shape: the wedge join (two hops through a shared neighbor)
+    * costs Σ deg(n)² over neighbors n — the quantity q_graph_degree_hist
+    * profiles; on a hub-heavy graph the standard mitigation is capping or
+    * salting the hub side before the self-join. The pair aggregate and the
+    * degree join shuffle on node-pair/node keys; top-20 is
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  private def commonNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    val edges = und.filter($"u" < $"v")
+      .select($"u".as("a"), $"v".as("b"))
+    val wedges = und.as("e1").join(und.as("e2"),
+        $"e1.v" === $"e2.v" && $"e1.u" < $"e2.u")
+      .select($"e1.u".as("a"), $"e2.u".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+    wedges
+      .join(edges, Seq("a", "b"), "left_anti")
+      .join(deg.select($"node".as("a"), $"deg".as("deg_a")), Seq("a"))
+      .join(deg.select($"node".as("b"), $"deg".as("deg_b")), Seq("b"))
+      .select($"a", $"b", $"common", $"deg_a", $"deg_b",
+        expr("(common * 1000000) div (deg_a + deg_b - common)")
+          .as("jaccard_ppm"))
+      .orderBy($"jaccard_ppm".desc, $"a".asc_nulls_first, $"b".asc_nulls_first)
+      .limit(20)
+  }
+
+  private val commonNeighborsOracle = s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+    wedges AS (
+      SELECT e1.u AS a, e2.u AS b, count(*) AS common
+      FROM und e1 JOIN und e2 ON e1.v = e2.v AND e1.u < e2.u
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.* FROM wedges w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.a = w.a AND e.b = w.b))
+    SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+      (c.common * 1000000) // (da.deg + db.deg - c.common) AS jaccard_ppm
+    FROM cand c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    ORDER BY jaccard_ppm DESC, c.a ASC NULLS FIRST, c.b ASC NULLS FIRST
+    LIMIT 20"""
+
   private val PrIters = 5
   private val PrScale = 1000000000L // rank 1.0 == 10^9
 
@@ -421,6 +476,7 @@ object GraphOps extends QueryPack {
     Q("q_graph_components", components, Some(componentsOracle)),
     Q("q_graph_triangles", triangles, Some(trianglesOracle)),
     Q("q_graph_degree_hist", degreeHist, Some(degreeHistOracle)),
+    Q("q_graph_common_neighbors", commonNeighbors, Some(commonNeighborsOracle)),
     Q("q_graph_pagerank", pagerank, Some(pagerankOracle)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
   )

@@ -109,7 +109,7 @@ object LlmPipeline extends QueryPack {
     * df-cap base from raw documents — the same duplicated-upstream cost the
     * graph edge leaves eliminated. Bench pre-warms it with the other leaves.
     */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def shingles(spark: SparkSession, sfDir: String): DataFrame =
     GraphOps.memoEdgeLeaf(spark, sfDir, "docShingles")(buildShingles(spark, sfDir))
 
   /** Bench warm hook: resolving the leaf materializes it (eager checkpoint). */
@@ -139,7 +139,7 @@ object LlmPipeline extends QueryPack {
   // range(len(toks)-4)), not a fixed range(10000) — the fixed range silently
   // capped documents at ~10k tokens while the Spark builder is unbounded
   // (ADVICE r2).
-  private val shinglesSql = s"""
+  private[operators] val shinglesSql = s"""
       sh AS (
         SELECT doc_id, shingle FROM (
           SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+5], ' ') AS shingle

@@ -419,8 +419,72 @@ object TimeSeries extends QueryPack {
       arg_max(rev, day) AS close
     FROM daily GROUP BY 1 ORDER BY week ASC NULLS FIRST"""
 
+  /** Classical seasonal decomposition of the daily revenue series (added
+    * round 9): trend = centered 7-day moving average (full windows only),
+    * seasonal = per-day-of-week mean of the detrended series, residual =
+    * what's left. The moving-average decomposition every monitoring stack
+    * runs before alerting on the residual (q_ts_anomaly's z-score is the
+    * sibling one-pass form).
+    *
+    * Determinism: the trend window sums DECIMAL(18,6) day revenues (exact,
+    * order-free) and only then casts to double for the /7 — per-row IEEE,
+    * engine-identical. The seasonal mean uses the davg pattern over
+    * detrended values; those carry a /7 quotient so they sit far from
+    * decimal rounding boundaries (the Dsl §r4 precondition). Scale: one
+    * pass over raw rows for the daily aggregate; everything after runs
+    * over |days| rows, and the seasonal table (7 rows) broadcasts back.
+    */
+  private def tsDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("rev_d"))
+    val w7 = Window.orderBy($"day").rowsBetween(-3, 3)
+    val t = daily.select(
+        $"day",
+        $"rev_d".cast("double").as("revenue"),
+        when(count(lit(1)).over(w7) === 7,
+          sum($"rev_d").over(w7).cast("double") / 7).as("trend"),
+        // DuckDB's dayofweek is 0-based Sunday, Spark's is 1-based.
+        (dayofweek($"day") - 1).cast("long").as("dow"))
+      .withColumn("detrended", $"revenue" - $"trend")
+    val seasonal = t.filter($"detrended".isNotNull)
+      .groupBy($"dow")
+      .agg(round(sum($"detrended".cast("decimal(18,6)")).cast("double")
+        / count($"detrended"), 4).as("seasonal"))
+    t.join(broadcast(seasonal), Seq("dow"), "left")
+      .select($"day", $"revenue", $"trend", $"dow", $"seasonal",
+        ($"detrended" - $"seasonal").as("residual"))
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val tsDecomposeOracle = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_d
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT day,
+        CAST(rev_d AS DOUBLE) AS revenue,
+        CASE WHEN count(*) OVER w = 7
+          THEN CAST(sum(rev_d) OVER w AS DOUBLE) / 7 END AS trend,
+        CAST(dayofweek(day) AS BIGINT) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    t2 AS (SELECT *, revenue - trend AS detrended FROM t),
+    seas AS (
+      SELECT dow,
+        round(CAST(sum(CAST(detrended AS DECIMAL(18,6))) AS DOUBLE)
+          / count(detrended), 4) AS seasonal
+      FROM t2 WHERE detrended IS NOT NULL GROUP BY dow)
+    SELECT t2.day, t2.revenue, t2.trend, t2.dow, s.seasonal,
+      t2.detrended - s.seasonal AS residual
+    FROM t2 LEFT JOIN seas s USING (dow)
+    ORDER BY t2.day ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
+    Q("q_ts_decompose", tsDecompose, Some(tsDecomposeOracle)),
     Q("q_ts_downsample_ohlc", downsampleOhlc, Some(downsampleOhlcOracle)),
     Q("q_ts_interpolate", interpolate, Some(interpolateOracle)),
     Q("q_win_range_frame", rangeFrame, Some(rangeFrameOracle)),
