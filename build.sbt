@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // The default 240m JIT code cache fills partway through a 150+-query
+  // whole-suite run (every query compiles several whole-stage-codegen
+  // classes); once it churns, hot loops drop to interpreted speed and the
+  // LAST pack in declaration order reads 10-30x slow — measured round 9:
+  // q_text_keyword_tfidf 60s in-bench vs 2.0s fresh-JVM steady state.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" "))

@@ -56,6 +56,12 @@ object Bench {
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed ::= name; -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Live per-query line on stderr (stdout stays JSON-only): lets a log
+      // reader correlate a slow query with concurrent evidence (GC log,
+      // stack samples) by wall clock — the round-9 floating-window hunt
+      // needed exactly this and had to infer position from totals.
+      System.err.println(
+        f"[bench] ${java.time.Instant.now} $name%-32s $dt%8.3f")
       // Queries may cache intermediates (dedup shingles, minhash sets) —
       // drop them so storage never accumulates across the 142-query loop and
       // no query's time depends on what ran before it.

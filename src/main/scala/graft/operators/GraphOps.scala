@@ -380,10 +380,15 @@ object GraphOps extends QueryPack {
         $"e1.v" === $"e2.v" && $"e1.u" < $"e2.u")
       .select($"e1.u".as("a"), $"e2.u".as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+    // Explicit broadcast on every small side: the leaf is a checkpoint RDD
+    // scan with NO size statistics, so the planner otherwise sort-merge-
+    // joins — shuffling and sorting the multi-million-row candidate table
+    // three more times for |V|-row (deg) and |E|-row (edges) builds
+    // (measured: the SMJ form was the suite's slowest query at sf0.1).
     wedges
-      .join(edges, Seq("a", "b"), "left_anti")
-      .join(deg.select($"node".as("a"), $"deg".as("deg_a")), Seq("a"))
-      .join(deg.select($"node".as("b"), $"deg".as("deg_b")), Seq("b"))
+      .join(broadcast(edges), Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select($"node".as("a"), $"deg".as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select($"node".as("b"), $"deg".as("deg_b"))), Seq("b"))
       .select($"a", $"b", $"common", $"deg_a", $"deg_b",
         expr("(common * 1000000) div (deg_a + deg_b - common)")
           .as("jaccard_ppm"))

@@ -242,19 +242,22 @@ object LlmExtras extends QueryPack {
   private def simAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Catalog.load(spark, sfDir, "embeddings")
-    // Plane-b dot product as one codegen'd fold — the r8 shape posexploded
-    // 64 positions × 8 planes = 512 rows per vector through two hash
-    // aggregations before bucketing; all 8 dots are now a single projection
-    // on the scan, no fan-out, no shuffle. LCG plane weights in
-    // [-1000, 1000], pure integer arithmetic, identical to the oracle's.
-    def planeDot(b: Int): Column =
-      aggregate(
-        zip_with($"embedding",
-          transform(sequence(lit(0), size($"embedding") - 1),
-            pos => ((lit(1103515245L) * (lit(b.toLong) * 64 + pos) + 12345L) % 2001L - 1000L)
-              .cast("double")),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
+    // Plane-b dot product as the NATIVE codegen'd `graft_dot` against a
+    // LITERAL weight array. Two prior shapes both proved wrong: r8
+    // posexploded 64 positions × 8 planes = 512 rows per vector through two
+    // hash aggregations; the first r9 form folded with zip_with/aggregate —
+    // higher-order functions never enter whole-stage codegen, and their
+    // interpreted eval was stack-sampled at 95 s in the single scan task
+    // when the JIT hadn't warmed it ([[graft.plans.DotProductDouble]]).
+    // The plane weights are row-INVARIANT (LCG on b*64+pos, dim fixed at
+    // 64 for this op family), so they belong in a literal, not a per-row
+    // `transform(sequence(...))` rebuild. Same index-order double
+    // accumulation → identical dots, identical buckets.
+    def planeDot(b: Int): Column = {
+      val weights = (0 until 64).map(pos =>
+        ((1103515245L * (b.toLong * 64 + pos) + 12345L) % 2001L - 1000L).toDouble)
+      expr(s"graft_dot(embedding, array(${weights.mkString("D, ")}D))")
+    }
     // The sign test runs on the dot ROUNDED to 6dp on both engines: the dot
     // is a double sum whose summation order differs between Spark and
     // DuckDB, so a dot within ~1 ULP of zero could otherwise bucket
@@ -333,16 +336,16 @@ object LlmExtras extends QueryPack {
       .agg(array((0 until 64).map(i =>
         avg(element_at($"embedding", i + 1).cast("double"))): _*).as("centroid"))
     // Probe → nearest centroid by cosine (float probe x double centroid,
-    // composed double-precision fold mirrored in the oracle).
-    def dotFD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
+    // index-order double accumulation mirrored in the oracle) — the native
+    // codegen'd graft_dot, for the same interpreted-HOF reason as
+    // q_sim_ann_lsh's plane dots (values bit-identical to the fold).
+    def dotFD(a: Column, b: Column): Column = call_function("graft_dot", a, b)
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
     val assigned = probes.join(broadcast(centroids))
       .select($"probe_id", $"p_emb", $"label",
         round(dotFD($"p_emb", $"centroid")
-          / (sqrt(dotFD($"p_emb", transform($"p_emb", x => x.cast("double"))))
+          / (sqrt(dotFD($"p_emb", $"p_emb"))
              * sqrt(dotFD($"centroid", $"centroid"))), 4).as("cc"))
     val wAssign = Window.partitionBy($"probe_id")
       .orderBy($"cc".desc, $"label".asc)

@@ -85,5 +85,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
       (children: Seq[Expression]) => DotProductLong(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductDouble(children(0), children(1))))
   }
 }
