@@ -345,6 +345,28 @@ object Aggregations extends QueryPack {
       .orderBy($"event_type".asc_nulls_first)
   }
 
+  /** Mergeable Datasketches-HLL pipeline — capability only (sketch bytes
+    * are engine-specific). The point is the REAGGREGATION shape that makes
+    * distinct counting tractable at 100 TB: per-group binary sketches
+    * (map-side partial, constant size per group) that `hll_union_agg` can
+    * later merge across groups — the ALL row — without re-touching raw
+    * rows. approx_count_distinct answers one query; a stored sketch column
+    * answers every future rollup of it (added round 9).
+    */
+  private def aggSketchHll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perType = Catalog.load(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .cache()
+    val perTypeEst = perType.select($"event_type",
+      expr("hll_sketch_estimate(sk)").cast("long").as("est_users"))
+    val unionEst = perType
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e"))
+      .select(lit("ALL").as("event_type"), $"e".cast("long").as("est_users"))
+    perTypeEst.union(unionEst).orderBy($"event_type".asc_nulls_first)
+  }
+
   /** GK sketch — capability only. */
   private def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -516,6 +538,7 @@ object Aggregations extends QueryPack {
       FROM events GROUP BY event_type
       ORDER BY event_type ASC NULLS FIRST""")),
     Q("q_agg_approx_distinct", aggApproxDistinct, None),
+    Q("q_agg_sketch_hll", aggSketchHll, None),
     Q("q_agg_approx_percentile", aggApproxPercentile, None),
   )
 }

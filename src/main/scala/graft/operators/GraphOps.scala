@@ -417,6 +417,53 @@ object GraphOps extends QueryPack {
     ORDER BY jaccard_ppm DESC, c.a ASC NULLS FIRST, c.b ASC NULLS FIRST
     LIMIT 20"""
 
+  private val BfsHops = 6
+
+  /** Bounded-horizon BFS distances (added round 9): minimum hop count from
+    * the graph's minimum node id to every node reachable within
+    * [[BfsHops]] hops — the neighborhood-expansion primitive under
+    * friend-of-friend features and graph sampling. Pure integers; the
+    * horizon bound makes the oracle's recursive CTE finite.
+    *
+    * [[BfsHops]] join+union+min-aggregate rounds over the memoized edge
+    * leaf, each a hash shuffle on node id; the frontier table never exceeds
+    * |V| rows because every round re-aggregates to the per-node minimum.
+    * Each round's distance table is EAGERLY localCheckpoint-ed (the
+    * [[propagateMinLabels]] pattern, same justification): the round body
+    * references `dist` TWICE (union arm + expansion arm), so without the
+    * per-round leaf the logical plan doubles every hop — 2^6 copies of the
+    * base subtree by the horizon, re-executing the early rounds
+    * exponentially often. The oracle recurses with UNION (not ALL) —
+    * distinct (node, d) pairs — so the path-count explosion of a dense
+    * small-world graph (~deg^6 paths) never materializes on either side.
+    */
+  private def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    var dist = und.agg(min($"u").as("node")).select($"node", lit(0L).as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to BfsHops) {
+      val nxt = dist.as("x").join(und.as("e"), $"x.node" === $"e.u")
+        .select($"e.v".as("node"), ($"x.d" + 1).as("d"))
+      dist = dist.union(nxt).groupBy($"node").agg(min($"d").as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select($"node", $"d".as("dist"))
+      .orderBy($"node".asc_nulls_first)
+  }
+
+  private val graphBfsOracle = s"""
+    WITH RECURSIVE $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    r(node, d) AS (
+      SELECT (SELECT min(u) FROM und), 0
+      UNION
+      SELECT e.v, r.d + 1 FROM und e JOIN r ON e.u = r.node
+      WHERE r.d < $BfsHops)
+    SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r
+    GROUP BY node ORDER BY node ASC NULLS FIRST"""
+
   private val PrIters = 5
   private val PrScale = 1000000000L // rank 1.0 == 10^9
 
@@ -482,6 +529,7 @@ object GraphOps extends QueryPack {
     Q("q_graph_triangles", triangles, Some(trianglesOracle)),
     Q("q_graph_degree_hist", degreeHist, Some(degreeHistOracle)),
     Q("q_graph_common_neighbors", commonNeighbors, Some(commonNeighborsOracle)),
+    Q("q_graph_bfs", graphBfs, Some(graphBfsOracle)),
     Q("q_graph_pagerank", pagerank, Some(pagerankOracle)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
   )

@@ -205,8 +205,60 @@ object Marketing extends QueryPack {
     FROM s GROUP BY user_id, session_id
     ORDER BY user_id ASC NULLS FIRST, session_id ASC NULLS FIRST"""
 
+  /** CDC apply — compact a change stream to the final table state by
+    * last-writer-wins (added round 9): events act as the change log
+    * (signup = insert, view/click/purchase = update, error = delete),
+    * keyed by user; the latest operation per key decides survival, and
+    * deletes tombstone the key out. The log-compaction step every
+    * CDC-ingestion pipeline runs before serving a snapshot; q_merge_upsert
+    * is the two-table batch cousin. Order is total — (ts, event_id) with
+    * event_id unique — so "latest" is deterministic.
+    *
+    * Scale: one hash shuffle on the key for the window, no self-joins; at
+    * 100 TB this is the standard compaction shape (partition by key,
+    * keep rank-1), and the tombstone filter happens before any output
+    * materialization.
+    */
+  private def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val log = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"value",
+        when($"event_type" === "signup", "I")
+          .when($"event_type" === "error", "D")
+          .otherwise("U").as("op"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    log
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(
+        Window.partitionBy($"user_id")))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"user_id", $"op".as("final_op"), $"ts".as("last_ts"),
+        $"value".as("last_value"), $"n_changes")
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  private val cdcApplyOracle = """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN event_type = 'signup' THEN 'I'
+             WHEN event_type = 'error' THEN 'D'
+             ELSE 'U' END AS op
+      FROM events),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn,
+        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+      FROM log)
+    SELECT user_id, op AS final_op, ts AS last_ts,
+      value AS last_value, n_changes
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_session_stats", sessionStats, Some(sessionStatsOracle)),
+    Q("q_cdc_apply", cdcApply, Some(cdcApplyOracle)),
     Q("q_funnel_steps", funnelSteps, Some("""
       WITH v AS (
         SELECT user_id, min(ts) AS t_view FROM events
