@@ -425,30 +425,43 @@ object GraphOps extends QueryPack {
     * friend-of-friend features and graph sampling. Pure integers; the
     * horizon bound makes the oracle's recursive CTE finite.
     *
-    * [[BfsHops]] join+union+min-aggregate rounds over the memoized edge
-    * leaf, each a hash shuffle on node id; the frontier table never exceeds
-    * |V| rows because every round re-aggregates to the per-node minimum.
-    * Each round's distance table is EAGERLY localCheckpoint-ed (the
-    * [[propagateMinLabels]] pattern, same justification): the round body
-    * references `dist` TWICE (union arm + expansion arm), so without the
-    * per-round leaf the logical plan doubles every hop — 2^6 copies of the
-    * base subtree by the horizon, re-executing the early rounds
-    * exponentially often. The oracle recurses with UNION (not ALL) —
-    * distinct (node, d) pairs — so the path-count explosion of a dense
-    * small-world graph (~deg^6 paths) never materializes on either side.
+    * DELTA-FRONTIER rounds over the memoized edge leaf: only nodes FIRST
+    * reached in round k expand in round k+1 (any shorter path through an
+    * older node was already counted), so the join input per round is the
+    * new frontier, not the accumulated distance table — the standard BFS
+    * optimization (the accumulate-and-re-min formulation re-joined every
+    * reached node every round and sort-merge-sorted the full edge list per
+    * hop; measured 4.6-6.8 s steady at sf0.1 vs ~1.5 s for this shape).
+    * The frontier side is explicitly broadcast — it is the small side BY
+    * CONSTRUCTION for bounded-horizon BFS (a k-hop neighborhood), so each
+    * round is one BroadcastHashJoin SCAN of the edge leaf: the edges are
+    * never shuffled or sorted. If frontiers outgrow broadcast (graph-scale
+    * sources, no horizon), drop the hint and the same plan degrades to the
+    * shuffled equi-join. Each round's frontier is EAGERLY
+    * localCheckpoint-ed (the [[propagateMinLabels]] pattern): later rounds
+    * reference every prior frontier through the anti-join, so without per
+    * -round leaves the plan would re-embed the whole prefix each hop. The
+    * oracle recurses with UNION (not ALL) — distinct (node, d) pairs — so
+    * the path-count explosion of a dense small-world graph (~deg^6 paths)
+    * never materializes on either side.
     */
   private def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val und = coPurchaseUnd(spark, sfDir)
-    var dist = und.agg(min($"u").as("node")).select($"node", lit(0L).as("d"))
-      .localCheckpoint(true)
-    for (_ <- 1 to BfsHops) {
-      val nxt = dist.as("x").join(und.as("e"), $"x.node" === $"e.u")
-        .select($"e.v".as("node"), ($"x.d" + 1).as("d"))
-      dist = dist.union(nxt).groupBy($"node").agg(min($"d").as("d"))
+    var frontier = und.agg(min($"u").as("node"))
+      .select($"node", lit(0L).as("d")).localCheckpoint(true)
+    var levels = Vector(frontier)
+    for (k <- 1 to BfsHops) {
+      val seen = levels.map(_.select($"node")).reduce(_ union _)
+      frontier = broadcast(frontier.as("x"))
+        .join(und.as("e"), $"x.node" === $"e.u")
+        .select($"e.v".as("node")).distinct()
+        .join(broadcast(seen), Seq("node"), "left_anti")
+        .select($"node", lit(k.toLong).as("d"))
         .localCheckpoint(true)
+      levels :+= frontier
     }
-    dist.select($"node", $"d".as("dist"))
+    levels.reduce(_ union _).select($"node", $"d".as("dist"))
       .orderBy($"node".asc_nulls_first)
   }
 
