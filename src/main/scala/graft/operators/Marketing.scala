@@ -256,9 +256,93 @@ object Marketing extends QueryPack {
     FROM ranked WHERE rn = 1 AND op <> 'D'
     ORDER BY user_id ASC NULLS FIRST"""
 
+  /** Market-basket co-occurrence (added round 9): top-25 part pairs by
+    * the number of orders whose baskets contain both — the support table
+    * under association-rule mining and "bought together" recommendations.
+    *
+    * Scale: pair enumeration is an equi-join on the basket key, so the
+    * blow-up per basket is C(|basket|, 2) with |basket| bounded by lines
+    * per order (≤7 here) — output linear in baskets, NEVER a cross of the
+    * item catalog; the support aggregate is map-side combined and top-25
+    * is TakeOrderedAndProject (per-partition heads, no global sort).
+    */
+  private def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // Cached: the self-join references the distinct item table twice, and
+    // without the cache each side re-scans and re-aggregates lineitem.
+    val items = Catalog.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as("basket"), $"l_partkey".as("item")).distinct()
+      .cache()
+    items.as("a").join(items.as("b"), Seq("basket"))
+      .filter($"a.item" < $"b.item")
+      .groupBy($"a.item".as("part_a"), $"b.item".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc,
+        $"part_a".asc_nulls_first, $"part_b".asc_nulls_first)
+      .limit(25)
+  }
+
+  private val basketPairsOracle = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem)
+    SELECT a.item AS part_a, b.item AS part_b,
+      CAST(count(*) AS BIGINT) AS support
+    FROM items a JOIN items b USING (basket)
+    WHERE a.item < b.item
+    GROUP BY 1, 2
+    ORDER BY support DESC, part_a ASC NULLS FIRST, part_b ASC NULLS FIRST
+    LIMIT 25"""
+
+  /** Sequence-pattern detection over per-user event streams (added round
+    * 9) — the MATCH_RECOGNIZE-flavor primitive: each user's events in
+    * total (ts, event_id) order become a character sequence (initial of
+    * event_type: s/v/c/p/e), then regex machinery answers ordered-pattern
+    * questions the funnel's min-aggregates cannot (arbitrary gaps,
+    * repetition, contiguity): `has_funnel` = view then click then purchase
+    * with NO purchase in between (`v[^p]*c[^p]*p`), `n_vcp` = count of
+    * CONTIGUOUS view-click-purchase runs. Both regex dialects (Java, RE2)
+    * agree on literals and negated character classes; the contiguous count
+    * is non-overlapping left-to-right replace arithmetic on both engines.
+    *
+    * Scale: one hash shuffle on user_id; sequences are bounded by events
+    * per user (~100 here), built by `collect_list` + `array_sort` inside a
+    * two-phase aggregate — never a per-user window sort of the raw stream,
+    * and the regex work is a narrow map over |users| rows.
+    */
+  private def seqPattern(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seq = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        substring($"event_type", 1, 1).as("ch"))
+      .groupBy($"user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"ts", $"event_id", $"ch"))),
+        x => x("ch")), "").as("seq"))
+    seq.select($"user_id",
+        length($"seq").as("seq_len"),
+        $"seq".rlike("v[^p]*c[^p]*p").as("has_funnel"),
+        expr("CAST((length(seq) - length(regexp_replace(seq, 'vcp', ''))) div 3 AS BIGINT)")
+          .as("n_vcp"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  private val seqPatternOracle = """
+    WITH s AS (
+      SELECT user_id,
+        string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+          AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+      regexp_matches(seq, 'v[^p]*c[^p]*p') AS has_funnel,
+      CAST((length(seq) - length(regexp_replace(seq, 'vcp', '', 'g'))) // 3
+        AS BIGINT) AS n_vcp
+    FROM s ORDER BY user_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_session_stats", sessionStats, Some(sessionStatsOracle)),
     Q("q_cdc_apply", cdcApply, Some(cdcApplyOracle)),
+    Q("q_basket_pairs", basketPairs, Some(basketPairsOracle)),
+    Q("q_seq_pattern", seqPattern, Some(seqPatternOracle)),
     Q("q_funnel_steps", funnelSteps, Some("""
       WITH v AS (
         SELECT user_id, min(ts) AS t_view FROM events

@@ -167,7 +167,48 @@ object RelationalExtras extends QueryPack {
         AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
     ORDER BY p_partkey ASC NULLS FIRST"""
 
+  /** Blocked entity resolution (added round 9): candidate part pairs from
+    * BLOCKING on (p_brand, p_type), matched when the name edit distance is
+    * ≤ 4 — duplicate-listing detection, the record-linkage sibling of the
+    * document-dedup pipeline. Top-25 by (distance, keys) so the output is
+    * deterministic and bounded.
+    *
+    * Scale: blocking is THE never-all-pairs lever of entity resolution —
+    * candidates are in-block pairs only (Σ |block|² ≈ 180k at sf0.1 vs
+    * 400M unblocked), produced by an equi-join on the block key that hash
+    * -partitions like any join; a skewed block would salt exactly like
+    * q_join_skew_salted. The levenshtein filter runs inside the join
+    * stage, so non-matches die before any downstream exchange.
+    */
+  private def erBlocking(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Catalog.load(spark, sfDir, "part")
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type")
+    p.as("a").join(p.as("b"), Seq("p_brand", "p_type"))
+      .filter($"a.p_partkey" < $"b.p_partkey")
+      .select($"p_brand", $"p_type",
+        $"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
+        $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+        levenshtein($"a.p_name", $"b.p_name").as("lev"))
+      .filter($"lev" <= 4)
+      .orderBy($"lev".asc,
+        $"key_a".asc_nulls_first, $"key_b".asc_nulls_first)
+      .limit(25)
+  }
+
+  private val erBlockingOracle = """
+    SELECT a.p_brand, a.p_type, a.p_partkey AS key_a, b.p_partkey AS key_b,
+      a.p_name AS name_a, b.p_name AS name_b,
+      CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY lev ASC, key_a ASC NULLS FIRST, key_b ASC NULLS FIRST
+    LIMIT 25"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_er_blocking", erBlocking, Some(erBlockingOracle)),
     Q("q_join_bucketed", joinBucketed, Some(s"""
       SELECT o_orderpriority, count(*) AS n_items,
         ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -68,6 +68,72 @@ class Round9ExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("q_basket_pairs: supports recount exactly for the top pairs") {
+    val items = Catalog.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey".as("basket"), $"l_partkey".as("item"))
+      .distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = SparkEntry.queries("q_basket_pairs")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 25)
+    // Descending support, ordered pairs.
+    assert(got.sliding(2).forall(w => w(0)._3 >= w(1)._3))
+    assert(got.forall(p => p._1 < p._2))
+    // Exact support recount from the raw baskets for every returned pair.
+    got.foreach { case (a, b, s) =>
+      val n = items.values.count(set => set(a) && set(b))
+      assert(n.toLong == s, s"pair ($a,$b) support $s vs recount $n")
+    }
+  }
+
+  test("q_er_blocking: in-block pairs only, distance matches an independent DP") {
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val got = SparkEntry.queries("q_er_blocking")(spark, sf0001)
+      .as[(String, String, Long, Long, String, String, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.sliding(2).forall(w => w(0)._7 <= w(1)._7))
+    got.foreach { case (_, _, ka, kb, na, nb, l) =>
+      assert(ka < kb)
+      assert(l <= 4 && l == lev(na, nb), s"($ka,$kb): $l vs DP ${lev(na, nb)}")
+    }
+    // Block integrity: both members really share brand+type in the fixture.
+    val brands = Catalog.load(spark, sf0001, "part")
+      .select($"p_partkey", $"p_brand", $"p_type")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    got.foreach { case (brand, tpe, ka, kb, _, _, _) =>
+      assert(brands(ka) == ((brand, tpe)) && brands(kb) == ((brand, tpe)))
+    }
+  }
+
+  test("q_seq_pattern: flags and counts match a Scala regex recomputation") {
+    val raw = Catalog.load(spark, sf0001, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    // Full-resolution sort key: getTime alone is millis, but the fixture
+    // timestamps carry microseconds (seconds * 1e9 + nanos stays < 2^63).
+    val seqs = raw.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (e._2.getTime / 1000 * 1000000000L + e._2.getNanos, e._3))
+        .map(_._4.head).mkString).toMap
+    val got = SparkEntry.queries("q_seq_pattern")(spark, sf0001)
+      .as[(Long, Int, Boolean, Long)].collect().toSeq
+    assert(got.map(_._1).toSet == seqs.keySet)
+    got.foreach { case (u, len, funnel, nvcp) =>
+      val s = seqs(u)
+      assert(len == s.length)
+      assert(funnel == "v[^p]*c[^p]*p".r.findFirstIn(s).isDefined, s"user $u: $s")
+      assert(nvcp == "vcp".r.findAllIn(s).size.toLong, s"user $u: $s")
+    }
+  }
+
   test("q_agg_sketch_hll: estimates within 10% of exact distinct counts") {
     val exact = Catalog.load(spark, sf0001, "events")
       .groupBy($"event_type")
