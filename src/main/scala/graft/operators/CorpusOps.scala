@@ -194,9 +194,54 @@ object CorpusOps extends QueryPack {
     FROM d GROUP BY source
     ORDER BY source ASC NULLS FIRST"""
 
+  /** Curriculum quality binning (added round 9): the corpus sorted into 10
+    * exact equal-depth bins by the SHARED q_text_quality score
+    * ([[LlmExtras.qualityScore]] — one definition, gate and binning can
+    * never drift), with per-bin population, score range, and character
+    * mass — the table a curriculum or quality-threshold decision reads.
+    *
+    * Scale: the score is a narrow scan-side projection; the exact global
+    * decile assignment is [[graft.operators.DistributedRank.ntileExact]]
+    * (literal range boundaries + per-bucket rank + broadcast offsets — no
+    * single-partition window over the corpus); the ORACLE is the
+    * single-partition `ntile(10) OVER (ORDER BY …)` form, so the two
+    * formulations verify each other exactly like q_profile_histogram_eqdepth.
+    */
+  private def corpusQualityBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars",
+        LlmExtras.qualityScore($"text").as("quality"))
+    DistributedRank
+      .ntileExact(base, 10, "quality", ascending = true,
+        tieCol = "doc_id", out = "bin")
+      .groupBy($"bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"quality").as("q_lo"),
+        max($"quality").as("q_hi"),
+        sum($"n_chars").as("sum_chars"))
+      .orderBy($"bin".asc_nulls_first)
+  }
+
+  private val corpusQualityBinsSql = s"""
+    WITH t AS (
+      SELECT doc_id, n_chars, ${LlmExtras.qualityScoreSql} AS quality
+      FROM documents),
+    b AS (
+      SELECT n_chars, quality,
+        CAST(ntile(10) OVER (ORDER BY quality ASC, doc_id ASC) AS BIGINT)
+          AS bin
+      FROM t)
+    SELECT bin, count(*) AS n_docs, min(quality) AS q_lo,
+      max(quality) AS q_hi, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY bin
+    ORDER BY bin ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
     Q("q_text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("q_corpus_mix", corpusMix, Some(corpusMixSql)),
+    Q("q_corpus_quality_bins", corpusQualityBins, Some(corpusQualityBinsSql)),
   )
 }

@@ -103,8 +103,51 @@ object Governance extends QueryPack {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority ASC NULLS FIRST"""
 
+  /** Deterministic train/val/test split of the document corpus (added
+    * round 9): the Knuth multiplicative hash of doc_id buckets every
+    * document into 80/10/10 (thresholds are the exact integers
+    * floor(0.8·2³²) and floor(0.9·2³²)); output is the split audit —
+    * docs, characters, exact ppm share per split. The assignment every
+    * training pipeline needs to be STABLE: hash of the key, never rand()
+    * (reproducible across engines, runs, and task retries, and a document
+    * can never migrate between splits as the corpus grows).
+    *
+    * Scale: the split tag is pure scan-side arithmetic; one 3-row
+    * aggregate; the share join is a broadcast of a 1-row total.
+    */
+  private def splitTrainTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = ($"doc_id" * lit(2654435761L)) % lit(4294967296L)
+    val agg = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars",
+        when(h < 3435973836L, "train")
+          .when(h < 3865470566L, "val")
+          .otherwise("test").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .cache() // referenced twice: output spine + the 1-row total
+    agg.crossJoin(broadcast(agg.agg(sum($"n_docs").as("total"))))
+      .select($"split", $"n_docs", $"sum_chars",
+        expr("n_docs * 1000000 div total").as("share_ppm"))
+      .orderBy($"split".asc_nulls_first)
+  }
+
+  private val splitTrainTestOracle = """
+    WITH a AS (
+      SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                  THEN 'train'
+                  WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                  THEN 'val' ELSE 'test' END AS split,
+        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY 1)
+    SELECT split, n_docs, sum_chars,
+      CAST(n_docs * 1000000
+        // CAST((SELECT sum(n_docs) FROM a) AS BIGINT) AS BIGINT) AS share_ppm
+    FROM a ORDER BY split ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_pii_mask", piiMask, Some(piiMaskOracle)),
     Q("q_sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
+    Q("q_split_train_test", splitTrainTest, Some(splitTrainTestOracle)),
   )
 }

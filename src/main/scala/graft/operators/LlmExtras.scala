@@ -84,6 +84,24 @@ object LlmExtras extends QueryPack {
       FROM s ORDER BY doc_id ASC NULLS FIRST"""
   }
 
+  /** The composite quality score of q_text_quality, shared with the
+    * corpus-curation pack (q_corpus_quality_bins sorts the corpus by it) —
+    * one definition so the gate and the binning can never drift.
+    */
+  private[operators] def qualityScore(text: Column): Column = {
+    val nToks = size(split(normText(text), " ")).cast("long")
+    round(least(lit(1.0), nToks.cast("double") / 50)
+      * (lit(1.0) - length(regexp_replace(text, "[a-z0-9 ]", ""))
+          .cast("double") / length(text)), 4)
+  }
+
+  private[operators] val qualityScoreSql: String = {
+    val nToks = s"CAST(len(string_split($normTextSql, ' ')) AS BIGINT)"
+    val punct =
+      "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)"
+    s"round(least(1.0, CAST($nToks AS DOUBLE) / 50) * (1.0 - $punct), 4)"
+  }
+
   private def quality(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val norm = normText($"text")
@@ -101,9 +119,7 @@ object LlmExtras extends QueryPack {
         round(length(regexp_replace(norm, " ", "")).cast("double") / nToks, 4)
           .as("avg_tok_len"),
         round(nStop.cast("double") / nToks, 4).as("stop_ratio"),
-        round(least(lit(1.0), nToks.cast("double") / 50)
-          * (lit(1.0) - length(regexp_replace($"text", "[a-z0-9 ]", ""))
-              .cast("double") / length($"text")), 4).as("quality"))
+        qualityScore($"text").as("quality"))
       .orderBy($"doc_id".asc_nulls_first)
   }
 
@@ -121,7 +137,7 @@ object LlmExtras extends QueryPack {
         round($punct, 4) AS punct_ratio,
         round(CAST(length(replace($norm, ' ', '')) AS DOUBLE) / $nToks, 4) AS avg_tok_len,
         round(CAST($nStop AS DOUBLE) / $nToks, 4) AS stop_ratio,
-        round(least(1.0, CAST($nToks AS DOUBLE) / 50) * (1.0 - $punct), 4) AS quality
+        $qualityScoreSql AS quality
       FROM documents ORDER BY doc_id ASC NULLS FIRST"""
   }
 

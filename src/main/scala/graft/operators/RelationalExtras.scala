@@ -207,8 +207,42 @@ object RelationalExtras extends QueryPack {
     ORDER BY lev ASC, key_a ASC NULLS FIRST, key_b ASC NULLS FIRST
     LIMIT 25"""
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (added round 9):
+    * per nation the 2 highest-value orders — the SQL-surface form of
+    * top-k-per-group (q_win_topn_per_group is the DataFrame-window twin).
+    * The point is what Catalyst does with it: the lateral DECORRELATES to
+    * `WindowGroupLimit` (with a map-side partial pre-limit before the
+    * shuffle) + rank filter + join back — verified in the executed plan —
+    * so the inner query is NEVER re-executed per outer row, which is what
+    * makes the construct usable when the outer side is large.
+    */
+  private def joinLateralTopk(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      SELECT n.n_name, t.o_orderkey, t.o_totalprice
+      FROM parquet.`$sfDir/nation.parquet` n,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM parquet.`$sfDir/orders.parquet` o
+        JOIN parquet.`$sfDir/customer.parquet` c ON o_custkey = c_custkey
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+      ORDER BY n.n_name ASC NULLS FIRST, t.o_totalprice DESC,
+        t.o_orderkey ASC NULLS FIRST""")
+
+  private val joinLateralTopkOracle = """
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o JOIN customer c ON o_custkey = c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+    ORDER BY n.n_name ASC NULLS FIRST, t.o_totalprice DESC,
+      t.o_orderkey ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_er_blocking", erBlocking, Some(erBlockingOracle)),
+    Q("q_join_lateral_topk", joinLateralTopk, Some(joinLateralTopkOracle)),
     Q("q_join_bucketed", joinBucketed, Some(s"""
       SELECT o_orderpriority, count(*) AS n_items,
         ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -134,6 +134,55 @@ class Round9ExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("q_join_lateral_topk: matches the window top-k formulation") {
+    // Independent formulation: rank orders per nation with a window
+    // instead of the correlated LATERAL LIMIT.
+    import org.apache.spark.sql.expressions.Window
+    val o = Catalog.load(spark, sf0001, "orders")
+    val c = Catalog.load(spark, sf0001, "customer")
+    val n = Catalog.load(spark, sf0001, "nation")
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val expected = o.join(c, $"o_custkey" === $"c_custkey")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      .join(n, $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"o_orderkey", $"o_totalprice")
+      .orderBy($"n_name", $"o_totalprice".desc, $"o_orderkey")
+      .as[(String, Long, Double)].collect().toSeq
+    val got = SparkEntry.queries("q_join_lateral_topk")(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == expected)
+    assert(got.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
+  test("q_split_train_test: partitions the corpus, shares near 80/10/10") {
+    val total = Catalog.load(spark, sf0001, "documents").count()
+    val got = SparkEntry.queries("q_split_train_test")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got.values.map(_._2).sum == total, "splits must partition")
+    val trainShare = got("train")._4
+    assert(math.abs(trainShare - 800000L) < 100000L,
+      s"train share $trainShare ppm far from 800000")
+    // share_ppm is the exact integer division of the recounted docs.
+    got.values.foreach(r => assert(r._4 == r._2 * 1000000L / total))
+  }
+
+  test("q_corpus_quality_bins: bins partition the corpus with non-decreasing ranges") {
+    val total = Catalog.load(spark, sf0001, "documents").count()
+    val got = SparkEntry.queries("q_corpus_quality_bins")(spark, sf0001)
+      .as[(Long, Long, Double, Double, Long)].collect().toSeq
+    assert(got.map(_._1) == (1L to 10L))
+    assert(got.map(_._2).sum == total)
+    // Equal depth within 1 (ntile semantics).
+    assert(got.map(_._2).max - got.map(_._2).min <= 1)
+    // Score ranges are internally ordered and non-decreasing across bins
+    // (touching boundaries allowed: ties split by doc_id).
+    got.foreach(b => assert(b._3 <= b._4))
+    got.sliding(2).foreach(w => assert(w(0)._4 <= w(1)._3 + 1e-9))
+  }
+
   test("q_agg_sketch_hll: estimates within 10% of exact distinct counts") {
     val exact = Catalog.load(spark, sf0001, "events")
       .groupBy($"event_type")
