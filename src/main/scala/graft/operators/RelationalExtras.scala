@@ -240,9 +240,51 @@ object RelationalExtras extends QueryPack {
     ORDER BY n.n_name ASC NULLS FIRST, t.o_totalprice DESC,
       t.o_orderkey ASC NULLS FIRST"""
 
+  /** Recursive CTE hierarchy flatten (added round 9): every part walks UP
+    * a synthetic binary category tree (parent(k) = k div 2 — the fixtures
+    * ship no hierarchy table, so the key space stands in for one) to the
+    * root; output per-depth population and price mass. A TREE walk is the
+    * recursion whose UNION ALL is safe — one parent per node means paths
+    * are unique, so no row is ever produced twice (Spark's recursive CTE
+    * does not yet support UNION-distinct, which rules out dense-GRAPH
+    * reachability here; that lives in q_graph_bfs as delta-frontier
+    * iteration instead).
+    *
+    * Scale: Spark executes the recursion as `UnionLoop` — each round is a
+    * NARROW map (anc div 2, no join, no shuffle) over rows that shrink as
+    * ancestors reach the root; depth is log2(maxkey) rounds; the only
+    * exchanges are the two final aggregates.
+    */
+  private def sqlRecursiveCte(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH RECURSIVE walk(part, anc, d) AS (
+        SELECT p_partkey, p_partkey, 0 FROM parquet.`$sfDir/part.parquet`
+        UNION ALL
+        SELECT part, anc div 2, d + 1 FROM walk WHERE anc > 1),
+      pd AS (SELECT part, max(d) AS depth FROM walk GROUP BY part)
+      SELECT depth, count(*) AS n_parts,
+        CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+          AS price_mass
+      FROM pd JOIN parquet.`$sfDir/part.parquet` ON part = p_partkey
+      GROUP BY depth
+      ORDER BY depth ASC NULLS FIRST""")
+
+  private val sqlRecursiveCteOracle = s"""
+    WITH RECURSIVE walk(part, anc, d) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part
+      UNION ALL
+      SELECT part, anc // 2, d + 1 FROM walk WHERE anc > 1),
+    pd AS (SELECT part, CAST(max(d) AS INT) AS depth FROM walk GROUP BY part)
+    SELECT depth, count(*) AS n_parts,
+      ${graft.Oracle.dsum("p_retailprice")} AS price_mass
+    FROM pd JOIN part ON part = p_partkey
+    GROUP BY depth
+    ORDER BY depth ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_er_blocking", erBlocking, Some(erBlockingOracle)),
     Q("q_join_lateral_topk", joinLateralTopk, Some(joinLateralTopkOracle)),
+    Q("q_sql_recursive_cte", sqlRecursiveCte, Some(sqlRecursiveCteOracle)),
     Q("q_join_bucketed", joinBucketed, Some(s"""
       SELECT o_orderpriority, count(*) AS n_items,
         ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -183,6 +183,22 @@ class Round9ExtrasSpec extends SparkTestBase {
     got.sliding(2).foreach(w => assert(w(0)._4 <= w(1)._3 + 1e-9))
   }
 
+  test("q_sql_recursive_cte: depths match the closed form floor(log2(key))") {
+    // Walking k -> k div 2 -> ... takes exactly floor(log2(k)) steps for
+    // k >= 1 (and 0 steps for k <= 1: the anc > 1 guard never fires), so
+    // the recursion has an independent closed-form check.
+    val keys = Catalog.load(spark, sf0001, "part")
+      .select($"p_partkey").as[Long].collect()
+    val expected = keys.groupBy(k =>
+        if (k <= 1) 0 else 63 - java.lang.Long.numberOfLeadingZeros(k))
+      .view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q_sql_recursive_cte")(spark, sf0001)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(r => r._1.toLong -> r._2).toMap ==
+      expected.map { case (d, n) => d.toLong -> n })
+    assert(got.map(_._2).sum == keys.length.toLong)
+  }
+
   test("q_agg_sketch_hll: estimates within 10% of exact distinct counts") {
     val exact = Catalog.load(spark, sf0001, "events")
       .groupBy($"event_type")
