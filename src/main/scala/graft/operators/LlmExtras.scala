@@ -693,6 +693,64 @@ object LlmExtras extends QueryPack {
       SELECT rk, w1, w2, n_ab, lift_ppm FROM ranked WHERE rk <= 20
       ORDER BY rk ASC NULLS FIRST"""
 
+  /** Bigram language-model estimation (added round 9): for the corpus's 10
+    * most frequent prefix words, the top-3 continuations by conditional
+    * probability P(w2|w1) = count(w1 w2) / count(w1 ·) in exact ppm — the
+    * n-gram LM table (per-PREFIX normalization) where q_text_collocations
+    * ranks by corpus-wide lift. All integer arithmetic; `div` ↔ `//`.
+    *
+    * Scale: one bigram explode (shared shape with collocations) feeding two
+    * hash aggregates; the 10-row prefix dim broadcasts back onto the bigram
+    * counts, so the per-prefix top-3 window runs over the ~10-prefix slice,
+    * never the full vocabulary.
+    */
+  private def ngramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bi = Catalog.load(spark, sfDir, "documents")
+      .select(split($"text", " ").as("t"))
+      .select(explode(when(size($"t") >= 2,
+          transform(sequence(lit(0), size($"t") - 2),
+            i => struct(element_at($"t", i + 1).as("w1"),
+              element_at($"t", i + 2).as("w2"))))
+        .otherwise(array())).as("b"))
+      .select($"b.w1", $"b.w2")
+      .cache()
+    val uni = bi.groupBy($"w1").agg(count(lit(1)).as("n_w1"))
+    val topPrefix = uni
+      .orderBy($"n_w1".desc, $"w1".asc_nulls_first).limit(10)
+    val w = Window.partitionBy($"w1")
+      .orderBy($"n_ab".desc, $"w2".asc_nulls_first)
+    bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(topPrefix), Seq("w1"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"w1", $"n_w1", $"rk", $"w2", $"n_ab",
+        expr("(n_ab * 1000000) div n_w1").as("p_ppm"))
+      .orderBy($"w1".asc_nulls_first, $"rk".asc_nulls_first)
+  }
+
+  private val ngramLmSql = """
+      WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents),
+      bi AS (
+        SELECT t[i+1] AS w1, t[i+2] AS w2
+        FROM (SELECT t, unnest(range(len(t) - 1)) AS i FROM toks
+              WHERE len(t) >= 2)),
+      uni AS (SELECT w1, count(*) AS n_w1 FROM bi GROUP BY w1),
+      top_prefix AS (
+        SELECT w1, n_w1 FROM uni
+        ORDER BY n_w1 DESC, w1 ASC NULLS FIRST LIMIT 10),
+      nbi AS (SELECT w1, w2, count(*) AS n_ab FROM bi GROUP BY w1, w2),
+      ranked AS (
+        SELECT nbi.w1, n_w1, nbi.w2, n_ab,
+          CAST(row_number() OVER (PARTITION BY nbi.w1
+            ORDER BY n_ab DESC, w2 ASC NULLS FIRST) AS BIGINT) AS rk
+        FROM nbi JOIN top_prefix USING (w1))
+      SELECT w1, n_w1, rk, w2, n_ab,
+        (n_ab * 1000000) // n_w1 AS p_ppm
+      FROM ranked WHERE rk <= 3
+      ORDER BY w1 ASC NULLS FIRST, rk ASC NULLS FIRST"""
+
   /** BPE-style pre-tokenization count (the GPT-2 pre-tokenizer shape,
     * lookaheads removed — RE2/Java-portable): a token is an optional leading
     * space plus a run of letters, digits, or other non-space chars. The
@@ -752,6 +810,7 @@ object LlmExtras extends QueryPack {
     Q("q_multimodal_binary", multimodalBinary, Some(multimodalBinarySql)),
     Q("q_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("q_text_collocations", collocations, Some(collocationsSql)),
+    Q("q_text_ngram_lm", ngramLm, Some(ngramLmSql)),
     Q("q_corpus_clean", corpusClean, Some(corpusCleanSql)),
     Q("q_dedup_embedding_cosine", dedupEmbeddingCosine, Some(dedupEmbeddingCosineSql)),
   )

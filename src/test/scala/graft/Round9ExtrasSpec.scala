@@ -199,6 +199,25 @@ class Round9ExtrasSpec extends SparkTestBase {
     assert(got.map(_._2).sum == keys.length.toLong)
   }
 
+  test("q_text_ngram_lm: conditional probabilities recount from raw bigrams") {
+    val bigrams = Catalog.load(spark, sf0001, "documents")
+      .select($"text").as[String].collect()
+      .flatMap(t => { val w = t.split(" "); w.zip(w.drop(1)) })
+    val uni = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nbi = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q_text_ngram_lm")(spark, sf0001)
+      .as[(String, Long, Long, String, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.groupBy(_._1).values.forall(_.size <= 3))
+    // The 10 prefixes really are the most frequent ones.
+    val top10 = uni.toSeq.sortBy { case (w, n) => (-n, w) }.take(10).toMap
+    assert(got.map(_._1).toSet == top10.keySet)
+    got.foreach { case (w1, nW1, rk, w2, nAb, pPpm) =>
+      assert(nW1 == uni(w1) && nAb == nbi((w1, w2)))
+      assert(pPpm == nAb * 1000000L / nW1)
+      assert(rk >= 1 && rk <= 3)
+    }
+  }
+
   test("q_agg_sketch_hll: estimates within 10% of exact distinct counts") {
     val exact = Catalog.load(spark, sf0001, "events")
       .groupBy($"event_type")
