@@ -89,5 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductDouble(children(0), children(1))))
+    // Optimizer surface: banded edit-distance predicates (length guard +
+    // threshold DP) — see LevenshteinPruning's equivalence proof.
+    ext.injectOptimizerRule(_ => LevenshteinPruning)
   }
 }
