@@ -29,6 +29,15 @@ object Sessions {
       // where JVM and ICU mappings agree — and the DuckDB oracle's lower()
       // is the simple mapping, so parity actually improves.
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // Generated-class cache sized to the suite: the default 100 entries
+      // is below the ~164-query registry's unique-codegen-stage count, so
+      // full-suite runs thrash the cache — every eviction forces a janino
+      // recompile AND a reload through the synchronized
+      // ExecutorClassLoader/ByteArrayClassLoader chain; round-9 stack
+      // samples caught tasks RUNNABLE in findLoadedClass under a codegen'd
+      // aggregate with ~2s CPU over 114s elapsed (classloader lock convoy,
+      // not compute). Static conf — must be set at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // Split scans of the small fixture files: every graded table is ONE
       // parquet file (1-20 MB), so under the 128 MB default every scan
       // stage is a SINGLE task — scan-side work (decimal partial aggs,
