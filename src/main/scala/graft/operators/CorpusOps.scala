@@ -238,10 +238,62 @@ object CorpusOps extends QueryPack {
     FROM b GROUP BY bin
     ORDER BY bin ASC NULLS FIRST"""
 
+  /** Training-sequence packing (added round 9 close): the concat-and-chunk
+    * layout used to build pretraining batches — documents are concatenated
+    * in a deterministic global order (doc_id) and the token stream is cut
+    * into fixed `CtxLen`-token sequences; a document may straddle a cut.
+    * Output is the per-document placement map a loader consumes: stream
+    * offset, first/last sequence index, sequences spanned, and the offset
+    * within the first sequence.
+    *
+    * Scale: the only global-order step is the running token sum, computed
+    * with [[DistributedRank.cumsumExact]] (range buckets + per-bucket
+    * window + broadcast offsets) — the plan contains NO single-partition
+    * window; everything after the cumsum is per-row long arithmetic. The
+    * ORACLE is the single-partition `SUM ... OVER (ORDER BY doc_id ROWS
+    * UNBOUNDED PRECEDING)` form, so the distributed and naive formulations
+    * verify each other exactly (the q_corpus_quality_bins pattern).
+    */
+  private val CtxLen = 2048
+
+  private def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"))
+    DistributedRank.cumsumExact(base, "n_toks", "doc_id", "cum_toks")
+      .select($"doc_id", $"n_toks",
+        ($"cum_toks" - $"n_toks").as("start_off"),
+        expr(s"(cum_toks - n_toks) div $CtxLen").as("seq_first"),
+        expr(s"(cum_toks - 1) div $CtxLen").as("seq_last"),
+        expr(s"(cum_toks - 1) div $CtxLen - (cum_toks - n_toks) div $CtxLen + 1")
+          .as("n_seqs"),
+        expr(s"(cum_toks - n_toks) % $CtxLen").as("seq_offset"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val packSequencesSql = s"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_toks,
+        CAST(SUM(n_toks) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_toks
+      FROM t)
+    SELECT doc_id, n_toks, cum_toks - n_toks AS start_off,
+      (cum_toks - n_toks) // $CtxLen AS seq_first,
+      (cum_toks - 1) // $CtxLen AS seq_last,
+      (cum_toks - 1) // $CtxLen - (cum_toks - n_toks) // $CtxLen + 1 AS n_seqs,
+      (cum_toks - n_toks) % $CtxLen AS seq_offset
+    FROM c ORDER BY doc_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
     Q("q_text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("q_corpus_mix", corpusMix, Some(corpusMixSql)),
     Q("q_corpus_quality_bins", corpusQualityBins, Some(corpusQualityBinsSql)),
+    Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
   )
 }

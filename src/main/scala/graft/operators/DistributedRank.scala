@@ -99,6 +99,54 @@ object DistributedRank {
     joined.select((df.columns.toSeq ++ specs.map(_._1)).map(col): _*)
   }
 
+  /** Appends `out` = exact running sum of `valueCol` over the global
+    * ascending order of `orderCol` — SQL
+    * `SUM(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)` — without
+    * the single-partition window that form executes as.
+    *
+    * Same bucketed shape as [[ntileExact]]: literal range boundaries from
+    * one `approxQuantile` action, per-bucket running sums in a partitioned
+    * window, then per-bucket totals (a |buckets|-row table) turned into
+    * additive offsets and broadcast back. Exactness does not depend on
+    * boundary placement: every row lands in exactly one bucket, buckets
+    * respect the sort order, and addition is associative over the split.
+    *
+    * Contract: `orderCol` numeric, UNIQUE and non-null (it is a total
+    * order — ties across a bucket boundary would make the split order-
+    * dependent); `valueCol` a non-null integral type (the running sum stays
+    * in LONG arithmetic; ANSI mode faults overflow loudly).
+    */
+  def cumsumExact(df: DataFrame, valueCol: String, orderCol: String,
+                  out: String, buckets: Int = 32): DataFrame = {
+    val keep = df.columns.toSeq
+    val cached = df.cache()
+    // buckets=1 degrades to the naive single-partition form (approxQuantile
+    // NPEs on an empty probability array, so don't call it).
+    val bounds = if (buckets <= 1) Array.empty[Double]
+      else cached.stat.approxQuantile(orderCol, quantileProbs(buckets), 0.001)
+        .distinct
+    val o = col(orderCol).cast("double")
+    // Strict comparison as in withNtile: rows equal to a boundary all fall
+    // on one side; with a unique order key each bucket is a clean range.
+    val bucket = if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit(_)): _*), b => o > b))
+    val wLoc = Window.partitionBy(col("__bkt")).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = cached.withColumn("__bkt", bucket)
+      .withColumn("__run", sum(col(valueCol)).over(wLoc))
+    // |buckets| rows: the ordered-only window is over <= `buckets` rows.
+    val wB = Window.orderBy(col("__bkt"))
+    val offsets = local.groupBy(col("__bkt"))
+      .agg(sum(col(valueCol)).as("__tot"))
+      .withColumn("__off", coalesce(
+        sum(col("__tot")).over(wB.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(out, col("__off") + col("__run"))
+      .select((keep :+ out).map(col): _*)
+  }
+
   private def quantileProbs(buckets: Int): Array[Double] =
     (1 until buckets).map(_.toDouble / buckets).toArray
 

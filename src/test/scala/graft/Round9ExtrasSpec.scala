@@ -235,4 +235,40 @@ class Round9ExtrasSpec extends SparkTestBase {
         s"$k: estimate $est vs exact $n")
     }
   }
+
+  test("cumsumExact: equals the single-partition window across bucket splits") {
+    import org.apache.spark.sql.expressions.Window
+    // Values chosen so bucket boundaries land mid-stream; unique, unsorted
+    // order keys exercise the range bucketing.
+    val rows = (1L to 500L).map(i => ((i * 7919) % 1009, i % 13 + 1)) // (order, value)
+    val df = rows.toDF("k", "v")
+    val naive = df.withColumn("cs",
+      sum($"v").over(Window.orderBy($"k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"k", $"cs").as[(Long, Long)].collect().toMap
+    for (buckets <- Seq(1, 3, 8, 32)) {
+      val got = operators.DistributedRank.cumsumExact(df, "v", "k", "cs", buckets)
+        .select($"k", $"cs").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"buckets=$buckets")
+    }
+  }
+
+  test("q_pack_sequences: placements tile the token stream exactly") {
+    val got = SparkEntry.queries("q_pack_sequences")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    val C = 2048L
+    // Stream is contiguous: each doc starts where the previous ended.
+    got.foldLeft(0L) { case (expectedOff, (_, n, off, f, l, nSeq, sOff)) =>
+      assert(off == expectedOff)
+      assert(f == off / C && sOff == off % C)
+      assert(l == (off + n - 1) / C)
+      assert(nSeq == l - f + 1 && nSeq >= 1)
+      off + n
+    }
+    // Total stream length recounts from the raw table.
+    val total = Catalog.load(spark, sf0001, "documents")
+      .select(size(split($"text", " ")).cast("long")).as[Long].collect().sum
+    assert(got.map(_._2).sum == total)
+  }
 }
