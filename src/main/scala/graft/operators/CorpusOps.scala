@@ -289,11 +289,80 @@ object CorpusOps extends QueryPack {
       (cum_toks - n_toks) % $CtxLen AS seq_offset
     FROM c ORDER BY doc_id ASC NULLS FIRST"""
 
+  /** LM-likelihood quality gate (added round 9 close): the perplexity-style
+    * filter over the corpus's OWN bigram statistics — per document, the
+    * occurrence-weighted mean and minimum of P(w2|w1) in exact integer ppm
+    * (the q_text_ngram_lm probability representation), and the gate verdict
+    * for improbable-token-stream documents. The integer-ppm arithmetic
+    * keeps the score exact for the oracle where true log-perplexity would
+    * hit cross-engine float drift.
+    *
+    * Scale: ONE explode pass builds per-(doc, bigram) occurrence counts
+    * (cached — a real run persists this leaf to disk); corpus bigram and
+    * prefix tables are ROLLUPS of that leaf (sum of n_occ), never a second
+    * pass over the text; the probability join is equi-keyed on (w1, w2) /
+    * (w1), shuffle-bounded with map-side-combined aggregates either side.
+    */
+  private val LmLowLikPpm = 33000L
+
+  private def textLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(0), size($"t") - 2),
+        i => struct(element_at($"t", i + 1).as("w1"),
+          element_at($"t", i + 2).as("w2")))).as("b"))
+      .groupBy($"doc_id", $"b.w1", $"b.w2")
+      .agg(count(lit(1)).as("n_occ"))
+      .cache()
+    val nbi = perDoc.groupBy($"w1", $"w2").agg(sum($"n_occ").as("n_ab"))
+    val uni = nbi.groupBy($"w1").agg(sum($"n_ab").as("n_w1"))
+    val probs = nbi.join(uni, "w1")
+      .withColumn("p_ppm", expr("n_ab * 1000000 div n_w1"))
+    perDoc.join(probs, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"n_occ").as("n_bigrams"),
+        expr("sum(n_occ * p_ppm) div sum(n_occ)").as("avg_p_ppm"),
+        min($"p_ppm").as("min_p_ppm"))
+      .withColumn("flagged_lowlik", $"avg_p_ppm" < LmLowLikPpm)
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val textLmScoreSql = s"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bi AS (
+      SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+      FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM toks
+            WHERE len(t) >= 2)),
+    per_doc AS (
+      SELECT doc_id, w1, w2, count(*) AS n_occ FROM bi GROUP BY doc_id, w1, w2),
+    nbi AS (
+      SELECT w1, w2, CAST(sum(n_occ) AS BIGINT) AS n_ab
+      FROM per_doc GROUP BY w1, w2),
+    uni AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_w1 FROM nbi GROUP BY w1),
+    probs AS (
+      SELECT w1, w2, (n_ab * 1000000) // n_w1 AS p_ppm
+      FROM nbi JOIN uni USING (w1)),
+    scored AS (
+      SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+        CAST(CAST(sum(n_occ * p_ppm) AS BIGINT)
+          // CAST(sum(n_occ) AS BIGINT) AS BIGINT) AS avg_p_ppm,
+        min(p_ppm) AS min_p_ppm
+      FROM per_doc JOIN probs USING (w1, w2)
+      GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, avg_p_ppm, min_p_ppm,
+      avg_p_ppm < $LmLowLikPpm AS flagged_lowlik
+    FROM scored ORDER BY doc_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
     Q("q_text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("q_corpus_mix", corpusMix, Some(corpusMixSql)),
     Q("q_corpus_quality_bins", corpusQualityBins, Some(corpusQualityBinsSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
+    Q("q_text_lm_score", textLmScore, Some(textLmScoreSql)),
   )
 }

@@ -271,4 +271,25 @@ class Round9ExtrasSpec extends SparkTestBase {
       .select(size(split($"text", " ")).cast("long")).as[Long].collect().sum
     assert(got.map(_._2).sum == total)
   }
+
+  test("q_text_lm_score: integer-ppm scores match a full Scala recomputation") {
+    val texts = Catalog.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val docBi = texts.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> w.zip(w.tail)
+    }.filter(_._2.nonEmpty)
+    val nAb = docBi.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nW1 = nAb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val pPpm = nAb.map { case (k, n) => k -> n * 1000000L / nW1(k._1) }
+    val expected = docBi.map { case (id, bs) =>
+      val ps = bs.map(pPpm)
+      (id, bs.length.toLong, ps.sum / bs.length, ps.min)
+    }.sortBy(_._1).toSeq
+
+    val got = SparkEntry.queries("q_text_lm_score")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == expected)
+    assert(got.forall(r => r._5 == (r._3 < 33000L)))
+  }
 }
