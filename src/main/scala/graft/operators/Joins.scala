@@ -234,6 +234,38 @@ object Joins extends QueryPack {
       .orderBy($"s_nationkey".asc_nulls_first)
   }
 
+  /** Bloom-prefiltered dimension join (added round 9 close): the
+    * build-a-bloom-on-the-dim / prefilter-the-fact-scan pattern written as
+    * one declarative query, using Spark's own BloomFilterAggregate /
+    * BloomFilterMightContain (injected as `graft_bloom_agg` /
+    * `graft_might_contain` — see [[graft.plans.GraftExtensions]]). The
+    * bloom is built by an uncorrelated scalar subquery over the filtered
+    * dim (the shape MightContain's type check requires), so the fact scan
+    * drops ~non-matching rows BEFORE the join shuffle — at 100 TB that is
+    * the difference between shuffling the whole fact table and shuffling
+    * the selectivity-matched slice, the same effect Spark's runtime
+    * row-level filtering injects automatically when statistics justify it.
+    * Bloom false positives are eliminated by the exact join that follows,
+    * so the result is IDENTICAL to the plain join — which is exactly what
+    * the oracle checks (the q_join_skew_salted invariant pattern).
+    */
+  private def joinBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH dim AS (
+        SELECT o_orderkey FROM parquet.`$sfDir/orders.parquet`
+        WHERE o_orderpriority = '1-URGENT'),
+      fact AS (
+        SELECT l_orderkey, l_returnflag, l_quantity
+        FROM parquet.`$sfDir/lineitem.parquet`
+        WHERE graft_might_contain(
+          (SELECT graft_bloom_agg(xxhash64(o_orderkey)) FROM dim),
+          xxhash64(l_orderkey)))
+      SELECT l_returnflag, count(*) AS n_items,
+        ${Oracle.dsum("l_quantity")} AS sum_qty
+      FROM fact JOIN dim ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST""")
+
   /** UN-keyed interval join, banded: purchases paired with any OTHER
     * user's click within the following 5 minutes (one fixture day). With no
     * equi key, a naive plan is a nested-loop over the day's cross product —
@@ -287,6 +319,14 @@ object Joins extends QueryPack {
         ${Oracle.dsum("l_extendedprice")} AS revenue
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey ORDER BY s_nationkey ASC NULLS FIRST""")),
+    Q("q_join_bloom_prefilter", joinBloomPrefilter, Some(s"""
+      WITH dim AS (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT l_returnflag, count(*) AS n_items,
+        ${Oracle.dsum("l_quantity")} AS sum_qty
+      FROM lineitem JOIN dim ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag ASC NULLS FIRST""")),
     Q("q_join_broadcast_inner", joinBroadcastInner, Some(s"""
       SELECT p_brand, count(*) AS n_items,
         ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

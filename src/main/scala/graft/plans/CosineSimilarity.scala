@@ -89,6 +89,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductDouble(children(0), children(1))))
+    // Bloom semi-join surface: Spark ships BloomFilterAggregate /
+    // BloomFilterMightContain for its runtime row-level filtering but does
+    // not register them as SQL functions — injecting them makes the
+    // build-bloom-on-the-dim / prefilter-the-fact-scan pattern writable as
+    // a declarative query (q_join_bloom_prefilter). The analyzer wraps the
+    // returned AggregateFunction in an AggregateExpression itself, and
+    // MightContain's own type check enforces the constant-or-scalar-
+    // subquery contract on the bloom argument.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg(col[, estItems]) takes 1-2 args, got ${other.size}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
     // Optimizer surface: banded edit-distance predicates (length guard +
     // threshold DP) — see LevenshteinPruning's equivalence proof.
     ext.injectOptimizerRule(_ => LevenshteinPruning)

@@ -292,4 +292,24 @@ class Round9ExtrasSpec extends SparkTestBase {
     assert(got.map(r => (r._1, r._2, r._3, r._4)) == expected)
     assert(got.forall(r => r._5 == (r._3 < 33000L)))
   }
+
+  test("q_join_bloom_prefilter: equals the plain join, bloom sits before it") {
+    val df = SparkEntry.queries("q_join_bloom_prefilter")(spark, sf0001)
+    val got = df.as[(String, Long, Double)].collect().toSeq
+    // No-bloom formulation: the invariant the oracle also enforces — the
+    // prefilter may only drop rows the join would drop anyway.
+    val dim = Catalog.load(spark, sf0001, "orders")
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val plain = Catalog.load(spark, sf0001, "lineitem")
+      .join(dim, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"), Dsl.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == plain)
+    // The bloom probe is a Filter in the executed plan (i.e. it runs on the
+    // fact side before the join), not an artifact of analysis only.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan")
+  }
 }
