@@ -799,7 +799,46 @@ object LlmExtras extends QueryPack {
         THEN round(CAST(len(bpe) AS DOUBLE) / len(words), 4) END AS bpe_per_word
     FROM t ORDER BY doc_id ASC NULLS FIRST"""
 
+  /** Per-dimension embedding statistics (added round 9 close): the
+    * feature-normalization profile of the vector table — for every embedding
+    * dimension, population, mean (exact decimal sum over the float values,
+    * the shared davg convention), variance, and raw float min/max. The
+    * table a whitening / standardization step or an index-build sanity
+    * check reads.
+    *
+    * Scale: posexplode fans each vector into |dim| rows feeding ONE
+    * map-side-combined hash aggregate keyed by position — |dim| output
+    * rows, shuffle bounded by partials × dims, never by vectors. (The ANN
+    * queries' round-9 lesson — posexplode per PAIR is expensive — does not
+    * bite here: the fan-out feeds an aggregate, not a join.)
+    */
+  private def vecStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "embeddings")
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos".cast("long").as("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg($"x").as("mean_x"),
+        r4(var_samp($"x")).as("var_x"),
+        min($"x").as("min_x"),
+        max($"x").as("max_x"))
+      .orderBy($"pos".asc_nulls_first)
+  }
+
+  private val vecStatsSql = """
+    WITH u AS (
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        unnest(embedding) AS x
+      FROM embeddings)
+    SELECT pos, count(*) AS n,
+      round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), 4) AS mean_x,
+      round(var_samp(x), 4) AS var_x,
+      min(x) AS min_x, max(x) AS max_x
+    FROM u GROUP BY pos ORDER BY pos ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_vec_stats", vecStats, Some(vecStatsSql)),
     Q("q_text_token_bpe", tokenBpe, Some(tokenBpeSql)),
     Q("q_text_langid", langid, Some(langidSql)),
     Q("q_text_quality", quality, Some(qualitySql)),

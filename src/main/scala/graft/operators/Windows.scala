@@ -128,7 +128,47 @@ object Windows extends QueryPack {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** IGNORE NULLS window surface (added round 9 close): last-observation-
+    * carried-forward, previous non-null, and second non-null per user over a
+    * sparsified value column (clicks carry no value). The three ignore-nulls
+    * forms — `last`, `lag`, `nth_value` — are the sensor-fill idiom
+    * q_ts_gapfill uses on a bounded spine, here demonstrated per-key over
+    * the raw event stream (one shuffle on user_id, no spine). Values pass
+    * through unchanged — raw doubles are bit-comparable cross-engine.
+    */
+  private def winIgnoreNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Catalog.load(spark, sfDir, "events")
+      .withColumn("v",
+        when($"event_type" === "click", lit(null).cast("double"))
+          .otherwise($"value"))
+      .select($"event_id", $"user_id", $"ts", $"v",
+        last($"v", ignoreNulls = true).over(wRun).as("filled"),
+        lag($"v", 1, null, ignoreNulls = true).over(w).as("prev_nn"),
+        nth_value($"v", 2, ignoreNulls = true).over(wFull).as("second_nn"))
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_win_ignore_nulls", winIgnoreNulls, Some("""
+      WITH e AS (
+        SELECT event_id, user_id, ts,
+          CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        FROM events)
+      SELECT event_id, user_id, ts, v,
+        last_value(v IGNORE NULLS) OVER wrun AS filled,
+        lag(v, 1 IGNORE NULLS) OVER wrun AS prev_nn,
+        nth_value(v, 2 IGNORE NULLS) OVER wfull AS second_nn
+      FROM e
+      WINDOW
+        wrun AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wfull AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_id ASC NULLS FIRST""")),
     Q("q_win_ranking", winRanking, Some("""
       SELECT o_custkey, o_orderkey, o_totalprice,
         CAST(row_number() OVER w AS BIGINT) AS rn,

@@ -312,4 +312,51 @@ class Round9ExtrasSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"bloom probe missing from plan")
   }
+
+  test("q_win_ignore_nulls: matches a per-user Scala scan") {
+    val events = Catalog.load(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      .as[(Long, Long, java.sql.Timestamp, String, Double)].collect()
+    val expected = events.groupBy(_._2).flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._1))
+      val vs = sorted.map(e => if (e._4 == "click") None else Some(e._5))
+      val nonNulls = vs.flatten
+      val second = if (nonNulls.length >= 2) Some(nonNulls(1)) else None
+      sorted.indices.map { i =>
+        val upto = vs.take(i + 1).flatten
+        val before = vs.take(i).flatten
+        (sorted(i)._1, vs(i), upto.lastOption, before.lastOption, second)
+      }
+    }.toSeq.sortBy(_._1)
+
+    val got = SparkEntry.queries("q_win_ignore_nulls")(spark, sf0001)
+      .as[(Long, Long, java.sql.Timestamp, Option[Double], Option[Double],
+           Option[Double], Option[Double])]
+      .collect().toSeq.map(r => (r._1, r._4, r._5, r._6, r._7))
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("q_vec_stats: per-dimension stats match a Scala recomputation") {
+    val vecs = Catalog.load(spark, sf0001, "embeddings")
+      .select($"embedding").as[Array[Float]].collect()
+    val dims = vecs.head.length
+    val got = SparkEntry.queries("q_vec_stats")(spark, sf0001)
+      .as[(Long, Long, Double, Double, Float, Float)].collect()
+    assert(got.length == dims)
+    got.foreach { case (pos, n, mean, varX, minX, maxX) =>
+      val xs = vecs.map(_(pos.toInt))
+      assert(n == xs.length)
+      assert(minX == xs.min && maxX == xs.max)
+      // mean goes through the exact decimal-sum convention; recompute the
+      // same way (6-dp half-up per value, then 4-dp rounded mean).
+      val dec = xs.map(x => BigDecimal(x.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val expMean = (dec / xs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mean - expMean) < 1e-9, s"pos $pos mean $mean vs $expMean")
+      val m = xs.map(_.toDouble).sum / xs.length
+      val expVar = xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)
+      assert(math.abs(varX - expVar) < 1e-3, s"pos $pos var $varX vs $expVar")
+    }
+  }
 }
