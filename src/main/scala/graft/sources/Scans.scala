@@ -133,6 +133,29 @@ object Scans extends QueryPack {
       .orderBy($"r_regionkey".asc_nulls_first)
   }
 
+  /** Schema evolution on read (added round 9 close): two parquet
+    * generations of the supplier feed — v1 without `s_acctbal`, v2 with it
+    * — unioned by `mergeSchema=true` into one widened scan where v1 rows
+    * carry NULL for the late column. The additive-column lake migration
+    * every long-lived table goes through; the oracle reconstructs the same
+    * widening with a CASE over the original table. (Merge cost is
+    * footer-only — one schema per FILE is reconciled, no data rewrite; a
+    * production table keeps mergeSchema off and declares the evolved
+    * schema, paying the merge only while generations coexist.)
+    */
+  private def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = materializeOnce("supplier_evo", sfDir) { d =>
+      val s = Catalog.load(spark, sfDir, "supplier")
+      s.filter($"s_suppkey" % 2 === 0).select($"s_suppkey", $"s_name")
+        .write.mode("overwrite").parquet(s"$d/v1")
+      s.filter($"s_suppkey" % 2 === 1).select($"s_suppkey", $"s_name", $"s_acctbal")
+        .write.mode("overwrite").parquet(s"$d/v2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .orderBy($"s_suppkey".asc_nulls_first)
+  }
+
   /** Hive-style partitioned write + partition-pruned read: at 100 TB the
     * year filter prunes whole directories before any IO — the scan lists
     * only `o_year=1998/`. (The flat fixtures can't show pruning, so the
@@ -208,6 +231,10 @@ object Scans extends QueryPack {
       "SELECT * FROM supplier ORDER BY s_suppkey ASC NULLS FIRST")),
     Q("q_source_xml_roundtrip", xmlRoundtrip, Some(
       "SELECT * FROM region ORDER BY r_regionkey ASC NULLS FIRST")),
+    Q("q_source_schema_evolution", schemaEvolution, Some("""
+      SELECT s_suppkey, s_name,
+        CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
+      FROM supplier ORDER BY s_suppkey ASC NULLS FIRST""")),
     Q("q_source_partitioned_roundtrip", partitionedRoundtrip, Some("""
       SELECT o_orderkey, o_custkey, o_totalprice,
         CAST(year(o_orderdate) AS BIGINT) AS o_year

@@ -359,4 +359,15 @@ class Round9ExtrasSpec extends SparkTestBase {
       assert(math.abs(varX - expVar) < 1e-3, s"pos $pos var $varX vs $expVar")
     }
   }
+
+  test("q_source_schema_evolution: merged scan widens v1 rows with nulls") {
+    val df = SparkEntry.queries("q_source_schema_evolution")(spark, sf0001)
+    assert(df.columns.toSeq == Seq("s_suppkey", "s_name", "s_acctbal"))
+    val rows = df.as[(Long, String, Option[Double])].collect()
+    val supplier = Catalog.load(spark, sf0001, "supplier")
+    assert(rows.length == supplier.count())
+    // v1 generation (even keys) predates the column; v2 carries real values.
+    assert(rows.forall { case (k, _, bal) =>
+      if (k % 2 == 0) bal.isEmpty else bal.nonEmpty })
+  }
 }
