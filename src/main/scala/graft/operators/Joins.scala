@@ -234,6 +234,37 @@ object Joins extends QueryPack {
       .orderBy($"s_nationkey".asc_nulls_first)
   }
 
+  /** Nearest-event as-of join (added round 9 close): q_join_asof picks the
+    * latest event AT OR BEFORE each probe; this picks the event CLOSEST in
+    * time on either side — the sensor-alignment variant (join each probe to
+    * the reading nearest it, past or future). Same scale shape as the
+    * backward form: the equi key (user_id) carries the shuffle, candidates
+    * stay within a user's partition, and the per-(probe) winner is one
+    * row_number over (|Δt| asc, ts asc, event_id asc) — the deterministic
+    * tie-break making "equidistant before/after" reproducible.
+    */
+  private def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "events")
+    val probes = e.select($"user_id").distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-08").cast("timestamp"),
+        lit("2024-01-15").cast("timestamp"),
+        lit("2024-01-22").cast("timestamp"))))
+    val j = probes.alias("p")
+      .join(e.alias("ev"), col("p.user_id") === col("ev.user_id"))
+      .select(col("p.user_id"), col("p.probe_ts"),
+        col("ev.event_id"), col("ev.ts"),
+        abs(unix_micros(col("ev.ts")) - unix_micros(col("p.probe_ts")))
+          .as("dt_us"))
+    val w = Window.partitionBy($"user_id", $"probe_ts")
+      .orderBy($"dt_us".asc, $"ts".asc, $"event_id".asc)
+    j.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn")
+      .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
+  }
+
   /** Bloom-prefiltered dimension join (added round 9 close): the
     * build-a-bloom-on-the-dim / prefilter-the-fact-scan pattern written as
     * one declarative query, using Spark's own BloomFilterAggregate /
@@ -393,6 +424,20 @@ object Joins extends QueryPack {
         ON a.user_id = b.user_id
        AND a.ts < b.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
       ORDER BY e1 ASC NULLS FIRST, e2 ASC NULLS FIRST""")),
+    Q("q_join_asof_nearest", joinAsofNearest, Some("""
+      WITH probes AS (
+        SELECT DISTINCT user_id, p.probe_ts
+        FROM events, (VALUES (TIMESTAMP '2024-01-08'), (TIMESTAMP '2024-01-15'),
+                             (TIMESTAMP '2024-01-22')) p(probe_ts)),
+      j AS (
+        SELECT pr.user_id, pr.probe_ts, e.event_id, e.ts,
+          abs(epoch_us(e.ts) - epoch_us(pr.probe_ts)) AS dt_us,
+          row_number() OVER (PARTITION BY pr.user_id, pr.probe_ts
+            ORDER BY abs(epoch_us(e.ts) - epoch_us(pr.probe_ts)) ASC,
+                     e.ts ASC, e.event_id ASC) AS rn
+        FROM probes pr JOIN events e ON e.user_id = pr.user_id)
+      SELECT user_id, probe_ts, event_id, ts, dt_us FROM j WHERE rn = 1
+      ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST""")),
     Q("q_join_asof", joinAsof, Some("""
       WITH probes AS (
         SELECT DISTINCT user_id, p.probe_ts

@@ -393,7 +393,63 @@ object Profiling extends QueryPack {
     FROM t GROUP BY tile
     ORDER BY tile ASC NULLS FIRST"""
 
+  /** Column-entropy profile (added round 9 close): Shannon entropy in bits,
+    * distinct-value count and population for the low-cardinality categorical
+    * columns a profiler ranks by information content (uniformity check /
+    * key-candidate triage). Per column: one map-side-combined value-count
+    * aggregate (|values| rows out of the scan), then the |values|-row
+    * entropy fold over the bounded count table — the corpus is never
+    * shuffled, only counted. Counts stay exact longs; only the final
+    * p·log2(p) fold is double, rounded 4dp on both engines.
+    */
+  private def profileEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def colEntropy(table: String, column: String): DataFrame = {
+      val counts = Catalog.load(spark, sfDir, table)
+        .groupBy(col(column).as("v")).agg(count(lit(1)).as("n"))
+      // The unpartitioned total window runs over the BOUNDED |values| count
+      // table (a handful of rows), never the corpus.
+      val p = $"n".cast("double") / $"tot".cast("double")
+      counts.withColumn("tot", sum($"n").over())
+        .agg(
+          lit(s"$table.$column").as("column_name"),
+          count(lit(1)).as("n_distinct"),
+          sum($"n").as("n_rows"),
+          round(-sum(p * log2(p)), 4).as("entropy_bits"))
+    }
+    colEntropy("orders", "o_orderpriority")
+      .unionAll(colEntropy("customer", "c_mktsegment"))
+      .unionAll(colEntropy("lineitem", "l_returnflag"))
+      .orderBy($"column_name".asc_nulls_first)
+  }
+
+  private val profileEntropyOracle = """
+    WITH
+    c1 AS (SELECT o_orderpriority AS v, count(*) AS n FROM orders GROUP BY 1),
+    c2 AS (SELECT c_mktsegment AS v, count(*) AS n FROM customer GROUP BY 1),
+    c3 AS (SELECT l_returnflag AS v, count(*) AS n FROM lineitem GROUP BY 1),
+    e AS (
+      SELECT 'orders.o_orderpriority' AS column_name, count(*) AS n_distinct,
+        CAST(sum(n) AS BIGINT) AS n_rows,
+        round(-sum((CAST(n AS DOUBLE) / (SELECT sum(n) FROM c1))
+          * log2(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c1))), 4) AS entropy_bits
+      FROM c1
+      UNION ALL
+      SELECT 'customer.c_mktsegment', count(*),
+        CAST(sum(n) AS BIGINT),
+        round(-sum((CAST(n AS DOUBLE) / (SELECT sum(n) FROM c2))
+          * log2(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c2))), 4)
+      FROM c2
+      UNION ALL
+      SELECT 'lineitem.l_returnflag', count(*),
+        CAST(sum(n) AS BIGINT),
+        round(-sum((CAST(n AS DOUBLE) / (SELECT sum(n) FROM c3))
+          * log2(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c3))), 4)
+      FROM c3)
+    SELECT * FROM e ORDER BY column_name ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_profile_entropy", profileEntropy, Some(profileEntropyOracle)),
     Q("q_profile_summary", profileSummary, Some(profileSummaryOracle)),
     Q("q_profile_histogram_eqdepth", histogramEqdepth, Some(histogramEqdepthOracle)),
     Q("q_profile_histogram", histogram, Some(histogramOracle)),

@@ -291,6 +291,51 @@ object TimeSeries extends QueryPack {
     FROM z
     ORDER BY day ASC NULLS FIRST"""
 
+  /** Robust MAD outlier flags (added round 9 close): the median-based twin
+    * of q_ts_anomaly's trailing z-score — each day of the global daily
+    * revenue series scored against the FULL series' median via the median
+    * absolute deviation, flag at the standard 3σ-equivalent (3 × 1.4826 ×
+    * MAD, folded to the 4.4478 literal so both engines share one product
+    * shape). Robust scoring is what an alerting run uses when the series
+    * itself contains the outliers the mean/std would absorb.
+    *
+    * Scale: the series is the bounded |days| aggregate; both medians are
+    * interpolating exact percentiles over it (1-row plans broadcast back),
+    * so nothing data-sized crosses an exchange after the first aggregate.
+    * Both engines compute identical doubles: same daily rev (decimal-sum
+    * convention), same (a+b)/2 median interpolation, same product shapes.
+    */
+  private def outlierMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(dsum($"o_totalprice").as("rev"))
+    val med = daily.agg(expr("percentile(rev, 0.5D)").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .select($"day", $"rev", abs($"rev" - $"med").as("dev"))
+    val mad = dev.agg(expr("percentile(dev, 0.5D)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select($"day", $"rev",
+        round($"dev", 4).as("dev_r"),
+        round($"dev" / nullif(lit(1.4826) * $"mad", lit(0.0)), 4).as("robust_z"),
+        ($"dev" > lit(4.4478) * $"mad").as("is_outlier"))
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val outlierMadOracle = s"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             ${Oracle.dsum("o_totalprice")} AS rev
+      FROM orders GROUP BY 1),
+    m AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
+    d AS (
+      SELECT day, rev, abs(rev - (SELECT med FROM m)) AS dev FROM daily),
+    md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+    SELECT day, rev, round(dev, 4) AS dev_r,
+      round(dev / nullif(1.4826 * (SELECT mad FROM md), 0.0), 4) AS robust_z,
+      dev > 4.4478 * (SELECT mad FROM md) AS is_outlier
+    FROM d ORDER BY day ASC NULLS FIRST"""
+
   /** Rolling 7-day distinct active users (WAU) per day. Spark has no
     * `count(DISTINCT) OVER`, and a `collect_set` window would funnel a
     * data-sized (day × user) table through one ordered partition — instead
@@ -490,6 +535,7 @@ object TimeSeries extends QueryPack {
     Q("q_win_range_frame", rangeFrame, Some(rangeFrameOracle)),
     Q("q_ts_ewma", ewma, Some(ewmaOracle)),
     Q("q_ts_anomaly", anomaly, Some(anomalyOracle)),
+    Q("q_ts_outlier_mad", outlierMad, Some(outlierMadOracle)),
     Q("q_win_rolling_distinct", rollingDistinct, Some(rollingDistinctOracle)),
     Q("q_win_cumulative_distinct", cumulativeDistinct,
       Some(cumulativeDistinctOracle)),

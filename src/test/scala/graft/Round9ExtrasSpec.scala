@@ -360,6 +360,74 @@ class Round9ExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("q_profile_entropy: bits match a Scala recount; uniformity bounds hold") {
+    val got = SparkEntry.queries("q_profile_entropy")(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def recount(table: String, column: String): (Long, Long, Double) = {
+      val vs = Catalog.load(spark, sf0001, table)
+        .select(col(column).cast("string")).as[String].collect()
+      val counts = vs.groupBy(identity).map(_._2.length.toDouble)
+      val n = vs.length.toDouble
+      val h = -counts.map(c => c / n * (math.log(c / n) / math.log(2))).sum
+      (counts.size.toLong, vs.length.toLong,
+        BigDecimal(h).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    for ((t, c) <- Seq("orders" -> "o_orderpriority",
+                       "customer" -> "c_mktsegment",
+                       "lineitem" -> "l_returnflag")) {
+      val (nd, n, h) = recount(t, c)
+      val (_, gd, gn, gh) = got(s"$t.$c")
+      assert(gd == nd && gn == n)
+      assert(math.abs(gh - h) <= 1e-4, s"$t.$c entropy $gh vs $h")
+      // 0 <= H <= log2(distinct), with equality only for uniform columns.
+      assert(gh >= 0.0 && gh <= math.log(nd.toDouble) / math.log(2) + 1e-9)
+    }
+  }
+
+  test("q_ts_outlier_mad: median/MAD recompute; flags follow the threshold") {
+    val got = SparkEntry.queries("q_ts_outlier_mad")(spark, sf0001)
+      .as[(java.sql.Timestamp, Double, Double, Double, Boolean)].collect().toSeq
+    assert(got.nonEmpty)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val revs = got.map(_._2)
+    val m = median(revs)
+    val devs = revs.map(r => math.abs(r - m))
+    val mad = median(devs)
+    got.zip(devs).foreach { case ((_, _, devR, robustZ, flag), dev) =>
+      assert(math.abs(devR - dev) <= 5e-5)
+      assert(math.abs(robustZ - dev / (1.4826 * mad)) <= 5e-5)
+      assert(flag == dev > 4.4478 * mad)
+    }
+  }
+
+  test("q_join_asof_nearest: each probe picks the closest event either side") {
+    val events = Catalog.load(spark, sf0001, "events")
+      .select($"user_id", $"event_id", $"ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1)
+    val got = SparkEntry.queries("q_join_asof_nearest")(spark, sf0001)
+      .as[(Long, java.sql.Timestamp, Long, java.sql.Timestamp, Long)]
+      .collect().toSeq
+    assert(got.size == events.size * 3)
+    // Full microsecond resolution: getTime alone is millis but the fixture
+    // timestamps carry micros (same trick as the q_seq_pattern spec).
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    got.foreach { case (u, probe, eid, ts, dtUs) =>
+      val cands = events(u).map { case (_, id, t) =>
+        (math.abs(us(t) - us(probe)), us(t), id)
+      }.sorted
+      assert(cands.head._3 == eid, s"user $u probe $probe")
+      assert(dtUs == cands.head._1, s"user $u probe $probe dt")
+      assert(us(ts) == cands.head._2)
+    }
+  }
+
   test("q_source_schema_evolution: merged scan widens v1 rows with nulls") {
     val df = SparkEntry.queries("q_source_schema_evolution")(spark, sf0001)
     assert(df.columns.toSeq == Seq("s_suppkey", "s_name", "s_acctbal"))
