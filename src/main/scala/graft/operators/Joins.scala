@@ -234,6 +234,52 @@ object Joins extends QueryPack {
       .orderBy($"s_nationkey".asc_nulls_first)
   }
 
+  /** The custom-operator as-of join (added round 9 close): the SAME query
+    * as q_join_asof, executed by [[graft.plans.AsOfMergeJoinExec]] — the
+    * injected whole-operator merge join — instead of the composed
+    * theta-join + window. The composed form materializes every (probe,
+    * earlier-event) candidate pair before the window keeps one; the merge
+    * exec streams co-partitioned co-sorted children once and remembers a
+    * single row, so the intermediate disappears. Sharing q_join_asof's
+    * oracle makes the driver hash-verify the custom operator against
+    * DuckDB — and the spec additionally pins it row-for-row against the
+    * composed form at two scale factors.
+    */
+  /** Shared by q_join_asof (composed form) and q_join_asof_merge (custom
+    * operator): one oracle, two execution strategies.
+    */
+  private val asofOracle = """
+      WITH probes AS (
+        SELECT DISTINCT user_id, p.probe_ts
+        FROM events, (VALUES (TIMESTAMP '2024-01-08'), (TIMESTAMP '2024-01-15'),
+                             (TIMESTAMP '2024-01-22')) p(probe_ts)),
+      j AS (
+        SELECT pr.user_id, pr.probe_ts, e.event_id, e.ts,
+          row_number() OVER (PARTITION BY pr.user_id, pr.probe_ts
+                             ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM probes pr JOIN events e
+          ON e.user_id = pr.user_id AND e.ts <= pr.probe_ts)
+      SELECT user_id, probe_ts, event_id, ts FROM j WHERE rn = 1
+      ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST"""
+
+  private def joinAsofMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts")
+    val probes = e.select($"user_id").distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-08").cast("timestamp"),
+        lit("2024-01-15").cast("timestamp"),
+        lit("2024-01-22").cast("timestamp"))))
+    graft.plans.AsOfJoin.asof(probes, e,
+        leftKey = "user_id", leftTime = "probe_ts",
+        rightKey = "user_id", rightTime = "ts", rightTie = "event_id")
+      // Output = left ++ right with user_id twice; positional rename.
+      .toDF("user_id", "probe_ts", "r_user_id", "event_id", "ts")
+      .select($"user_id", $"probe_ts", $"event_id", $"ts")
+      .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
+  }
+
   /** Nearest-event as-of join (added round 9 close): q_join_asof picks the
     * latest event AT OR BEFORE each probe; this picks the event CLOSEST in
     * time on either side — the sensor-alignment variant (join each probe to
@@ -438,19 +484,8 @@ object Joins extends QueryPack {
         FROM probes pr JOIN events e ON e.user_id = pr.user_id)
       SELECT user_id, probe_ts, event_id, ts, dt_us FROM j WHERE rn = 1
       ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST""")),
-    Q("q_join_asof", joinAsof, Some("""
-      WITH probes AS (
-        SELECT DISTINCT user_id, p.probe_ts
-        FROM events, (VALUES (TIMESTAMP '2024-01-08'), (TIMESTAMP '2024-01-15'),
-                             (TIMESTAMP '2024-01-22')) p(probe_ts)),
-      j AS (
-        SELECT pr.user_id, pr.probe_ts, e.event_id, e.ts,
-          row_number() OVER (PARTITION BY pr.user_id, pr.probe_ts
-                             ORDER BY e.ts DESC, e.event_id DESC) AS rn
-        FROM probes pr JOIN events e
-          ON e.user_id = pr.user_id AND e.ts <= pr.probe_ts)
-      SELECT user_id, probe_ts, event_id, ts FROM j WHERE rn = 1
-      ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST""")),
+    Q("q_join_asof", joinAsof, Some(asofOracle)),
+    Q("q_join_asof_merge", joinAsofMerge, Some(asofOracle)),
     Q("q_join_self_interval", joinSelfInterval, Some("""
       SELECT event_id, user_id, ts,
         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts,

@@ -121,5 +121,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer surface: banded edit-distance predicates (length guard +
     // threshold DP) — see LevenshteinPruning's equivalence proof.
     ext.injectOptimizerRule(_ => LevenshteinPruning)
+    // Whole-operator surface: the as-of merge join (logical node +
+    // strategy + physical streaming merge — AsOfJoin.scala).
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
