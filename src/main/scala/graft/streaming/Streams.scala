@@ -112,7 +112,97 @@ object Streams extends QueryPack {
       .orderBy($"view_id".asc_nulls_first)
   }
 
+  private val customSessionRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The ONE graded query that executes a real Structured Streaming run
+    * (added round 9 close): the custom-state sessionizer
+    * ([[StatefulSessionizer]], flatMapGroupsWithState + EventTimeTimeout)
+    * over the events table replayed through the file source with
+    * `Trigger.AvailableNow`. Deterministic despite micro-batching because
+    * the graded value is the emitted session SET (order restored by the
+    * final sort), and the watermark cutoff is a pure function of the data:
+    * a user's non-final sessions are closed by their successor event
+    * (emitted regardless of watermark); the FINAL session of each user is
+    * emitted iff the end-of-stream watermark (max event time, ms-floored,
+    * minus the 1 s delay) strictly exceeds its horizon (end + 30 min).
+    * The oracle reproduces exactly that rule — including the millisecond
+    * truncation the state machine's `Timestamp.getTime` arithmetic
+    * implies — so the hash check pins real streaming semantics, watermark
+    * trimming included, against DuckDB.
+    */
+  private def customSession(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      // The fixture table is a single FILE; the file streaming source wants
+      // a DIRECTORY — stream a temp dir holding a symlink to it (a real
+      // deployment streams the landing directory itself).
+      .parquet {
+        val d = java.nio.file.Files.createTempDirectory("graft_cs_src_")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("events.parquet"),
+          java.nio.file.Path.of(sfDir, "events.parquet"))
+        d.toString
+      }
+      .select($"event_id", $"user_id",
+        expr("timestamp_micros(ts div 1000)").as("ts"))
+    val sessions = StatefulSessionizer.sessions(
+      src.withWatermark("ts", "1 second").as[SessEvent])
+    val sink = s"graft_custom_session_${customSessionRuns.incrementAndGet()}"
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cs_ck_").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select($"user_id", $"start".as("session_start"),
+        $"end".as("session_end"), $"n".as("n_events"))
+      .orderBy($"user_id".asc_nulls_first, $"session_start".asc_nulls_first)
+  }
+
+  /** The state machine works in Timestamp.getTime MILLIS: session bounds,
+    * gaps and the timeout horizon are all ms-floored, and the watermark is
+    * ms(max ts) - 1000. The oracle mirrors every truncation.
+    */
+  private val customSessionSql = """
+    WITH e AS (
+      SELECT user_id, event_id,
+        make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts
+      FROM events),
+    g AS (
+      SELECT user_id, event_id, ts,
+        epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+          (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_us
+      FROM e),
+    s AS (
+      SELECT user_id, ts,
+        CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1
+                      ELSE 0 END) OVER
+          (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_id
+      FROM g),
+    sess AS (
+      SELECT user_id, session_id,
+        min(ts) AS session_start, max(ts) AS session_end,
+        count(*) AS n_events
+      FROM s GROUP BY user_id, session_id),
+    flagged AS (
+      SELECT *,
+        session_id = max(session_id) OVER (PARTITION BY user_id) AS is_last
+      FROM sess)
+    SELECT user_id, session_start, session_end, n_events
+    FROM flagged
+    WHERE NOT is_last
+       OR (SELECT max(epoch_us(ts) // 1000) FROM e) - 1000
+          > epoch_us(session_end) // 1000 + 1800000
+    ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_stream_custom_session", customSession, Some(customSessionSql)),
     Q("q_stream_tumbling", tumbling, Some(s"""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         count(*) AS n, ${graft.Oracle.dsum("value")} AS sum_value
