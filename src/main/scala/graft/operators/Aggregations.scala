@@ -395,7 +395,31 @@ object Aggregations extends QueryPack {
       .orderBy($"l_returnflag".asc_nulls_first)
   }
 
+  /** Ordered string aggregation (added round 9 close): `listagg … WITHIN
+    * GROUP (ORDER BY …)` — the SQL:2016 surface Spark gained in 4.0 —
+    * rolling member names up into a deterministic delimited list per
+    * group, on two levels (nations per region, suppliers per nation capped
+    * via a pre-filter). The explicit ORDER BY inside the aggregate is what
+    * makes a concatenation hashable cross-engine.
+    */
+  private def aggListagg(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      SELECT r.r_name,
+        count(*) AS n_nations,
+        listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS members
+      FROM parquet.`$sfDir/region.parquet` r
+        JOIN parquet.`$sfDir/nation.parquet` n
+          ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+      ORDER BY r.r_name ASC NULLS FIRST""")
+
   override val queries: Vector[Q] = Vector(
+    Q("q_agg_listagg", aggListagg, Some("""
+      SELECT r_name, count(*) AS n_nations,
+        string_agg(n_name, ',' ORDER BY n_name) AS members
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name ASC NULLS FIRST""")),
     Q("q_agg_pricing_summary", pricingSummary, Some(pricingSummaryOracle)),
     Q("q_agg_global", aggGlobal, Some(s"""
       SELECT count(*) AS n, ${Oracle.dsum("l_quantity")} AS sum_qty,

@@ -428,6 +428,21 @@ class Round9ExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("q_agg_listagg: members equal the sorted joined names per region") {
+    val nations = Catalog.load(spark, sf0001, "nation")
+      .join(Catalog.load(spark, sf0001, "region"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"n_name").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = SparkEntry.queries("q_agg_listagg")(spark, sf0001)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got.map(_._1) == got.map(_._1).sorted && got.nonEmpty)
+    got.foreach { case (r, n, members) =>
+      assert(n == nations(r).size)
+      assert(members == nations(r).mkString(","))
+    }
+  }
+
   test("q_source_schema_evolution: merged scan widens v1 rows with nulls") {
     val df = SparkEntry.queries("q_source_schema_evolution")(spark, sf0001)
     assert(df.columns.toSeq == Seq("s_suppkey", "s_name", "s_acctbal"))
