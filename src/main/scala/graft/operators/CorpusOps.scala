@@ -159,9 +159,13 @@ object CorpusOps extends QueryPack {
         least(lit(1.0), $"tok_target".cast("double") / $"tok_total")
           .as("rate"))
     docs.join(broadcast(rates), Seq("source"))
+      // 31-bit mask before the multiply: keeps the product within int64
+      // for any bigint doc_id (Spark wraps, DuckDB raises — the mask makes
+      // both engines compute the same exact value; Governance.scala has the
+      // full overflow note).
       .withColumn("kept",
-        ($"doc_id" * lit(2654435761L)) % lit(4294967296L)
-          < $"rate" * lit(4294967296.0))
+        ($"doc_id".bitwiseAND(lit(2147483647L)) * lit(2654435761L)) %
+          lit(4294967296L) < $"rate" * lit(4294967296.0))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -185,7 +189,7 @@ object CorpusOps extends QueryPack {
       FROM totals),
     d AS (
       SELECT docs.*, rates.tok_total, rates.rate,
-        ((doc_id * 2654435761) % 4294967296) < rate * 4294967296.0 AS kept
+        (((doc_id & 2147483647) * 2654435761) % 4294967296) < rate * 4294967296.0 AS kept
       FROM docs JOIN rates USING (source))
     SELECT source, count(*) AS n_docs, max(tok_total) AS tok_total,
       round(max(rate), 4) AS rate,

@@ -64,6 +64,13 @@ object Governance extends QueryPack {
   /** Deterministic stratified sample of orders with per-stratum rates
     * (URGENT 20%, HIGH 10%, rest 5%) via the Knuth multiplicative hash on
     * the row key; output is the per-stratum sampling audit.
+    *
+    * The key is masked to its low 31 bits before the multiply: the product
+    * then tops out at 2³¹·K ≈ 5.7e18 < Long.MaxValue, so the arithmetic is
+    * exact-and-identical in Spark (which would silently wrap) and DuckDB
+    * (which would raise) for ANY bigint key — without the mask, keys above
+    * ~3.47e9 (reached by TPC-H orderkeys near sf600) wrap negative in Spark
+    * and every such row lands in-sample, silently diverging cross-engine.
     */
   private def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -71,7 +78,8 @@ object Governance extends QueryPack {
       .when($"o_orderpriority" === "2-HIGH", lit(429496730L))
       .otherwise(lit(214748365L))
     val inSample =
-      ($"o_orderkey" * lit(2654435761L)) % lit(4294967296L) < threshold
+      ($"o_orderkey".bitwiseAND(lit(2147483647L)) * lit(2654435761L)) %
+        lit(4294967296L) < threshold
     Catalog.load(spark, sfDir, "orders")
       .withColumn("in_sample", inSample)
       .groupBy($"o_orderpriority")
@@ -88,7 +96,7 @@ object Governance extends QueryPack {
   private val sampleStratifiedOracle = s"""
     WITH s AS (
       SELECT o_orderpriority, o_totalprice,
-        ((o_orderkey * 2654435761) % 4294967296) <
+        (((o_orderkey & 2147483647) * 2654435761) % 4294967296) <
           (CASE o_orderpriority WHEN '1-URGENT' THEN 858993459
                                 WHEN '2-HIGH' THEN 429496730
                                 ELSE 214748365 END) AS in_sample
@@ -104,8 +112,10 @@ object Governance extends QueryPack {
     ORDER BY o_orderpriority ASC NULLS FIRST"""
 
   /** Deterministic train/val/test split of the document corpus (added
-    * round 9): the Knuth multiplicative hash of doc_id buckets every
-    * document into 80/10/10 (thresholds are the exact integers
+    * round 9): the Knuth multiplicative hash of doc_id (masked to 31 bits
+    * so the product stays within int64 for any key — see
+    * [[sampleStratified]]'s overflow note) buckets every document into
+    * 80/10/10 (thresholds are the exact integers
     * floor(0.8·2³²) and floor(0.9·2³²)); output is the split audit —
     * docs, characters, exact ppm share per split. The assignment every
     * training pipeline needs to be STABLE: hash of the key, never rand()
@@ -117,7 +127,8 @@ object Governance extends QueryPack {
     */
   private def splitTrainTest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val h = ($"doc_id" * lit(2654435761L)) % lit(4294967296L)
+    val h = ($"doc_id".bitwiseAND(lit(2147483647L)) * lit(2654435761L)) %
+      lit(4294967296L)
     val agg = Catalog.load(spark, sfDir, "documents")
       .select($"doc_id", $"n_chars",
         when(h < 3435973836L, "train")
@@ -134,9 +145,9 @@ object Governance extends QueryPack {
 
   private val splitTrainTestOracle = """
     WITH a AS (
-      SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+      SELECT CASE WHEN ((doc_id & 2147483647) * 2654435761) % 4294967296 < 3435973836
                   THEN 'train'
-                  WHEN (doc_id * 2654435761) % 4294967296 < 3865470566
+                  WHEN ((doc_id & 2147483647) * 2654435761) % 4294967296 < 3865470566
                   THEN 'val' ELSE 'test' END AS split,
         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY 1)

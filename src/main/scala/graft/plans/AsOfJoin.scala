@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Whole-operator as-of join — the (c)-tier custom operator of the build
   * brief: a logical node, an injected planner strategy, and a physical
@@ -36,6 +37,20 @@ case class AsOfJoinPlan(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     rightTie: Expression) extends BinaryNode {
+
+  // The merge exec compares keys/times as raw longs (timestamp's internal
+  // form IS micros-as-long); anything narrower would ClassCastException
+  // mid-task. Enforce the documented 64-bit contract at plan construction
+  // so misuse fails at planning, not in an executor.
+  Seq("leftKey" -> leftKey, "rightKey" -> rightKey, "leftTime" -> leftTime,
+      "rightTime" -> rightTime, "rightTie" -> rightTie).foreach {
+    case (role, e) if e.resolved =>
+      require(e.dataType == LongType || e.dataType == TimestampType,
+        s"as-of join $role must be bigint or timestamp (64-bit comparable), " +
+          s"got ${e.dataType.simpleString}")
+    case _ => ()
+  }
+
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =

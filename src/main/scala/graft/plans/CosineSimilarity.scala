@@ -19,9 +19,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Accumulation order matches the composed version exactly (index order,
   * double precision), so swapping implementations cannot change results.
+  * That includes null ELEMENTS: the composed folds yield NULL when any
+  * zipped element is null, so this loop propagates NULL identically; the
+  * per-element check is only emitted when containsNull says it can occur.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -40,9 +49,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elemNullable
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xd = x.getFloat(i).toDouble
       val yd = y.getFloat(i).toDouble
       dot += xd * yd; na += xd * xd; nb += yd * yd
@@ -56,6 +67,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       double ${ev.value}_dot = 0.0, ${ev.value}_na = 0.0, ${ev.value}_nb = 0.0;
       int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
       for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+        ${if (elemNullable)
+          s"if ($a.isNullAt(${ev.value}_i) || $b.isNullAt(${ev.value}_i)) { ${ev.isNull} = true; break; }"
+        else ""}
         double xd = (double) $a.getFloat(${ev.value}_i);
         double yd = (double) $b.getFloat(${ev.value}_i);
         ${ev.value}_dot += xd * yd;

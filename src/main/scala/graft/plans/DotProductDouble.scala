@@ -20,10 +20,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Accumulation is index order in double precision — bit-identical to the
   * composed form it replaces, so bucket assignments (sign tests on the
-  * rounded dot) cannot change.
+  * rounded dot) cannot change. That contract includes null ELEMENTS: the
+  * composed `zip_with` + `aggregate` yields NULL when any zipped element is
+  * null, so this loop propagates NULL the same way. The per-element check
+  * is emitted only when the input type's containsNull says it can happen —
+  * the non-nullable fast path is branch-free.
   */
 case class DotProductDouble(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  override def nullable: Boolean = super.nullable || elemNullable
 
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -50,9 +60,11 @@ case class DotProductDouble(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elemNullable
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xd = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yd = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xd * yd
@@ -64,15 +76,22 @@ case class DotProductDouble(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (isFloat(left)) "getFloat" else "getDouble"
     val rGet = if (isFloat(right)) "getFloat" else "getDouble"
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullCheck = if (elemNullable)
+        s"""if ($a.isNullAt(${ev.value}_i) || $b.isNullAt(${ev.value}_i)) {
+           |  ${ev.isNull} = true; break;
+           |}""".stripMargin
+      else ""
+      s"""
       double ${ev.value}_dot = 0.0;
       int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
       for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+        $nullCheck
         ${ev.value}_dot += (double) $a.$lGet(${ev.value}_i)
           * (double) $b.$rGet(${ev.value}_i);
       }
       ${ev.value} = ${ev.value}_dot;
-    """)
+    """})
   }
 
   override protected def withNewChildrenInternal(

@@ -19,10 +19,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Integer addition is associative, so unlike the float cosine there is no
   * accumulation-order caveat: results are exactly those of the composed
-  * form on any evaluation order.
+  * form on any evaluation order. Null ELEMENTS propagate NULL exactly like
+  * the composed fold; the check is only emitted when containsNull is set.
   */
 case class DotProductLong(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -41,9 +48,11 @@ case class DotProductLong(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elemNullable
     var dot = 0L
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       dot += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -55,6 +64,9 @@ case class DotProductLong(left: Expression, right: Expression)
       long ${ev.value}_dot = 0L;
       int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
       for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
+        ${if (elemNullable)
+          s"if ($a.isNullAt(${ev.value}_i) || $b.isNullAt(${ev.value}_i)) { ${ev.isNull} = true; break; }"
+        else ""}
         ${ev.value}_dot += $a.getLong(${ev.value}_i) * $b.getLong(${ev.value}_i);
       }
       ${ev.value} = ${ev.value}_dot;

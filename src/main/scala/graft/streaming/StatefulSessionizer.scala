@@ -54,7 +54,12 @@ object StatefulSessionizer extends Serializable {
         val t = e.ts.getTime
         cur = cur match {
           case Some(s) if t - s.end < GapMs =>
-            Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+            // min() on start makes the fold order-insensitive within a
+            // session: a late event delivered in a later micro-batch with
+            // t < s.start (legal inside the watermark delay) must extend the
+            // session backwards, exactly as the batch oracle's global sort
+            // would have placed it.
+            Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1))
           case Some(s) =>
             closed += SessionOut(user,
               new Timestamp(s.start), new Timestamp(s.end), s.n)

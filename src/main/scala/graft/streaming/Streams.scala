@@ -130,21 +130,31 @@ object Streams extends QueryPack {
     * implies — so the hash check pins real streaming semantics, watermark
     * trimming included, against DuckDB.
     */
+  /** Deletes a scratch dir tree (walk doesn't follow symlinks, so the
+    * fixture parquet a source dir links to is never touched).
+    */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
   private def customSession(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // The fixture table is a single FILE; the file streaming source wants
+    // a DIRECTORY — stream a temp dir holding a symlink to it (a real
+    // deployment streams the landing directory itself).
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cs_src_")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Path.of(sfDir, "events.parquet"))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cs_ck_")
     val src = spark.readStream
       .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
-      // The fixture table is a single FILE; the file streaming source wants
-      // a DIRECTORY — stream a temp dir holding a symlink to it (a real
-      // deployment streams the landing directory itself).
-      .parquet {
-        val d = java.nio.file.Files.createTempDirectory("graft_cs_src_")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve("events.parquet"),
-          java.nio.file.Path.of(sfDir, "events.parquet"))
-        d.toString
-      }
+      .parquet(srcDir.toString)
       .select($"event_id", $"user_id",
         expr("timestamp_micros(ts div 1000)").as("ts"))
     val sessions = StatefulSessionizer.sessions(
@@ -153,14 +163,22 @@ object Streams extends QueryPack {
     val q = sessions.writeStream.format("memory").queryName(sink)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_cs_ck_").toString)
+      .option("checkpointLocation", ckDir.toString)
       .start()
     q.awaitTermination()
-    spark.table(sink)
+    val out = spark.table(sink)
       .select($"user_id", $"start".as("session_start"),
         $"end".as("session_end"), $"n".as("n_events"))
       .orderBy($"user_id".asc_nulls_first, $"session_start".asc_nulls_first)
+    // Dataset construction analyzed `out` eagerly, so its plan pins the
+    // memory sink's rows directly — the catalog entry and scratch dirs are
+    // droppable NOW, and repeated bench rounds in one JVM no longer
+    // accumulate sink tables or temp trees (the rows themselves become
+    // GC-able with the returned DataFrame).
+    spark.catalog.dropTempView(sink)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    out
   }
 
   /** The state machine works in Timestamp.getTime MILLIS: session bounds,

@@ -55,4 +55,16 @@ class AsOfMergeJoinSpec extends SparkTestBase {
       (1L, t("2024-01-01 11:59:59"), 11L),
       (1L, t("2024-01-01 13:00:00"), 12L)))
   }
+
+  test("non-64-bit key/time columns fail at planning, not mid-task") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1, t("2024-01-01 10:00:00")))
+      .toDF("user_id", "probe_ts") // user_id is INT, not BIGINT
+    val right = Seq((1L, 10L, t("2024-01-01 09:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, "user_id", "probe_ts", "user_id", "ts", "event_id")
+    }
+    assert(e.getMessage.contains("bigint or timestamp"), e.getMessage)
+  }
 }

@@ -36,6 +36,35 @@ class CosineExpressionSpec extends SparkTestBase {
     assert(df.select(expr("graft_cosine(a, b)")).head().isNullAt(0))
   }
 
+  test("null ELEMENTS propagate null, matching the composed fold") {
+    // The composed zip_with/aggregate yields NULL when any zipped element
+    // is null; the native expressions must agree (ADVICE round 9).
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](4.0f, 5.0f)))
+      .toDF("id", "a", "b")
+    val r = df.select($"id",
+      expr("graft_cosine(a, b)").as("nat_cos"),
+      hofCosine($"a", $"b").as("hof_cos"),
+      expr("graft_dot(a, b)").as("nat_dot"),
+      aggregate(zip_with($"a", $"b", (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof_dot"))
+      .orderBy($"id").collect()
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2) && r(0).isNullAt(3) && r(0).isNullAt(4))
+    assert(!r(1).isNullAt(1) && r(1).getDouble(3) == 14.0)
+
+    val dfl = Seq(
+      (1L, Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](1L, 2L, 3L)),
+      (2L, Array[java.lang.Long](2L, 3L), Array[java.lang.Long](4L, 5L)))
+      .toDF("id", "a", "b")
+    val rl = dfl.select($"id", expr("graft_dot_long(a, b)").as("nat"),
+        aggregate(zip_with($"a", $"b", (p, q) => p * q),
+          lit(0L), (acc, v) => acc + v).as("hof"))
+      .orderBy($"id").collect()
+    assert(rl(0).isNullAt(1) && rl(0).isNullAt(2))
+    assert(rl(1).getLong(1) == 23L && rl(1).getLong(2) == 23L)
+  }
+
   test("identical vectors give cosine 1.0") {
     val df = Seq(Array(0.3f, -0.7f, 0.2f)).toDF("v")
     val c = df.select(expr("graft_cosine(v, v)")).as[Double].head()

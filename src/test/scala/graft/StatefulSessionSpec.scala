@@ -89,4 +89,27 @@ class StatefulSessionSpec extends SparkTestBase {
     // u3 {08:20-08:49:59 ×2}.
     assert(got.size == 5)
   }
+
+  test("late out-of-order event within the watermark extends session START") {
+    // Cross-batch order-insensitivity (ADVICE round 9): an event older than
+    // the stored session start — legal inside the watermark delay — must
+    // move session_start backwards, exactly as the batch oracle's global
+    // sort would have placed it.
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.TestGroupState
+    val state = TestGroupState.create[graft.streaming.SessionState](
+      Optional.of(graft.streaming.SessionState(
+        ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:05:00").getTime, 2)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.of(0L),
+      hasTimedOut = false)
+    val out = StatefulSessionizer.fold(7L,
+      Iterator(SessEvent(99, 7, ts("2024-01-01 09:59:30"))), state).toList
+    assert(out.isEmpty) // merged, nothing closed
+    val s = state.get
+    assert(s.start == ts("2024-01-01 09:59:30").getTime,
+      s"start not extended backwards: $s")
+    assert(s.end == ts("2024-01-01 10:05:00").getTime && s.n == 3)
+  }
 }
