@@ -24,11 +24,13 @@ import graft.{Catalog, Q, QueryPack}
   *  - Convergence detection via a monotone invariant: labels only ever
   *    decrease, so the label SUM is strictly decreasing until fixpoint —
   *    one cheap aggregate action per round instead of a change-count join.
-  *  - Triangles: canonical a<b<c orientation makes each triangle counted
-  *    exactly once, and the two equi-joins are plain shuffle joins on node
-  *    keys. Skew lever at scale: orienting edges low-degree→high-degree
-  *    bounds each node's join fan-out by sqrt(|E|) (documented here; the
-  *    fixture graph is balanced enough that plain a<b is fine).
+  *  - Triangles run the DEGREE ORIENTATION (round 10): each canonical edge
+  *    is directed low-degree→high-degree endpoint (ties by id — a total
+  *    order, so the oriented graph is acyclic and every triangle has
+  *    exactly ONE node with two out-edges), and wedges are enumerated only
+  *    from out-edge pairs. Out-degree under this orientation is ≤ O(√|E|)
+  *    for ANY graph, so a hub of degree d generates O(|E|) wedge pairs
+  *    total instead of d² — the standard skew bound that survives 100×.
   */
 object GraphOps extends QueryPack {
 
@@ -243,20 +245,43 @@ object GraphOps extends QueryPack {
       SELECT DISTINCT x.c AS a, y.c AS b
       FROM urgent x JOIN urgent y ON x.day = y.day AND x.c < y.c)"""
 
-  /** Per-customer triangle count over the co-purchase graph: canonical
-    * a<b<c enumeration; output covers every node of the edge set (zero
-    * counts included). Pure integer counting — no float parity risk.
+  /** Per-customer triangle count over the co-purchase graph: degree-
+    * oriented enumeration (see the header scale notes); output covers
+    * every node of the edge set (zero counts included). Pure integer
+    * counting — no float parity risk.
+    *
+    * Each canonical a<b edge is directed from its (deg, id)-smaller
+    * endpoint; (deg, id) is a total order, so the orientation is a DAG and
+    * every triangle has exactly one "pivot" node owning two out-edges —
+    * each triangle is emitted once, by its pivot. The wedge self-join fans
+    * out per node by OUT-degree, which degree orientation bounds by
+    * O(√|E|) on any graph (a hub's edges point INTO it), so the join
+    * input is O(|E|^1.5) worst-case instead of Σdeg² — the difference
+    * between a bounded task and a straggler at 100 TB. Degree lookups
+    * broadcast (|V| rows); the closure probe joins back to the canonical
+    * edge set on the (lesser, greater) node pair.
     */
   private def triangles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // Filter over the memoized undirected leaf: each of the three join
-    // references below embeds only leaf+filter, no edge-build lineage.
-    val edges = coPurchaseUnd(spark, sfDir)
-      .filter($"u" < $"v").select($"u".as("a"), $"v".as("b"))
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), $"e1.b" === $"e2.a")
-      .join(edges.as("e3"), $"e1.a" === $"e3.a" && $"e2.b" === $"e3.b")
-      .select($"e1.a".as("n1"), $"e1.b".as("n2"), $"e2.b".as("n3"))
+    // Filter over the memoized undirected leaf: every join reference below
+    // embeds only leaf+filter, no edge-build lineage.
+    val und = coPurchaseUnd(spark, sfDir)
+    val edges = und.filter($"u" < $"v").select($"u".as("a"), $"v".as("b"))
+    val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    val oriented = edges
+      .join(broadcast(deg.select($"node".as("a"), $"deg".as("deg_a"))), Seq("a"))
+      .join(broadcast(deg.select($"node".as("b"), $"deg".as("deg_b"))), Seq("b"))
+      .select(
+        when($"deg_a" <= $"deg_b", $"a").otherwise($"b").as("src"),
+        when($"deg_a" <= $"deg_b", $"b").otherwise($"a").as("dst"))
+    val tri = oriented.as("o1")
+      .join(oriented.as("o2"),
+        $"o1.src" === $"o2.src" && $"o1.dst" < $"o2.dst")
+      .select($"o1.src".as("n1"), $"o1.dst".as("n2"), $"o2.dst".as("n3"))
+      // n2 < n3 by the wedge ordering, so the closure edge, if present, is
+      // exactly the canonical (n2, n3) row.
+      .join(edges.as("e3"), $"n2" === $"e3.a" && $"n3" === $"e3.b")
+      .select($"n1", $"n2", $"n3")
     val perNode = tri.select($"n1".as("node"))
       .union(tri.select($"n2"))
       .union(tri.select($"n3"))
@@ -365,20 +390,32 @@ object GraphOps extends QueryPack {
     *
     * Scale shape: the wedge join (two hops through a shared neighbor)
     * costs Σ deg(n)² over neighbors n — the quantity q_graph_degree_hist
-    * profiles; on a hub-heavy graph the standard mitigation is capping or
-    * salting the hub side before the self-join. The pair aggregate and the
-    * degree join shuffle on node-pair/node keys; top-20 is
-    * TakeOrderedAndProject (no global sort materialization).
+    * profiles — and every wedge of a hub neighbor n lands in ONE shuffle
+    * partition when the join key is n alone. The self-join is therefore
+    * SALTED (round 10, the q_join_skew_salted pattern): the probe side
+    * keys on (v, hash(u) mod S), the build side replicates each row to
+    * all S salts, so a hub's deg² pair explosion spreads over S tasks at
+    * the price of an S× replication of ONE side — results are exactly the
+    * unsalted join's (each original row pair meets under precisely one
+    * salt), which is what the oracle hash-checks. Salt from xxhash64 of
+    * the row's own key, never rand(): deterministic under task retry. The
+    * pair aggregate and the degree join shuffle on node-pair/node keys;
+    * top-20 is TakeOrderedAndProject (no global sort materialization).
     */
   private def commonNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val S = 8
     val und = coPurchaseUnd(spark, sfDir)
     val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
     val edges = und.filter($"u" < $"v")
       .select($"u".as("a"), $"v".as("b"))
-    val wedges = und.as("e1").join(und.as("e2"),
-        $"e1.v" === $"e2.v" && $"e1.u" < $"e2.u")
-      .select($"e1.u".as("a"), $"e2.u".as("b"))
+    val probe = und.select($"u", $"v",
+      pmod(xxhash64($"u"), lit(S.toLong)).as("salt"))
+    val build = und.select($"u".as("u2"), $"v",
+      explode(array((0 until S).map(i => lit(i.toLong)): _*)).as("salt"))
+    val wedges = probe.hint("shuffle_hash").join(build, Seq("v", "salt"))
+      .filter($"u" < $"u2")
+      .select($"u".as("a"), $"u2".as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
     // Explicit broadcast on every small side: the leaf is a checkpoint RDD
     // scan with NO size statistics, so the planner otherwise sort-merge-
