@@ -280,34 +280,38 @@ object Joins extends QueryPack {
       .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
   }
 
-  /** Nearest-event as-of join (added round 9 close): q_join_asof picks the
-    * latest event AT OR BEFORE each probe; this picks the event CLOSEST in
-    * time on either side — the sensor-alignment variant (join each probe to
-    * the reading nearest it, past or future). Same scale shape as the
-    * backward form: the equi key (user_id) carries the shuffle, candidates
-    * stay within a user's partition, and the per-(probe) winner is one
-    * row_number over (|Δt| asc, ts asc, event_id asc) — the deterministic
-    * tie-break making "equidistant before/after" reproducible.
+  /** Nearest-event as-of join (added round 9 close; custom-operator since
+    * round 10): q_join_asof picks the latest event AT OR BEFORE each
+    * probe; this picks the event CLOSEST in time on either side — the
+    * sensor-alignment variant (join each probe to the reading nearest it,
+    * past or future). Executed by [[graft.plans.AsOfMergeJoinExec]] in
+    * [[graft.plans.AsOfMode.Nearest]] mode: instead of materializing
+    * every (probe, same-user event) pair and windowing over
+    * (|Δt| asc, ts asc, event_id asc) — Σ|events per user| intermediate
+    * rows per probe — the merge exec streams co-partitioned co-sorted
+    * children once, remembering the best at-or-before row and peeking the
+    * one first-after row; equidistant resolves to the past row and
+    * equal-time to the lowest event_id, exactly the window order. The
+    * oracle is the unchanged composed-form SQL, so the driver hash-checks
+    * the custom operator's tie-breaks against DuckDB.
     */
   private def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts")
     val probes = e.select($"user_id").distinct()
       .withColumn("probe_ts", explode(array(
         lit("2024-01-08").cast("timestamp"),
         lit("2024-01-15").cast("timestamp"),
         lit("2024-01-22").cast("timestamp"))))
-    val j = probes.alias("p")
-      .join(e.alias("ev"), col("p.user_id") === col("ev.user_id"))
-      .select(col("p.user_id"), col("p.probe_ts"),
-        col("ev.event_id"), col("ev.ts"),
-        abs(unix_micros(col("ev.ts")) - unix_micros(col("p.probe_ts")))
-          .as("dt_us"))
-    val w = Window.partitionBy($"user_id", $"probe_ts")
-      .orderBy($"dt_us".asc, $"ts".asc, $"event_id".asc)
-    j.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .drop("rn")
+    graft.plans.AsOfJoin.asof(probes, e,
+        leftKey = "user_id", leftTime = "probe_ts",
+        rightKey = "user_id", rightTime = "ts", rightTie = "event_id",
+        mode = graft.plans.AsOfMode.Nearest)
+      // Output = left ++ right with user_id twice; positional rename.
+      .toDF("user_id", "probe_ts", "r_user_id", "event_id", "ts")
+      .select($"user_id", $"probe_ts", $"event_id", $"ts",
+        abs(unix_micros($"ts") - unix_micros($"probe_ts")).as("dt_us"))
       .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
   }
 

@@ -25,18 +25,33 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * both sides ONCE per partition, carrying one remembered row: output is
   * |probes| rows with no intermediate blow-up at all.
   *
-  * Semantics (hash-verified against the composed form's oracle): for each
-  * left row, the right row with the greatest (time, tie) such that
-  * `r.time <= l.time` and keys match; left rows with no such row are
-  * dropped (inner as-of). Keys, times and ties must be 64-bit-comparable
-  * (long / timestamp); null keys or times never match, mirroring the theta
-  * join the operator replaces.
+  * Semantics (hash-verified against the composed form's oracle), by mode:
+  *  - [[AsOfMode.Backward]]: for each left row, the right row with the
+  *    greatest (time, tie) such that `r.time <= l.time` and keys match.
+  *  - [[AsOfMode.Nearest]] (round 10): the right row minimizing
+  *    (|r.time - l.time|, r.time, tie) — the sensor-alignment variant;
+  *    equidistant past/future resolves to the past row (smaller r.time),
+  *    and equal-time candidates resolve to the smallest tie, exactly the
+  *    composed form's `row_number() OVER (ORDER BY |Δt|, ts, tie)`.
+  * In both modes left rows with no matching right row are dropped (inner
+  * as-of). Keys, times and ties must be 64-bit-comparable (long /
+  * timestamp); null keys or times never match, mirroring the theta join
+  * the operator replaces.
   */
+sealed trait AsOfMode
+object AsOfMode {
+  /** Latest right row at or before the left time. */
+  case object Backward extends AsOfMode
+  /** Closest right row on either side; ties prefer past, then lowest tie. */
+  case object Nearest extends AsOfMode
+}
+
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryNode {
+    rightTie: Expression, mode: AsOfMode = AsOfMode.Backward)
+  extends BinaryNode {
 
   // The merge exec compares keys/times as raw longs (timestamp's internal
   // form IS micros-as-long); anything narrower would ClassCastException
@@ -62,8 +77,9 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, mode) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie,
+        mode) :: Nil
     case _ => Nil
   }
 }
@@ -85,7 +101,8 @@ case class AsOfMergeJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression) extends BinaryExecNode {
+    rightTie: Expression, mode: AsOfMode = AsOfMode.Backward)
+  extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -109,14 +126,20 @@ case class AsOfMergeJoinExec(
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val schema = output
+    val nearest = mode == AsOfMode.Nearest
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val project = UnsafeProjection.create(schema, schema)
       val rBuf = rIter.buffered
-      // The one remembered right row: latest (time, tie) seen for
-      // `matchedKey` with time <= the current left time.
+      // The one remembered right row: the best candidate at or before the
+      // current left time for `matchedKey`. Backward mode keeps the
+      // greatest (time, tie) — each consume strictly improves. Nearest
+      // mode keeps the FIRST row seen at the greatest time (= lowest tie
+      // at that time, since the right sort is (key, time, tie) ascending),
+      // matching the composed form's (|Δt|, ts, tie) minimization.
       var matched: InternalRow = null
       var matchedKey: Long = 0L
+      var matchedTime: Long = 0L
 
       new Iterator[InternalRow] {
         private var nextRow: InternalRow = null
@@ -142,15 +165,43 @@ case class AsOfMergeJoinExec(
                   val rt = rtV.asInstanceOf[Long]
                   if (rk < lk) { rBuf.next() } // earlier key: discard
                   else if (rk == lk && rt <= lt) {
-                    // Right side is (key, time, tie)-sorted: each consume
-                    // strictly improves the candidate.
-                    matched = rBuf.next().copy()
-                    matchedKey = rk
+                    val consumed = rBuf.next()
+                    if (!nearest || matched == null || matchedKey != rk ||
+                        rt > matchedTime) {
+                      matched = consumed.copy()
+                      matchedKey = rk
+                      matchedTime = rt
+                    }
                   } else continue = false
                 }
               }
-              if (matched != null && matchedKey == lk) {
-                nextRow = project(joined(l, matched))
+              val hasBefore = matched != null && matchedKey == lk
+              if (!nearest) {
+                if (hasBefore) nextRow = project(joined(l, matched))
+              } else {
+                // Forward candidate: the right head, which the advance loop
+                // left as the first (time, tie)-ordered row past lt for this
+                // key (or a later key / exhausted). NOT consumed — the same
+                // row may be a later probe's backward candidate.
+                var after: InternalRow = null
+                var afterTime = 0L
+                if (rBuf.hasNext) {
+                  val h = rBuf.head
+                  val rkV = rKey.eval(h)
+                  val rtV = rTime.eval(h)
+                  if (rkV != null && rtV != null &&
+                      rkV.asInstanceOf[Long] == lk) {
+                    after = h
+                    afterTime = rtV.asInstanceOf[Long]
+                  }
+                }
+                // Equidistant resolves to the past row (smaller time).
+                if (hasBefore &&
+                    (after == null || lt - matchedTime <= afterTime - lt)) {
+                  nextRow = project(joined(l, matched))
+                } else if (after != null) {
+                  nextRow = project(joined(l, after))
+                }
               }
             }
           }
@@ -181,7 +232,8 @@ case class AsOfMergeJoinExec(
 object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, leftTime: String,
-           rightKey: String, rightTime: String, rightTie: String): DataFrame = {
+           rightKey: String, rightTime: String, rightTie: String,
+           mode: AsOfMode = AsOfMode.Backward): DataFrame = {
     // Self-join hygiene: the analyzer's DeduplicateRelations only fires for
     // real Join nodes, so when both sides derive from one scan the children
     // would share exprIds and the optimizer mis-prunes. An alias
@@ -198,6 +250,6 @@ object AsOfJoin {
     GraftShim.ofRows(left.sparkSession, AsOfJoinPlan(
       left.queryExecution.analyzed, r.queryExecution.analyzed,
       attr(left, leftKey), attr(r, rightKey),
-      attr(left, leftTime), attr(r, rightTime), attr(r, rightTie)))
+      attr(left, leftTime), attr(r, rightTime), attr(r, rightTie), mode))
   }
 }

@@ -56,6 +56,69 @@ class AsOfMergeJoinSpec extends SparkTestBase {
       (1L, t("2024-01-01 13:00:00"), 12L)))
   }
 
+  test("nearest mode equals the composed |Δt| window form on the fixture table") {
+    import graft.plans.AsOfMode
+    val e = Catalog.load(spark, sf0001, "events")
+      .select($"user_id", $"event_id", $"ts")
+    val probes = e.select($"user_id").distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-08").cast("timestamp"),
+        lit("2024-01-15").cast("timestamp"),
+        lit("2024-01-22").cast("timestamp"))))
+    val custom = AsOfJoin.asof(probes, e,
+        "user_id", "probe_ts", "user_id", "ts", "event_id", AsOfMode.Nearest)
+      .toDF("user_id", "probe_ts", "r_user_id", "event_id", "ts")
+      .select($"user_id", $"probe_ts", $"event_id", $"ts")
+      .orderBy($"user_id", $"probe_ts")
+      .as[(Long, Timestamp, Long, Timestamp)].collect().toSeq
+    val dt = abs(unix_micros($"ts") - unix_micros($"probe_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"probe_ts")
+      .orderBy(dt.asc, $"ts".asc, $"event_id".asc)
+    val composed = probes.join(e, Seq("user_id"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"probe_ts", $"event_id", $"ts")
+      .orderBy($"user_id", $"probe_ts")
+      .as[(Long, Timestamp, Long, Timestamp)].collect().toSeq
+    assert(custom.nonEmpty && custom == composed)
+  }
+
+  test("nearest semantics on a literal fixture: side choice and tie-breaks") {
+    import graft.plans.AsOfMode
+    def t(s: String) = Timestamp.valueOf(s)
+    val right = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")),
+      (1L, 11L, t("2024-01-01 10:00:00")), // same ts: LOWEST event_id wins
+      (1L, 12L, t("2024-01-01 12:00:00")),
+      (3L, 30L, t("2024-01-01 09:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00")), // dt=0 -> event 10 (lowest tie at ts)
+      (1L, t("2024-01-01 11:00:00")), // equidistant 10:00/12:00 -> past (10)
+      (1L, t("2024-01-01 11:30:00")), // closer to 12:00 -> event 12
+      (1L, t("2024-01-01 13:00:00")), // after all -> backward match (12)
+      (2L, t("2024-01-01 10:00:00")), // user with no events: dropped
+      (3L, t("2024-01-01 08:00:00"))) // before all of user 3: FORWARD match
+      .toDF("user_id", "probe_ts")
+    val got = AsOfJoin.asof(left, right,
+        "user_id", "probe_ts", "user_id", "ts", "event_id", AsOfMode.Nearest)
+      .toDF("user_id", "probe_ts", "r_user_id", "event_id", "ts")
+      .select($"user_id", $"probe_ts", $"event_id")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    assert(got == Set(
+      (1L, t("2024-01-01 10:00:00"), 10L),
+      (1L, t("2024-01-01 11:00:00"), 10L),
+      (1L, t("2024-01-01 11:30:00"), 12L),
+      (1L, t("2024-01-01 13:00:00"), 12L),
+      (3L, t("2024-01-01 08:00:00"), 30L)))
+  }
+
+  test("q_join_asof_nearest plans the custom exec") {
+    val plan = SparkEntry.queries("q_join_asof_nearest")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), s"custom exec missing:\n$plan")
+  }
+
   test("non-64-bit key/time columns fail at planning, not mid-task") {
     def t(s: String) = Timestamp.valueOf(s)
     val left = Seq((1, t("2024-01-01 10:00:00")))
