@@ -112,7 +112,51 @@ object Streams extends QueryPack {
       .orderBy($"view_id".asc_nulls_first)
   }
 
-  private val customSessionRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Scaffold for the GRADED real-streaming queries: replays the events
+    * table through the file source (a temp dir holding a symlink to the
+    * fixture parquet — the file streaming source wants a DIRECTORY; a real
+    * deployment streams the landing directory itself), runs `pipe` on the
+    * normalized stream with `Trigger.AvailableNow` into a uniquely-named
+    * memory sink, shapes the graded result with `finish`, then drops the
+    * sink view and deletes the scratch dirs. `finish` runs on
+    * `spark.table(sink)` BEFORE cleanup — Dataset construction analyzes
+    * eagerly, so the returned plan pins the sink's rows directly and
+    * repeated bench rounds in one JVM accumulate no sink tables or temp
+    * trees.
+    *
+    * The normalized stream carries (event_id, user_id, event_type, value,
+    * ts) with ts = the raw nanos column truncated to MICROS — the same
+    * value `Catalog.load` serves batch queries.
+    */
+  private def runEventsStream(spark: SparkSession, sfDir: String, tag: String)(
+      pipe: DataFrame => DataFrame)(finish: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src_")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Path.of(sfDir, "events.parquet"))
+    val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ck_")
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(srcDir.toString)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        expr("timestamp_micros(ts div 1000)").as("ts"))
+    val sink = s"graft_${tag}_${streamRuns.incrementAndGet()}"
+    val q = pipe(src).writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val out = finish(spark.table(sink))
+    spark.catalog.dropTempView(sink)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    out
+  }
 
   /** The ONE graded query that executes a real Structured Streaming run
     * (added round 9 close): the custom-state sessionizer
@@ -143,43 +187,60 @@ object Streams extends QueryPack {
 
   private def customSession(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // The fixture table is a single FILE; the file streaming source wants
-    // a DIRECTORY — stream a temp dir holding a symlink to it (a real
-    // deployment streams the landing directory itself).
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_cs_src_")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Path.of(sfDir, "events.parquet"))
-    val ckDir = java.nio.file.Files.createTempDirectory("graft_cs_ck_")
-    val src = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(srcDir.toString)
-      .select($"event_id", $"user_id",
-        expr("timestamp_micros(ts div 1000)").as("ts"))
-    val sessions = StatefulSessionizer.sessions(
-      src.withWatermark("ts", "1 second").as[SessEvent])
-    val sink = s"graft_custom_session_${customSessionRuns.incrementAndGet()}"
-    val q = sessions.writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", ckDir.toString)
-      .start()
-    q.awaitTermination()
-    val out = spark.table(sink)
-      .select($"user_id", $"start".as("session_start"),
-        $"end".as("session_end"), $"n".as("n_events"))
-      .orderBy($"user_id".asc_nulls_first, $"session_start".asc_nulls_first)
-    // Dataset construction analyzed `out` eagerly, so its plan pins the
-    // memory sink's rows directly — the catalog entry and scratch dirs are
-    // droppable NOW, and repeated bench rounds in one JVM no longer
-    // accumulate sink tables or temp trees (the rows themselves become
-    // GC-able with the returned DataFrame).
-    spark.catalog.dropTempView(sink)
-    rmTree(srcDir)
-    rmTree(ckDir)
-    out
+    runEventsStream(spark, sfDir, "cs") { src =>
+      StatefulSessionizer.sessions(
+        src.withWatermark("ts", "1 second").as[SessEvent]).toDF()
+    } { sinkDf =>
+      sinkDf
+        .select($"user_id", $"start".as("session_start"),
+          $"end".as("session_end"), $"n".as("n_events"))
+        .orderBy($"user_id".asc_nulls_first, $"session_start".asc_nulls_first)
+    }
   }
+
+  /** The SECOND graded real-streaming query (added round 10): a
+    * watermarked append-mode tumbling aggregation actually executed
+    * through `readStream` → `withWatermark` → window groupBy →
+    * `Trigger.AvailableNow` → memory sink. Deterministic because append
+    * mode emits exactly the windows FINALIZED by the end-of-stream
+    * watermark, and with AvailableNow the final no-data batch leaves the
+    * watermark at a pure function of the data: ms-floored max event time
+    * minus the 1 s delay. The emission predicate is `window.end <=
+    * watermark` (probed empirically: a window whose end equals the
+    * watermark exactly IS emitted), so the oracle recomputes the same
+    * hourly aggregate in DuckDB and keeps precisely the windows with
+    * end_ms <= max_ts_ms - 1000 — the hash check pins real micro-batch
+    * watermark finalization, boundary included, against DuckDB. State is
+    * O(open windows × event types); every emitted row has left the state
+    * store — the bounded-state posture an unbounded stream needs.
+    */
+  private def windowedAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runEventsStream(spark, sfDir, "wa") { src =>
+      src.withWatermark("ts", "1 second")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+        .select($"window.start".as("hour_start"), $"event_type",
+          $"n", $"sum_value")
+    } { sinkDf =>
+      sinkDf.orderBy($"hour_start".asc_nulls_first,
+        $"event_type".asc_nulls_first)
+    }
+  }
+
+  /** Watermark arithmetic in the oracle: Spark tracks event-time stats in
+    * MILLIS (µs-floored per event), so wm_ms = floor(max_us/1000) - 1000,
+    * and append finalizes windows with end_ms <= wm_ms.
+    */
+  private val windowedAppendSql = s"""
+    WITH agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        event_type, count(*) AS n, ${graft.Oracle.dsum("value")} AS sum_value
+      FROM events GROUP BY 1, 2)
+    SELECT hour_start, event_type, n, sum_value FROM agg
+    WHERE epoch_us(hour_start) // 1000 + 3600000
+          <= (SELECT max(epoch_us(ts)) // 1000 FROM events) - 1000
+    ORDER BY hour_start ASC NULLS FIRST, event_type ASC NULLS FIRST"""
 
   /** The state machine works in Timestamp.getTime MILLIS: session bounds,
     * gaps and the timeout horizon are all ms-floored, and the watermark is
@@ -221,6 +282,7 @@ object Streams extends QueryPack {
 
   override val queries: Vector[Q] = Vector(
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
+    Q("q_stream_windowed_append", windowedAppend, Some(windowedAppendSql)),
     Q("q_stream_tumbling", tumbling, Some(s"""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         count(*) AS n, ${graft.Oracle.dsum("value")} AS sum_value

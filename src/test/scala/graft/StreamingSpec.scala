@@ -40,6 +40,29 @@ class StreamingSpec extends SparkTestBase {
     spark.table(name)
   }
 
+  test("q_stream_windowed_append equals the batch rule: finalized windows only") {
+    // The graded query executes a REAL streaming run; the batch twin here
+    // recomputes the same hourly aggregate and applies the emission rule
+    // (window end_ms <= ms-floored max ts - 1000) in Spark — the same rule
+    // the DuckDB oracle encodes.
+    val got = SparkEntry.queries("q_stream_windowed_append")(spark, sf0001)
+      .select($"hour_start", $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    val ev = Catalog.load(spark, sf0001, "events")
+    val wmMs = ev.agg(max(unix_micros($"ts"))).as[Long].head() / 1000L - 1000L
+    val expected = ev
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .filter(unix_micros($"hour_start") / 1000L + 3600000L <= wmMs)
+      .orderBy($"hour_start".asc_nulls_first, $"event_type".asc_nulls_first)
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+    assert(got.nonEmpty && got == expected)
+    // The unfinished tail exists: some window was held back by the watermark.
+    val allWindows = ev.select(date_trunc("hour", $"ts")).distinct().count()
+    assert(got.map(_._1).distinct.size < allWindows,
+      "expected the watermark to hold back the unfinished tail window")
+  }
+
   test("tumbling window: streaming with watermark equals batch") {
     val agg = (df: DataFrame) => df
       .withWatermark("ts", "1 hour")
