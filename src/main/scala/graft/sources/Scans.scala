@@ -156,6 +156,34 @@ object Scans extends QueryPack {
       .orderBy($"s_suppkey".asc_nulls_first)
   }
 
+  /** Schema evolution part 2 (added round 10): TYPE WIDENING across
+    * generations. v1 wrote `s_suppkey` as INT32 (and no `s_acctbal`); v2
+    * writes it as INT64 with the late column. `mergeSchema` refuses
+    * conflicting primitive types outright (CANNOT_MERGE_SCHEMAS — probed
+    * on this Spark), so the lake-migration answer is an EXPLICIT declared
+    * read schema: the parquet reader upcasts each file's narrower
+    * physical INT32 into the requested BIGINT at scan time and fills the
+    * column absent from v1 footers with NULL — generations coexist with
+    * no data rewrite, exactly how a production table evolves int→bigint
+    * when its id sequence outgrows 32 bits. The oracle reconstructs both
+    * effects from the original table.
+    */
+  private def schemaWidening(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = materializeOnce("supplier_widen", sfDir) { d =>
+      val s = Catalog.load(spark, sfDir, "supplier")
+      s.filter($"s_suppkey" % 2 === 0)
+        .select($"s_suppkey".cast("int").as("s_suppkey"), $"s_name")
+        .write.mode("overwrite").parquet(s"$d/v1")
+      s.filter($"s_suppkey" % 2 === 1)
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+        .write.mode("overwrite").parquet(s"$d/v2")
+    }
+    spark.read.schema("s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE")
+      .parquet(s"$dir/v1", s"$dir/v2")
+      .orderBy($"s_suppkey".asc_nulls_first)
+  }
+
   /** Hive-style partitioned write + partition-pruned read: at 100 TB the
     * year filter prunes whole directories before any IO — the scan lists
     * only `o_year=1998/`. (The flat fixtures can't show pruning, so the
@@ -232,6 +260,10 @@ object Scans extends QueryPack {
     Q("q_source_xml_roundtrip", xmlRoundtrip, Some(
       "SELECT * FROM region ORDER BY r_regionkey ASC NULLS FIRST")),
     Q("q_source_schema_evolution", schemaEvolution, Some("""
+      SELECT s_suppkey, s_name,
+        CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
+      FROM supplier ORDER BY s_suppkey ASC NULLS FIRST""")),
+    Q("q_source_schema_widening", schemaWidening, Some("""
       SELECT s_suppkey, s_name,
         CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
       FROM supplier ORDER BY s_suppkey ASC NULLS FIRST""")),
