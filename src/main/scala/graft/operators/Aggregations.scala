@@ -367,6 +367,35 @@ object Aggregations extends QueryPack {
     perTypeEst.union(unionEst).orderBy($"event_type".asc_nulls_first)
   }
 
+  /** Mergeable KLL quantile sketch pipeline — capability only; the
+    * percentile analogue of [[aggSketchHll]] (added round 10). Spark's own
+    * `percentile_approx` answers one query per scan; this builds per-group
+    * KLL sketches (custom TypedImperativeAggregate over the Datasketches
+    * library Spark already ships — `graft_kll_agg`, injected via
+    * GraftExtensions) whose binary column is MERGEABLE: the ALL row comes
+    * from `graft_kll_merge_agg` over the stored sketches, never
+    * re-touching raw rows, and KLL's ±ε rank-error guarantee survives any
+    * merge topology — the property that lets 100 TB percentile rollups
+    * reaggregate instead of rescan. Unit spec bounds every estimate
+    * between the exact quantiles at q∓3% (k=200 → ε≈1.65%).
+    */
+  private def aggSketchKll(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perType = Catalog.load(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(expr("graft_kll_agg(value, 200)").as("sk"))
+      .cache()
+    val perTypeQ = perType.select($"event_type",
+      expr("graft_kll_quantile(sk, 0.5d)").as("p50_value"),
+      expr("graft_kll_quantile(sk, 0.95d)").as("p95_value"))
+    val merged = perType
+      .agg(expr("graft_kll_merge_agg(sk)").as("msk"))
+      .select(lit("ALL").as("event_type"),
+        expr("graft_kll_quantile(msk, 0.5d)").as("p50_value"),
+        expr("graft_kll_quantile(msk, 0.95d)").as("p95_value"))
+    perTypeQ.union(merged).orderBy($"event_type".asc_nulls_first)
+  }
+
   /** GK sketch — capability only. */
   private def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -563,6 +592,7 @@ object Aggregations extends QueryPack {
       ORDER BY event_type ASC NULLS FIRST""")),
     Q("q_agg_approx_distinct", aggApproxDistinct, None),
     Q("q_agg_sketch_hll", aggSketchHll, None),
+    Q("q_agg_sketch_kll", aggSketchKll, None),
     Q("q_agg_approx_percentile", aggApproxPercentile, None),
   )
 }

@@ -132,6 +132,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))))
+    // Mergeable quantile sketches (KllQuantile.scala): Spark ships the
+    // Datasketches library for its HLL SQL functions but exposes no KLL
+    // surface — these give percentiles the same sketch/merge/extract
+    // pipeline hll_sketch_agg/hll_union_agg give distinct counts.
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => new KllSketchAgg(c)
+        case Seq(c, k) => KllSketchAgg(c, k)
+        case other => throw new IllegalArgumentException(
+          s"graft_kll_agg(col[, k]) takes 1-2 args, got ${other.size}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge_agg"),
+      (children: Seq[Expression]) => KllMergeAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
+      (children: Seq[Expression]) => KllQuantile(children(0), children(1))))
     // Optimizer surface: banded edit-distance predicates (length guard +
     // threshold DP) — see LevenshteinPruning's equivalence proof.
     ext.injectOptimizerRule(_ => LevenshteinPruning)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Round-10 additions: type-widening schema evolution and the quantile
   * sketch pipeline.
   */
@@ -15,6 +17,32 @@ class Round10OpsSpec extends SparkTestBase {
     // Even keys came from the INT32 generation without s_acctbal.
     assert(rows.filter(_.getLong(0) % 2 == 0).forall(_.isNullAt(2)))
     assert(rows.filter(_.getLong(0) % 2 == 1).forall(!_.isNullAt(2)))
+  }
+
+  test("q_agg_sketch_kll estimates sit inside the KLL rank-error bound") {
+    // KLL with k=200 guarantees ±1.65% rank error (99% confidence); the
+    // bound checked here is the looser ±3%: every estimate must lie
+    // between the EXACT quantiles at q-0.03 and q+0.03, per group and for
+    // the merged ALL row (merging must not break the guarantee).
+    val got = SparkEntry.queries("q_agg_sketch_kll")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.exists(_._1 == "ALL"))
+    val ev = Catalog.load(spark, "/root/testdata/sf0.01", "events")
+      .select($"event_type", $"value")
+    val all = ev.withColumn("event_type", org.apache.spark.sql.functions.lit("ALL"))
+    val exact = ev.union(all)
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, array(0.47d, 0.53d, 0.92d, 0.98d))").as("qs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    got.foreach { case (et, p50, p95) =>
+      val qs = exact(et)
+      assert(p50 >= qs(0) && p50 <= qs(1),
+        s"$et p50=$p50 outside exact [${qs(0)}, ${qs(1)}]")
+      assert(p95 >= qs(2) && p95 <= qs(3),
+        s"$et p95=$p95 outside exact [${qs(2)}, ${qs(3)}]")
+    }
   }
 
   test("mergeSchema cannot reconcile conflicting primitive types (why the explicit schema)") {
