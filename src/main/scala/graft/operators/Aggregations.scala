@@ -187,6 +187,60 @@ object Aggregations extends QueryPack {
       .orderBy($"o_orderpriority".asc_nulls_first)
   }
 
+  /** Exact WEIGHTED percentiles (added round 10): the quantity level that
+    * splits each return flag's REVENUE in half (and at 90%) — the
+    * weighted-median analogue of [[aggPercentileExact]], the "which order
+    * size carries the money" question. Weights are exact integer cents
+    * (decimal-cast before the multiply), so the whole computation is
+    * integer arithmetic — no float-sum parity risk at any scale.
+    *
+    * Scale shape: weights pre-aggregate per (group, value) FIRST — a
+    * map-side-combined hash aggregation collapsing the raw rows to at most
+    * |groups|·|distinct quantities| cells — and the cumulative-weight
+    * window then runs over that tiny table (~50 rows per flag), never the
+    * raw rows; the answer is min value whose running weight reaches the
+    * target fraction of the total. The same shape holds at 100 TB: the
+    * expensive pass is a shuffle-free partial agg, the window input is
+    * bounded by the value domain, not the row count.
+    */
+  private def aggWeightedPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perVal = Catalog.load(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("long").as("qty"),
+        ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("w"))
+      .groupBy($"l_returnflag", $"qty")
+      .agg(sum($"w").as("wsum"))
+    val run = Window.partitionBy($"l_returnflag").orderBy($"qty".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy($"l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perVal
+      .withColumn("cum", sum($"wsum").over(run))
+      .withColumn("tot", sum($"wsum").over(whole))
+      .groupBy($"l_returnflag")
+      .agg(
+        min(when($"cum" * 2 >= $"tot", $"qty")).as("w_p50_qty"),
+        min(when($"cum" * 10 >= $"tot" * 9, $"qty")).as("w_p90_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first)
+  }
+
+  private val aggWeightedPercentileOracle = """
+    WITH per_val AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS wsum
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT l_returnflag, qty,
+        sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY qty ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(wsum) OVER (PARTITION BY l_returnflag) AS tot
+      FROM per_val)
+    SELECT l_returnflag,
+      min(CASE WHEN cum * 2 >= tot THEN qty END) AS w_p50_qty,
+      min(CASE WHEN cum * 10 >= tot * 9 THEN qty END) AS w_p90_qty
+    FROM cum GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS FIRST"""
+
   private def aggRfm(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rfm = Catalog.load(spark, sfDir, "orders")
@@ -335,6 +389,33 @@ object Aggregations extends QueryPack {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, o_orderdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST
       LIMIT 10""")
+
+  /** TPC-H Q17 flavor (added round 10): small-quantity-order revenue — a
+    * CORRELATED scalar subquery (per-part average quantity) driving a
+    * filter on the fact table. The analysis-time win is decorrelation:
+    * Catalyst rewrites the correlated `l_quantity < threshold(part)` into
+    * an aggregate-then-join (one extra hash agg + one equi-join on
+    * partkey), never a per-row subquery execution — the difference between
+    * O(|lineitem|) subquery probes and two shuffles at 100 TB.
+    *
+    * The threshold is evaluated in EXACT integer arithmetic: `qty <
+    * 0.2·avg(qty)` ⇔ `5·qty·cnt < sum_qty` (quantities are integral), so
+    * the boundary cannot flip on a float last-ulp between engines.
+    */
+  private def sqlTpchQ17Flavor(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH avgq AS (
+        SELECT l_partkey, count(*) AS cnt,
+          sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM parquet.`$sfDir/lineitem.parquet` GROUP BY l_partkey)
+      SELECT p_brand, count(*) AS n_small,
+        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM parquet.`$sfDir/lineitem.parquet` l
+      JOIN parquet.`$sfDir/part.parquet` p ON p.p_partkey = l.l_partkey
+      JOIN avgq a ON a.l_partkey = l.l_partkey
+      WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_qty
+      GROUP BY p_brand
+      ORDER BY p_brand ASC NULLS FIRST""")
 
   /** HLL++ sketch — capability only (sketch values differ from DuckDB). */
   private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
@@ -593,6 +674,21 @@ object Aggregations extends QueryPack {
     Q("q_agg_approx_distinct", aggApproxDistinct, None),
     Q("q_agg_sketch_hll", aggSketchHll, None),
     Q("q_agg_sketch_kll", aggSketchKll, None),
+    Q("q_agg_weighted_percentile", aggWeightedPercentile,
+      Some(aggWeightedPercentileOracle)),
+    Q("q_sql_tpch_q17_flavor", sqlTpchQ17Flavor, Some(s"""
+      WITH avgq AS (
+        SELECT l_partkey, count(*) AS cnt,
+          sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem GROUP BY l_partkey)
+      SELECT p_brand, count(*) AS n_small,
+        ${Oracle.dsum("l.l_extendedprice")} AS revenue
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN avgq a ON a.l_partkey = l.l_partkey
+      WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.cnt < a.sum_qty
+      GROUP BY p_brand
+      ORDER BY p_brand ASC NULLS FIRST""")),
     Q("q_agg_approx_percentile", aggApproxPercentile, None),
   )
 }

@@ -837,7 +837,110 @@ object LlmExtras extends QueryPack {
       min(x) AS min_x, max(x) AS max_x
     FROM u GROUP BY pos ORDER BY pos ASC NULLS FIRST"""
 
+  /** Exact passage-level dedup (added round 10): the chunk-granular
+    * exact-substring dedup of the "Deduplicating Training Data" family —
+    * split each document into NON-overlapping 16-token passages and find
+    * passages repeated anywhere in the corpus (first occurrence by
+    * (doc_id, position) wins, everything later is a dup). Complements
+    * q_dedup_exact (whole-doc) and q_dedup_near (overlapping-shingle
+    * jaccard): this is the operator that catches boilerplate paragraphs
+    * pasted across otherwise-distinct documents. Output is the per-source
+    * dup audit in exact ppm.
+    *
+    * Scale shape: passages are built from the token ARRAY per row (no
+    * explode until the chunk list exists — one transform over a sequence,
+    * no per-token shuffle), and the only shuffle keys on the passage text
+    * for the first-occurrence window. At 100 TB the passage key would be
+    * a 128-bit hash instead of the string; the fixture keeps the string so
+    * the DuckDB oracle joins on identical values.
+    */
+  private def dedupPassage(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source", split($"text", " ").as("toks"))
+      .select($"doc_id", $"source", posexplode(
+        expr("transform(sequence(0, (size(toks) - 1) div 16)," +
+          " i -> array_join(slice(toks, i * 16 + 1, 16), ' '))")))
+      .toDF("doc_id", "source", "cid", "chunk")
+    val w = Window.partitionBy($"chunk")
+      .orderBy($"doc_id".asc, $"cid".asc)
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_chunks"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
+  private val dedupPassageSql = """
+    WITH toks AS (
+      SELECT doc_id, source,
+        unnest(string_split(text, ' ')) AS tok,
+        generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, source, (ord - 1) // 16 AS cid,
+        string_agg(tok, ' ' ORDER BY ord) AS chunk
+      FROM toks GROUP BY 1, 2, 3),
+    r AS (
+      SELECT source,
+        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cid) AS rn
+      FROM chunks)
+    SELECT source, count(*) AS n_chunks,
+      CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      (CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        // count(*) AS dup_ppm
+    FROM r GROUP BY source
+    ORDER BY source ASC NULLS FIRST"""
+
+  /** Asymmetric shingle CONTAINMENT (added round 10): |S(a)∩S(b)| / |S(a)|
+    * per directed pair — the quote/subset detector jaccard misses (a short
+    * doc fully quoted inside a long one has low jaccard but containment
+    * ≈ 1). Reuses the memoized shingle leaf and the same candidate-pair
+    * intersection as q_dedup_near; each undirected intersection yields two
+    * directed rows normalized by their own source size, in exact ppm
+    * `div`. Top-25 by containment — TakeOrderedAndProject, no global sort.
+    */
+  private def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = LlmPipeline.shingles(spark, sfDir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select($"doc_id".as("doc_a"), $"shingle")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingle"), Seq("shingle"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val directed = inter.select($"doc_a".as("src"), $"doc_b".as("dst"), $"n_inter")
+      .union(inter.select($"doc_b", $"doc_a", $"n_inter"))
+    directed
+      .join(broadcast(sizes.select($"doc_id".as("src"), $"n")), Seq("src"))
+      .select($"src", $"dst", $"n_inter",
+        expr("n_inter * 1000000 div n").as("containment_ppm"))
+      .filter($"containment_ppm" >= 500000L)
+      .orderBy($"containment_ppm".desc, $"src".asc_nulls_first,
+        $"dst".asc_nulls_first)
+      .limit(25)
+  }
+
+  private val dedupContainmentSql = s"""
+    WITH ${LlmPipeline.nearPairsCtes},
+    directed AS (
+      SELECT doc_a AS src, doc_b AS dst, n_inter FROM inter
+      UNION ALL
+      SELECT doc_b, doc_a, n_inter FROM inter),
+    c AS (
+      SELECT src, dst, n_inter, (n_inter * 1000000) // s.n AS containment_ppm
+      FROM directed JOIN sizes s ON s.doc_id = src)
+    SELECT src, dst, n_inter, containment_ppm FROM c
+    WHERE containment_ppm >= 500000
+    ORDER BY containment_ppm DESC, src ASC NULLS FIRST, dst ASC NULLS FIRST
+    LIMIT 25"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_dedup_passage_exact", dedupPassage, Some(dedupPassageSql)),
+    Q("q_dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Q("q_vec_stats", vecStats, Some(vecStatsSql)),
     Q("q_text_token_bpe", tokenBpe, Some(tokenBpeSql)),
     Q("q_text_langid", langid, Some(langidSql)),

@@ -111,6 +111,39 @@ object Profiling extends QueryPack {
   /** 20-bin equi-width histogram of o_totalprice between the observed
     * min/max; identical bin/edge arithmetic on both engines.
     */
+  /** 2-D histogram profile (added round 10): the JOINT distribution of
+    * events over hour-of-day × value bucket — the heatmap behind
+    * "when do the big ones happen", and the first check for independence
+    * between a time dimension and a measure. One map-side-combined hash
+    * aggregation over at most 24 × |value buckets| cells; counts are
+    * integers and the bucket edges (floor(value/10)) are exact IEEE ops,
+    * so the cell table hashes identically cross-engine. Share is computed
+    * against the integer total via ppm `div` — no float division.
+    */
+  private def histogram2d(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Catalog.load(spark, sfDir, "events")
+      .select(hour($"ts").cast("long").as("hour_of_day"),
+        floor($"value" / 10.0d).cast("long").as("value_bucket"))
+      .groupBy($"hour_of_day", $"value_bucket")
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("share_ppm",
+        expr("n * 1000000 div sum(n) OVER ()"))
+      .orderBy($"hour_of_day".asc_nulls_first, $"value_bucket".asc_nulls_first)
+  }
+
+  private val histogram2dOracle = """
+    WITH cells AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+        CAST(floor(value / 10.0) AS BIGINT) AS value_bucket,
+        count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT hour_of_day, value_bucket, n,
+      CAST((n * 1000000) // sum(n) OVER () AS BIGINT) AS share_ppm
+    FROM cells
+    ORDER BY hour_of_day ASC NULLS FIRST, value_bucket ASC NULLS FIRST"""
+
   private def histogram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val o = Catalog.load(spark, sfDir, "orders").select($"o_totalprice")
@@ -453,6 +486,7 @@ object Profiling extends QueryPack {
     Q("q_profile_summary", profileSummary, Some(profileSummaryOracle)),
     Q("q_profile_histogram_eqdepth", histogramEqdepth, Some(histogramEqdepthOracle)),
     Q("q_profile_histogram", histogram, Some(histogramOracle)),
+    Q("q_profile_histogram2d", histogram2d, Some(histogram2dOracle)),
     Q("q_profile_freq", freqValues, Some(freqValuesOracle)),
     Q("q_stat_corr", corrMatrix, Some(corrMatrixOracle)),
     Q("q_audit_referential", auditReferential, Some(auditReferentialOracle)),

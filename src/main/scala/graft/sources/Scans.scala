@@ -71,6 +71,46 @@ object Scans extends QueryPack {
       .orderBy($"n_nationkey".asc_nulls_first)
   }
 
+  /** Malformed-record ingest (added round 10): the PERMISSIVE-mode CSV
+    * contract every landing pipeline leans on — bad rows must neither kill
+    * the job (FAILFAST) nor vanish silently (DROPMALFORMED), but surface
+    * in a corrupt-record column for quarantine. The scratch feed corrupts
+    * every third nation row deterministically (non-numeric key field);
+    * the read declares `_corrupt STRING` via `columnNameOfCorruptRecord`,
+    * and the query emits the per-disposition audit (row counts + key range
+    * of the rows that parsed). The oracle reconstructs the rule from the
+    * original table. Scale note: PERMISSIVE parsing is a per-row map —
+    * no shuffle before the audit aggregation.
+    */
+  private def csvMalformed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = materializeOnce("nation_badcsv", sfDir) { d =>
+      Catalog.load(spark, sfDir, "nation")
+        .select(
+          when($"n_nationkey" % 3 === 0, concat(lit("X"), $"n_nationkey"))
+            .otherwise($"n_nationkey".cast("string")).as("k"),
+          $"n_name", $"n_regionkey")
+        .write.mode("overwrite").csv(d)
+    }
+    // cache(): Spark refuses plans whose pruned scan schema degenerates to
+    // the corrupt column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+    // documented pattern is to cache the fully-parsed result and query
+    // that — the InMemoryRelation pins the full schema, so downstream
+    // pruning can never reach corrupt-only (25 rows; dropped by the
+    // bench's between-queries clearCache).
+    spark.read
+      .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir)
+      .cache()
+      .select($"n_nationkey", ($"_corrupt".isNotNull).as("is_corrupt"))
+      .groupBy($"is_corrupt")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"n_nationkey").as("min_key"), max($"n_nationkey").as("max_key"))
+      .orderBy($"is_corrupt".asc_nulls_first)
+  }
+
   private def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = materializeOnce("customer_json", sfDir) { d =>
@@ -263,6 +303,15 @@ object Scans extends QueryPack {
       SELECT s_suppkey, s_name,
         CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
       FROM supplier ORDER BY s_suppkey ASC NULLS FIRST""")),
+    Q("q_source_csv_malformed", csvMalformed, Some("""
+      WITH r AS (
+        SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS k,
+               n_nationkey % 3 = 0 AS is_corrupt
+        FROM nation)
+      SELECT is_corrupt, count(*) AS n_rows,
+        min(k) AS min_key, max(k) AS max_key
+      FROM r GROUP BY is_corrupt
+      ORDER BY is_corrupt ASC NULLS FIRST""")),
     Q("q_source_schema_widening", schemaWidening, Some("""
       SELECT s_suppkey, s_name,
         CASE WHEN s_suppkey % 2 = 1 THEN s_acctbal END AS s_acctbal
