@@ -477,6 +477,36 @@ object Aggregations extends QueryPack {
     perTypeQ.union(merged).orderBy($"event_type".asc_nulls_first)
   }
 
+  /** Mergeable frequent-items sketch pipeline — capability only; the
+    * heavy-hitters member of the sketch family (HLL = distinct, KLL =
+    * quantiles; added round 10). Per-return-flag Misra-Gries sketches of
+    * l_suppkey (`graft_freq_agg`, plans/FreqSketch.scala) plus an ALL row
+    * merged from the stored sketches; output reads estimates for the
+    * exact global top-5 suppliers from every scope. Estimates obey
+    * |est − true| ≤ 3.5·n/maxMapSize per key under any merge topology
+    * (spec-pinned); the store-then-reaggregate shape is what hot-key
+    * monitoring needs at 100 TB — per-hour sketches persisted once, any
+    * rollup merged without rescanning.
+    */
+  private def aggSketchFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Catalog.load(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_suppkey")
+    val perFlag = li.groupBy($"l_returnflag")
+      .agg(expr("graft_freq_agg(l_suppkey, 256)").as("sk"))
+      .cache()
+    val scoped = perFlag.select($"l_returnflag".as("scope"), $"sk")
+      .union(perFlag.agg(expr("graft_freq_merge_agg(sk)").as("sk"))
+        .select(lit("ALL").as("scope"), $"sk"))
+    val top = li.groupBy($"l_suppkey").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"l_suppkey".asc).limit(5)
+      .select($"l_suppkey")
+    scoped.join(broadcast(top))
+      .select($"scope", $"l_suppkey",
+        expr("graft_freq_estimate(sk, l_suppkey)").as("est_freq"))
+      .orderBy($"scope".asc_nulls_first, $"l_suppkey".asc_nulls_first)
+  }
+
   /** GK sketch — capability only. */
   private def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -674,6 +704,7 @@ object Aggregations extends QueryPack {
     Q("q_agg_approx_distinct", aggApproxDistinct, None),
     Q("q_agg_sketch_hll", aggSketchHll, None),
     Q("q_agg_sketch_kll", aggSketchKll, None),
+    Q("q_agg_sketch_freq", aggSketchFreq, None),
     Q("q_agg_weighted_percentile", aggWeightedPercentile,
       Some(aggWeightedPercentileOracle)),
     Q("q_sql_tpch_q17_flavor", sqlTpchQ17Flavor, Some(s"""

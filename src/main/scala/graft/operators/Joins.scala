@@ -315,6 +315,64 @@ object Joins extends QueryPack {
       .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
   }
 
+  /** Point-in-time-correct dimension lookup (added round 10): every event
+    * enriched with the user's SCD2 attribute version VALID AT the event's
+    * own timestamp — the feature-store join that keeps training data
+    * leakage-free (reading the CURRENT version would leak the future into
+    * past examples). The dimension is q_scd2_history's daily purchase
+    * rollup (versioned valid_from per user, mirrored CTE); the lookup is
+    * a backward as-of on (user_id, ts ≥ valid_from), executed by
+    * [[graft.plans.AsOfMergeJoinExec]] — here with the FACT TABLE as the
+    * probe side (the posture that matters at 100 TB: the composed form
+    * would materialize every event × all its user's prior versions before
+    * keeping one; the merge exec streams both sides once per user and
+    * remembers one row). Events before the user's first version are
+    * dropped (inner as-of), exactly the rows a leakage-free pipeline must
+    * NOT fabricate features for.
+    */
+  private def joinPointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Catalog.load(spark, sfDir, "events")
+    val daily = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", date_trunc("day", $"ts").as("valid_from"))
+      .agg(dsum($"value").as("day_value"))
+    val wv = Window.partitionBy($"user_id").orderBy($"valid_from".asc)
+    val dim = daily
+      .withColumn("version", row_number().over(wv).cast("long"))
+      .select($"user_id", $"valid_from", $"version", $"day_value")
+    graft.plans.AsOfJoin.asof(
+        ev.select($"event_id", $"user_id", $"ts"), dim,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "user_id", rightTime = "valid_from", rightTie = "version")
+      .toDF("event_id", "user_id", "ts",
+        "r_user_id", "valid_from", "version", "day_value")
+      .select($"event_id", $"user_id", $"ts",
+        $"version", $"valid_from", $"day_value")
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
+  private val joinPointInTimeOracle = s"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS valid_from,
+        ${graft.Oracle.dsum("value")} AS day_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, 2),
+    dim AS (
+      SELECT user_id,
+        CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from ASC)
+          AS BIGINT) AS version,
+        valid_from, day_value
+      FROM daily),
+    j AS (
+      SELECT e.event_id, e.user_id, e.ts, d.version, d.valid_from, d.day_value,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY d.valid_from DESC, d.version DESC) AS rn
+      FROM events e JOIN dim d
+        ON d.user_id = e.user_id AND d.valid_from <= e.ts)
+    SELECT event_id, user_id, ts, version, valid_from, day_value
+    FROM j WHERE rn = 1
+    ORDER BY event_id ASC NULLS FIRST"""
+
   /** Bloom-prefiltered dimension join (added round 9 close): the
     * build-a-bloom-on-the-dim / prefilter-the-fact-scan pattern written as
     * one declarative query, using Spark's own BloomFilterAggregate /
@@ -490,6 +548,7 @@ object Joins extends QueryPack {
       ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST""")),
     Q("q_join_asof", joinAsof, Some(asofOracle)),
     Q("q_join_asof_merge", joinAsofMerge, Some(asofOracle)),
+    Q("q_join_point_in_time", joinPointInTime, Some(joinPointInTimeOracle)),
     Q("q_join_self_interval", joinSelfInterval, Some("""
       SELECT event_id, user_id, ts,
         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts,

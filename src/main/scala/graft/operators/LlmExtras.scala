@@ -938,7 +938,51 @@ object LlmExtras extends QueryPack {
     ORDER BY containment_ppm DESC, src ASC NULLS FIRST, dst ASC NULLS FIRST
     LIMIT 25"""
 
+  /** Maximum-inner-product top-k (added round 10): retrieval scoring by
+    * RAW dot product — the metric dual-encoder models are actually trained
+    * on; it ranks differently from cosine whenever vector norms vary
+    * (q_sim_knn_bruteforce normalizes, this must not). Hot path is the
+    * native codegen'd `graft_dot` over a broadcast probe set; ranking on
+    * the ROUNDED dot with a cand_id tie-break keeps the order invariant to
+    * last-bit summation differences, mirroring the knn query's contract.
+    * Scale path: MIPS admits norm-based pruning (candidates with
+    * ‖c‖ < best_k / ‖probe‖ cannot win) and the IVF bucketing of
+    * q_sim_ann_ivf; the brute-force form here is the exactness baseline
+    * those approximations are graded against.
+    */
+  private def simMipsTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_emb"))
+    val cands = e.select($"vec_id".as("cand_id"), $"embedding".as("cand_emb"))
+    val scored = cands.join(broadcast(probes), $"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id",
+        round(expr("graft_dot(probe_emb, cand_emb)"), 4).as("dot_score"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"dot_score".desc, $"cand_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  private val simMipsTopkSql = """
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        round((SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+               FROM (SELECT unnest(list_zip(p.embedding, c.embedding)) AS r)),
+          4) AS dot_score
+      FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id < 10),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY probe_id ORDER BY dot_score DESC, cand_id ASC) AS BIGINT) AS rank
+      FROM scored)
+    SELECT probe_id, cand_id, dot_score, rank FROM ranked WHERE rank <= 5
+    ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sim_mips_topk", simMipsTopk, Some(simMipsTopkSql)),
     Q("q_dedup_passage_exact", dedupPassage, Some(dedupPassageSql)),
     Q("q_dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Q("q_vec_stats", vecStats, Some(vecStatsSql)),

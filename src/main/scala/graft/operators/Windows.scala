@@ -152,7 +152,36 @@ object Windows extends QueryPack {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** Trailing event-time RANGE frame (added round 10): per event, the
+    * same user's activity over the trailing hour [ts − 1 h, ts] — count
+    * and decimal-exact value sum via `rangeBetween` on event-time MICROS.
+    * The time-window-per-row primitive behind rate features and burst
+    * detection; a RANGE frame (unlike ROWS) includes all PEERS at equal
+    * timestamps, so ties cannot make the result order-dependent, and the
+    * decimal sum is order-free — deterministic without any tie-break
+    * column. One shuffle on user_id; frame evaluation is the sliding
+    * two-pointer pass over each user's sorted slice, O(events) total.
+    */
+  private def winTrailing1h(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)
+    Catalog.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"ts",
+        count(lit(1)).over(w).as("n_1h"),
+        sum($"value".cast("decimal(18,6)")).over(w).cast("double").as("sum_1h"))
+      .orderBy($"event_id".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_win_trailing_1h", winTrailing1h, Some("""
+      SELECT event_id, user_id, ts,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id ASC NULLS FIRST""")),
     Q("q_win_ignore_nulls", winIgnoreNulls, Some("""
       WITH e AS (
         SELECT event_id, user_id, ts,

@@ -153,6 +153,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
       (children: Seq[Expression]) => KllQuantile(children(0), children(1))))
+    // Frequent-items (heavy-hitters) sketches (FreqSketch.scala) — the
+    // third sketch family member next to HLL (distinct) and KLL
+    // (quantiles), same store-then-reaggregate shape.
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_agg"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "graft_freq_agg"),
+      (children: Seq[Expression]) => FreqSketchAgg(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_merge_agg"),
+      new ExpressionInfo(classOf[FreqMergeAgg].getName, "graft_freq_merge_agg"),
+      (children: Seq[Expression]) => FreqMergeAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_estimate"),
+      new ExpressionInfo(classOf[FreqEstimate].getName, "graft_freq_estimate"),
+      (children: Seq[Expression]) => FreqEstimate(children(0), children(1))))
     // Optimizer surface: banded edit-distance predicates (length guard +
     // threshold DP) — see LevenshteinPruning's equivalence proof.
     ext.injectOptimizerRule(_ => LevenshteinPruning)

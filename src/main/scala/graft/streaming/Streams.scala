@@ -228,6 +228,37 @@ object Streams extends QueryPack {
     }
   }
 
+  /** The THIRD graded real-streaming run (added round 10): streaming exact
+    * dedup actually executed — `dropDuplicatesWithinWatermark` over the
+    * replayed events with a 1 s watermark, AvailableNow, append sink. The
+    * operator emits each key's FIRST arrival and holds per-key state only
+    * until the watermark passes it — the bounded-state dedup a 100 TB/day
+    * ingest needs (plain dropDuplicates would keep every key forever).
+    * Which PHYSICAL row arrives first per key is partition-order
+    * nondeterministic, so the graded projection is the KEY COLUMNS only:
+    * the emitted key SET is exactly the distinct-key set, which is what
+    * the oracle checks.
+    */
+  private def dedupExec(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runEventsStream(spark, sfDir, "dd") { src =>
+      src.withWatermark("ts", "1 second")
+        .withColumn("day", date_trunc("day", $"ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        .select($"user_id", $"event_type", $"day")
+    } { sinkDf =>
+      sinkDf.orderBy($"user_id".asc_nulls_first,
+        $"event_type".asc_nulls_first, $"day".asc_nulls_first)
+    }
+  }
+
+  private val dedupExecSql = """
+    SELECT DISTINCT user_id, event_type,
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+    ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST,
+      day ASC NULLS FIRST"""
+
   /** Watermark arithmetic in the oracle: Spark tracks event-time stats in
     * MILLIS (µs-floored per event), so wm_ms = floor(max_us/1000) - 1000,
     * and append finalizes windows with end_ms <= wm_ms.
@@ -283,6 +314,7 @@ object Streams extends QueryPack {
   override val queries: Vector[Q] = Vector(
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
     Q("q_stream_windowed_append", windowedAppend, Some(windowedAppendSql)),
+    Q("q_stream_dedup_exec", dedupExec, Some(dedupExecSql)),
     Q("q_stream_tumbling", tumbling, Some(s"""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         count(*) AS n, ${graft.Oracle.dsum("value")} AS sum_value

@@ -45,6 +45,62 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_agg_sketch_freq estimates sit inside the Misra-Gries error bound") {
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_agg_sketch_freq")(spark, sf)
+      .filter($"scope" === "ALL")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.size == 5)
+    val li = Catalog.load(spark, sf, "lineitem")
+    val n = li.count()
+    val exact = li.groupBy($"l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // |est - true| <= 3.5*n/maxMapSize per merged input sketch (3 flags).
+    val bound = 3 * 3.5 * n / 256.0
+    got.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) <= bound,
+        s"suppkey $k est=$est exact=${exact(k)} bound=$bound")
+    }
+  }
+
+  test("q_stream_dedup_exec emits exactly the distinct key set via a real run") {
+    val got = SparkEntry.queries("q_stream_dedup_exec")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    val expected = Catalog.load(spark, sf0001, "events")
+      .select($"user_id", $"event_type", date_trunc("day", $"ts").as("day"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q_join_point_in_time equals the composed window form and never leaks the future") {
+    val df = SparkEntry.queries("q_join_point_in_time")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // PIT contract: the joined version's valid_from is never after the event.
+    assert(rows.forall(r => !r.getTimestamp(4).after(r.getTimestamp(2))))
+    // And it is the LATEST such version: recompute via the composed form.
+    val composed = {
+      val ev = Catalog.load(spark, sf0001, "events")
+      val daily = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", date_trunc("day", $"ts").as("valid_from"))
+        .agg(graft.Dsl.dsum($"value").as("day_value"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"valid_from".asc)
+      val dim = daily.withColumn("version", row_number().over(wv).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_id")
+        .orderBy($"valid_from".desc, $"version".desc)
+      ev.select($"event_id", $"user_id", $"ts")
+        .join(dim.withColumnRenamed("user_id", "d_user"),
+          $"user_id" === $"d_user" && $"valid_from" <= $"ts")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"event_id", $"version")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(rows.map(r => r.getLong(0) -> r.getLong(3)).toMap == composed)
+  }
+
   test("mergeSchema cannot reconcile conflicting primitive types (why the explicit schema)") {
     val d = java.nio.file.Files.createTempDirectory("graft_widen_").toString
     Seq((1, "a")).toDF("k", "v").write.parquet(s"$d/v1")
