@@ -507,6 +507,32 @@ object Aggregations extends QueryPack {
       .orderBy($"scope".asc_nulls_first, $"l_suppkey".asc_nulls_first)
   }
 
+  /** Theta sketch set algebra — capability only; the audience-overlap
+    * pipeline (added round 10). HLL sketches union; THETA sketches also
+    * INTERSECT, so distinct-user overlap between every pair of event
+    * types comes from the 4 stored sketches — never a pairwise
+    * distinct-count over raw rows (at 100 TB: 6 self-join distinct
+    * counts collapse to one sketch pass plus driver-side set algebra).
+    * Retained-hash construction is order-independent, so the estimates
+    * are deterministic under any partitioning; below the sketch's k they
+    * are EXACT, which the spec pins against true overlaps.
+    */
+  private def aggSketchTheta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perType = Catalog.load(spark, sfDir, "events")
+      .groupBy($"event_type")
+      .agg(expr("graft_theta_agg(user_id)").as("sk"))
+      .cache()
+    val a = perType.select($"event_type".as("type_a"), $"sk".as("sk_a"))
+    val b = perType.select($"event_type".as("type_b"), $"sk".as("sk_b"))
+    a.join(b, $"type_a" < $"type_b")
+      .select($"type_a", $"type_b",
+        expr("graft_theta_estimate(sk_a)").as("est_users_a"),
+        expr("graft_theta_estimate(sk_b)").as("est_users_b"),
+        expr("graft_theta_intersect_estimate(sk_a, sk_b)").as("est_overlap"))
+      .orderBy($"type_a".asc_nulls_first, $"type_b".asc_nulls_first)
+  }
+
   /** GK sketch — capability only. */
   private def aggApproxPercentile(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -705,6 +731,7 @@ object Aggregations extends QueryPack {
     Q("q_agg_sketch_hll", aggSketchHll, None),
     Q("q_agg_sketch_kll", aggSketchKll, None),
     Q("q_agg_sketch_freq", aggSketchFreq, None),
+    Q("q_agg_sketch_theta", aggSketchTheta, None),
     Q("q_agg_weighted_percentile", aggWeightedPercentile,
       Some(aggWeightedPercentileOracle)),
     Q("q_sql_tpch_q17_flavor", sqlTpchQ17Flavor, Some(s"""

@@ -153,6 +153,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
       (children: Seq[Expression]) => KllQuantile(children(0), children(1))))
+    // Theta sketches (ThetaSketch.scala) — distinct-count SET ALGEBRA:
+    // intersect/difference estimates HLL cannot express.
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
+      (children: Seq[Expression]) => ThetaSketchAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "graft_theta_estimate"),
+      (children: Seq[Expression]) => ThetaEstimate(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_theta_intersect_estimate"),
+      new ExpressionInfo(classOf[ThetaIntersectEstimate].getName,
+        "graft_theta_intersect_estimate"),
+      (children: Seq[Expression]) =>
+        ThetaIntersectEstimate(children(0), children(1))))
     // Frequent-items (heavy-hitters) sketches (FreqSketch.scala) — the
     // third sketch family member next to HLL (distinct) and KLL
     // (quantiles), same store-then-reaggregate shape.

@@ -101,6 +101,28 @@ class Round10OpsSpec extends SparkTestBase {
     assert(rows.map(r => r.getLong(0) -> r.getLong(3)).toMap == composed)
   }
 
+  test("q_agg_sketch_theta overlap estimates match exact set intersections") {
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_agg_sketch_theta")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    val ev = Catalog.load(spark, sf, "events")
+      .select($"event_type", $"user_id").distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    got.foreach { case ((ta, tb), (ea, eb, eo)) =>
+      val (xa, xb) = (ev(ta), ev(tb))
+      val exactO = (xa intersect xb).size.toLong
+      // Distinct users per type sit below the sketch's k=4096, so theta
+      // estimates are EXACT here; allow 2% slack for the general contract.
+      assert(math.abs(ea - xa.size) <= math.max(1, xa.size / 50), s"$ta $ea vs ${xa.size}")
+      assert(math.abs(eb - xb.size) <= math.max(1, xb.size / 50), s"$tb $eb vs ${xb.size}")
+      assert(math.abs(eo - exactO) <= math.max(1, exactO / 50), s"$ta∩$tb $eo vs $exactO")
+    }
+  }
+
   test("mergeSchema cannot reconcile conflicting primitive types (why the explicit schema)") {
     val d = java.nio.file.Files.createTempDirectory("graft_widen_").toString
     Seq((1, "a")).toDF("k", "v").write.parquet(s"$d/v1")
