@@ -282,9 +282,12 @@ object GraphOps extends QueryPack {
       // exactly the canonical (n2, n3) row.
       .join(edges.as("e3"), $"n2" === $"e3.a" && $"n3" === $"e3.b")
       .select($"n1", $"n2", $"n3")
-    val perNode = tri.select($"n1".as("node"))
-      .union(tri.select($"n2"))
-      .union(tri.select($"n3"))
+    // explode, not a 3-way union of projections: a union re-embeds the
+    // whole wedge-join subtree once per column (the executed plan showed
+    // the oriented join built three times); the explode emits the same
+    // three node rows from ONE pass over the triangle table.
+    val perNode = tri
+      .select(explode(array($"n1", $"n2", $"n3")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
     val nodes = edges.select($"a".as("node")).union(edges.select($"b")).distinct()
     nodes.join(perNode, Seq("node"), "left")
