@@ -577,7 +577,48 @@ object GraphOps extends QueryPack {
     ORDER BY custkey ASC NULLS FIRST"""
   }
 
+  /** K-core decomposition at k=3 (added round 10) — iterative peeling:
+    * repeatedly remove nodes of degree < k until fixpoint; what remains is
+    * the 3-core, the dense backbone community detection and spam-graph
+    * pruning start from. The k-core is UNIQUE regardless of peel order, so
+    * the result is deterministic; capability-only in the oracle sense
+    * because iterative deletion is non-monotone (a recursive CTE cannot
+    * express it) — the spec pins the output against an exact in-memory
+    * peeling of the same edges.
+    *
+    * Loop shape mirrors [[propagateMinLabels]]: per round ONE degree
+    * aggregation and one broadcast anti-join of the edge list against the
+    * (small by construction — it only holds the nodes peeled THIS round)
+    * victim set, with eager localCheckpoint leaves so per-round plans stay
+    * constant-size and the driver only ever sees one Long (the victim
+    * count). Rounds are bounded by the peeling depth (≤ |V| worst case,
+    * tiny on real graphs); a too-deep graph fails loudly at [[MaxRounds]].
+    */
+  private def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val K = 3L
+    var g = coPurchaseUnd(spark, sfDir)
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= MaxRounds, s"k-core did not converge in $MaxRounds rounds")
+      val victims = g.groupBy($"u").agg(count(lit(1)).as("deg"))
+        .filter($"deg" < K).select($"u")
+      if (victims.isEmpty) done = true
+      else {
+        g = g.join(broadcast(victims), Seq("u"), "left_anti")
+          .join(broadcast(victims.select($"u".as("v"))), Seq("v"), "left_anti")
+          .select($"u", $"v")
+          .localCheckpoint(true)
+      }
+    }
+    g.groupBy($"u".as("custkey")).agg(count(lit(1)).as("core_degree"))
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_graph_kcore", graphKcore, None),
     Q("q_graph_components", components, Some(componentsOracle)),
     Q("q_graph_triangles", triangles, Some(trianglesOracle)),
     Q("q_graph_degree_hist", degreeHist, Some(degreeHistOracle)),

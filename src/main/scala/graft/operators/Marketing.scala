@@ -266,13 +266,21 @@ object Marketing extends QueryPack {
     * item catalog; the support aggregate is map-side combined and top-25
     * is TakeOrderedAndProject (per-partition heads, no global sort).
     */
+  /** Distinct (basket, item) table, materialized ONCE per (app, sfDir) as
+    * an eager checkpoint leaf (the GraphOps edge-leaf pattern): both
+    * basket queries self-join it, and since round 10 two queries share it
+    * — without the memo each paid the lineitem scan + distinct again.
+    */
+  private def basketItems(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraphOps.memoEdgeLeaf(spark, sfDir, "basketItems")(
+      Catalog.load(spark, sfDir, "lineitem")
+        .select($"l_orderkey".as("basket"), $"l_partkey".as("item")).distinct())
+  }
+
   private def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // Cached: the self-join references the distinct item table twice, and
-    // without the cache each side re-scans and re-aggregates lineitem.
-    val items = Catalog.load(spark, sfDir, "lineitem")
-      .select($"l_orderkey".as("basket"), $"l_partkey".as("item")).distinct()
-      .cache()
+    val items = basketItems(spark, sfDir)
     items.as("a").join(items.as("b"), Seq("basket"))
       .filter($"a.item" < $"b.item")
       .groupBy($"a.item".as("part_a"), $"b.item".as("part_b"))
@@ -292,6 +300,69 @@ object Marketing extends QueryPack {
     GROUP BY 1, 2
     ORDER BY support DESC, part_a ASC NULLS FIRST, part_b ASC NULLS FIRST
     LIMIT 25"""
+
+  /** Association-rule metrics (added round 10): the directed rules behind
+    * q_basket_pairs' co-occurrence counts — for each top pair, both
+    * directions A→B with support, CONFIDENCE = support(AB)/baskets(A) and
+    * LIFT = confidence / P(B), all in exact ppm integer arithmetic (no
+    * float division anywhere, so the output hashes identically
+    * cross-engine). Lift numerator support·N·10⁶ stays far inside int64
+    * at this fixture; at larger scale the ppm scaling drops to per-mille
+    * or the division goes decimal. Scale shape: the pair table and both
+    * item-count lookups are the same bounded aggregates as
+    * q_basket_pairs; the rule derivation is arithmetic over the top-25
+    * pairs — no new wide shuffle.
+    */
+  private def basketRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val items = basketItems(spark, sfDir)
+    val nBaskets = items.select($"basket").distinct().count()
+    val itemCounts = items.groupBy($"item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a").join(items.as("b"), Seq("basket"))
+      .filter($"a.item" < $"b.item")
+      .groupBy($"a.item".as("part_a"), $"b.item".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc,
+        $"part_a".asc_nulls_first, $"part_b".asc_nulls_first)
+      .limit(25)
+    val directed = pairs
+      .select($"part_a".as("ante"), $"part_b".as("cons"), $"support")
+      .union(pairs.select($"part_b", $"part_a", $"support"))
+    directed
+      .join(broadcast(itemCounts.select($"item".as("ante"), $"n_item".as("n_ante"))), Seq("ante"))
+      .join(broadcast(itemCounts.select($"item".as("cons"), $"n_item".as("n_cons"))), Seq("cons"))
+      .select($"ante", $"cons", $"support",
+        expr("support * 1000000 div n_ante").as("confidence_ppm"),
+        expr(s"support * $nBaskets * 1000000 div (n_ante * n_cons)")
+          .as("lift_ppm"))
+      .orderBy($"ante".asc_nulls_first, $"cons".asc_nulls_first)
+  }
+
+  private val basketRulesOracle = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+    n AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+    counts AS (SELECT item, count(*) AS n_item FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS part_a, b.item AS part_b,
+        CAST(count(*) AS BIGINT) AS support
+      FROM items a JOIN items b USING (basket)
+      WHERE a.item < b.item
+      GROUP BY 1, 2
+      ORDER BY support DESC, part_a ASC NULLS FIRST, part_b ASC NULLS FIRST
+      LIMIT 25),
+    directed AS (
+      SELECT part_a AS ante, part_b AS cons, support FROM pairs
+      UNION ALL SELECT part_b, part_a, support FROM pairs)
+    SELECT ante, cons, support,
+      (support * 1000000) // ca.n_item AS confidence_ppm,
+      CAST((support * n.n_baskets * 1000000) // (ca.n_item * cc.n_item)
+        AS BIGINT) AS lift_ppm
+    FROM directed
+    JOIN counts ca ON ca.item = ante
+    JOIN counts cc ON cc.item = cons
+    CROSS JOIN n
+    ORDER BY ante ASC NULLS FIRST, cons ASC NULLS FIRST"""
 
   /** Sequence-pattern detection over per-user event streams (added round
     * 9) — the MATCH_RECOGNIZE-flavor primitive: each user's events in
@@ -342,6 +413,7 @@ object Marketing extends QueryPack {
     Q("q_session_stats", sessionStats, Some(sessionStatsOracle)),
     Q("q_cdc_apply", cdcApply, Some(cdcApplyOracle)),
     Q("q_basket_pairs", basketPairs, Some(basketPairsOracle)),
+    Q("q_basket_rules", basketRules, Some(basketRulesOracle)),
     Q("q_seq_pattern", seqPattern, Some(seqPatternOracle)),
     Q("q_funnel_steps", funnelSteps, Some("""
       WITH v AS (

@@ -123,6 +123,40 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_graph_kcore equals an exact in-memory peeling of the same edges") {
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_graph_kcore")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Rebuild the co-purchase edge set (same definition as the query) and
+    // peel exactly: remove nodes of degree < 3 until fixpoint.
+    val edges = Catalog.load(spark, sf, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c"), date_trunc("day", $"o_orderdate").as("day"))
+      .distinct()
+      .as("x").join(Catalog.load(spark, sf, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey".as("c2"), date_trunc("day", $"o_orderdate").as("day"))
+        .distinct().as("y"), Seq("day"))
+      .filter($"c" < $"c2")
+      .select($"c", $"c2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    var changed = true
+    while (changed) {
+      val victims = adj.filter(_._2.size < 3).keys.toSet
+      changed = victims.nonEmpty
+      victims.foreach(adj.remove)
+      adj = adj.map { case (n, ns) => n -> (ns -- victims) }
+        .to(scala.collection.mutable.Map).withDefaultValue(Set.empty)
+    }
+    val expected = adj.map { case (n, ns) => n -> ns.size.toLong }.toMap
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("mergeSchema cannot reconcile conflicting primitive types (why the explicit schema)") {
     val d = java.nio.file.Files.createTempDirectory("graft_widen_").toString
     Seq((1, "a")).toDF("k", "v").write.parquet(s"$d/v1")
