@@ -156,8 +156,90 @@ object Governance extends QueryPack {
         // CAST((SELECT sum(n_docs) FROM a) AS BIGINT) AS BIGINT) AS share_ppm
     FROM a ORDER BY split ASC NULLS FIRST"""
 
+  /** Declarative data-quality expectations audit (added round 10): six
+    * named checks over orders — not-null key, key uniqueness, value range,
+    * accepted domain, date range, referential integrity — each reported as
+    * (checked, violations, pass). Mixed by design: the range and date
+    * checks FIRE on the fixtures (thresholds inside the observed value
+    * range) so the violation counting is exercised, the structural checks
+    * hold at zero. The contract-enforcement front door of a pipeline: run
+    * this, gate the load on `pass`.
+    *
+    * Scale: the five single-table checks are ONE aggregation pass over the
+    * scan (conditional sums + a two-phase distinct), unpivoted with
+    * `stack` — adding a check adds a column, not a scan; the referential
+    * check probes the parent with the DISTINCT child keys (bounded by
+    * |customers|), same shape as q_audit_referential.
+    */
+  private def qualityExpectations(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Catalog.load(spark, sfDir, "orders")
+    val single = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when($"o_orderkey".isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct($"o_orderkey")).as("v_unique"),
+        sum(when($"o_totalprice" < 0.0 || $"o_totalprice" > 400000.0, 1L)
+          .otherwise(0L)).as("v_range"),
+        sum(when(!$"o_orderpriority".isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 1L)
+          .otherwise(0L)).as("v_domain"),
+        sum(when($"o_orderdate" < lit("1995-01-01").cast("timestamp") ||
+            $"o_orderdate" > lit("2001-06-30").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v_dates"))
+      .select(expr("""stack(5,
+        'orders.o_orderkey not_null', n_rows, v_null,
+        'orders.o_orderkey unique', n_rows, v_unique,
+        'orders.o_totalprice range[0,400000]', n_rows, v_range,
+        'orders.o_orderpriority domain', n_rows, v_domain,
+        'orders.o_orderdate range[1995-01-01,2001-06-30]', n_rows, v_dates)
+        AS (check_name, n_checked, n_violations)"""))
+    val referential = o.select($"o_custkey").distinct()
+      .join(Catalog.load(spark, sfDir, "customer").select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left")
+      .agg(
+        lit("orders.o_custkey referential customer").as("check_name"),
+        count(lit(1)).as("n_checked"),
+        sum(when($"c_custkey".isNull, 1L).otherwise(0L)).as("n_violations"))
+    single.unionAll(referential)
+      .withColumn("pass", $"n_violations" === 0L)
+      .orderBy($"check_name".asc_nulls_first)
+  }
+
+  private val qualityExpectationsOracle = """
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+        CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        count(*) - count(DISTINCT o_orderkey) AS v_unique,
+        CAST(sum(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 400000.0
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN
+          ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_domain,
+        CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+          OR o_orderdate > TIMESTAMP '2001-06-30 00:00:00'
+          THEN 1 ELSE 0 END) AS BIGINT) AS v_dates
+      FROM orders),
+    r AS (
+      SELECT count(*) AS n_checked,
+        CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+      FROM (SELECT DISTINCT o_custkey FROM orders) k
+      LEFT JOIN customer ON o_custkey = c_custkey),
+    u AS (
+      SELECT 'orders.o_orderkey not_null' AS check_name,
+        n_rows AS n_checked, v_null AS n_violations FROM a
+      UNION ALL SELECT 'orders.o_orderkey unique', n_rows, v_unique FROM a
+      UNION ALL SELECT 'orders.o_totalprice range[0,400000]', n_rows, v_range FROM a
+      UNION ALL SELECT 'orders.o_orderpriority domain', n_rows, v_domain FROM a
+      UNION ALL SELECT 'orders.o_orderdate range[1995-01-01,2001-06-30]',
+        n_rows, v_dates FROM a
+      UNION ALL SELECT 'orders.o_custkey referential customer',
+        n_checked, n_viol FROM r)
+    SELECT check_name, n_checked, n_violations, n_violations = 0 AS pass
+    FROM u ORDER BY check_name ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_pii_mask", piiMask, Some(piiMaskOracle)),
+    Q("q_quality_expectations", qualityExpectations, Some(qualityExpectationsOracle)),
     Q("q_sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),
     Q("q_split_train_test", splitTrainTest, Some(splitTrainTestOracle)),
   )

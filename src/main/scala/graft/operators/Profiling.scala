@@ -481,8 +481,83 @@ object Profiling extends QueryPack {
       FROM c3)
     SELECT * FROM e ORDER BY column_name ASC NULLS FIRST"""
 
+  /** Per-GROUP least-squares regression (added round 10): slope, intercept
+    * and R² of extendedprice on quantity within each return flag — the
+    * grouped sibling of q_stat_corr's global moment matrix (that one has no
+    * grouping dimension and no R²). Same exactness strategy: quantity is an
+    * exact small integer, price an exact cents long, so all five moments
+    * accumulate as codegen'd LONG arithmetic inside salt groups sized from
+    * one bounded count action (Σy² per ~5e3-row salt group ≈ 6e17, 15×
+    * under Long.Max; ANSI mode turns any sizing violation into a loud
+    * error), then |groups|·|salts| partials — never raw rows — sum exactly
+    * in decimal. The closed-form fit runs as identical IEEE double
+    * expressions on both engines over those bit-identical moments.
+    *
+    * Scale: one two-phase hash aggregation keyed (flag, salt) then (flag) —
+    * both map-side combined, no window, no second scan; the same shape at
+    * any SF with only the salt cardinality growing.
+    */
+  private def statRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Catalog.load(spark, sfDir, "lineitem")
+    val nRows = li.count()
+    val g = math.max(64L, nRows / 5000L + 1L)
+    val base = li.select(
+      $"l_returnflag",
+      pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(g)).as("__g"),
+      $"l_quantity".cast("long").as("x"),
+      ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("y"))
+    val lvl1 = base.groupBy($"l_returnflag", $"__g").agg(
+      count(lit(1)).as("cnt"),
+      sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+      sum($"y").as("sy"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    def fin(name: String): Column =
+      sum(col(name).cast("decimal(38,0)")).cast("double").as(name)
+    val m = lvl1.groupBy($"l_returnflag").agg(
+      sum($"cnt").cast("double").as("n"),
+      fin("sx"), fin("sxx"), fin("sy"), fin("syy"), fin("sxy"))
+    // Identical IEEE expression trees on both engines (oracle mirrors the
+    // association order verbatim); cents scale cancels in r2, /100 maps
+    // slope and intercept back to dollars.
+    val num = $"n" * $"sxy" - $"sx" * $"sy"
+    val den = $"n" * $"sxx" - $"sx" * $"sx"
+    val slope = num / den / lit(100.0)
+    m.select(
+        $"l_returnflag",
+        $"n".cast("long").as("n_rows"),
+        round(slope, 6).as("slope"),
+        round(($"sy" / lit(100.0) - num / den / lit(100.0) * $"sx") / $"n", 6)
+          .as("intercept"),
+        round(num * num / (den * ($"n" * $"syy" - $"sy" * $"sy")), 6).as("r2"))
+      .orderBy($"l_returnflag".asc_nulls_first)
+  }
+
+  private val statRegressionOracle = """
+    WITH b AS (
+      SELECT l_returnflag,
+        CAST(l_quantity AS BIGINT) AS x,
+        CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+        CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+        CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy,
+        CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM b GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 6) AS slope,
+      round((sy / 100.0 - (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * sx) / n, 6)
+        AS intercept,
+      round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m ORDER BY l_returnflag ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_profile_entropy", profileEntropy, Some(profileEntropyOracle)),
+    Q("q_stat_regression", statRegression, Some(statRegressionOracle)),
     Q("q_profile_summary", profileSummary, Some(profileSummaryOracle)),
     Q("q_profile_histogram_eqdepth", histogramEqdepth, Some(histogramEqdepthOracle)),
     Q("q_profile_histogram", histogram, Some(histogramOracle)),

@@ -281,8 +281,58 @@ object RelationalExtras extends QueryPack {
     GROUP BY depth
     ORDER BY depth ASC NULLS FIRST"""
 
+  /** NULL-aware anti join (added round 10): `NOT IN (subquery)` under
+    * three-valued logic — the probe key is NULL for '5-LOW' orders, and a
+    * NULL key compared against a non-empty exclusion set yields UNKNOWN, so
+    * those rows are (correctly) dropped, not kept; the '5-LOW' group is
+    * absent from the output by SEMANTICS, not by filter. Submitted as SQL
+    * text so Catalyst's RewritePredicateSubquery produces the plan: the
+    * rewritten condition is `k = c OR (k = c) IS NULL`, and because this is
+    * the single-column NOT IN shape with a broadcastable build side, Spark
+    * plans BroadcastHashJoin LeftAnti with `isNullAwareAntiJoin=true`
+    * (exec-side null-check against the hashed relation, O(1) per probe
+    * row instead of a nested-loop scan) — verified in PLANS.md, the
+    * trailing `true` on the BroadcastHashJoin line.
+    *
+    * Scale: NAAJ requires the exclusion set to BROADCAST (the per-row
+    * null-check is a scan of the build side, unpartitionable in general).
+    * That is the right plan while the exclusion list is dimension-sized;
+    * when both sides are facts the pipeline rewrite is NOT EXISTS (plain
+    * hash anti join) after an explicit `WHERE k IS NOT NULL` — the query
+    * author declares nullability intent and the join becomes shuffleable.
+    * This query IS the broadcast case; the rewrite case is q_join_left_anti.
+    */
+  private def joinNullAwareAnti(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH probe AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+          CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_custkey END AS k
+        FROM parquet.`$sfDir/orders.parquet`)
+      SELECT o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM probe
+      WHERE k NOT IN (
+        SELECT c_custkey FROM parquet.`$sfDir/customer.parquet`
+        WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority ASC NULLS FIRST""")
+
+  private val joinNullAwareAntiOracle = s"""
+    WITH probe AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+        CASE WHEN o_orderpriority = '5-LOW' THEN NULL ELSE o_custkey END AS k
+      FROM orders)
+    SELECT o_orderpriority, count(*) AS n_orders,
+      ${graft.Oracle.dsum("o_totalprice")} AS total
+    FROM probe
+    WHERE k NOT IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_er_blocking", erBlocking, Some(erBlockingOracle)),
+    Q("q_join_null_aware_anti", joinNullAwareAnti, Some(joinNullAwareAntiOracle)),
     Q("q_join_lateral_topk", joinLateralTopk, Some(joinLateralTopkOracle)),
     Q("q_sql_recursive_cte", sqlRecursiveCte, Some(sqlRecursiveCteOracle)),
     Q("q_join_bucketed", joinBucketed, Some(s"""

@@ -157,6 +157,65 @@ class Round10OpsSpec extends SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("q_join_null_aware_anti drops the NULL-key group and matches a composed anti join") {
+    val df = SparkEntry.queries("q_join_null_aware_anti")(spark, sf0001)
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // NULL NOT IN (non-empty set) is UNKNOWN → the whole '5-LOW' group is gone.
+    assert(rows.nonEmpty && !rows.contains("5-LOW"))
+    val orders = Catalog.load(spark, sf0001, "orders")
+    val excl = Catalog.load(spark, sf0001, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val expected = orders.filter($"o_orderpriority" =!= "5-LOW")
+      .join(excl, $"o_custkey" === $"c_custkey", "left_anti")
+      .groupBy($"o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == expected)
+  }
+
+  test("q_stat_regression matches a direct double-precision fit per group") {
+    val df = SparkEntry.queries("q_stat_regression")(spark, sf0001)
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size == 3)
+    val raw = Catalog.load(spark, sf0001, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .collect().groupBy(_.getString(0))
+    raw.foreach { case (flag, rs) =>
+      val xs = rs.map(_.getDouble(1)); val ys = rs.map(_.getDouble(2))
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val syy = ys.map(y => (y - my) * (y - my)).sum
+      val (slope, intercept, r2) =
+        (sxy / sxx, my - sxy / sxx * mx, sxy * sxy / (sxx * syy))
+      val (gs, gi, gr) = got(flag)
+      assert(math.abs(gs - slope) < 1e-3, s"$flag slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-2, s"$flag intercept $gi vs $intercept")
+      assert(math.abs(gr - r2) < 1e-4, s"$flag r2 $gr vs $r2")
+    }
+  }
+
+  test("q_quality_expectations: firing checks fire, structural checks hold") {
+    val rows = SparkEntry.queries("q_quality_expectations")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(rows.size == 6)
+    // Structural invariants of the fixtures hold at zero violations.
+    Seq("orders.o_orderkey not_null", "orders.o_orderkey unique",
+      "orders.o_orderpriority domain", "orders.o_custkey referential customer")
+      .foreach { c => assert(rows(c)._2 == 0L && rows(c)._3, c) }
+    // The range and date thresholds sit inside the observed value range, so
+    // the violation-counting path is exercised.
+    Seq("orders.o_totalprice range[0,400000]",
+      "orders.o_orderdate range[1995-01-01,2001-06-30]")
+      .foreach { c => assert(rows(c)._2 > 0L && !rows(c)._3, c) }
+    rows.values.foreach { case (checked, viol, _) =>
+      assert(checked > 0L && viol <= checked)
+    }
+  }
+
   test("mergeSchema cannot reconcile conflicting primitive types (why the explicit schema)") {
     val d = java.nio.file.Files.createTempDirectory("graft_widen_").toString
     Seq((1, "a")).toDF("k", "v").write.parquet(s"$d/v1")
