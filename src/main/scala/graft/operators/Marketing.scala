@@ -409,8 +409,209 @@ object Marketing extends QueryPack {
         AS BIGINT) AS n_vcp
     FROM s ORDER BY user_id ASC NULLS FIRST"""
 
+  /** Multi-touch attribution (added round 10): every view/click touch is
+    * assigned to the user's NEXT purchase (the conversion window resets at
+    * each conversion — standard last-interaction windowing), then each
+    * channel's credit is reported under the three classic models at once:
+    * first-touch count, last-touch count, and linear (1/n per touch, in
+    * exact ppm integer arithmetic — remainders truncate identically on
+    * both engines, so no float division anywhere). Touches after a user's
+    * final purchase convert never and are excluded by the NULL conv_ts.
+    *
+    * Scale: one hash shuffle on user_id for the forward-looking min
+    * window; the per-conversion count/rank windows reuse that partitioning
+    * (partition keys extend user_id), so no second exchange; the final
+    * channel rollup is a 2-row aggregate.
+    */
+  private def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Catalog.load(spark, sfDir, "events")
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val wFwd = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val touches = ev
+      .withColumn("conv_ts",
+        min(when($"event_type" === "purchase", $"ts")).over(wFwd))
+      .filter($"event_type" =!= "purchase" && $"conv_ts".isNotNull)
+    val wConv = Window.partitionBy($"user_id", $"conv_ts")
+    val scored = touches
+      .withColumn("n_touches", count(lit(1)).over(wConv))
+      .withColumn("rn_first", row_number().over(
+        wConv.orderBy($"ts".asc, $"event_id".asc)))
+      .withColumn("rn_last", row_number().over(
+        wConv.orderBy($"ts".desc, $"event_id".desc)))
+    scored.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_touches_total"),
+        sum(when($"rn_first" === 1, 1L).otherwise(0L)).as("n_first_touch"),
+        sum(when($"rn_last" === 1, 1L).otherwise(0L)).as("n_last_touch"),
+        sum(expr("1000000 div n_touches")).as("linear_credit_ppm"))
+      .withColumnRenamed("event_type", "channel")
+      .orderBy($"channel".asc_nulls_first)
+  }
+
+  private val attributionOracle = """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    t AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_ts
+      FROM ev),
+    touch AS (
+      SELECT * FROM t WHERE event_type <> 'purchase' AND conv_ts IS NOT NULL),
+    s AS (
+      SELECT *,
+        count(*) OVER (PARTITION BY user_id, conv_ts) AS n_touches,
+        row_number() OVER (PARTITION BY user_id, conv_ts
+          ORDER BY ts ASC, event_id ASC) AS rn_first,
+        row_number() OVER (PARTITION BY user_id, conv_ts
+          ORDER BY ts DESC, event_id DESC) AS rn_last
+      FROM touch)
+    SELECT event_type AS channel,
+      count(*) AS n_touches_total,
+      CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_touch,
+      CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_touch,
+      CAST(sum(1000000 // n_touches) AS BIGINT) AS linear_credit_ppm
+    FROM s GROUP BY event_type
+    ORDER BY channel ASC NULLS FIRST"""
+
+  /** Two-snapshot table diff (added round 10): the CDC-validation primitive
+    * — given yesterday's and today's dimension snapshots, classify every
+    * key as added / removed / changed / unchanged with both values carried.
+    * Snapshots are simulated from the customer table with disjoint key
+    * filters (mod 11 / mod 13) and a value perturbation (+10.00 on mod-5
+    * keys — exact in IEEE, both engines see bit-identical doubles), so all
+    * four classes are non-empty at any SF.
+    *
+    * Scale: one full outer hash join on the key — the minimal possible
+    * shape; at 100 TB both snapshots shuffle once, and a storage layout
+    * bucketed on the key (q_join_bucketed) removes even that.
+    */
+  private def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Catalog.load(spark, sfDir, "customer")
+    val v1 = cust.filter($"c_custkey" % 11 =!= 0)
+      .select($"c_custkey".as("k1"), $"c_acctbal".as("bal_old"))
+    val v2 = cust.filter($"c_custkey" % 13 =!= 0)
+      .select($"c_custkey".as("k2"),
+        when($"c_custkey" % 5 === 0, $"c_acctbal" + 10.0)
+          .otherwise($"c_acctbal").as("bal_new"))
+    v1.join(v2, $"k1" === $"k2", "full")
+      .select(
+        coalesce($"k1", $"k2").as("custkey"),
+        when($"k1".isNull, "added")
+          .when($"k2".isNull, "removed")
+          .when($"bal_old" === $"bal_new", "unchanged")
+          .otherwise("changed").as("status"),
+        $"bal_old", $"bal_new")
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private val snapshotDiffOracle = """
+    WITH v1 AS (
+      SELECT c_custkey AS k1, c_acctbal AS bal_old FROM customer
+      WHERE c_custkey % 11 <> 0),
+    v2 AS (
+      SELECT c_custkey AS k2,
+        CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+             ELSE c_acctbal END AS bal_new
+      FROM customer WHERE c_custkey % 13 <> 0)
+    SELECT coalesce(k1, k2) AS custkey,
+      CASE WHEN k1 IS NULL THEN 'added'
+           WHEN k2 IS NULL THEN 'removed'
+           WHEN bal_old = bal_new THEN 'unchanged'
+           ELSE 'changed' END AS status,
+      bal_old, bal_new
+    FROM v1 FULL JOIN v2 ON k1 = k2
+    ORDER BY custkey ASC NULLS FIRST"""
+
+  /** SCD2 history compaction (added round 10): merge ADJACENT versions of
+    * q_scd2_history's daily build whose tracked attribute landed in the
+    * same value band (per-100 of daily spend, exact integer micro-unit
+    * arithmetic — positive values, so `div` truncation equals DuckDB's
+    * floor `//`) — the history-rewrite every SCD2 pipeline runs when
+    * over-granular loads bloat the dimension. Gaps-and-islands via lag +
+    * running sum; each island keeps its first valid_from, last valid_to
+    * (NULL = still current), merged-version count and the band.
+    *
+    * Scale: the window input is the |users|×|days|-bounded version table
+    * (never raw events), one hash shuffle on user_id, and the island
+    * aggregation reuses the same partitioning.
+    */
+  private def scd2Compact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", date_trunc("day", $"ts").as("valid_from"))
+      .agg(dsum($"value").as("day_value"))
+    val wOrd = Window.partitionBy($"user_id").orderBy($"valid_from".asc)
+    val banded = daily
+      .withColumn("valid_to", lead($"valid_from", 1).over(wOrd))
+      .withColumn("band",
+        expr("CAST(CAST(day_value AS DECIMAL(18,6)) * 1000000 AS BIGINT)" +
+          " div 100000000"))
+    val islands = banded
+      .withColumn("is_new",
+        when(lag($"band", 1).over(wOrd).isNull ||
+          lag($"band", 1).over(wOrd) =!= $"band", 1L).otherwise(0L))
+      .withColumn("compact_version", sum($"is_new").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy($"user_id", $"compact_version")
+      .agg(
+        min($"valid_from").as("valid_from"),
+        when(sum(when($"valid_to".isNull, 1L).otherwise(0L)) > 0,
+          lit(null).cast("timestamp")).otherwise(max($"valid_to")).as("valid_to"),
+        min($"band").as("band"),
+        count(lit(1)).as("n_merged"),
+        dsum($"day_value").as("band_value"))
+      .orderBy($"user_id".asc_nulls_first, $"compact_version".asc_nulls_first)
+  }
+
+  private val scd2CompactOracle = s"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS valid_from,
+        ${Oracle.dsum("value")} AS day_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, 2),
+    banded AS (
+      SELECT *,
+        lead(valid_from, 1) OVER w AS valid_to,
+        CAST(CAST(day_value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+          // 100000000 AS band
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from ASC)),
+    flag AS (
+      SELECT *,
+        CASE WHEN lag(band, 1) OVER w IS NULL
+          OR lag(band, 1) OVER w <> band THEN 1 ELSE 0 END AS is_new
+      FROM banded
+      WINDOW w AS (PARTITION BY user_id ORDER BY valid_from ASC)),
+    isl AS (
+      SELECT *,
+        CAST(sum(is_new) OVER
+          (PARTITION BY user_id ORDER BY valid_from ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS compact_version
+      FROM flag)
+    SELECT user_id, compact_version,
+      min(valid_from) AS valid_from,
+      CASE WHEN sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) > 0
+        THEN NULL ELSE max(valid_to) END AS valid_to,
+      CAST(min(band) AS BIGINT) AS band,
+      count(*) AS n_merged,
+      ${Oracle.dsum("day_value")} AS band_value
+    FROM isl GROUP BY user_id, compact_version
+    ORDER BY user_id ASC NULLS FIRST, compact_version ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_session_stats", sessionStats, Some(sessionStatsOracle)),
+    Q("q_attribution", attribution, Some(attributionOracle)),
+    Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle)),
+    Q("q_scd2_compact", scd2Compact, Some(scd2CompactOracle)),
     Q("q_cdc_apply", cdcApply, Some(cdcApplyOracle)),
     Q("q_basket_pairs", basketPairs, Some(basketPairsOracle)),
     Q("q_basket_rules", basketRules, Some(basketRulesOracle)),

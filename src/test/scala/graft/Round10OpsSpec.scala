@@ -216,6 +216,57 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_attribution credit models are internally consistent") {
+    val rows = SparkEntry.queries("q_attribution")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set("view", "click"))
+    // Every conversion has exactly one first and one last touch, so the
+    // totals across channels agree; and that total is the conversion count.
+    val nConv = rows.values.map(_._2).sum
+    assert(nConv == rows.values.map(_._3).sum && nConv > 0)
+    // Linear credit sums to ~1e6 per conversion (minus div truncation).
+    val linear = rows.values.map(_._4).sum
+    assert(linear <= nConv * 1000000L && linear > nConv * 990000L,
+      s"linear=$linear conversions=$nConv")
+  }
+
+  test("q_snapshot_diff classes partition the key union and match the filters") {
+    val rows = SparkEntry.queries("q_snapshot_diff")(spark, sf0001).collect()
+    assert(rows.map(_.getString(1)).toSet ==
+      Set("added", "removed", "changed", "unchanged"))
+    rows.foreach { r =>
+      val (k, status) = (r.getLong(0), r.getString(1))
+      val (inV1, inV2) = (k % 11 != 0, k % 13 != 0)
+      status match {
+        case "added"   => assert(!inV1 && inV2 && r.isNullAt(2))
+        case "removed" => assert(inV1 && !inV2 && r.isNullAt(3))
+        case other =>
+          assert(inV1 && inV2)
+          assert((other == "changed") == (k % 5 == 0))
+      }
+    }
+  }
+
+  test("q_scd2_compact islands cover the full history without overlap") {
+    val compact = SparkEntry.queries("q_scd2_compact")(spark, sf0001).collect()
+    val history = SparkEntry.queries("q_scd2_history")(spark, sf0001).collect()
+    // Version counts re-aggregate: merged counts sum to the raw version count.
+    assert(compact.map(_.getLong(5)).sum == history.length)
+    assert(compact.length < history.length) // some merging actually happened
+    // Per user: consecutive compact versions chain valid_from/valid_to with
+    // exactly one open (NULL valid_to) current row.
+    compact.groupBy(_.getLong(0)).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.init.forall(!_.isNullAt(3)) && sorted.last.isNullAt(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(3).compareTo(b.getTimestamp(2)) <= 0)
+        case _ =>
+      }
+    }
+  }
+
   test("mergeSchema cannot reconcile conflicting primitive types (why the explicit schema)") {
     val d = java.nio.file.Files.createTempDirectory("graft_widen_").toString
     Seq((1, "a")).toDF("k", "v").write.parquet(s"$d/v1")
