@@ -252,6 +252,52 @@ object Streams extends QueryPack {
     }
   }
 
+  /** The FOURTH graded real-streaming run (added round 10): a genuine
+    * STREAM-STREAM interval join executed through the state store — the
+    * views and clicks branches of the replayed event stream, each with its
+    * own 1 s watermark, inner-joined on user with the click constrained to
+    * (view_ts, view_ts + 30 min]. The time-interval condition plus both
+    * watermarks is what BOUNDS the join state: each side retains only rows
+    * inside the 30-minute horizon behind the watermark, the posture an
+    * unbounded 100 TB/day dual-ingest needs (an unconstrained stream-stream
+    * join's state grows without limit). Deterministic because the graded
+    * value is the matched-pair SET (order restored by the final sort) and
+    * an inner join emits every pair whose partners both arrive before
+    * state eviction — with the fixture replayed as one file, all data
+    * lands in a single micro-batch and the watermark only advances after
+    * it, so no pair can lose its partner. The oracle is the equivalent
+    * batch interval join, so the hash check pins real state-store join
+    * execution against DuckDB. q_stream_join remains the batch/left twin.
+    */
+  private def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runEventsStream(spark, sfDir, "ssj") { src =>
+      val views = src.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+        .withWatermark("view_ts", "1 second")
+      val clicks = src.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+          $"ts".as("click_ts"))
+        .withWatermark("click_ts", "1 second")
+      views.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"click_ts" > $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr("INTERVAL 30 MINUTES"))
+        .select($"view_id", $"user_id", $"view_ts", $"click_id", $"click_ts")
+    } { sinkDf =>
+      sinkDf.orderBy($"view_id".asc_nulls_first, $"click_id".asc_nulls_first)
+    }
+  }
+
+  private val streamStreamJoinSql = """
+    SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+      c.event_id AS click_id, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON c.user_id = v.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY view_id ASC NULLS FIRST, click_id ASC NULLS FIRST"""
+
   private val dedupExecSql = """
     SELECT DISTINCT user_id, event_type,
       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
@@ -315,6 +361,7 @@ object Streams extends QueryPack {
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
     Q("q_stream_windowed_append", windowedAppend, Some(windowedAppendSql)),
     Q("q_stream_dedup_exec", dedupExec, Some(dedupExecSql)),
+    Q("q_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("q_stream_tumbling", tumbling, Some(s"""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         count(*) AS n, ${graft.Oracle.dsum("value")} AS sum_value

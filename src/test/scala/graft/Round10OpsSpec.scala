@@ -267,6 +267,22 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_stream_stream_join pairs equal the batch interval join via a real run") {
+    val got = SparkEntry.queries("q_stream_stream_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val ev = Catalog.load(spark, sf0001, "events")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("click_ts"))
+    val expected = views.join(clicks,
+        $"user_id" === $"c_user" && $"click_ts" > $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr("INTERVAL 30 MINUTES"))
+      .select($"view_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("mergeSchema cannot reconcile conflicting primitive types (why the explicit schema)") {
     val d = java.nio.file.Files.createTempDirectory("graft_widen_").toString
     Seq((1, "a")).toDF("k", "v").write.parquet(s"$d/v1")
