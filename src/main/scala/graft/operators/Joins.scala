@@ -315,6 +315,53 @@ object Joins extends QueryPack {
       .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
   }
 
+  /** LEFT OUTER as-of join through the custom merge exec (added round 10
+    * close — the last as-of variant): same backward semantics as
+    * q_join_asof_merge, but probes with NO event at or before them are
+    * KEPT with NULL right columns instead of dropped — "no version yet"
+    * becomes a feature, not a lost row. The first probe sits at noon of
+    * day 1, so a real slice of users has no prior event and the
+    * null-emission path is exercised, while the day-15 probe matches
+    * everyone. Executed by [[graft.plans.AsOfMergeJoinExec]] with
+    * `outer = true` (right attributes re-advertised nullable, unmatched
+    * probes emit a null right row — zero extra cost over the inner merge);
+    * the oracle is the composed LEFT-join + window form.
+    */
+  private def joinAsofOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts")
+    val probes = e.select($"user_id").distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-01 12:00:00").cast("timestamp"),
+        lit("2024-01-15").cast("timestamp"))))
+    graft.plans.AsOfJoin.asof(probes, e,
+        leftKey = "user_id", leftTime = "probe_ts",
+        rightKey = "user_id", rightTime = "ts", rightTie = "event_id",
+        outer = true)
+      // Output = left ++ right with user_id twice; positional rename.
+      .toDF("user_id", "probe_ts", "r_user_id", "event_id", "ts")
+      .select($"user_id", $"probe_ts", $"event_id", $"ts",
+        $"event_id".isNotNull.as("matched"))
+      .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
+  }
+
+  private val joinAsofOuterOracle = """
+      WITH probes AS (
+        SELECT DISTINCT user_id, p.probe_ts
+        FROM events, (VALUES (TIMESTAMP '2024-01-01 12:00:00'),
+                             (TIMESTAMP '2024-01-15')) p(probe_ts)),
+      j AS (
+        SELECT pr.user_id, pr.probe_ts, e.event_id, e.ts,
+          row_number() OVER (PARTITION BY pr.user_id, pr.probe_ts
+                             ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM probes pr LEFT JOIN events e
+          ON e.user_id = pr.user_id AND e.ts <= pr.probe_ts)
+      SELECT user_id, probe_ts, event_id, ts,
+        event_id IS NOT NULL AS matched
+      FROM j WHERE rn = 1
+      ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST"""
+
   /** Point-in-time-correct dimension lookup (added round 10): every event
     * enriched with the user's SCD2 attribute version VALID AT the event's
     * own timestamp — the feature-store join that keeps training data
@@ -548,6 +595,7 @@ object Joins extends QueryPack {
       ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST""")),
     Q("q_join_asof", joinAsof, Some(asofOracle)),
     Q("q_join_asof_merge", joinAsofMerge, Some(asofOracle)),
+    Q("q_join_asof_outer", joinAsofOuter, Some(joinAsofOuterOracle)),
     Q("q_join_point_in_time", joinPointInTime, Some(joinPointInTimeOracle)),
     Q("q_join_self_interval", joinSelfInterval, Some("""
       SELECT event_id, user_id, ts,

@@ -34,9 +34,12 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *    and equal-time candidates resolve to the smallest tie, exactly the
   *    composed form's `row_number() OVER (ORDER BY |Δt|, ts, tie)`.
   * In both modes left rows with no matching right row are dropped (inner
-  * as-of). Keys, times and ties must be 64-bit-comparable (long /
-  * timestamp); null keys or times never match, mirroring the theta join
-  * the operator replaces.
+  * as-of) unless `outer = true` (round 10), which keeps them with NULL
+  * right columns — the left-outer as-of a feature pipeline needs when
+  * "no version yet" is a feature, not a row to lose. Keys, times and ties
+  * must be 64-bit-comparable (long / timestamp); null keys or times never
+  * match, mirroring the theta join the operator replaces (under `outer`
+  * they surface as unmatched left rows).
   */
 sealed trait AsOfMode
 object AsOfMode {
@@ -50,7 +53,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression, mode: AsOfMode = AsOfMode.Backward)
+    rightTie: Expression, mode: AsOfMode = AsOfMode.Backward,
+    outer: Boolean = false)
   extends BinaryNode {
 
   // The merge exec compares keys/times as raw longs (timestamp's internal
@@ -66,7 +70,11 @@ case class AsOfJoinPlan(
     case _ => ()
   }
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // Outer: unmatched left rows emit NULL right columns, so the right
+  // attributes must advertise nullability or downstream null checks fold.
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -77,9 +85,9 @@ case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, mode) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, mode, outer) =>
       AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie,
-        mode) :: Nil
+        mode, outer) :: Nil
     case _ => Nil
   }
 }
@@ -101,10 +109,13 @@ case class AsOfMergeJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightTie: Expression, mode: AsOfMode = AsOfMode.Backward)
+    rightTie: Expression, mode: AsOfMode = AsOfMode.Backward,
+    outer: Boolean = false)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true))
+                    else right.output)
 
   private val numParts = SQLConf.get.numShufflePartitions
 
@@ -127,9 +138,13 @@ case class AsOfMergeJoinExec(
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val schema = output
     val nearest = mode == AsOfMode.Nearest
+    val emitUnmatched = outer
+    val rightWidth = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val joined = new JoinedRow
       val project = UnsafeProjection.create(schema, schema)
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rightWidth)
       val rBuf = rIter.buffered
       // The one remembered right row: the best candidate at or before the
       // current left time for `matchedKey`. Backward mode keeps the
@@ -178,6 +193,7 @@ case class AsOfMergeJoinExec(
               val hasBefore = matched != null && matchedKey == lk
               if (!nearest) {
                 if (hasBefore) nextRow = project(joined(l, matched))
+                else if (emitUnmatched) nextRow = project(joined(l, nullRight))
               } else {
                 // Forward candidate: the right head, which the advance loop
                 // left as the first (time, tie)-ordered row past lt for this
@@ -201,8 +217,13 @@ case class AsOfMergeJoinExec(
                   nextRow = project(joined(l, matched))
                 } else if (after != null) {
                   nextRow = project(joined(l, after))
+                } else if (emitUnmatched) {
+                  nextRow = project(joined(l, nullRight))
                 }
               }
+            } else if (emitUnmatched) {
+              // Null key/time never matches; under outer it still emits.
+              nextRow = project(joined(l, nullRight))
             }
           }
         }
@@ -233,7 +254,8 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, leftTime: String,
            rightKey: String, rightTime: String, rightTie: String,
-           mode: AsOfMode = AsOfMode.Backward): DataFrame = {
+           mode: AsOfMode = AsOfMode.Backward,
+           outer: Boolean = false): DataFrame = {
     // Self-join hygiene: the analyzer's DeduplicateRelations only fires for
     // real Join nodes, so when both sides derive from one scan the children
     // would share exprIds and the optimizer mis-prunes. An alias
@@ -250,6 +272,7 @@ object AsOfJoin {
     GraftShim.ofRows(left.sparkSession, AsOfJoinPlan(
       left.queryExecution.analyzed, r.queryExecution.analyzed,
       attr(left, leftKey), attr(r, rightKey),
-      attr(left, leftTime), attr(r, rightTime), attr(r, rightTie), mode))
+      attr(left, leftTime), attr(r, rightTime), attr(r, rightTie), mode,
+      outer))
   }
 }

@@ -56,6 +56,57 @@ class AsOfMergeJoinSpec extends SparkTestBase {
       (1L, t("2024-01-01 13:00:00"), 12L)))
   }
 
+  test("outer mode keeps unmatched probes with null right columns") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val right = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")),
+      (3L, 30L, t("2024-01-01 09:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val left = Seq(
+      (1L, t("2024-01-01 10:30:00")), // matched -> event 10
+      (2L, t("2024-01-01 10:00:00")), // no events for user: kept, nulls
+      (3L, t("2024-01-01 08:00:00"))) // before all of user 3: kept, nulls
+      .toDF("user_id", "probe_ts")
+    val got = AsOfJoin.asof(left, right,
+        "user_id", "probe_ts", "user_id", "ts", "event_id", outer = true)
+      .toDF("user_id", "probe_ts", "r_user_id", "event_id", "ts")
+      .select($"user_id", $"probe_ts", $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set(
+      (1L, t("2024-01-01 10:30:00"), Some(10L)),
+      (2L, t("2024-01-01 10:00:00"), None),
+      (3L, t("2024-01-01 08:00:00"), None)))
+    // The outer output must advertise nullable right columns.
+    val schema = AsOfJoin.asof(left, right,
+      "user_id", "probe_ts", "user_id", "ts", "event_id", outer = true).schema
+    assert(schema.fields.drop(2).forall(_.nullable))
+  }
+
+  test("q_join_asof_outer matches = inner result; unmatched = the complement") {
+    val outer = SparkEntry.queries("q_join_asof_outer")(spark, sf0001).cache()
+    val matched = outer.filter($"matched")
+      .select($"user_id", $"probe_ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // Recompute the inner form over the same probe grid.
+    val e = Catalog.load(spark, sf0001, "events")
+      .select($"user_id", $"event_id", $"ts")
+    val probes = e.select($"user_id").distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-01 12:00:00").cast("timestamp"),
+        lit("2024-01-15").cast("timestamp"))))
+    val inner = AsOfJoin.asof(probes, e,
+        "user_id", "probe_ts", "user_id", "ts", "event_id")
+      .toDF("user_id", "probe_ts", "r_user_id", "event_id", "ts")
+      .select($"user_id", $"probe_ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(matched == inner && matched.nonEmpty)
+    // Outer covers the full probe grid: one row per (user, probe).
+    assert(outer.count() == probes.count())
+    assert(outer.filter(!$"matched").count() > 0)
+  }
+
   test("nearest mode equals the composed |Δt| window form on the fixture table") {
     import graft.plans.AsOfMode
     val e = Catalog.load(spark, sf0001, "events")
