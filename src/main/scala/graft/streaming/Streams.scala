@@ -271,7 +271,20 @@ object Streams extends QueryPack {
     */
   private def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    runEventsStream(spark, sfDir, "ssj") { src =>
+    // A stream-stream join materializes FOUR state stores per shuffle
+    // partition (keyToNumValues + keyWithIndexToValue per side), each with
+    // its own checkpoint commit per micro-batch — at the session's 32
+    // shuffle partitions that is 128 store commits/batch, which measured
+    // 6.5 s steady vs ~2 s for the single-store streaming runs. The
+    // stateful-operator partition count is baked into the checkpoint at
+    // first run, so it is a DEPLOYMENT sizing decision, not an AQE one:
+    // pin it to 8 for this bounded replay (32 stores), restore after. A
+    // real unbounded deployment sizes it to state volume/throughput, not
+    // to the session-wide shuffle default.
+    val conf = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(conf)
+    spark.conf.set(conf, "8")
+    try runEventsStream(spark, sfDir, "ssj") { src =>
       val views = src.filter($"event_type" === "view")
         .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
         .withWatermark("view_ts", "1 second")
@@ -286,7 +299,7 @@ object Streams extends QueryPack {
         .select($"view_id", $"user_id", $"view_ts", $"click_id", $"click_ts")
     } { sinkDf =>
       sinkDf.orderBy($"view_id".asc_nulls_first, $"click_id".asc_nulls_first)
-    }
+    } finally spark.conf.set(conf, saved)
   }
 
   private val streamStreamJoinSql = """
