@@ -417,6 +417,61 @@ object Aggregations extends QueryPack {
       GROUP BY p_brand
       ORDER BY p_brand ASC NULLS FIRST""")
 
+  /** Dominant-supplier detection, the TPC-H Q20 SHAPE adapted to a schema
+    * without partsupp (added round 10 close): suppliers who shipped MORE
+    * THAN HALF of a part's total 1996 volume — the nested-aggregate +
+    * threshold-join pattern (Q20 gates availability against half the
+    * shipped sum the same way). Level 1 aggregates raw lineitem to
+    * (part, supplier) volumes; level 2 re-aggregates THAT table to
+    * per-part totals — the second aggregate never re-touches raw rows;
+    * dominance is the exact integer predicate `2·qty > total` (quantities
+    * integral), so the boundary cannot flip cross-engine. At most one
+    * supplier can dominate a part, so the output is bounded by |parts|.
+    *
+    * Scale: two map-side-combined hash aggs (the second over the already
+    * ~|parts|×|suppliers-per-part| table), one equi-join back on partkey
+    * reusing the level-1 partitioning, one broadcast-sized supplier join.
+    */
+  private def sqlDominantSupplier(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH pps AS (
+        SELECT l_partkey, l_suppkey,
+          sum(CAST(l_quantity AS BIGINT)) AS qty
+        FROM parquet.`$sfDir/lineitem.parquet`
+        WHERE year(l_shipdate) = 1996
+        GROUP BY l_partkey, l_suppkey),
+      pp AS (
+        SELECT l_partkey, sum(qty) AS total_qty FROM pps GROUP BY l_partkey),
+      dom AS (
+        SELECT pps.l_suppkey, count(*) AS n_dominant_parts,
+          sum(pps.qty) AS dom_qty
+        FROM pps JOIN pp ON pps.l_partkey = pp.l_partkey
+        WHERE 2 * pps.qty > pp.total_qty
+        GROUP BY pps.l_suppkey)
+      SELECT s_suppkey, s_name, n_dominant_parts, dom_qty
+      FROM parquet.`$sfDir/supplier.parquet` JOIN dom ON s_suppkey = l_suppkey
+      ORDER BY n_dominant_parts DESC, s_suppkey ASC NULLS FIRST""")
+
+  private val sqlDominantSupplierOracle = """
+      WITH pps AS (
+        SELECT l_partkey, l_suppkey,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE year(l_shipdate) = 1996
+        GROUP BY l_partkey, l_suppkey),
+      pp AS (
+        SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+        FROM pps GROUP BY l_partkey),
+      dom AS (
+        SELECT pps.l_suppkey, count(*) AS n_dominant_parts,
+          CAST(sum(pps.qty) AS BIGINT) AS dom_qty
+        FROM pps JOIN pp ON pps.l_partkey = pp.l_partkey
+        WHERE 2 * pps.qty > pp.total_qty
+        GROUP BY pps.l_suppkey)
+      SELECT s_suppkey, s_name, n_dominant_parts, dom_qty
+      FROM supplier JOIN dom ON s_suppkey = l_suppkey
+      ORDER BY n_dominant_parts DESC, s_suppkey ASC NULLS FIRST"""
+
   /** HLL++ sketch — capability only (sketch values differ from DuckDB). */
   private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -748,5 +803,7 @@ object Aggregations extends QueryPack {
       GROUP BY p_brand
       ORDER BY p_brand ASC NULLS FIRST""")),
     Q("q_agg_approx_percentile", aggApproxPercentile, None),
+    Q("q_sql_dominant_supplier", sqlDominantSupplier,
+      Some(sqlDominantSupplierOracle)),
   )
 }

@@ -527,8 +527,59 @@ object TimeSeries extends QueryPack {
     FROM t2 LEFT JOIN seas s USING (dow)
     ORDER BY t2.day ASC NULLS FIRST"""
 
+  /** Seasonal-naive forecast backtest (added round 10 close): the baseline
+    * every forecasting pipeline must beat — predict each day's revenue as
+    * the SAME WEEKDAY last week (lag 7) vs the plain naive lag-1, with
+    * per-day absolute errors and the per-day model pick. All inputs are
+    * the decimal-exact daily sums (bit-identical doubles both engines), so
+    * subtraction/abs/comparison are identical IEEE ops — no rounding
+    * anywhere. Days without a full seasonal history are excluded (the
+    * backtest convention), so both models are always defined.
+    *
+    * Scale: the window runs over the BOUNDED |days| daily series (the
+    * documented global-series exception — see q_ts_decompose); the only
+    * pass over raw rows is the daily pre-aggregation.
+    */
+  private def tsForecastSnaive(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("rev_d"))
+    val w = Window.orderBy($"day".asc)
+    daily.select(
+        $"day",
+        $"rev_d".cast("double").as("actual"),
+        lag($"rev_d", 7).over(w).cast("double").as("fcst_snaive"),
+        lag($"rev_d", 1).over(w).cast("double").as("fcst_naive"))
+      .filter($"fcst_snaive".isNotNull)
+      .select($"day", $"actual", $"fcst_snaive", $"fcst_naive",
+        abs($"actual" - $"fcst_snaive").as("err_snaive"),
+        abs($"actual" - $"fcst_naive").as("err_naive"),
+        (abs($"actual" - $"fcst_snaive") <= abs($"actual" - $"fcst_naive"))
+          .as("snaive_wins"))
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val tsForecastSnaiveOracle = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_d
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT day, CAST(rev_d AS DOUBLE) AS actual,
+        CAST(lag(rev_d, 7) OVER (ORDER BY day ASC) AS DOUBLE) AS fcst_snaive,
+        CAST(lag(rev_d, 1) OVER (ORDER BY day ASC) AS DOUBLE) AS fcst_naive
+      FROM daily)
+    SELECT day, actual, fcst_snaive, fcst_naive,
+      abs(actual - fcst_snaive) AS err_snaive,
+      abs(actual - fcst_naive) AS err_naive,
+      abs(actual - fcst_snaive) <= abs(actual - fcst_naive) AS snaive_wins
+    FROM l WHERE fcst_snaive IS NOT NULL
+    ORDER BY day ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
+    Q("q_ts_forecast_snaive", tsForecastSnaive, Some(tsForecastSnaiveOracle)),
     Q("q_ts_decompose", tsDecompose, Some(tsDecomposeOracle)),
     Q("q_ts_downsample_ohlc", downsampleOhlc, Some(downsampleOhlcOracle)),
     Q("q_ts_interpolate", interpolate, Some(interpolateOracle)),

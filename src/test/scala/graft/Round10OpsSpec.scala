@@ -283,6 +283,40 @@ class Round10OpsSpec extends SparkTestBase {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("q_sql_dominant_supplier: dominance is unique per part and exceeds half") {
+    val sf = sf0001
+    val rows = SparkEntry.queries("q_sql_dominant_supplier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Recompute (part, supplier) volumes; per part at most ONE supplier can
+    // clear 2*qty > total, and every reported dominant count must re-derive.
+    val pps = Catalog.load(spark, sf, "lineitem")
+      .filter(year($"l_shipdate") === 1996)
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast("long")).as("qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totals = pps.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val dominant = pps.filter { case (p, _, q) => 2 * q > totals(p) }
+    assert(dominant.groupBy(_._1).forall(_._2.size == 1))
+    val expected = dominant.groupBy(_._2).view
+      .mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    assert(rows.map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      == expected)
+  }
+
+  test("q_ts_forecast_snaive: forecasts re-derive from the shifted series") {
+    val rows = SparkEntry.queries("q_ts_forecast_snaive")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, fs, fn) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(r.getDouble(4) == math.abs(a - fs))
+      assert(r.getDouble(5) == math.abs(a - fn))
+      assert(r.getBoolean(6) == (math.abs(a - fs) <= math.abs(a - fn)))
+    }
+    // Both models must win somewhere, else the comparison is vacuous.
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+  }
+
   test("mergeSchema cannot reconcile conflicting primitive types (why the explicit schema)") {
     val d = java.nio.file.Files.createTempDirectory("graft_widen_").toString
     Seq((1, "a")).toDF("k", "v").write.parquet(s"$d/v1")
