@@ -555,9 +555,81 @@ object Profiling extends QueryPack {
         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM m ORDER BY l_returnflag ASC NULLS FIRST"""
 
+  /** Cross-table reconciliation audit (added round 10 close): order-header
+    * total vs the lineitem rollup Σ extprice·(1−disc)·(1+tax), binned by
+    * absolute-discrepancy band — the financial-close control every revenue
+    * pipeline runs between a summary table and its detail table. The
+    * fixtures' header totals are synthetic-independent of the rollup and
+    * 257 orders (sf0.01) ship no lines at all, so the discrepancy bands
+    * and the headers-without-detail band genuinely populate (no header
+    * reconciles exactly — which is itself the audit's finding; the exact
+    * and within-1 bands sit empty, proving the binning, not the data).
+    * All arithmetic is exact: 2-decimal money recovers exactly in
+    * decimal(18,2), the 3-factor product is an exact 6-decimal rational,
+    * and discrepancies aggregate as integer MICROS (bigint), so the band
+    * boundaries cannot flip cross-engine.
+    *
+    * Scale: one map-side-combined rollup keyed l_orderkey, one equi-join
+    * to headers on the same key, one |bands|-row agg — the same two-shuffle
+    * shape at any SF.
+    */
+  private def auditReconciliation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val actual = Catalog.load(spark, sfDir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)")
+        * (lit(1) - $"l_discount".cast("decimal(8,2)"))
+        * (lit(1) + $"l_tax".cast("decimal(8,2)"))).as("actual"))
+    Catalog.load(spark, sfDir, "orders")
+      .join(actual, $"o_orderkey" === $"l_orderkey", "left")
+      .select(
+        when($"actual".isNull, lit(null).cast("long"))
+          .otherwise(abs(($"o_totalprice".cast("decimal(18,6)") - $"actual")
+            * 1000000).cast("long")).as("abs_us"))
+      .select(
+        when($"abs_us".isNull, "no_lines")
+          .when($"abs_us" === 0L, "exact")
+          .when($"abs_us" <= 1000000L, "within_1")
+          .when($"abs_us" <= 1000000000L, "within_1k")
+          .when($"abs_us" <= 100000000000L, "within_100k")
+          .otherwise("over_100k").as("band"),
+        coalesce($"abs_us", lit(0L)).as("abs_us"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_orders"), sum($"abs_us").as("sum_abs_us"))
+      .orderBy($"band".asc_nulls_first)
+  }
+
+  private val auditReconciliationOracle = """
+    WITH la AS (
+      SELECT l_orderkey,
+        sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(8,2)))
+          * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS actual
+      FROM lineitem GROUP BY 1),
+    d AS (
+      SELECT CASE WHEN actual IS NULL THEN NULL
+        ELSE CAST(abs((CAST(o_totalprice AS DECIMAL(18,6)) - actual)
+          * 1000000) AS BIGINT) END AS abs_us
+      FROM orders LEFT JOIN la ON o_orderkey = l_orderkey),
+    banded AS (
+      SELECT CASE WHEN abs_us IS NULL THEN 'no_lines'
+                  WHEN abs_us = 0 THEN 'exact'
+                  WHEN abs_us <= 1000000 THEN 'within_1'
+                  WHEN abs_us <= 1000000000 THEN 'within_1k'
+                  WHEN abs_us <= 100000000000 THEN 'within_100k'
+                  ELSE 'over_100k' END AS band,
+        coalesce(abs_us, 0) AS abs_us
+      FROM d)
+    SELECT band, count(*) AS n_orders,
+      CAST(sum(abs_us) AS BIGINT) AS sum_abs_us
+    FROM banded GROUP BY band
+    ORDER BY band ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_profile_entropy", profileEntropy, Some(profileEntropyOracle)),
     Q("q_stat_regression", statRegression, Some(statRegressionOracle)),
+    Q("q_audit_reconciliation", auditReconciliation,
+      Some(auditReconciliationOracle)),
     Q("q_profile_summary", profileSummary, Some(profileSummaryOracle)),
     Q("q_profile_histogram_eqdepth", histogramEqdepth, Some(histogramEqdepthOracle)),
     Q("q_profile_histogram", histogram, Some(histogramOracle)),

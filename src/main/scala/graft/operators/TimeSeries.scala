@@ -577,9 +577,83 @@ object TimeSeries extends QueryPack {
     FROM l WHERE fcst_snaive IS NOT NULL
     ORDER BY day ASC NULLS FIRST"""
 
+  /** Interval-UNION coverage (added round 10 close): each event claims
+    * [ts, ts + 15 min); per user, the union's total covered time, merged
+    * block count, and longest block — the sweep-line primitive under SLA
+    * uptime, ad-exposure and device-activity metrics, where naive
+    * Σ durations double-counts every overlap. Sweep: a block starts where
+    * an interval's start clears the running max of all previous ends
+    * (lag-frame window), block id = running sum of starts, then coverage
+    * per block is exactly (max end − min start) — pure integer micros
+    * end-to-end, no floats anywhere.
+    *
+    * Scale: one hash shuffle on user_id for the two stacked windows (the
+    * block agg and user rollup reuse the same partitioning — grouping
+    * keys extend user_id), fan-out 1:1 with events.
+    */
+  private def winIntervalUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val iv = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"event_id",
+        unix_micros($"ts").as("s_us"),
+        (unix_micros($"ts") + lit(900000000L)).as("e_us"))
+    val wOrd = Window.partitionBy($"user_id")
+      .orderBy($"s_us".asc, $"event_id".asc)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = iv
+      .withColumn("run_end", max($"e_us").over(wPrev))
+      .withColumn("is_new",
+        when($"run_end".isNull || $"s_us" >= $"run_end", 1L).otherwise(0L))
+      .withColumn("block_id", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"block_id")
+      .agg(min($"s_us").as("b_start"), max($"e_us").as("b_end"),
+        count(lit(1)).as("n_iv"))
+    blocks.groupBy($"user_id")
+      .agg(
+        sum($"n_iv").as("n_events"),
+        count(lit(1)).as("n_blocks"),
+        sum($"b_end" - $"b_start").as("covered_us"),
+        max($"b_end" - $"b_start").as("max_block_us"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  private val winIntervalUnionOracle = """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        epoch_us(ts) + 900000000 AS e_us
+      FROM events),
+    r AS (
+      SELECT *, max(e_us) OVER
+        (PARTITION BY user_id ORDER BY s_us ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+      FROM iv),
+    f AS (
+      SELECT *, CASE WHEN run_end IS NULL OR s_us >= run_end
+        THEN 1 ELSE 0 END AS is_new
+      FROM r),
+    b AS (
+      SELECT *, CAST(sum(is_new) OVER
+        (PARTITION BY user_id ORDER BY s_us ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS block_id
+      FROM f),
+    blocks AS (
+      SELECT user_id, block_id, min(s_us) AS b_start, max(e_us) AS b_end,
+        count(*) AS n_iv
+      FROM b GROUP BY user_id, block_id)
+    SELECT user_id,
+      CAST(sum(n_iv) AS BIGINT) AS n_events,
+      count(*) AS n_blocks,
+      CAST(sum(b_end - b_start) AS BIGINT) AS covered_us,
+      CAST(max(b_end - b_start) AS BIGINT) AS max_block_us
+    FROM blocks GROUP BY user_id
+    ORDER BY user_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
     Q("q_ts_forecast_snaive", tsForecastSnaive, Some(tsForecastSnaiveOracle)),
+    Q("q_win_interval_union", winIntervalUnion, Some(winIntervalUnionOracle)),
     Q("q_ts_decompose", tsDecompose, Some(tsDecomposeOracle)),
     Q("q_ts_downsample_ohlc", downsampleOhlc, Some(downsampleOhlcOracle)),
     Q("q_ts_interpolate", interpolate, Some(interpolateOracle)),

@@ -317,6 +317,43 @@ class Round10OpsSpec extends SparkTestBase {
     assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
   }
 
+  test("q_win_interval_union coverage equals an exact in-memory sweep") {
+    val got = SparkEntry.queries("q_win_interval_union")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val byUser = Catalog.load(spark, sf0001, "events")
+      .select($"user_id", unix_micros($"ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val expected = byUser.map { case (u, rows) =>
+      val ivs = rows.map(_._2).sorted.map(s => (s, s + 900000000L))
+      val merged = ivs.tail.foldLeft(List(ivs.head)) {
+        case (acc @ ((bs, be) :: rest), (s, e)) =>
+          if (s >= be) (s, e) :: acc
+          else (bs, math.max(be, e)) :: rest
+        case (acc, _) => acc
+      }
+      u -> (rows.size.toLong, merged.size.toLong,
+        merged.map { case (s, e) => e - s }.sum)
+    }
+    assert(got == expected && got.nonEmpty)
+    // Coverage never exceeds the naive sum and the blocks never overlap.
+    got.foreach { case (u, (n, blocks, covered)) =>
+      assert(covered <= n * 900000000L && blocks <= n)
+    }
+  }
+
+  test("q_audit_reconciliation bands partition orders and fire on the fixtures") {
+    val rows = SparkEntry.queries("q_audit_reconciliation")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nOrders = Catalog.load(spark, sf0001, "orders").count()
+    assert(rows.values.map(_._1).sum == nOrders)
+    // The synthetic headers genuinely fail to reconcile, and some orders
+    // have no lines — both facts the audit must surface.
+    assert(rows.contains("no_lines") && rows("no_lines")._2 == 0L)
+    assert(rows.keys.exists(b => b == "over_100k" || b == "within_100k"))
+    assert(!rows.contains("exact"))
+  }
+
   test("mergeSchema cannot reconcile conflicting primitive types (why the explicit schema)") {
     val d = java.nio.file.Files.createTempDirectory("graft_widen_").toString
     Seq((1, "a")).toDF("k", "v").write.parquet(s"$d/v1")
