@@ -15,17 +15,26 @@ object Catalog {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(tableNames.contains(name), s"unknown table $name")
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), read as raw nanos (the
-      // session sets spark.sql.legacy.parquet.nanosAsLong at construction —
-      // see graft.Sessions) and truncated to micros with integer division
-      // (`div`, exact on longs — a double division would lose precision at
-      // 1.7e18). DuckDB truncates ns→µs identically, so the oracle sees the
-      // same values.
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // Fixture generations have shipped time columns three ways: parquet
+    // TIMESTAMP(NANOS) (read as raw nanos longs — the session sets
+    // spark.sql.legacy.parquet.nanosAsLong at construction, see
+    // graft.Sessions), plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    // (read as TIMESTAMP_NTZ), and adjusted micros (TIMESTAMP_LTZ). This is
+    // the single normalization point: every query downstream sees session-tz
+    // TIMESTAMP. The session timezone is pinned to UTC, so NTZ→LTZ is a
+    // value-exact relabel, and the nanos→micros truncation uses integer
+    // `div` (exact on longs; a double division would lose precision at
+    // 1.7e18). DuckDB truncates ns→µs identically, so the oracle sees the
+    // same values either way.
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType if f.name == "ts" =>
+          df.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(f.name, expr(s"cast(${f.name} as timestamp)"))
+        case _ => df
+      }
     }
   }
 }

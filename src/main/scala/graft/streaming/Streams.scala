@@ -127,8 +127,11 @@ object Streams extends QueryPack {
     * trees.
     *
     * The normalized stream carries (event_id, user_id, event_type, value,
-    * ts) with ts = the raw nanos column truncated to MICROS — the same
-    * value `Catalog.load` serves batch queries.
+    * ts) with ts normalized to session-tz TIMESTAMP the same way
+    * `Catalog.load` serves batch queries — the file's physical layout is
+    * sniffed from the batch footer (fixture generations have shipped `ts`
+    * as raw nanos longs, as TIMESTAMP_NTZ micros, and as adjusted micros),
+    * since the streaming source needs an explicit schema up front.
     */
   private def runEventsStream(spark: SparkSession, sfDir: String, tag: String)(
       pipe: DataFrame => DataFrame)(finish: DataFrame => DataFrame): DataFrame = {
@@ -138,12 +141,16 @@ object Streams extends QueryPack {
       srcDir.resolve("events.parquet"),
       java.nio.file.Path.of(sfDir, "events.parquet"))
     val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ck_")
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsNorm = physical("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _                                   => expr("cast(ts as timestamp)")
+    }
     val src = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
+      .schema(physical)
       .parquet(srcDir.toString)
       .select($"event_id", $"user_id", $"event_type", $"value",
-        expr("timestamp_micros(ts div 1000)").as("ts"))
+        tsNorm.as("ts"))
     val sink = s"graft_${tag}_${streamRuns.incrementAndGet()}"
     val q = pipe(src).writeStream.format("memory").queryName(sink)
       .outputMode("append")
