@@ -23,6 +23,10 @@ object Bench {
       }
     warm("startup") {
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      // One-time layout compaction of single-row-group fixture files into
+      // multi-file scratch copies (Catalog.layoutPath) — the write happens
+      // on first load per table, so touch every table here.
+      Catalog.tableNames.foreach(t => Catalog.load(spark, sfDir, t).count())
       SparkEntry.entry(spark).count()
       // SQL-text entry path (parser/analyzer init is distinct from the
       // DataFrame path the flagship warms).

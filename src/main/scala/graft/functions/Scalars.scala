@@ -97,7 +97,12 @@ object Scalars extends QueryPack {
         r4(log10($"l_extendedprice")).as("log10_p"),
         ($"l_quantity" % 7.0).as("mod7"),
         signum($"l_extendedprice" - 50000.0).as("sgn"))
-      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first)
+      // (l_orderkey, l_linenumber) is not unique in the fixture; (abs_diff,
+      // sgn) pins l_extendedprice and sq pins l_quantity, so these three
+      // tiebreakers fully determine every derived output column.
+      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first,
+        $"abs_diff".asc_nulls_first, $"sgn".asc_nulls_first,
+        $"sq".asc_nulls_first)
   }
 
   private def castMatrix(spark: SparkSession, sfDir: String): DataFrame = {
@@ -257,7 +262,8 @@ object Scalars extends QueryPack {
         mod(l_quantity, 7.0) AS mod7,
         CAST(sign(l_extendedprice - 50000.0) AS DOUBLE) AS sgn
       FROM lineitem
-      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""")),
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        abs_diff ASC NULLS FIRST, sgn ASC NULLS FIRST, sq ASC NULLS FIRST""")),
     Q("q_cast_matrix", castMatrix, Some("""
       SELECT o_orderkey,
         CAST(o_custkey AS INTEGER) AS k_int,

@@ -20,7 +20,13 @@ object FiltersProjections extends QueryPack {
         ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
         ($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("charge"),
         ($"l_discount" > 0.05).as("high_disc"))
-      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first)
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (no PK);
+      // every output column joins the sort so tie order is fully determined
+      // — an underspecified ORDER BY only hash-matched the oracle while
+      // both engines happened to scan the same single file in file order.
+      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first,
+        $"revenue".asc_nulls_first, $"charge".asc_nulls_first,
+        $"high_disc".asc_nulls_first)
   }
 
   private def filterBasic(spark: SparkSession, sfDir: String): DataFrame = {
@@ -76,7 +82,9 @@ object FiltersProjections extends QueryPack {
         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
         l_discount > 0.05 AS high_disc
       FROM lineitem
-      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""")),
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        revenue ASC NULLS FIRST, charge ASC NULLS FIRST,
+        high_disc ASC NULLS FIRST""")),
     Q("q_filter_basic", filterBasic, Some("""
       SELECT * FROM orders
       WHERE (o_totalprice > 100000.0 AND o_orderstatus = 'F')

@@ -33,7 +33,10 @@ object Scans extends QueryPack {
     Catalog.load(spark, sfDir, "lineitem")
       .filter($"l_shipdate" >= lit("1998-06-01").cast("timestamp"))
       .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
-      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first)
+      // l_shipdate joins the sort: (l_orderkey, l_linenumber) is not unique
+      // in the fixture, so tie order must be pinned by every output column.
+      .orderBy($"l_orderkey".asc_nulls_first, $"l_linenumber".asc_nulls_first,
+        $"l_shipdate".asc_nulls_first)
   }
 
   // Per-JVM temp dir: concurrent Verify/Bench runs never clobber each other.
@@ -288,7 +291,8 @@ object Scans extends QueryPack {
     Q("q_scan_filter_pushdown", scanFilterPushdown, Some("""
       SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1998-06-01'
-      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""")),
+      ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+        l_shipdate ASC NULLS FIRST""")),
     Q("q_source_csv_roundtrip", csvRoundtrip, Some(
       "SELECT * FROM nation ORDER BY n_nationkey ASC NULLS FIRST")),
     Q("q_source_json_roundtrip", jsonRoundtrip, Some(
