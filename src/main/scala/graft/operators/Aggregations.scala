@@ -417,6 +417,38 @@ object Aggregations extends QueryPack {
       GROUP BY p_brand
       ORDER BY p_brand ASC NULLS FIRST""")
 
+  /** TPC-H Q10 flavor (added round 10): returned-item reporting — which
+    * customers returned the most revenue in a quarter. The scale-shaped
+    * plan: the quarter filter reaches the orders scan (PushedFilters on
+    * o_orderdate) and `l_returnflag = 'R'` reaches lineitem BEFORE the
+    * fact-fact shuffle join on orderkey; customer (|C| rows) and nation
+    * (25) ride in as explicit broadcasts, so the only repartitioning of
+    * fact-scale data is the one orderkey shuffle; top-20 runs as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 20-row
+    * sketches), never a global sort. revenue ties break on the unique
+    * c_custkey, so the LIMIT boundary is deterministic cross-engine.
+    */
+  private def sqlTpchQ10Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val q = t("orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    t("lineitem").filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(q, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t("customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(t("nation").select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey".asc_nulls_first)
+      .limit(20)
+  }
+
   /** Dominant-supplier detection, the TPC-H Q20 SHAPE adapted to a schema
     * without partsupp (added round 10 close): suppliers who shipped MORE
     * THAN HALF of a part's total 1996 volume — the nested-aggregate +
@@ -805,5 +837,18 @@ object Aggregations extends QueryPack {
     Q("q_agg_approx_percentile", aggApproxPercentile, None),
     Q("q_sql_dominant_supplier", sqlDominantSupplier,
       Some(sqlDominantSupplierOracle)),
+    Q("q_sql_tpch_q10_flavor", sqlTpchQ10Flavor, Some(s"""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey ASC NULLS FIRST
+      LIMIT 20""")),
   )
 }

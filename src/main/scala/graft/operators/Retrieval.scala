@@ -354,7 +354,42 @@ object Retrieval extends QueryPack {
     SELECT day, rev, med7 FROM win WHERE rn >= 7
     ORDER BY day ASC NULLS FIRST"""
 
+  /** Layout compaction graded end-to-end ([[Layout.compact]]): rewrite
+    * lineitem into ~256 KB size-targeted files (a real shuffle + parquet
+    * write, memoized per JVM like the roundtrip scratch), then answer a
+    * grouped exact-sum audit FROM THE COMPACTED COPY while the oracle reads
+    * the original file — layout-independence IS the correctness contract of
+    * a compaction operator, so the hash check proves the rewrite preserved
+    * every row. Sums are exact (BIGINT / DECIMAL(18,6)), counts distinct
+    * included so dropped-or-duplicated rows cannot cancel.
+    */
+  private def layoutCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = Layout.compactedLineitem(spark, sfDir)
+    spark.read.parquet(dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        sum(($"l_discount" * 10000).cast("bigint")).as("sum_disc_bp"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  private val layoutCompactOracle = s"""
+    SELECT l_returnflag, l_linestatus,
+      count(*) AS n_rows,
+      count(DISTINCT l_orderkey) AS n_orders,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      ${Oracle.dsum("l_extendedprice")} AS sum_price,
+      CAST(sum(CAST(l_discount * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_bp
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_layout_compact", layoutCompact, Some(layoutCompactOracle)),
     Q("q_text_inverted_index", invertedIndex, Some(invertedIndexOracle)),
     Q("q_text_bm25", bm25, Some(bm25Oracle)),
     Q("q_text_keyword_tfidf", keywordTfidf, Some(keywordTfidfOracle)),

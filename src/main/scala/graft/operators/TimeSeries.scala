@@ -650,7 +650,74 @@ object TimeSeries extends QueryPack {
     FROM blocks GROUP BY user_id
     ORDER BY user_id ASC NULLS FIRST"""
 
+  /** CUSUM changepoint detection over the daily revenue series (added round
+    * 10). The page-Hinkley-style recursion S_t = max(0, S_{t-1} + x_t) is
+    * NOT window-expressible directly, but has the closed form
+    * S_t = P_t - min(0, min_{j<=t} P_j) with P the prefix sum of x — two
+    * stacked cumulative windows, no recursion, no UDF. Deviations are kept
+    * EXACT by scaling instead of dividing: x_t = rev_cents·n − total_cents
+    * (BIGINT, ≡ n·(rev − mean) in cents) so the statistic is integer
+    * arithmetic end-to-end and the argmax (the classic CUSUM changepoint
+    * estimate, flagged as `is_peak`) cannot flip on a float ulp between
+    * engines. The windows run over the |days|-row pre-aggregated series
+    * (bounded at any scale — TimeSeries pack preamble); a per-series
+    * deployment adds the series key to partitionBy and the corpus scales
+    * with |series|·|days|, never raw rows.
+    */
+  private def tsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(18,6)") * 100).cast("bigint"))
+        .as("rev_cents"))
+    val tot = daily.agg(
+      sum($"rev_cents").as("total_cents"),
+      count(lit(1)).as("n_days"))
+    val wCum = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("x", $"rev_cents" * $"n_days" - $"total_cents")
+      .withColumn("p", sum($"x").over(wCum))
+      .withColumn("cusum_pos", $"p" - least(lit(0L), min($"p").over(wCum)))
+      .withColumn("cusum_neg", greatest(lit(0L), max($"p").over(wCum)) - $"p")
+      .withColumn("is_peak", $"cusum_pos" === max($"cusum_pos").over(wAll))
+      .select($"day", $"rev_cents", $"cusum_pos", $"cusum_neg", $"is_peak")
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val tsChangepointOracle = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+             AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+        count(*) AS n_days FROM daily),
+    dev AS (
+      SELECT day, rev_cents, rev_cents * n_days - total_cents AS x
+      FROM daily CROSS JOIN tot),
+    pre AS (
+      SELECT day, rev_cents,
+        CAST(sum(x) OVER (ORDER BY day ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+      FROM dev),
+    cus AS (
+      SELECT day, rev_cents,
+        p - least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY day ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_pos,
+        greatest(CAST(0 AS BIGINT), max(p) OVER (ORDER BY day ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p AS cusum_neg
+      FROM pre)
+    SELECT day, rev_cents, cusum_pos, cusum_neg,
+      cusum_pos = max(cusum_pos) OVER () AS is_peak
+    FROM cus
+    ORDER BY day ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_ts_changepoint", tsChangepoint, Some(tsChangepointOracle)),
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
     Q("q_ts_forecast_snaive", tsForecastSnaive, Some(tsForecastSnaiveOracle)),
     Q("q_win_interval_union", winIntervalUnion, Some(winIntervalUnionOracle)),

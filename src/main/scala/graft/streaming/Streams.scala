@@ -309,6 +309,56 @@ object Streams extends QueryPack {
     } finally spark.conf.set(conf, saved)
   }
 
+  /** The FIFTH graded real-streaming run (added round 10): per-user event
+    * counting through the Spark 4 `transformWithState` API — the
+    * arbitrary-state v2 surface ([[StatefulUserCounter]]) that the engine
+    * exposes for custom state machines beyond `flatMapGroupsWithState`
+    * (which `q_stream_custom_session` grades). The API requires the RocksDB
+    * state-store provider, so the run also exercises the store the engine
+    * would use for 100 TB-scale state (changelog checkpointing, off-heap
+    * working set); the conf is saved/restored around the bounded replay.
+    * Stateful-shuffle width pinned to 8 for the same reason as
+    * `q_stream_stream_join`: store-commit count per micro-batch is a
+    * deployment sizing decision, and 32 RocksDB instances for a bounded
+    * fixture replay is pure overhead. Each emitted (user, cumulative-count)
+    * sequence is strictly increasing, so max() per user equals the total —
+    * batching-invariant, hence oracle-exact.
+    */
+  private def transformState(spark: SparkSession, sfDir: String): DataFrame = {
+    val provConf = "spark.sql.streaming.stateStore.providerClass"
+    val partConf = "spark.sql.shuffle.partitions"
+    val savedProv = spark.conf.getOption(provConf)
+    val savedPart = spark.conf.get(partConf)
+    spark.conf.set(provConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(partConf, "8")
+    try runEventsStream(spark, sfDir, "tws") { src =>
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      src.select($"user_id".as[Long], $"event_id".as[Long])
+        .groupByKey(_._1)
+        .transformWithState(new StatefulUserCounter,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events")
+    } { sinkDf =>
+      import spark.implicits._
+      sinkDf.groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"))
+        .orderBy($"user_id".asc_nulls_first)
+    } finally {
+      savedProv match {
+        case Some(v) => spark.conf.set(provConf, v)
+        case None    => spark.conf.unset(provConf)
+      }
+      spark.conf.set(partConf, savedPart)
+    }
+  }
+
+  private val transformStateSql = """
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY user_id ASC NULLS FIRST"""
+
   private val streamStreamJoinSql = """
     SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
       c.event_id AS click_id, c.ts AS click_ts
@@ -382,6 +432,7 @@ object Streams extends QueryPack {
     Q("q_stream_windowed_append", windowedAppend, Some(windowedAppendSql)),
     Q("q_stream_dedup_exec", dedupExec, Some(dedupExecSql)),
     Q("q_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    Q("q_stream_transform_state", transformState, Some(transformStateSql)),
     Q("q_stream_tumbling", tumbling, Some(s"""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         count(*) AS n, ${graft.Oracle.dsum("value")} AS sum_value

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 close additions: the transformWithState real streaming run, the
+  * layout-compaction operator, the Q10 flavor, and CUSUM changepoints.
+  */
+class Round10CloseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q_stream_transform_state equals batch per-user counts through RocksDB state") {
+    val got = SparkEntry.queries("q_stream_transform_state")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Catalog.load(spark, sf0001, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .orderBy($"user_id".asc_nulls_first)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("transformWithState restores the state-store provider conf after the run") {
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(conf)
+    SparkEntry.queries("q_stream_transform_state")(spark, sf0001).collect()
+    assert(spark.conf.getOption(conf) == before)
+  }
+
+  test("Layout.compact writes size-targeted files and preserves every row") {
+    val dir = operators.Layout.compactedLineitem(spark, sf0001)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // 256 KB target with parquet/snappy variance: no file should exceed 4x.
+    assert(files.forall(_.length < (1L << 20)),
+      s"oversized compacted file: ${files.map(_.length).max}")
+    val n = spark.read.parquet(dir).count()
+    val want = Catalog.load(spark, sf0001, "lineitem").count()
+    assert(n == want)
+  }
+
+  test("q_sql_tpch_q10_flavor broadcasts dims and keeps one fact shuffle") {
+    val df = SparkEntry.queries("q_sql_tpch_q10_flavor")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(df.count() == 20)
+  }
+
+  test("q_ts_changepoint: closed form equals the sequential CUSUM recursion") {
+    val rows = SparkEntry.queries("q_ts_changepoint")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // Recompute x_t from rev_cents and replay S_t = max(0, S_{t-1} + x_t)
+    // sequentially; the window closed form must match exactly.
+    val revs = rows.map(_._1)
+    val n = revs.length.toLong
+    val total = revs.sum
+    var sPos = 0L
+    var sNeg = 0L
+    rows.foreach { case (rev, cusumPos, cusumNeg, _) =>
+      val x = rev * n - total
+      sPos = math.max(0L, sPos + x)
+      sNeg = math.max(0L, sNeg - x)
+      assert(sPos == cusumPos, s"cusum_pos mismatch: $sPos vs $cusumPos")
+      assert(sNeg == cusumNeg, s"cusum_neg mismatch: $sNeg vs $cusumNeg")
+    }
+    // Exactly the argmax rows carry the peak flag.
+    val maxPos = rows.map(_._2).max
+    assert(rows.forall(r => r._4 == (r._2 == maxPos)))
+  }
+}
