@@ -670,14 +670,17 @@ object TimeSeries extends QueryPack {
       .groupBy(date_trunc("day", $"o_orderdate").as("day"))
       .agg(sum(($"o_totalprice".cast("decimal(18,6)") * 100).cast("bigint"))
         .as("rev_cents"))
-    val tot = daily.agg(
-      sum($"rev_cents").as("total_cents"),
-      count(lit(1)).as("n_days"))
     val wCum = Window.orderBy($"day".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy($"day".asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    daily.crossJoin(broadcast(tot))
+    // Totals via the same whole-frame window as the peak flag — NOT a
+    // separate agg + cross join, which would scan and aggregate the daily
+    // series twice (seen in the executed plan); every window here shares
+    // the one sorted single partition of the bounded |days| series.
+    daily
+      .withColumn("total_cents", sum($"rev_cents").over(wAll))
+      .withColumn("n_days", count(lit(1)).over(wAll))
       .withColumn("x", $"rev_cents" * $"n_days" - $"total_cents")
       .withColumn("p", sum($"x").over(wCum))
       .withColumn("cusum_pos", $"p" - least(lit(0L), min($"p").over(wCum)))
