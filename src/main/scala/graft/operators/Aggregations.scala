@@ -449,6 +449,41 @@ object Aggregations extends QueryPack {
       .limit(20)
   }
 
+  /** TPC-H Q5 flavor (added round 10 close): local-supplier volume — revenue
+    * per ASIA nation in 1996 where the line's SUPPLIER sits in the
+    * customer's own nation. The interesting part is the CYCLIC join graph:
+    * supplier joins on BOTH l_suppkey and s_nationkey = c_nationkey, so the
+    * constraint closes a cycle through two dimension paths instead of a
+    * star. Scale shape: the year filter reaches the orders scan, the
+    * region filter collapses nation⋈region to a 5-row broadcast that prunes
+    * customers BEFORE the supplier join, and every dimension (customer,
+    * supplier, nation) broadcasts — the only fact-scale repartitioning is
+    * the one lineitem⋈orders orderkey shuffle.
+    */
+  private def sqlTpchQ5Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val asiaNations = t("nation")
+      .join(t("region").filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val orders96 = t("orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    t("lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(orders96, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t("customer").select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t("supplier").select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name".asc_nulls_first)
+  }
+
   /** Dominant-supplier detection, the TPC-H Q20 SHAPE adapted to a schema
     * without partsupp (added round 10 close): suppliers who shipped MORE
     * THAN HALF of a part's total 1996 volume — the nested-aggregate +
@@ -837,6 +872,20 @@ object Aggregations extends QueryPack {
     Q("q_agg_approx_percentile", aggApproxPercentile, None),
     Q("q_sql_dominant_supplier", sqlDominantSupplier,
       Some(sqlDominantSupplierOracle)),
+    Q("q_sql_tpch_q5_flavor", sqlTpchQ5Flavor, Some(s"""
+      SELECT n_name,
+        ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name ASC NULLS FIRST""")),
     Q("q_sql_tpch_q10_flavor", sqlTpchQ10Flavor, Some(s"""
       SELECT c_custkey, c_name, c_acctbal, n_name,
         ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -153,8 +153,30 @@ object LlmExtras extends QueryPack {
 
   /** Positional token-hash document fingerprint (order-sensitive, unlike a
     * bag-of-tokens hash): fp = sum((pos+1) * tokenhash) mod p.
+    *
+    * Since round 10 close this runs through the native codegen'd
+    * `graft_fingerprint` expression ([[graft.plans.Fingerprint]]) — one
+    * allocation-free pass per document inside whole-stage codegen, replacing
+    * the posexplode (~200× row fan-out) + interpreted higher-order sumAscii
+    * + regroup-by-doc SHUFFLE of the composed form. Bit-identical by
+    * construction (the spec proves it against the retained composed
+    * formulation), so the oracle is unchanged.
     */
   private def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        call_function("graft_fingerprint", normText($"text")).as("f"))
+      .select($"doc_id", $"f".getItem(0).as("n_tokens"),
+        $"f".getItem(1).as("fingerprint"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** The pre-round-10 composed formulation, kept as the parity witness for
+    * [[graft.plans.Fingerprint]] (FingerprintExprSpec asserts bit-identical
+    * output on the fixture corpus plus adversarial edge cases).
+    */
+  private[graft] def fingerprintComposed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val toks = Catalog.load(spark, sfDir, "documents")
       .select($"doc_id", posexplode(split(normText($"text"), " ")).as(Seq("pos", "tok")))

@@ -184,6 +184,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_freq_estimate"),
       new ExpressionInfo(classOf[FreqEstimate].getName, "graft_freq_estimate"),
       (children: Seq[Expression]) => FreqEstimate(children(0), children(1))))
+    // Positional document fingerprint as one codegen'd pass — collapses
+    // the explode + higher-order sumAscii + regroup shuffle of the
+    // composed form (Fingerprint.scala; bit-identical by construction).
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => Fingerprint(children.head)))
     // Optimizer surface: banded edit-distance predicates (length guard +
     // threshold DP) — see LevenshteinPruning's equivalence proof.
     ext.injectOptimizerRule(_ => LevenshteinPruning)
