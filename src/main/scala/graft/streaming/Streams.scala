@@ -359,6 +359,61 @@ object Streams extends QueryPack {
     FROM events GROUP BY user_id
     ORDER BY user_id ASC NULLS FIRST"""
 
+  /** The SIXTH graded real-streaming run (added round 10 close): Spark's
+    * NATIVE `session_window` aggregation through the state store — the
+    * merging-window machinery `q_stream_custom_session` hand-builds with
+    * flatMapGroupsWithState, here exercised as the engine ships it
+    * (UpdatingSessionsExec + session-merging state format). Sessions merge
+    * on gaps < 30 min; append mode emits exactly the sessions finalized by
+    * the end-of-stream watermark: session_end = last event + gap, emitted
+    * iff end_ms <= wm_ms with wm = ms-floored max event time − 1 s (same
+    * boundary `q_stream_windowed_append` probed empirically; the gap is a
+    * whole number of ms, so flooring commutes with the +gap and the oracle
+    * can reconstruct the predicate exactly). Output bounds are raw
+    * event-time micros (min ts, max ts + gap) — no ms flooring on values,
+    * only in the eligibility predicate.
+    */
+  private def sessionWindowExec(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runEventsStream(spark, sfDir, "sw") { src =>
+      src.withWatermark("ts", "1 second")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          $"session_window.start".as("session_start"),
+          $"session_window.end".as("session_end"),
+          $"n_events")
+    } { sinkDf =>
+      sinkDf.orderBy($"user_id".asc_nulls_first, $"session_start".asc_nulls_first)
+    }
+  }
+
+  private val sessionWindowExecSql = """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+        epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+          (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap_us
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+        CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1
+                      ELSE 0 END) OVER
+          (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_id
+      FROM g),
+    sess AS (
+      SELECT user_id,
+        min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+      FROM s GROUP BY user_id, session_id)
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess
+    WHERE epoch_us(session_end) // 1000
+          <= (SELECT max(epoch_us(ts)) // 1000 FROM events) - 1000
+    ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST"""
+
   private val streamStreamJoinSql = """
     SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
       c.event_id AS click_id, c.ts AS click_ts
@@ -433,6 +488,7 @@ object Streams extends QueryPack {
     Q("q_stream_dedup_exec", dedupExec, Some(dedupExecSql)),
     Q("q_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("q_stream_transform_state", transformState, Some(transformStateSql)),
+    Q("q_stream_session_window_exec", sessionWindowExec, Some(sessionWindowExecSql)),
     Q("q_stream_tumbling", tumbling, Some(s"""
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
         count(*) AS n, ${graft.Oracle.dsum("value")} AS sum_value

@@ -46,6 +46,24 @@ class Round10CloseSpec extends SparkTestBase {
     assert(df.count() == 20)
   }
 
+  test("q_stream_session_window_exec merges gaps like the batch sessionization") {
+    val got = SparkEntry.queries("q_stream_session_window_exec")(spark, sf0001)
+      .collect()
+    assert(got.nonEmpty)
+    // Every emitted session spans [min ts, max ts + 30 min) and counts >= 1;
+    // starts within a user are strictly increasing and >= 30 min apart
+    // (adjacent sessions cannot both exist with a smaller gap — they'd merge).
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val spans = rows.sortBy(_.getTimestamp(1).getTime)
+        .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+      spans.foreach { case (s, e, n) => assert(n >= 1 && e - s >= 30 * 60 * 1000) }
+      spans.sliding(2).foreach {
+        case Array((_, e1, _), (s2, _, _)) => assert(s2 >= e1)
+        case _ =>
+      }
+    }
+  }
+
   test("q_ts_changepoint: closed form equals the sequential CUSUM recursion") {
     val rows = SparkEntry.queries("q_ts_changepoint")(spark, sf0001)
       .collect()
