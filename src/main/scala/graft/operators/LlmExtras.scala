@@ -151,6 +151,64 @@ object LlmExtras extends QueryPack {
   private val sumAsciiSql =
     "list_aggregate(list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT)), 'sum')"
 
+  /** Sliding-window document chunking (added round 10 close) — the
+    * context-length splitter every pretraining/RAG corpus pass needs:
+    * 128-token chunks with 16-token overlap (stride 112), each row one
+    * chunk with its reconstructed text. The fan-out is bounded by
+    * ceil(n_tokens/stride) per document and happens INSIDE the scan stage
+    * (tokenize once into an array column, explode the ~n/112-element
+    * start-offset sequence, slice the cached array) — no shuffle anywhere
+    * except the output sort, so at 100 TB the chunker is a pure map over
+    * the corpus. A trailing chunk shorter than the overlap still emits
+    * (standard behavior; a tail-merge variant would change only the
+    * sequence bound). Integer arithmetic end-to-end: chunk ids, offsets
+    * and lengths cannot drift cross-engine.
+    */
+  /** Core chunker over (doc_id, text): shared by the graded query and the
+    * overlap-boundary spec (fixture docs are mostly single-chunk, so the
+    * multi-chunk arithmetic is pinned on synthetic long docs in
+    * Round10CloseSpec).
+    */
+  private[graft] def chunkDocs(docs: DataFrame, chunkLen: Long,
+                               stride: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", split(normText($"text"), " ").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0L), $"n" - 1L, lit(stride))).as("tok_start"))
+      .select(
+        $"doc_id",
+        ($"tok_start" / stride).cast("long").as("chunk_id"),
+        $"tok_start",
+        least(lit(chunkLen), $"n" - $"tok_start").as("n_toks"),
+        array_join(
+          slice($"toks", ($"tok_start" + 1L).cast("int"),
+            least(lit(chunkLen), $"n" - $"tok_start").cast("int")), " ")
+          .as("chunk_text"))
+      .orderBy($"doc_id".asc_nulls_first, $"chunk_id".asc_nulls_first)
+  }
+
+  private def textChunk(spark: SparkSession, sfDir: String): DataFrame =
+    chunkDocs(Catalog.load(spark, sfDir, "documents"), 128L, 112L)
+
+  private val textChunkSql = s"""
+    WITH t AS (
+      SELECT doc_id, string_split($normTextSql, ' ') AS toks,
+        CAST(len(string_split($normTextSql, ' ')) AS BIGINT) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, n, unnest(range(0, n, 112)) AS tok_start
+      FROM t)
+    SELECT doc_id,
+      tok_start // 112 AS chunk_id,
+      tok_start,
+      least(128, n - tok_start) AS n_toks,
+      array_to_string(toks[tok_start + 1 : tok_start + least(128, n - tok_start)], ' ')
+        AS chunk_text
+    FROM c
+    ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST"""
+
   /** Positional token-hash document fingerprint (order-sensitive, unlike a
     * bag-of-tokens hash): fp = sum((pos+1) * tokenhash) mod p.
     *
@@ -1012,6 +1070,7 @@ object LlmExtras extends QueryPack {
     Q("q_text_langid", langid, Some(langidSql)),
     Q("q_text_quality", quality, Some(qualitySql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
+    Q("q_text_chunk", textChunk, Some(textChunkSql)),
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("q_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
     Q("q_sim_ann_ivf", simIvfAnn, Some(simIvfAnnSql)),

@@ -64,6 +64,21 @@ class Round10CloseSpec extends SparkTestBase {
     }
   }
 
+  test("chunkDocs: overlap and tail arithmetic on a synthetic 300-token doc") {
+    val text = (0 until 300).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = operators.LlmExtras.chunkDocs(docs, 128L, 112L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(chunks.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 0L, 128L), (1L, 112L, 128L), (2L, 224L, 76L)))
+    // Overlap: the last 16 tokens of chunk 0 are the first 16 of chunk 1.
+    val c0 = chunks(0)._4.split(" ")
+    val c1 = chunks(1)._4.split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    assert(c0.head == "t0" && c1.head == "t112" && chunks(2)._4.endsWith("t299"))
+  }
+
   test("q_ts_changepoint: closed form equals the sequential CUSUM recursion") {
     val rows = SparkEntry.queries("q_ts_changepoint")(spark, sf0001)
       .collect()
