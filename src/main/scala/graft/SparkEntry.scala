@@ -15,6 +15,7 @@ object SparkEntry {
     FiltersProjections,
     Joins,
     Aggregations,
+    SqlFlavors,
     SortsSetOps,
     graft.functions.Scalars,
     Windows,

@@ -237,7 +237,79 @@ object Governance extends QueryPack {
     SELECT check_name, n_checked, n_violations, n_violations = 0 AS pass
     FROM u ORDER BY check_name ASC NULLS FIRST"""
 
+  /** Right-to-be-forgotten cascade audit (added round 10): given a
+    * deterministic forget-set (~5% of customers — the Knuth multiplicative
+    * hash of the key below floor(2³²/20); a real run would read a consent
+    * table, the CASCADE is what's being exercised), report per table how
+    * many rows a purge would remove: customers themselves, their orders,
+    * those orders' lineitems, and their event streams. The four counts are
+    * exactly what a deletion job must reconcile before and after.
+    *
+    * Scale: customer/orders/events decide membership by pure SCAN-SIDE
+    * ARITHMETIC on their own key column — the forget rule is a hash
+    * predicate, so there is NO join against a forget-key list for any
+    * table that carries the key (at 100 TB that list itself would be
+    * millions of rows — shipping the rule beats shipping the set).
+    * Only lineitem, which doesn't carry custkey, pays a join — on
+    * orderkey against the (pruned-column) orders table, the same single
+    * fact-fact shuffle every lineitem-orders query pays. Union of four
+    * 1-row aggregates; ppm share is exact integer arithmetic.
+    */
+  private def gdprForget(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def forgotten(key: org.apache.spark.sql.Column) =
+      (key.bitwiseAND(lit(2147483647L)) * lit(2654435761L)) %
+        lit(4294967296L) < lit(214748364L)
+    val t = table(spark, sfDir) _
+    def audit(name: String, df: DataFrame, purged: org.apache.spark.sql.Column) =
+      df.agg(
+        lit(name).as("table_name"),
+        count(lit(1)).as("rows_total"),
+        sum(when(purged, 1L).otherwise(0L)).as("rows_purged"))
+    val li = t("lineitem").select($"l_orderkey")
+      .join(t("orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+    audit("customer", t("customer"), forgotten($"c_custkey"))
+      .unionAll(audit("orders", t("orders"), forgotten($"o_custkey")))
+      .unionAll(audit("lineitem", li, forgotten($"o_custkey")))
+      .unionAll(audit("events", t("events"), forgotten($"user_id")))
+      .select($"table_name", $"rows_total", $"rows_purged",
+        ($"rows_total" - $"rows_purged").as("rows_retained"),
+        expr("rows_purged * 1000000 div rows_total").as("purge_ppm"))
+      .orderBy($"table_name".asc_nulls_first)
+  }
+
+  private val gdprForgetOracle = """
+    WITH c AS (
+      SELECT 'customer' AS table_name, count(*) AS rows_total,
+        CAST(sum(CASE WHEN ((c_custkey & 2147483647) * 2654435761) % 4294967296
+          < 214748364 THEN 1 ELSE 0 END) AS BIGINT) AS rows_purged
+      FROM customer),
+    o AS (
+      SELECT 'orders', count(*),
+        CAST(sum(CASE WHEN ((o_custkey & 2147483647) * 2654435761) % 4294967296
+          < 214748364 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders),
+    l AS (
+      SELECT 'lineitem', count(*),
+        CAST(sum(CASE WHEN ((o_custkey & 2147483647) * 2654435761) % 4294967296
+          < 214748364 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS (
+      SELECT 'events', count(*),
+        CAST(sum(CASE WHEN ((user_id & 2147483647) * 2654435761) % 4294967296
+          < 214748364 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM events),
+    u AS (
+      SELECT * FROM c UNION ALL SELECT * FROM o
+      UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
+    SELECT table_name, rows_total, rows_purged,
+      rows_total - rows_purged AS rows_retained,
+      rows_purged * 1000000 // rows_total AS purge_ppm
+    FROM u ORDER BY table_name ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_gdpr_forget", gdprForget, Some(gdprForgetOracle)),
     Q("q_pii_mask", piiMask, Some(piiMaskOracle)),
     Q("q_quality_expectations", qualityExpectations, Some(qualityExpectationsOracle)),
     Q("q_sample_stratified", sampleStratified, Some(sampleStratifiedOracle)),

@@ -625,8 +625,211 @@ object Profiling extends QueryPack {
     FROM banded GROUP BY band
     ORDER BY band ASC NULLS FIRST"""
 
+  /** Chi-square test of independence over the (c_mktsegment ×
+    * o_orderpriority) contingency table — "does a customer's segment change
+    * its order-priority mix?" — plus Cramér's V effect size (added round
+    * 10). Exactness: observed counts and both margins are exact integers
+    * (window sums over the ≤ r·c cell table); each cell's expected count
+    * e = rt·ct/n and term (o−e)²/e are the SAME IEEE expression on both
+    * engines, and the cross-cell reduction quantizes each term to
+    * DECIMAL(28,10) before the (exact, order-free) decimal sum — a tie at
+    * the 10th decimal would need the double's dyadic expansion to
+    * terminate mid-boundary, which it cannot.
+    *
+    * Scale: one broadcast customer join + one map-side-combined hash agg
+    * to the r·c cell table (25 rows here; bounded by the two
+    * cardinalities, not data volume); margins/window/final agg all run on
+    * that tiny table.
+    */
+  private def statChisq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = graft.Dsl.table(spark, sfDir) _
+    val obs = t("orders").select($"o_custkey", $"o_orderpriority")
+      .join(broadcast(t("customer").select($"c_custkey", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("o"))
+    val cells = obs
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"c_mktsegment")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"o_orderpriority")))
+      .withColumn("nn", sum($"o").over(Window.partitionBy()))
+    val e = ($"rt" * $"ct").cast("double") / $"nn".cast("double")
+    val term = ($"o".cast("double") - e) * ($"o".cast("double") - e) / e
+    cells
+      .agg(
+        max($"nn").as("nraw"),
+        countDistinct($"c_mktsegment").as("r"),
+        countDistinct($"o_orderpriority").as("c"),
+        sum(term.cast("decimal(28,10)")).cast("double").as("chi2raw"))
+      .select(
+        $"nraw".as("n"),
+        (($"r" - 1) * ($"c" - 1)).as("dof"),
+        $"chi2raw".as("chi2"),
+        sqrt($"chi2raw" / ($"nraw".cast("double") *
+          least($"r" - 1, $"c" - 1).cast("double"))).as("cramers_v"))
+  }
+
+  private val statChisqOracle = """
+    WITH obs AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS o
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority),
+    cells AS (
+      SELECT o, c_mktsegment, o_orderpriority,
+        CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS rt,
+        CAST(sum(o) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS ct,
+        CAST(sum(o) OVER () AS BIGINT) AS nn
+      FROM obs),
+    terms AS (
+      SELECT o, c_mktsegment, o_orderpriority, nn,
+        (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE))
+          * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE))
+          / (CAST(rt * ct AS DOUBLE) / CAST(nn AS DOUBLE)) AS term
+      FROM cells),
+    agg AS (
+      SELECT CAST(max(nn) AS BIGINT) AS nraw,
+        count(DISTINCT c_mktsegment) AS r,
+        count(DISTINCT o_orderpriority) AS c,
+        CAST(sum(CAST(term AS DECIMAL(28,10))) AS DOUBLE) AS chi2raw
+      FROM terms)
+    SELECT nraw AS n,
+      CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+      chi2raw AS chi2,
+      sqrt(chi2raw / (CAST(nraw AS DOUBLE)
+        * CAST(least(r - 1, c - 1) AS DOUBLE))) AS cramers_v
+    FROM agg"""
+
+  /** Welch's unequal-variance t-test: do purchase events carry a different
+    * mean value than click events? (added round 10). The A/B-test primitive
+    * every experimentation pipeline needs. Exactness: the six sufficient
+    * statistics (two counts, two decimal sums, two decimal sums of
+    * DECIMAL-exact squares — (18,6)·(18,6) → scale-12 products, no
+    * post-multiply rounding) come from ONE map-side-combined conditional
+    * pass; every derived double (means, variances, t, Welch–Satterthwaite
+    * df) is the same IEEE expression tree on both engines over
+    * correctly-rounded casts of identical decimals, so everything is
+    * emitted raw. The oracle routes the scale-12 sums through VARCHAR
+    * (DuckDB's decimal→double cast is not correctly rounded past 2^53 —
+    * see q_stat_corr).
+    *
+    * Scale: a two-branch filter pushed to the scan + a single 1-row
+    * aggregate; nothing downstream touches more than one row.
+    */
+  private def statTtestWelch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val vd = $"value".cast("decimal(18,6)")
+    val isP = $"event_type" === "purchase"
+    val g = graft.Dsl.table(spark, sfDir)("events")
+      .filter($"event_type".isin("purchase", "click"))
+      .agg(
+        sum(when(isP, 1L).otherwise(0L)).as("n1"),
+        sum(when(!isP, 1L).otherwise(0L)).as("n2"),
+        sum(when(isP, vd)).cast("double").as("s1"),
+        sum(when(!isP, vd)).cast("double").as("s2"),
+        sum(when(isP, vd * vd)).cast("double").as("q1"),
+        sum(when(!isP, vd * vd)).cast("double").as("q2"))
+    val d = g.select($"n1", $"n2", $"s1", $"s2", $"q1", $"q2",
+      $"n1".cast("double").as("nd1"), $"n2".cast("double").as("nd2"))
+    val m = d.select($"n1", $"n2", $"nd1", $"nd2",
+      ($"s1" / $"nd1").as("m1"), ($"s2" / $"nd2").as("m2"),
+      (($"q1" - $"s1" * $"s1" / $"nd1") / ($"nd1" - lit(1.0))).as("v1"),
+      (($"q2" - $"s2" * $"s2" / $"nd2") / ($"nd2" - lit(1.0))).as("v2"))
+    val ab = m.select($"n1", $"n2", $"nd1", $"nd2", $"m1", $"m2", $"v1", $"v2",
+      ($"v1" / $"nd1").as("a"), ($"v2" / $"nd2").as("b"))
+    ab.select(
+      $"n1".as("n_purchase"), $"n2".as("n_click"),
+      $"m1".as("mean_purchase"), $"m2".as("mean_click"),
+      $"v1".as("var_purchase"), $"v2".as("var_click"),
+      (($"m1" - $"m2") / sqrt($"a" + $"b")).as("t_stat"),
+      (($"a" + $"b") * ($"a" + $"b") /
+        ($"a" * $"a" / ($"nd1" - lit(1.0)) +
+         $"b" * $"b" / ($"nd2" - lit(1.0)))).as("df"))
+  }
+
+  private val statTtestWelchOracle = """
+    WITH g AS (
+      SELECT
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(CAST(sum(CASE WHEN event_type = 'purchase'
+          THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS s1,
+        CAST(CAST(sum(CASE WHEN event_type <> 'purchase'
+          THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS s2,
+        CAST(CAST(sum(CASE WHEN event_type = 'purchase'
+          THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS q1,
+        CAST(CAST(sum(CASE WHEN event_type <> 'purchase'
+          THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS q2
+      FROM events
+      WHERE event_type IN ('purchase', 'click')),
+    d AS (
+      SELECT n1, n2, s1, s2, q1, q2,
+        CAST(n1 AS DOUBLE) AS nd1, CAST(n2 AS DOUBLE) AS nd2
+      FROM g),
+    m AS (
+      SELECT n1, n2, nd1, nd2,
+        s1 / nd1 AS m1, s2 / nd2 AS m2,
+        (q1 - s1 * s1 / nd1) / (nd1 - 1.0) AS v1,
+        (q2 - s2 * s2 / nd2) / (nd2 - 1.0) AS v2
+      FROM d),
+    ab AS (
+      SELECT n1, n2, nd1, nd2, m1, m2, v1, v2,
+        v1 / nd1 AS a, v2 / nd2 AS b
+      FROM m)
+    SELECT n1 AS n_purchase, n2 AS n_click,
+      m1 AS mean_purchase, m2 AS mean_click,
+      v1 AS var_purchase, v2 AS var_click,
+      (m1 - m2) / sqrt(a + b) AS t_stat,
+      (a + b) * (a + b) / (a * a / (nd1 - 1.0) + b * b / (nd2 - 1.0)) AS df
+    FROM ab"""
+
+  /** Benford's-law screen on o_totalprice leading digits (added round 10):
+    * the classic anomaly/fabrication detector a data-quality layer runs on
+    * money columns. The leading digit is taken from the DECIMAL(18,2)
+    * rendering (plain notation on both engines, values all positive) —
+    * never from log10 of the value, whose libm last-ulp can flip the digit
+    * at exact powers of ten. Expected shares are round(100·log10(1+1/d),4);
+    * all nine constants sit ≥ 9e-7 from a rounding boundary, far beyond
+    * cross-libm ulp drift. Observed share is the same two-double division
+    * on both engines, emitted raw.
+    *
+    * Scale: digit extraction is scan-side string arithmetic; one 9-cell
+    * hash agg; the margin window runs on those 9 rows.
+    */
+  private def profileBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val digit = substring($"o_totalprice".cast("decimal(18,2)")
+      .cast("string"), 1, 1).cast("int")
+    graft.Dsl.table(spark, sfDir)("orders")
+      .select(digit.as("leading_digit"))
+      .groupBy($"leading_digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .select($"leading_digit", $"n",
+        ($"n".cast("double") * lit(100.0) / $"total".cast("double"))
+          .as("observed_pct"),
+        round(log10(lit(1.0) + lit(1.0) / $"leading_digit".cast("double"))
+          * lit(100.0), 4).as("benford_pct"))
+      .orderBy($"leading_digit".asc_nulls_first)
+  }
+
+  private val profileBenfordOracle = """
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INTEGER) AS leading_digit
+      FROM orders),
+    g AS (
+      SELECT leading_digit, count(*) AS n FROM d GROUP BY leading_digit),
+    w AS (
+      SELECT leading_digit, n, CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
+    SELECT leading_digit, n,
+      CAST(n AS DOUBLE) * 100.0 / CAST(total AS DOUBLE) AS observed_pct,
+      round(log10(1.0 + 1.0 / CAST(leading_digit AS DOUBLE)) * 100.0, 4) AS benford_pct
+    FROM w
+    ORDER BY leading_digit ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_profile_entropy", profileEntropy, Some(profileEntropyOracle)),
+    Q("q_stat_chisq", statChisq, Some(statChisqOracle)),
+    Q("q_stat_ttest_welch", statTtestWelch, Some(statTtestWelchOracle)),
+    Q("q_profile_benford", profileBenford, Some(profileBenfordOracle)),
     Q("q_stat_regression", statRegression, Some(statRegressionOracle)),
     Q("q_audit_reconciliation", auditReconciliation,
       Some(auditReconciliationOracle)),

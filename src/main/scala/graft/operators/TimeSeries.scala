@@ -719,7 +719,96 @@ object TimeSeries extends QueryPack {
     FROM cus
     ORDER BY day ASC NULLS FIRST"""
 
+  private val acfLags = Seq(1, 2, 3, 7)
+
+  /** Sample autocorrelation of the daily-revenue series at lags 1/2/3/7
+    * (added round 10) — the seasonality probe run before choosing a
+    * forecasting model (lag-7 confirms the weekly cycle q_ts_forecast_snaive
+    * exploits; an index-lag over observed days, like every window op on
+    * this near-complete spine). BIT-exact, no rounding tolerance: daily
+    * revenue stays DECIMAL end-to-end ((18,2) — exact for 2-decimal money),
+    * the per-lag sufficient statistics are decimal sums of exact (37,4)
+    * products conditioned on the lag existing, and the Pearson formula is
+    * the same IEEE expression on both engines over correctly-rounded
+    * decimal→double casts (oracle routes them via VARCHAR — the scale-4
+    * sums exceed 2^53; see q_stat_corr).
+    *
+    * Scale: the windows/moments run on the |days|-bounded daily aggregate
+    * (~2.4k rows at ANY scale factor — the global-series exception
+    * documented at q_ts_decompose); the raw table is touched once by the
+    * map-side-combined daily aggregation.
+    */
+  private def tsAcf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice".cast("decimal(18,6)"))
+        .cast("decimal(18,2)").as("rev"))
+    val w = Window.orderBy($"day".asc)
+    val withLags = daily.select($"day" +: $"rev" +:
+      acfLags.map(k => lag($"rev", k).over(w).as(s"l$k")): _*)
+    val moments = acfLags.flatMap { k =>
+      val lk = col(s"l$k")
+      Seq(
+        count(lk).as(s"n_$k"),
+        sum(when(lk.isNotNull, $"rev")).cast("double").as(s"sx_$k"),
+        sum(lk).cast("double").as(s"sy_$k"),
+        sum(when(lk.isNotNull, $"rev" * $"rev")).cast("double").as(s"sxx_$k"),
+        sum(lk * lk).cast("double").as(s"syy_$k"),
+        sum($"rev" * lk).cast("double").as(s"sxy_$k"))
+    }
+    val agg = withLags.agg(moments.head, moments.tail: _*)
+    val rows = acfLags.map { k =>
+      val n = col(s"n_$k").cast("double")
+      val (sx, sy) = (col(s"sx_$k"), col(s"sy_$k"))
+      val (sxx, syy, sxy) = (col(s"sxx_$k"), col(s"syy_$k"), col(s"sxy_$k"))
+      struct(lit(k).as("lag"), col(s"n_$k").as("n_pairs"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("acf"))
+    }
+    agg.select(inline(array(rows: _*))).orderBy($"lag".asc_nulls_first)
+  }
+
+  private val tsAcfOracle: String = {
+    def msum(e: String) = s"CAST(CAST(sum($e) AS VARCHAR) AS DOUBLE)"
+    val moments = acfLags.map { k =>
+      s"""count(l$k) AS n_$k,
+        ${msum(s"CASE WHEN l$k IS NOT NULL THEN rev END")} AS sx_$k,
+        ${msum(s"l$k")} AS sy_$k,
+        ${msum(s"CASE WHEN l$k IS NOT NULL THEN rev * rev END")} AS sxx_$k,
+        ${msum(s"l$k * l$k")} AS syy_$k,
+        ${msum(s"rev * l$k")} AS sxy_$k"""
+    }.mkString(",\n        ")
+    val selects = acfLags.map { k =>
+      val n = s"CAST(n_$k AS DOUBLE)"
+      s"""SELECT $k AS lag, n_$k AS n_pairs,
+        ($n * sxy_$k - sx_$k * sy_$k) /
+        (sqrt($n * sxx_$k - sx_$k * sx_$k) * sqrt($n * syy_$k - sy_$k * sy_$k)) AS acf
+      FROM m"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH daily AS (
+      -- DECIMAL(19,2), not (18,2): DuckDB multiplies (18,x) significands in
+      -- int64 and overflows on sf0.1 daily revenues; 19 digits forces the
+      -- int128 path. The VALUE is identical to Spark's (18,2) — both exact.
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(19,2)) AS rev
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT rev,
+        ${acfLags.map(k => s"lag(rev, $k) OVER (ORDER BY day ASC) AS l$k").mkString(",\n        ")}
+      FROM daily),
+    m AS (
+      SELECT
+        $moments
+      FROM s)
+    SELECT * FROM (
+      $selects)
+    ORDER BY lag ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_ts_acf", tsAcf, Some(tsAcfOracle)),
     Q("q_ts_changepoint", tsChangepoint, Some(tsChangepointOracle)),
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
     Q("q_ts_forecast_snaive", tsForecastSnaive, Some(tsForecastSnaiveOracle)),
