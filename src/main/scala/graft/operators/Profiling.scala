@@ -825,9 +825,84 @@ object Profiling extends QueryPack {
     FROM w
     ORDER BY leading_digit ASC NULLS FIRST"""
 
+  /** Two-sample Kolmogorov–Smirnov test on cent-quantized event values,
+    * purchase vs click (added round 10 batch 2) — the distribution-drift
+    * detector (training-vs-serving skew, A/B sanity) that needs no
+    * distributional assumption. EXACT INTEGER arithmetic end-to-end: the
+    * ECDF gap is maximized as D_scaled = max|c₁·n₂ − c₂·n₁| over the
+    * pooled quantized support (cumulative counts via one ordered window),
+    * and only the final D = D_scaled/(n₁·n₂) and the α=0.05 threshold
+    * touch doubles — identical expressions both engines, so even the
+    * reject boolean cannot drift. Quantization (`floor(value·100)`) is the
+    * same double op both engines; it defines the graded statistic (KS of
+    * the cent-binned distributions).
+    *
+    * Scale: one map-side-combined agg to the ≤|cent domain| support table
+    * (49k cells max — bounded by the VALUE DOMAIN, not data volume); the
+    * cumulative window runs on that bounded table. c·n products stay far
+    * under int64 at any SF (n₁·n₂ ≤ 4e16 at sf1000).
+    */
+  private def statKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val isP = $"event_type" === "purchase"
+    val support = graft.Dsl.table(spark, sfDir)("events")
+      .filter($"event_type".isin("purchase", "click"))
+      .select(floor($"value" * lit(100.0)).cast("long").as("q"), isP.as("p"))
+      .groupBy($"q")
+      .agg(sum(when($"p", 1L).otherwise(0L)).as("d1"),
+           sum(when(!$"p", 1L).otherwise(0L)).as("d2"))
+    val w = Window.orderBy($"q".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = support
+      .withColumn("c1", sum($"d1").over(w))
+      .withColumn("c2", sum($"d2").over(w))
+      .withColumn("n1", sum($"d1").over(Window.partitionBy()))
+      .withColumn("n2", sum($"d2").over(Window.partitionBy()))
+    cum
+      .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+        max(abs($"c1" * $"n2" - $"c2" * $"n1")).as("d_scaled"))
+      .select($"n1", $"n2", $"d_scaled",
+        ($"d_scaled".cast("double") /
+          ($"n1".cast("double") * $"n2".cast("double"))).as("d_stat"),
+        (lit(1.358) * sqrt(($"n1".cast("double") + $"n2".cast("double")) /
+          ($"n1".cast("double") * $"n2".cast("double")))).as("crit_05"))
+      .withColumn("reject_05", $"d_stat" > $"crit_05")
+  }
+
+  private val statKsTestOracle = """
+    WITH support AS (
+      SELECT CAST(floor(value * 100.0) AS BIGINT) AS q,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1),
+    cum AS (
+      SELECT q,
+        CAST(sum(d1) OVER (ORDER BY q ASC ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS c1,
+        CAST(sum(d2) OVER (ORDER BY q ASC ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) AS c2,
+        CAST(sum(d1) OVER () AS BIGINT) AS n1,
+        CAST(sum(d2) OVER () AS BIGINT) AS n2
+      FROM support),
+    agg AS (
+      SELECT max(n1) AS n1, max(n2) AS n2,
+        max(abs(c1 * n2 - c2 * n1)) AS d_scaled
+      FROM cum)
+    SELECT n1, n2, d_scaled,
+      CAST(d_scaled AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+      1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) /
+        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS crit_05,
+      CAST(d_scaled AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) >
+        1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) /
+          (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject_05
+    FROM agg"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_profile_entropy", profileEntropy, Some(profileEntropyOracle)),
     Q("q_stat_chisq", statChisq, Some(statChisqOracle)),
+    Q("q_stat_ks_test", statKsTest, Some(statKsTestOracle)),
     Q("q_stat_ttest_welch", statTtestWelch, Some(statTtestWelchOracle)),
     Q("q_profile_benford", profileBenford, Some(profileBenfordOracle)),
     Q("q_stat_regression", statRegression, Some(statRegressionOracle)),

@@ -807,8 +807,131 @@ object TimeSeries extends QueryPack {
     ORDER BY lag ASC NULLS FIRST"""
   }
 
+  /** Holt linear-trend exponential smoothing per market segment (added
+    * round 10 batch 2): level+trend state folded through each segment's
+    * daily-revenue series (α=0.3, β=0.1; init l₂=y₂, b₂=y₂−y₁), reporting
+    * the end-of-series level/trend and the 7-day-ahead forecast. The
+    * recurrence couples l and b, so no finite window rewrite exists
+    * (unlike q_ts_ewma's truncated convolution) — this is the genuinely
+    * SEQUENTIAL per-series computation, implemented on the typed surface
+    * (`groupByKey(segment).flatMapGroups` imperative fold), the documented
+    * (d)-tier escape reserved for exactly this shape.
+    *
+    * Determinism: fold order is the day order (unique per group); every
+    * step is the same IEEE expression with the same literal constants both
+    * engines (0.3/0.7/0.1/0.9 written literally — `1.0-0.3` is a DIFFERENT
+    * double than the literal 0.7), so level/trend/forecast are
+    * bit-identical to the oracle's recursive-CTE fold.
+    *
+    * Scale: ONE shuffle on the series key; in-group state is O(1) beyond
+    * the |days|-bounded sort buffer. The 100 TB shape is per-entity
+    * (customer/SKU) forecasting where groups are numerous and small —
+    * this plan parallelizes across entities with no global pass.
+    */
+  private def tsHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .join(broadcast(Catalog.load(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", date_trunc("day", $"o_orderdate").as("day"))
+      .agg(dsum($"o_totalprice").as("y"))
+    daily.select($"c_mktsegment", $"day", $"y")
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (seg: String, it: Iterator[(String, java.sql.Timestamp, Double)]) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        if (ys.length < 2) Iterator.empty
+        else {
+          var l = ys(1)
+          var b = ys(1) - ys(0)
+          var t = 2
+          while (t < ys.length) {
+            val y = ys(t)
+            val lNew = 0.3 * y + 0.7 * (l + b)
+            b = 0.1 * (lNew - l) + 0.9 * b
+            l = lNew
+            t += 1
+          }
+          Iterator((seg, ys.length.toLong, l, b, l + 7.0 * b))
+        }
+      }
+      .toDF("c_mktsegment", "n_days", "level", "trend", "forecast_7")
+      .orderBy($"c_mktsegment".asc_nulls_first)
+  }
+
+  private val tsHoltOracle = s"""
+    WITH RECURSIVE daily AS (
+      SELECT c_mktsegment AS seg,
+        CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        ${Oracle.dsum("o_totalprice")} AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    idx AS (
+      SELECT seg, y,
+        row_number() OVER (PARTITION BY seg ORDER BY day ASC) AS i,
+        count(*) OVER (PARTITION BY seg) AS n
+      FROM daily),
+    rec AS (
+      SELECT i2.seg, CAST(2 AS BIGINT) AS i, i2.y AS l, i2.y - i1.y AS b
+      FROM idx i1 JOIN idx i2 ON i1.seg = i2.seg AND i1.i = 1 AND i2.i = 2
+      UNION ALL
+      SELECT r.seg, r.i + 1,
+        0.3 * x.y + 0.7 * (r.l + r.b) AS l,
+        0.1 * ((0.3 * x.y + 0.7 * (r.l + r.b)) - r.l) + 0.9 * r.b AS b
+      FROM rec r JOIN idx x ON x.seg = r.seg AND x.i = r.i + 1)
+    SELECT r.seg AS c_mktsegment, r.i AS n_days, r.l AS level, r.b AS trend,
+      r.l + 7.0 * r.b AS forecast_7
+    FROM rec r
+    JOIN (SELECT seg, max(n) AS n FROM idx GROUP BY seg) t
+      ON r.seg = t.seg AND r.i = t.n
+    ORDER BY c_mktsegment ASC NULLS FIRST"""
+
+  /** Month-over-month and year-over-year revenue growth (added round 10
+    * batch 2): the first dashboard every revenue pipeline ships. Monthly
+    * sums are decimal-exact doubles; growth ratios are the same two-double
+    * division both engines, emitted raw; the first month / first year rows
+    * keep NULL growth (no fabricated zeros). Index-lag over observed
+    * months — the fixture month spine is complete, and the oracle uses the
+    * identical formulation either way.
+    *
+    * Scale: map-side-combined monthly agg, then windows over the
+    * |months|-bounded series (~80 rows at any SF).
+    */
+  private def tsMomGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"))
+      .agg(dsum($"o_totalprice").as("revenue"))
+    val w = Window.orderBy($"month".asc)
+    monthly
+      .withColumn("prev_m", lag($"revenue", 1).over(w))
+      .withColumn("prev_y", lag($"revenue", 12).over(w))
+      .select($"month", $"revenue",
+        (($"revenue" - $"prev_m") * lit(100.0) / $"prev_m").as("mom_pct"),
+        (($"revenue" - $"prev_y") * lit(100.0) / $"prev_y").as("yoy_pct"))
+      .orderBy($"month".asc_nulls_first)
+  }
+
+  private val tsMomGrowthOracle = s"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        ${Oracle.dsum("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT month, revenue,
+        lag(revenue, 1) OVER (ORDER BY month ASC) AS prev_m,
+        lag(revenue, 12) OVER (ORDER BY month ASC) AS prev_y
+      FROM monthly)
+    SELECT month, revenue,
+      (revenue - prev_m) * 100.0 / prev_m AS mom_pct,
+      (revenue - prev_y) * 100.0 / prev_y AS yoy_pct
+    FROM lagged
+    ORDER BY month ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ts_acf", tsAcf, Some(tsAcfOracle)),
+    Q("q_ts_holt", tsHolt, Some(tsHoltOracle)),
+    Q("q_ts_mom_growth", tsMomGrowth, Some(tsMomGrowthOracle)),
     Q("q_ts_changepoint", tsChangepoint, Some(tsChangepointOracle)),
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
     Q("q_ts_forecast_snaive", tsForecastSnaive, Some(tsForecastSnaiveOracle)),

@@ -141,6 +141,57 @@ class Round10BSpec extends SparkTestBase {
     assert(gotOrders == wantOrders)
   }
 
+  test("q_ts_holt equals a direct sequential fold per segment") {
+    val got = SparkEntry.queries("q_ts_holt")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 5)
+    val daily = Catalog.load(spark, sf0001, "orders")
+      .join(Catalog.load(spark, sf0001, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", date_trunc("day", $"o_orderdate").as("day"))
+      .agg(Dsl.dsum($"o_totalprice").as("y"))
+      .orderBy($"c_mktsegment", $"day")
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    got.foreach { case (seg, nDays, level, trend) =>
+      val ys = daily.filter(_._1 == seg).map(_._2)
+      assert(nDays == ys.length)
+      var l = ys(1); var b = ys(1) - ys(0)
+      ys.drop(2).foreach { y =>
+        val lNew = 0.3 * y + 0.7 * (l + b)
+        b = 0.1 * (lNew - l) + 0.9 * b
+        l = lNew
+      }
+      assert(level == l, s"$seg level: $level vs $l")
+      assert(trend == b, s"$seg trend: $trend vs $b")
+    }
+  }
+
+  test("q_ts_mom_growth ratios are consistent and first rows stay null") {
+    val rows = SparkEntry.queries("q_ts_mom_growth")(spark, sf0001).collect()
+    assert(rows.length > 24)
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3))
+    assert(rows(12).isNullAt(3) == false)
+    val (r0, r1) = (rows(0).getDouble(1), rows(1).getDouble(1))
+    assert(math.abs(rows(1).getDouble(2) - (r1 - r0) * 100.0 / r0) < 1e-9)
+  }
+
+  test("q_stat_ks_test statistic matches a direct ECDF computation") {
+    val r = SparkEntry.queries("q_stat_ks_test")(spark, sf0001).collect()(0)
+    val ev = Catalog.load(spark, sf0001, "events")
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"event_type", floor($"value" * 100.0).cast("long"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val p = ev.filter(_._1 == "purchase").map(_._2).sorted
+    val c = ev.filter(_._1 != "purchase").map(_._2).sorted
+    val qs = (p ++ c).distinct.sorted
+    val dScaled = qs.map { q =>
+      math.abs(p.count(_ <= q).toLong * c.length - c.count(_ <= q).toLong * p.length)
+    }.max
+    assert(r.getLong(0) == p.length && r.getLong(1) == c.length)
+    assert(r.getLong(2) == dScaled)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("q_ts_acf values are valid autocorrelations over the daily series") {
     val rows = SparkEntry.queries("q_ts_acf")(spark, sf0001).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7))
