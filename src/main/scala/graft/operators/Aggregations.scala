@@ -664,6 +664,43 @@ object Aggregations extends QueryPack {
       .orderBy($"event_type".asc_nulls_first)
   }
 
+  /** Boolean / conditional aggregate surface (added round 10 batch 2):
+    * `count_if`, `bool_and`, `bool_or`, and a DETERMINISTIC argmax — the
+    * predicate-rollup family every audit dashboard uses. Engine
+    * `max_by`/`arg_max` leave ties unspecified, so the argmax ships as
+    * exact integer PACKING: price-cents (≤2²⁶) · 2³³ + orderkey (<2³³)
+    * max-reduces to the (max-price, max-orderkey-among-ties) winner and
+    * decodes with one modulo — portable, tie-deterministic, and still one
+    * map-side-combined pass. All outputs integers/booleans; nothing can
+    * drift.
+    */
+  private def aggBool(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pack = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long") *
+      lit(8589934592L) + $"o_orderkey"
+    Catalog.load(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("count_if(o_totalprice > 150000.0)").as("n_big"),
+        expr("bool_and(o_totalprice > 0.0)").as("all_positive"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_final"),
+        (max(pack) % lit(8589934592L)).as("top_order"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private val aggBoolOracle = """
+    SELECT o_orderpriority,
+      count(*) AS n_orders,
+      count(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+      bool_and(o_totalprice > 0.0) AS all_positive,
+      bool_or(o_orderstatus = 'F') AS any_final,
+      max(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        * 8589934592 + o_orderkey) % 8589934592 AS top_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
   /** Exact per-group mode with a DETERMINISTIC tie-break (min value among
     * the most frequent) — engine `mode()` builtins leave ties unspecified,
     * so the portable form is count + rank, which is also the scale-correct
@@ -834,6 +871,7 @@ object Aggregations extends QueryPack {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, o_orderdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST
       LIMIT 10""")),
+    Q("q_agg_bool", aggBool, Some(aggBoolOracle)),
     Q("q_agg_mode", aggMode, Some("""
       WITH c AS (
         SELECT l_returnflag, l_quantity, count(*) AS n

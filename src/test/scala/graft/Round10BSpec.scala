@@ -192,6 +192,23 @@ class Round10BSpec extends SparkTestBase {
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("q_agg_bool argmax decodes to the true max-price order per priority") {
+    val rows = SparkEntry.queries("q_agg_bool")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    val orders = Catalog.load(spark, sf0001, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val (prio, topOrder) = (r.getString(0), r.getLong(5))
+      val grp = orders.filter(_._1 == prio)
+      val maxPrice = grp.map(_._3).max
+      val want = grp.filter(_._3 == maxPrice).map(_._2).max
+      assert(topOrder == want, s"$prio: $topOrder vs $want")
+      assert(r.getBoolean(3)) // all totalprice positive
+      assert(r.getLong(2) == grp.count(_._3 > 150000.0))
+    }
+  }
+
   test("q_ts_acf values are valid autocorrelations over the daily series") {
     val rows = SparkEntry.queries("q_ts_acf")(spark, sf0001).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7))
