@@ -61,6 +61,49 @@ object Scans extends QueryPack {
       dir
     })
 
+  /** Whole-file binary ingest via Spark's `binaryFile` source (added round
+    * 10 batch 2) — the front door of every multimodal pipeline (images,
+    * audio, PDFs land as FILES before anything has rows; §2.J's multimodal
+    * operators assume this step happened). The scratch feed is 20 documents
+    * materialized as standalone UTF-8 `.bin` files; the graded read scans
+    * them as (path, length, content) and emits a portable manifest —
+    * basename, byte count, and `md5(hex(content))` (both engines hex
+    * BLOBs uppercase; DuckDB has no blob-md5, so the digest goes through
+    * hex on BOTH sides). The oracle never touches the scratch dir: it
+    * reconstructs the expected manifest from the documents table
+    * (`encode(text)` → the same UTF-8 bytes the writer produced).
+    *
+    * Scale: binaryFile is a standard FileScan — files partition across
+    * tasks like any other source, pruning/filters on path/length apply;
+    * content stays off-heap columnar until the digest projection.
+    */
+  private def binaryFileSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = materializeOnce("binsrc", sfDir) { d =>
+      val docs = Catalog.load(spark, sfDir, "documents")
+        .filter($"doc_id" < 20).select($"doc_id", $"text").collect()
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p)
+      docs.foreach { r =>
+        java.nio.file.Files.write(p.resolve(s"doc_${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract($"path", "([^/]+)$", 1).as("file_name"),
+        $"length".as("n_bytes"),
+        md5(hex($"content")).as("content_md5"))
+      .orderBy($"file_name".asc_nulls_first)
+  }
+
+  private val binaryFileSourceOracle = """
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS file_name,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(hex(encode(text))) AS content_md5
+    FROM documents WHERE doc_id < 20
+    ORDER BY file_name ASC NULLS FIRST"""
+
   private def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = materializeOnce("nation_csv", sfDir) { d =>
@@ -274,6 +317,7 @@ object Scans extends QueryPack {
   }
 
   override val queries: Vector[Q] = Vector(
+    Q("q_source_binaryfile", binaryFileSource, Some(binaryFileSourceOracle)),
     Q("q_scan_partition_pruning_dynamic", scanDpp, Some(s"""
       WITH y AS (
         SELECT DISTINCT year(l_shipdate) AS ship_year FROM lineitem

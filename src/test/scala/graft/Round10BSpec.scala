@@ -209,6 +209,19 @@ class Round10BSpec extends SparkTestBase {
     }
   }
 
+  test("q_source_binaryfile manifest matches the documents it was cut from") {
+    val rows = SparkEntry.queries("q_source_binaryfile")(spark, sf0001).collect()
+    assert(rows.length == 20)
+    val want = Catalog.load(spark, sf0001, "documents")
+      .filter($"doc_id" < 20).select($"doc_id", $"text").collect()
+      .map(r => (s"doc_${r.getLong(0)}.bin",
+        r.getString(1).getBytes("UTF-8").length.toLong)).toMap
+    rows.foreach { r =>
+      assert(want(r.getString(0)) == r.getLong(1))
+      assert(r.getString(2).matches("[0-9a-f]{32}"))
+    }
+  }
+
   test("q_ts_acf values are valid autocorrelations over the daily series") {
     val rows = SparkEntry.queries("q_ts_acf")(spark, sf0001).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7))
