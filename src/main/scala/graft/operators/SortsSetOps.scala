@@ -96,7 +96,50 @@ object SortsSetOps extends QueryPack {
       .orderBy($"o_custkey".asc_nulls_first)
   }
 
+  /** Schema-drift union via `unionByName(allowMissingColumns = true)` (added
+    * round 10 batch 2) — the relational-level sibling of
+    * `q_source_schema_evolution`'s scan-level merge: two feed generations
+    * (v1 lacks the priority column, v2 carries it plus a feed tag) align BY
+    * NAME, absent columns NULL-fill, and positional drift cannot silently
+    * swap columns the way plain `union` would. Output = the per-generation,
+    * per-priority reconciliation rollup.
+    *
+    * Scale: the union is a zero-shuffle plan glue (both children stay
+    * independently partitioned); only the final rollup shuffles its
+    * bounded group keys.
+    */
+  private def setUnionByName(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Catalog.load(spark, sfDir, "orders")
+    val v1 = orders.filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_totalprice")
+      .withColumn("feed", lit("v1"))
+    val v2 = orders.filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .withColumn("feed", lit("v2"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy($"feed", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Dsl.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"feed".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val setUnionByNameOracle = s"""
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+        'v1' AS feed
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS feed
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+    SELECT feed, o_orderpriority, count(*) AS n_orders,
+      ${graft.Oracle.dsum("o_totalprice")} AS revenue
+    FROM u
+    GROUP BY feed, o_orderpriority
+    ORDER BY feed ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_set_union_byname", setUnionByName, Some(setUnionByNameOracle)),
     Q("q_sort_multikey", sortMultikey, Some("""
       SELECT * FROM orders
       ORDER BY o_orderpriority ASC NULLS FIRST, o_totalprice DESC NULLS LAST,

@@ -222,6 +222,14 @@ class Round10BSpec extends SparkTestBase {
     }
   }
 
+  test("q_set_union_byname null-fills the missing column and partitions orders") {
+    val rows = SparkEntry.queries("q_set_union_byname")(spark, sf0001).collect()
+    val v1 = rows.filter(_.getString(0) == "v1")
+    assert(v1.length == 1 && v1.head.isNullAt(1)) // one NULL-priority rollup row
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Catalog.load(spark, sf0001, "orders").count())
+  }
+
   test("q_ts_acf values are valid autocorrelations over the daily series") {
     val rows = SparkEntry.queries("q_ts_acf")(spark, sf0001).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7))
