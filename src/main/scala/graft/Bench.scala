@@ -82,7 +82,16 @@ object Bench {
     // A failing query records near-zero time, which would HIDE a regression
     // in a lower total — surface failures explicitly.
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Ambient 1-min load average at the end of the timed pass: this box's
+    // run-to-run totals swing ~1.6x with host contention (BASELINE.md
+    // round-10 rows) — the reading lets any consumer label the regime
+    // without a side channel. Best-effort: absent on non-procfs platforms.
+    val load = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"loadavg":${r3(load)},"sf":"$sfDir"}"""
     // The r2 per-query line outgrew the driver's tail-capture buffer and the
     // leading total became invisible to grading. Three defenses: (a) per-query
     // times at ms precision keep the line ~6x shorter, (b) the full JSON also
@@ -95,7 +104,7 @@ object Bench {
     println(full)
     // Distinct metric name: a consumer iterating every metric line must not
     // double-count the total (the full line above carries the same value).
-    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","n":${results.size},"failed":$failedJson,"loadavg":${r3(load)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
