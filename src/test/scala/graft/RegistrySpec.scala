@@ -21,6 +21,27 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.all.map(_.id).distinct.size == SparkEntry.all.size)
   }
 
+  test("SURVEY §2 declarations equal the registry (set-diff both ways)") {
+    // The round-5 and round-8 audits each caught silent declaration drift
+    // (implemented-but-undeclared queries); this automates that set-diff.
+    // Only the ID cell (first column) of §2 table rows counts — prose
+    // references to sibling queries inside description cells do not.
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val declared = text.linesIterator
+      .filter(_.startsWith("| `q_"))
+      .flatMap { line =>
+        val cell = line.split("\\|")(1)
+        "q_[a-z0-9_]+".r.findAllIn(cell)
+      }.toSet
+    val registered = SparkEntry.all.map(_.id).toSet
+    val missing = declared -- registered
+    val undeclared = registered -- declared
+    assert(missing.isEmpty && undeclared.isEmpty,
+      s"missing from registry: ${missing.toSeq.sorted.mkString(",")}; " +
+        s"undeclared in SURVEY: ${undeclared.toSeq.sorted.mkString(",")}")
+  }
+
   for (q <- SparkEntry.all) {
     test(s"${q.id}: runs at sf0.001 with a differ-safe schema") {
       val df = q.fn(spark, sf0001)
