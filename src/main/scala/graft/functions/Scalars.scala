@@ -217,7 +217,42 @@ object Scalars extends QueryPack {
       .orderBy($"event_type".asc_nulls_first)
   }
 
+  /** URL parsing surface (added round 10 batch 2): every clickstream /
+    * crawl pipeline decomposes URLs; Spark's `parse_url` (HOST / PATH /
+    * QUERY key) is graded against an independent regexp reconstruction in
+    * the oracle (DuckDB has no parse_url) over deterministic URLs
+    * synthesized from document attributes. Pure scan-side projection —
+    * no shuffle except the output sort.
+    */
+  private def strUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .filter($"doc_id" < 200)
+      .select($"doc_id",
+        concat(lit("https://"), $"source", lit(".example.com/docs/"),
+          $"doc_id", lit("?lang="), $"lang").as("url"))
+      .select($"doc_id", $"url",
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'lang')").as("lang_param"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val strUrlOracle = """
+    WITH u AS (
+      SELECT doc_id,
+        'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+          || '?lang=' || lang AS url
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id, url,
+      regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+      regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+      regexp_extract(url, 'lang=([^&]+)$', 1) AS lang_param
+    FROM u
+    ORDER BY doc_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_str_url", strUrl, Some(strUrlOracle)),
     Q("q_str_funcs", strFuncs, Some("""
       SELECT c_custkey,
         upper(c_name) AS up, lower(c_mktsegment) AS lo,
