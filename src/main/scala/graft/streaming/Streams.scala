@@ -192,6 +192,68 @@ object Streams extends QueryPack {
     finally walk.close()
   }
 
+  /** The SEVENTH graded real-streaming run (added round 10 batch 2): the
+    * `foreachBatch` MERGE-SINK pattern — the dominant production landing
+    * shape (each micro-batch's updated aggregates upserted into a table;
+    * here merge-on-read: partials appended with their batch id, the read
+    * side keeps each key's LATEST version). The streaming side is a real
+    * update-mode stateful aggregation through the state store; the graded
+    * output is the merged final table, which equals the batch aggregate
+    * under ANY micro-batch split because per-key cumulative aggregates are
+    * monotone in batch id — argmax(batch_id) per key IS the final state.
+    * The landed partials are `localCheckpoint`ed so every scratch dir is
+    * deleted before return (no temp leakage — the round-9 advice rule).
+    *
+    * Scale: the state store carries one row per user; each batch lands
+    * only CHANGED keys; the merge-on-read is one window over the landed
+    * partials, compacted by any later rewrite — exactly how incremental
+    * pipelines land 100 TB/day without rewriting the world.
+    */
+  private def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fb_src_")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Path.of(sfDir, "events.parquet"))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_fb_ck_")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out_")
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = spark.readStream.schema(physical).parquet(srcDir.toString)
+      .select($"user_id", $"value")
+    val q = src
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir.toString)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"batch_id".desc)
+    val merged = spark.read.parquet(outDir.toString)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"user_id", $"n_events", $"total_value")
+      .orderBy($"user_id".asc_nulls_first)
+      .localCheckpoint(true)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    rmTree(outDir)
+    merged
+  }
+
+  private val foreachBatchSinkSql = s"""
+    SELECT user_id, count(*) AS n_events,
+      ${graft.Oracle.dsum("value")} AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id ASC NULLS FIRST"""
+
   private def customSession(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     runEventsStream(spark, sfDir, "cs") { src =>
@@ -484,6 +546,7 @@ object Streams extends QueryPack {
 
   override val queries: Vector[Q] = Vector(
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
+    Q("q_stream_foreach_sink", foreachBatchSink, Some(foreachBatchSinkSql)),
     Q("q_stream_windowed_append", windowedAppend, Some(windowedAppendSql)),
     Q("q_stream_dedup_exec", dedupExec, Some(dedupExecSql)),
     Q("q_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),

@@ -120,4 +120,44 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedSizes.except(batchSizes).isEmpty &&
       batchSizes.except(streamedSizes).isEmpty)
   }
+
+  test("foreachBatch merge-sink equals batch totals under a forced 4-batch split") {
+    // The graded q_stream_foreach_sink replays one file (typically one
+    // micro-batch); this forces FOUR batches with maxFilesPerTrigger=1 and
+    // proves the merge-on-read (argmax batch_id per key) still lands on
+    // the exact batch aggregate — the monotone-cumulative-state argument.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fbspec_src_")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_fbspec_ck_")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fbspec_out_")
+    val events = Catalog.load(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"value")
+    events.repartition(4).write.mode("overwrite").parquet(srcDir.toString)
+    val physical = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        Dsl.dsum($"value").as("total_value"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        b.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir.toString)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val landed = spark.read.parquet(outDir.toString)
+    assert(landed.select($"batch_id").distinct().count() >= 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"batch_id".desc)
+    val got = landed.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"user_id", $"n_events", $"total_value")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), Dsl.dsum($"value").as("tv"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+  }
 }
