@@ -230,6 +230,33 @@ class Round10BSpec extends SparkTestBase {
     assert(total == Catalog.load(spark, sf0001, "orders").count())
   }
 
+  test("q_sql_tpch_q6_flavor pushes all predicates to the scan") {
+    val df = SparkEntry.queries("q_sql_tpch_q6_flavor")(spark, sf0001)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_discount"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) > 0 && r.getDouble(1) > 0.0)
+  }
+
+  test("q_sql_tpch_q8_flavor share stays in [0,1] and revenues reconcile") {
+    val rows = SparkEntry.queries("q_sql_tpch_q8_flavor")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) {
+        assert(r.getDouble(1) <= r.getDouble(2))
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      }
+    }
+  }
+
+  test("q_sql_tpch_q19_flavor keeps the equi-join under the disjunction") {
+    val df = SparkEntry.queries("q_sql_tpch_q19_flavor")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"OR arms must not degrade the partkey equi-join:\n$plan")
+    assert(df.collect()(0).getLong(0) >= 0)
+  }
+
   test("q_ts_acf values are valid autocorrelations over the daily series") {
     val rows = SparkEntry.queries("q_ts_acf")(spark, sf0001).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7))
