@@ -607,7 +607,55 @@ object Marketing extends QueryPack {
     FROM isl GROUP BY user_id, compact_version
     ORDER BY user_id ASC NULLS FIRST, compact_version ASC NULLS FIRST"""
 
+  /** Recency-decayed engagement score (added round 10 batch 2): every
+    * CDP ranks users by engagement where old activity counts less — here
+    * each event's value is halved per 30 days of age at the corpus
+    * anchor (the day after the last event), summed per user, top-100 by
+    * score. Deterministic across engines because the decay factor is an
+    * EXACT power of two (0.5^k is exactly representable and both pow
+    * implementations return exact results for it — no libm last-ulp
+    * exposure, unlike 0.9^k), the per-event product is the same IEEE
+    * multiply, and the sum is decimal-quantized (order-free). Ties break
+    * on the unique user_id.
+    *
+    * Scale: one scan with the anchor as a 1-row broadcast, per-row decay
+    * arithmetic in the scan projection, ONE map-side-combined hash agg on
+    * the high-cardinality user key, top-100 via TakeOrderedAndProject.
+    */
+  private def engagementDecay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Catalog.load(spark, sfDir, "events")
+    val anchor = ev.agg(date_add(max($"ts").cast("date"), 1).as("anchor"))
+    val k = floor(datediff($"anchor", $"ts".cast("date")) / 30.0).cast("double")
+    ev.crossJoin(broadcast(anchor))
+      .select($"user_id",
+        ($"value" * pow(lit(0.5), k)).cast("decimal(18,6)").as("decayed"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"decayed").cast("double").as("engagement"))
+      .orderBy($"engagement".desc, $"user_id".asc_nulls_first)
+      .limit(100)
+  }
+
+  private val engagementDecayOracle = """
+    WITH anchor AS (
+      SELECT CAST(max(ts) AS DATE) + 1 AS anchor FROM events),
+    scored AS (
+      SELECT user_id,
+        CAST(value * pow(0.5, CAST(floor(
+          datediff('day', CAST(ts AS DATE), anchor) / 30.0) AS DOUBLE))
+          AS DECIMAL(18,6)) AS decayed
+      FROM events, anchor)
+    SELECT user_id, count(*) AS n_events,
+      CAST(sum(decayed) AS DOUBLE) AS engagement
+    FROM scored
+    GROUP BY user_id
+    ORDER BY engagement DESC, user_id ASC NULLS FIRST
+    LIMIT 100"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_marketing_engagement_decay", engagementDecay,
+      Some(engagementDecayOracle)),
     Q("q_session_stats", sessionStats, Some(sessionStatsOracle)),
     Q("q_attribution", attribution, Some(attributionOracle)),
     Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle)),

@@ -257,6 +257,19 @@ class Round10BSpec extends SparkTestBase {
     assert(df.collect()(0).getLong(0) >= 0)
   }
 
+  test("q_marketing_engagement_decay weights recent value above old value") {
+    val rows = SparkEntry.queries("q_marketing_engagement_decay")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // decayed score can never exceed the user's raw value sum
+    val raw = Catalog.load(spark, sf0001, "events")
+      .groupBy($"user_id").agg(Dsl.dsum($"value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    rows.foreach(r => assert(r.getDouble(2) <= raw(r.getLong(0)) + 1e-6))
+  }
+
   test("q_ts_acf values are valid autocorrelations over the daily series") {
     val rows = SparkEntry.queries("q_ts_acf")(spark, sf0001).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7))
