@@ -173,7 +173,48 @@ object Windows extends QueryPack {
       .orderBy($"event_id".asc_nulls_first)
   }
 
+  /** Per-group top-3 via the custom mergeable heap aggregate
+    * ([[graft.plans.TopKAgg]], added round 10 batch 2) instead of a window
+    * sort — the AGGREGATION answer to top-n-per-group: O(k) state per group
+    * rides the ordinary partial → shuffle → final hash-agg path (map-side
+    * combine caps the shuffle at k longs per partition per group), where
+    * the `row_number()` formulation sorts every group's full row set. The
+    * value is PACKED (price-cents·2³³ + orderkey — both exact integers) so
+    * ties are impossible, the emitted order is total, and the decode is
+    * exact arithmetic; cents/100.0 is the correctly-rounded double of the
+    * same 2-decimal rational the parquet value encodes, so the recovered
+    * price is bit-identical to the original column on both engines. The
+    * ORACLE is the window formulation — the two plans verify each other.
+    */
+  private def winTopnAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pack = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long") *
+      lit(8589934592L) + $"o_orderkey"
+    Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderpriority", pack.as("p"))
+      .groupBy($"o_orderpriority")
+      .agg(expr("graft_topk_agg(p, 3)").as("tops"))
+      .select($"o_orderpriority", posexplode($"tops").as(Seq("pos", "pv")))
+      .select($"o_orderpriority",
+        ($"pos" + 1).cast("long").as("rank"),
+        (expr("pv div 8589934592").cast("double") / lit(100.0)).as("price"),
+        ($"pv" % lit(8589934592L)).as("o_orderkey"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  private val winTopnAggOracle = """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+      FROM orders)
+    SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank,
+      o_totalprice AS price, o_orderkey
+    FROM r WHERE rank <= 3
+    ORDER BY o_orderpriority ASC NULLS FIRST, rank ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_win_topn_agg", winTopnAgg, Some(winTopnAggOracle)),
     Q("q_win_trailing_1h", winTrailing1h, Some("""
       SELECT event_id, user_id, ts,
         count(*) OVER w AS n_1h,

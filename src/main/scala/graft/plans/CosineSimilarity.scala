@@ -184,6 +184,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_freq_estimate"),
       new ExpressionInfo(classOf[FreqEstimate].getName, "graft_freq_estimate"),
       (children: Seq[Expression]) => FreqEstimate(children(0), children(1))))
+    // Mergeable bounded top-k (TopK.scala): per-group top-n as O(k) state
+    // through the ordinary partial/final hash-agg path — the one-pass
+    // alternative to the window sort (q_win_topn_agg grades it against
+    // exactly that window formulation).
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk_agg"),
+      (children: Seq[Expression]) => TopKAgg(children(0), children(1))))
     // Positional document fingerprint as one codegen'd pass — collapses
     // the explode + higher-order sumAscii + regroup shuffle of the
     // composed form (Fingerprint.scala; bit-identical by construction).

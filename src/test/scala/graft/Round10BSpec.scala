@@ -270,6 +270,45 @@ class Round10BSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getDouble(2) <= raw(r.getLong(0)) + 1e-6))
   }
 
+  test("graft_topk_agg merges partial heaps exactly across many partitions") {
+    val df = spark.range(0, 10000).toDF("v")
+      .repartition(16) // force 16 partial buffers per group
+      .withColumn("g", (col("v") % 4).cast("string"))
+      .groupBy($"g").agg(expr("graft_topk_agg(v, 5)").as("tops"))
+      .select($"g", $"tops")
+    val got = df.collect().map(r => (r.getString(0),
+      r.getSeq[Long](1).toList)).toMap
+    (0 until 4).foreach { g =>
+      val want = (0 until 10000).filter(_ % 4 == g).map(_.toLong)
+        .sorted.reverse.take(5).toList
+      assert(got(g.toString) == want, s"group $g: ${got(g.toString)}")
+    }
+  }
+
+  test("graft_topk_agg handles k larger than the group") {
+    val got = spark.range(0, 3).toDF("v")
+      .agg(expr("graft_topk_agg(v, 10)").as("tops"))
+      .collect()(0).getSeq[Long](0).toList
+    assert(got == List(2L, 1L, 0L))
+  }
+
+  test("q_win_topn_agg equals the window formulation") {
+    val got = SparkEntry.queries("q_win_topn_agg")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".desc)
+    val want = Catalog.load(spark, sf0001, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"o_orderpriority", $"rank".cast("long"),
+        $"o_totalprice", $"o_orderkey")
+      .orderBy($"o_orderpriority".asc_nulls_first, $"rank".asc_nulls_first)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("q_ts_acf values are valid autocorrelations over the daily series") {
     val rows = SparkEntry.queries("q_ts_acf")(spark, sf0001).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 7))
