@@ -133,13 +133,34 @@ object Streams extends QueryPack {
     * as raw nanos longs, as TIMESTAMP_NTZ micros, and as adjusted micros),
     * since the streaming source needs an explicit schema up front.
     */
+  /** Symlinks the events fixture into a scratch source dir the file stream
+    * can glob. Layout-robust: the fixture is a single parquet FILE in the
+    * driver image but a DIRECTORY of part files after any Spark rewrite
+    * (e.g. the 10x scale-stress corpus) — file sources don't recurse, so a
+    * directory's data files are linked individually.
+    */
+  private def linkEventsInto(srcDir: java.nio.file.Path, sfDir: String): Unit = {
+    val fixture = java.nio.file.Path.of(sfDir, "events.parquet")
+    if (java.nio.file.Files.isDirectory(fixture)) {
+      val ls = java.nio.file.Files.list(fixture)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.createSymbolicLink(
+            srcDir.resolve(f.getFileName), f))
+      } finally ls.close()
+    } else {
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"), fixture)
+    }
+  }
+
   private def runEventsStream(spark: SparkSession, sfDir: String, tag: String)(
       pipe: DataFrame => DataFrame)(finish: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src_")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Path.of(sfDir, "events.parquet"))
+    linkEventsInto(srcDir, sfDir)
     val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ck_")
     val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
     val tsNorm = physical("ts").dataType match {
@@ -212,9 +233,7 @@ object Streams extends QueryPack {
   private def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft_fb_src_")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Path.of(sfDir, "events.parquet"))
+    linkEventsInto(srcDir, sfDir)
     val ckDir = java.nio.file.Files.createTempDirectory("graft_fb_ck_")
     val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out_")
     val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
