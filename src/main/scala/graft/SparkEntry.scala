@@ -16,6 +16,7 @@ object SparkEntry {
     Joins,
     Aggregations,
     SqlFlavors,
+    SqlFlavorsB,
     SortsSetOps,
     graft.functions.Scalars,
     Windows,

@@ -1,0 +1,406 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Oracle, Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.D (SQL-flavor family, round-10 batch 3): the final eight
+  * canonical TPC-H plan shapes, completing the set (Q1-Q22 all covered as
+  * flavors). As with the batch-2 pack, these are flavors, not ports — the
+  * fixture schema has no partsupp/commitdate/shipmode/phone, so each query
+  * keeps the original's PLAN SHAPE (the graded artifact) on the columns
+  * that exist.
+  *
+  * Scale notes (100 TB posture):
+  *  - Q7: the nation-pair filter collapses supplier and customer to two
+  *    broadcast dims; the only big shuffle is the one fact-fact orderkey
+  *    join. The pair disjunction is a post-broadcast residual filter, never
+  *    a join-degrading predicate.
+  *  - Q9: every dim broadcasts; profit = one per-row expression riding the
+  *    fact-fact shuffle into a (nation × year)-keyed map-side-combined agg.
+  *  - Q11: the "important parts" threshold is an uncorrelated scalar
+  *    subquery — one 1-row broadcast gating the grouped output, with the
+  *    group-by value reused (Catalyst dedups the pv subtree into a
+  *    ReusedExchange, so the fact is shuffled once, not twice).
+  *  - Q13: LEFT join with the filter ON THE JOIN CONDITION (not WHERE — the
+  *    outer semantics depend on it), then two cascaded tiny aggregations.
+  *  - Q15: the revenue CTE feeds both the max scalar subquery and the
+  *    equality filter from ONE supplier-keyed aggregation (ReusedExchange);
+  *    revenue is decimal-exact so cross-engine equality cannot drift.
+  *  - Q16: count(DISTINCT l_suppkey) per part attribute + a NOT-IN anti
+  *    join against the (tiny, broadcast) negative-balance supplier list.
+  *  - Q18: groupBy-HAVING on the fact, then the qualifying orderkeys drive
+  *    two broadcast-ready joins; top-100 via TakeOrderedAndProject.
+  *  - Q21: the double correlation (EXISTS another-supplier line, NOT EXISTS
+  *    another-supplier LATE line) decorrelates to one left-semi plus one
+  *    left-anti on the same orderkey-keyed lateness slice — three passes
+  *    over one shuffled intermediate, never per-row subquery probes.
+  */
+object SqlFlavorsB extends QueryPack {
+
+  /** TPC-H Q7 flavor: volume shipping between two trading nations.
+    * Revenue flowing supplier-nation → customer-nation for the unordered
+    * pair (NATION_18, NATION_19) — chosen because it trades at every
+    * fixture SF including sf0.001 — split by direction and ship year. The
+    * nation filter makes both dim sides tiny: supplier and customer each
+    * collapse to a broadcast keyed list tagged with its nation name, and
+    * the disjunctive pair predicate evaluates post-broadcast.
+    */
+  private def sqlTpchQ7Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val pair = Seq("NATION_18", "NATION_19")
+    val supp = t("supplier")
+      .join(t("nation").filter($"n_name".isin(pair: _*)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = t("customer")
+      .join(t("nation").filter($"n_name".isin(pair: _*)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    t("lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+      .join(t("orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === "NATION_18" && $"cust_nation" === "NATION_19") ||
+              ($"supp_nation" === "NATION_19" && $"cust_nation" === "NATION_18"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(dsum($"volume").as("revenue"))
+      .orderBy($"supp_nation".asc_nulls_first, $"cust_nation".asc_nulls_first,
+        $"l_year".asc_nulls_first)
+  }
+
+  private val sqlTpchQ7FlavorOracle = s"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      ${Oracle.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+       OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+      l_year ASC NULLS FIRST"""
+
+  /** TPC-H Q9 flavor: product-type profit by supplier nation and year.
+    * No partsupp, so supply cost is flavored as a fixed quarter of retail
+    * (`0.25 * p_retailprice * l_quantity` — 0.25 is binary-exact, keeping
+    * the per-row amount a ≤4-decimal rational that the DECIMAL(18,6) sum
+    * recovers exactly on both engines). The part-type filter (ECONOMY,
+    * standing in for Q9's `p_name LIKE '%green%'`) prunes the broadcast
+    * part dim before the fact join.
+    */
+  private def sqlTpchQ9Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val suppNation = t("supplier")
+      .join(t("nation"), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    val amount = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+      lit(0.25) * $"p_retailprice" * $"l_quantity"
+    t("lineitem")
+      .join(broadcast(t("part").filter($"p_type" === "ECONOMY")
+        .select($"p_partkey", $"p_retailprice")),
+        $"l_partkey" === $"p_partkey")
+      .join(t("orders").select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(dsum(amount).as("sum_profit"))
+      .orderBy($"nation".asc_nulls_first, $"o_year".desc)
+  }
+
+  private val sqlTpchQ9FlavorOracle = s"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      ${Oracle.dsum("l_extendedprice * (1.0 - l_discount) - 0.25 * p_retailprice * l_quantity")} AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation ASC NULLS FIRST, o_year DESC"""
+
+  /** TPC-H Q11 flavor: important stock identification. No partsupp, so a
+    * part's "stock value" = the observed traded value
+    * (`l_extendedprice * l_quantity`, a 2-decimal rational — decimal-sum
+    * exact) shipped by NATION_19's suppliers. Q11's `> 0.0001/SF · total`
+    * threshold is scale-DEPENDENT (a fixed fraction empties as parts
+    * multiply), so the flavor keeps the shape but scales it structurally:
+    * parts worth more than 2.5× the national AVERAGE part value qualify —
+    * selective but non-empty at every SF. The graded shape: the threshold
+    * is an uncorrelated scalar subquery over the SAME grouped CTE — one
+    * 1-row broadcast, with the grouped exchange reused across both
+    * consumers. The average is exact (decimal sum over count), so the
+    * comparison cannot drift cross-engine.
+    */
+  private def sqlTpchQ11Flavor(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH pv AS (
+        SELECT l_partkey,
+          CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+            AS DOUBLE) AS part_value
+        FROM parquet.`$sfDir/lineitem.parquet`
+        JOIN parquet.`$sfDir/supplier.parquet` ON l_suppkey = s_suppkey
+        JOIN parquet.`$sfDir/nation.parquet` ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_19'
+        GROUP BY l_partkey)
+      SELECT l_partkey, part_value
+      FROM pv
+      WHERE part_value > 2.5 * (
+        SELECT CAST(sum(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE)
+          / count(*) FROM pv)
+      ORDER BY part_value DESC, l_partkey ASC""")
+
+  private val sqlTpchQ11FlavorOracle = """
+    WITH pv AS (
+      SELECT l_partkey,
+        CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+          AS DOUBLE) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_19'
+      GROUP BY l_partkey)
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > 2.5 * (
+      SELECT CAST(sum(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE)
+        / count(*) FROM pv)
+    ORDER BY part_value DESC, l_partkey ASC"""
+
+  /** TPC-H Q13 flavor: customer order-count distribution. The graded
+    * subtlety is the filtered OUTER join: the priority predicate (standing
+    * in for Q13's `o_comment NOT LIKE`) must live in the join CONDITION so
+    * customers whose every order is 5-LOW still appear with count 0 —
+    * moving it to WHERE would silently turn the join inner. Two cascaded
+    * tiny aggregations follow (per-customer count, then the histogram).
+    */
+  private def sqlTpchQ13Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    t("customer").select($"c_custkey")
+      .join(t("orders").filter($"o_orderpriority" =!= "5-LOW")
+        .select($"o_orderkey", $"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  private val sqlTpchQ13FlavorOracle = """
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM co
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  /** TPC-H Q15 flavor: top supplier by quarterly revenue. The revenue CTE
+    * feeds both the max scalar subquery and the equality filter; Catalyst
+    * reuses the suppkey-keyed aggregation exchange so the fact shuffles
+    * once. Revenue is decimal-exact, so `revenue = max(revenue)` is the
+    * same bit-for-bit comparison on both engines (the reason Q15's view
+    * equality is safe to grade at all).
+    */
+  private def sqlTpchQ15Flavor(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH rev AS (
+        SELECT l_suppkey,
+          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        FROM parquet.`$sfDir/lineitem.parquet`
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM parquet.`$sfDir/supplier.parquet`
+      JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      ORDER BY s_suppkey ASC""")
+
+  private val sqlTpchQ15FlavorOracle = """
+    WITH rev AS (
+      SELECT l_suppkey,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey ASC"""
+
+  /** TPC-H Q16 flavor: supplier diversity per part attribute. No partsupp,
+    * so the supplier↔part relation is the observed lineitem pairing.
+    * "Complaint" suppliers (Q16's LIKE on comments) are flavored as
+    * negative account balance — a tiny list excluded via NOT IN, which
+    * Catalyst turns into a broadcast null-aware anti join (s_suppkey is
+    * non-null, so it degenerates to a plain anti). count(DISTINCT) rides
+    * the part-attribute shuffle with partial de-dup on the map side.
+    */
+  private def sqlTpchQ16Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val complainers = t("supplier").filter($"s_acctbal" < 0.0)
+      .select($"s_suppkey".as("bad_suppkey"))
+    t("lineitem").select($"l_partkey", $"l_suppkey")
+      .join(broadcast(complainers), $"l_suppkey" === $"bad_suppkey",
+        "left_anti")
+      .join(broadcast(t("part")
+        .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+          $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand".asc_nulls_first,
+        $"p_type".asc_nulls_first, $"p_size".asc_nulls_first)
+  }
+
+  private val sqlTpchQ16FlavorOracle = """
+    SELECT p_brand, p_type, p_size,
+      count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC NULLS FIRST,
+      p_type ASC NULLS FIRST, p_size ASC NULLS FIRST"""
+
+  /** TPC-H Q18 flavor: large-volume customers — orders whose total line
+    * quantity exceeds 300 (fixture p99 ≈ 262, max ≈ 458, so the HAVING is
+    * selective but non-empty at every SF). The grouped fact drives two
+    * joins against orders and customer; quantity is integer-valued, so the
+    * decimal sum and the >300 comparison are exact on both engines.
+    * Top-100 by total price via TakeOrderedAndProject with the unique
+    * orderkey breaking ties.
+    */
+  private def sqlTpchQ18Flavor(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH big AS (
+        SELECT l_orderkey,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        FROM parquet.`$sfDir/lineitem.parquet`
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        total_qty
+      FROM big
+      JOIN parquet.`$sfDir/orders.parquet` ON o_orderkey = l_orderkey
+      JOIN parquet.`$sfDir/customer.parquet` ON c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 100""")
+
+  private val sqlTpchQ18FlavorOracle = """
+    WITH big AS (
+      SELECT l_orderkey,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100"""
+
+  /** TPC-H Q21 flavor: suppliers who kept orders waiting. No
+    * commit/receipt dates, so "late" = shipped more than 60 days after the
+    * order date, over finalized ('F') orders. For NATION_1's suppliers,
+    * count the orders where THIS supplier shipped late, at least one OTHER
+    * supplier participated (EXISTS → left-semi), and NO other supplier was
+    * also late (NOT EXISTS → left-anti). All three passes consume the same
+    * orderkey-keyed lateness slice, so the correlation never executes
+    * per-row — the classic Q21 double-decorrelation shape. One late order
+    * counts once per supplier (DISTINCT orderkey×suppkey before counting).
+    */
+  private def sqlTpchQ21Flavor(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+          l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        FROM parquet.`$sfDir/lineitem.parquet`
+        JOIN parquet.`$sfDir/orders.parquet` ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'),
+      l1 AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE is_late)
+      SELECT s_name, count(*) AS numwait
+      FROM l1
+      JOIN parquet.`$sfDir/supplier.parquet` ON l1.l_suppkey = s_suppkey
+      JOIN parquet.`$sfDir/nation.parquet` ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+        AND EXISTS (
+          SELECT 1 FROM l l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM l l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name ASC
+      LIMIT 100""")
+
+  private val sqlTpchQ21FlavorOracle = """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+        l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'),
+    l1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE is_late)
+    SELECT s_name, count(*) AS numwait
+    FROM l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+      AND EXISTS (
+        SELECT 1 FROM l l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM l l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_sql_tpch_q7_flavor", sqlTpchQ7Flavor, Some(sqlTpchQ7FlavorOracle)),
+    Q("q_sql_tpch_q9_flavor", sqlTpchQ9Flavor, Some(sqlTpchQ9FlavorOracle)),
+    Q("q_sql_tpch_q11_flavor", sqlTpchQ11Flavor, Some(sqlTpchQ11FlavorOracle)),
+    Q("q_sql_tpch_q13_flavor", sqlTpchQ13Flavor, Some(sqlTpchQ13FlavorOracle)),
+    Q("q_sql_tpch_q15_flavor", sqlTpchQ15Flavor, Some(sqlTpchQ15FlavorOracle)),
+    Q("q_sql_tpch_q16_flavor", sqlTpchQ16Flavor, Some(sqlTpchQ16FlavorOracle)),
+    Q("q_sql_tpch_q18_flavor", sqlTpchQ18Flavor, Some(sqlTpchQ18FlavorOracle)),
+    Q("q_sql_tpch_q21_flavor", sqlTpchQ21Flavor, Some(sqlTpchQ21FlavorOracle)),
+  )
+}
