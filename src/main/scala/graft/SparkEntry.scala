@@ -33,6 +33,7 @@ object SparkEntry {
     Profiling,
     Governance,
     Retrieval,
+    FeatureEng,
   )
 
   lazy val all: Vector[Q] = {

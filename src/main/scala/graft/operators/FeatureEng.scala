@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.S — Feature engineering (added round 10 batch 3): the
+  * standard tabular-ML encoding/scaling toolkit a training-data pipeline
+  * runs just before materializing feature tables. Every operator is
+  * deterministic and oracle-paired; none uses `rand()` or engine-specific
+  * hashing (the bucket hash is the repo's masked Knuth multiplicative hash,
+  * exact in int64 on both engines).
+  *
+  * Scale posture (100 TB):
+  *  - Encodings that need GROUP STATISTICS (min-max, z-score, target, WoE,
+  *    frequency) are all built the same way: ONE map-side-combined hash
+  *    aggregation down to the category-domain cardinality (5-125 rows
+  *    here; bounded by the domain, not the corpus), then a BROADCAST join
+  *    back onto the rows. Never a whole-partition window over raw rows —
+  *    `Window.partitionBy(segment)` would put every segment's full row set
+  *    into one task at 100 TB.
+  *  - Global statistics (the target prior, WoE class totals) ride an
+  *    unpartitioned window over the already-aggregated domain table — the
+  *    single-task window touches ≤|domain| rows, never the corpus (same
+  *    rule as q_profile_entropy).
+  *  - Quantile binning reuses `DistributedRank.ntileExact` (range-bucketed
+  *    exact global ntile — no single-partition sort; SURVEY §4.3).
+  *  - One-hot and hash encodings are stateless projections: pure codegen,
+  *    no shuffle beyond the deterministic output ordering.
+  */
+object FeatureEng extends QueryPack {
+
+  /** One-hot encoding of c_mktsegment into a fixed indicator-column set.
+    * The domain is enumerated in the plan (5 literal arms), NOT discovered
+    * at runtime — discovery would make the output schema data-dependent,
+    * which neither a feature store nor the column-sorted differ tolerates.
+    * Stateless projection: whole-stage codegen, zero shuffles before the
+    * output ordering.
+    */
+  private def featOnehot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val inds = segs.map(s =>
+      when($"c_mktsegment" === s, 1L).otherwise(0L)
+        .as(s"is_${s.toLowerCase}"))
+    table(spark, sfDir)("customer")
+      .select($"c_custkey" +: inds: _*)
+      .orderBy($"c_custkey".asc)
+  }
+
+  private val featOnehotOracle = """
+    SELECT c_custkey,
+      CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS BIGINT) AS is_automobile,
+      CAST(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END AS BIGINT) AS is_building,
+      CAST(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END AS BIGINT) AS is_furniture,
+      CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END AS BIGINT) AS is_household,
+      CAST(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS BIGINT) AS is_machinery
+    FROM customer
+    ORDER BY c_custkey ASC"""
+
+  /** The hashing trick: map a (numeric-keyed) feature into a fixed 64-slot
+    * space with the repo's masked Knuth multiplicative hash — 31-bit mask
+    * before the multiply so the product never overflows int64 (the
+    * ADVICE-round fix), making the bucket assignment EXACT on both engines
+    * where engine hash builtins (xxhash64 vs DuckDB's hash) never agree.
+    * Collisions are the feature-hashing contract, not a bug: the graded
+    * output is per-bucket cardinality + mass, what a downstream model sees.
+    */
+  private def featHashBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = ($"c_custkey".bitwiseAND(lit(2147483647L)) * lit(2654435761L)) %
+      lit(4294967296L) % lit(64L)
+    table(spark, sfDir)("customer")
+      .groupBy(h.as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal_mass"))
+      .orderBy($"bucket".asc)
+  }
+
+  private val featHashBucketOracle = s"""
+    SELECT ((c_custkey & 2147483647) * 2654435761) % 4294967296 % 64 AS bucket,
+      count(*) AS n,
+      ${graft.Oracle.dsum("c_acctbal")} AS bal_mass
+    FROM customer
+    GROUP BY 1
+    ORDER BY bucket ASC"""
+
+  /** Per-segment min-max scaling of account balance. The group stats come
+    * from one hash aggregation down to the 5-row segment domain, broadcast
+    * back — NOT `Window.partitionBy(segment)`, which would funnel each
+    * segment's entire row set through one task at scale. The scaled value
+    * is raw per-row IEEE arithmetic on exactly-agreed inputs (min/max are
+    * data values; subtraction/division identical cross-engine), with the
+    * degenerate one-value group pinned to 0.5 explicitly.
+    */
+  private def featMinmax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = table(spark, sfDir)("customer")
+    val stats = cust.groupBy($"c_mktsegment".as("seg"))
+      .agg(min($"c_acctbal").as("mn"), max($"c_acctbal").as("mx"))
+    cust.join(broadcast(stats), $"c_mktsegment" === $"seg")
+      .select($"c_custkey", $"c_mktsegment",
+        when($"mx" > $"mn", ($"c_acctbal" - $"mn") / ($"mx" - $"mn"))
+          .otherwise(lit(0.5)).as("acctbal_scaled"))
+      .orderBy($"c_custkey".asc)
+  }
+
+  private val featMinmaxOracle = """
+    WITH stats AS (
+      SELECT c_mktsegment AS seg, min(c_acctbal) AS mn, max(c_acctbal) AS mx
+      FROM customer GROUP BY 1)
+    SELECT c_custkey, c_mktsegment,
+      CASE WHEN mx > mn THEN (c_acctbal - mn) / (mx - mn) ELSE 0.5 END
+        AS acctbal_scaled
+    FROM customer JOIN stats ON c_mktsegment = seg
+    ORDER BY c_custkey ASC"""
+
+  /** Per-priority z-score of order value: same agg-then-broadcast shape as
+    * min-max. The mean is exact (decimal sum over count); stddev_samp is
+    * merge-order-dependent in its last ulps on BOTH engines, so the z-score
+    * is rounded to 4 decimals (`r4` rule: continuous inputs, rounding
+    * resolution ≫ the drift — the q_agg_stats precedent).
+    */
+  private def featZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = table(spark, sfDir)("orders")
+    val stats = orders.groupBy($"o_orderpriority".as("prio"))
+      .agg((sum($"o_totalprice".cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mu"),
+        stddev_samp($"o_totalprice").as("sd"))
+    orders.join(broadcast(stats), $"o_orderpriority" === $"prio")
+      .select($"o_orderkey", $"o_orderpriority",
+        round(($"o_totalprice" - $"mu") / $"sd", 4).as("price_z"))
+      .orderBy($"o_orderkey".asc)
+  }
+
+  private val featZscoreOracle = """
+    WITH stats AS (
+      SELECT o_orderpriority AS prio,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+          AS mu,
+        stddev_samp(o_totalprice) AS sd
+      FROM orders GROUP BY 1)
+    SELECT o_orderkey, o_orderpriority,
+      round((o_totalprice - mu) / sd, 4) AS price_z
+    FROM orders JOIN stats ON o_orderpriority = prio
+    ORDER BY o_orderkey ASC"""
+
+  /** Decile binning of order value with exact global ntile semantics —
+    * `DistributedRank.ntileExact` (range-bucketed rank + broadcast offsets,
+    * SURVEY §4.3) instead of the single-partition `ntile() OVER (ORDER BY
+    * …)` window, with the unique orderkey as tiebreak. Graded output is
+    * the per-bin profile (count, bounds, mass) a binned-feature audit
+    * reads.
+    */
+  private def featBinQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val binned = DistributedRank.ntileExact(
+      table(spark, sfDir)("orders").select($"o_orderkey", $"o_totalprice"),
+      10, "o_totalprice", ascending = true, "o_orderkey", "bin")
+    binned.groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"),
+        dsum($"o_totalprice").as("mass"))
+      .orderBy($"bin".asc)
+  }
+
+  private val featBinQuantileOracle = s"""
+    WITH b AS (
+      SELECT o_totalprice,
+        ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bin
+      FROM orders)
+    SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+      min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+      ${graft.Oracle.dsum("o_totalprice")} AS mass
+    FROM b
+    GROUP BY bin
+    ORDER BY bin ASC"""
+
+  /** Smoothed target encoding of mktsegment against the "large order" rate
+    * (o_totalprice > 300000): enc = (k + m·prior) / (n + m), m = 20. Both
+    * k/n and the global prior are integer counts, so the encoding is the
+    * same double expression on both engines — no rounding needed. The
+    * prior rides an unpartitioned window over the 5-row segment table
+    * (bounded by the domain), and the fact-side join keys on the customer
+    * dim broadcast.
+    */
+  private def featTargetEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val perSeg = t("orders")
+      .join(broadcast(t("customer").select($"c_custkey", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_totalprice" > 300000.0, 1L).otherwise(0L)).as("k"))
+    perSeg
+      .withColumn("n_tot", sum($"n").over())
+      .withColumn("k_tot", sum($"k").over())
+      .select($"c_mktsegment", $"n", $"k",
+        (($"k" + lit(20.0) * ($"k_tot".cast("double") / $"n_tot")) /
+          ($"n" + lit(20.0))).as("target_enc"))
+      .orderBy($"c_mktsegment".asc_nulls_first)
+  }
+
+  private val featTargetEncodeOracle = """
+    WITH per_seg AS (
+      SELECT c_mktsegment, count(*) AS n,
+        CAST(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1)
+    SELECT c_mktsegment, n, k,
+      (k + 20.0 * (CAST((SELECT sum(k) FROM per_seg) AS DOUBLE)
+        / (SELECT sum(n) FROM per_seg))) / (n + 20.0) AS target_enc
+    FROM per_seg
+    ORDER BY c_mktsegment ASC NULLS FIRST"""
+
+  /** Frequency encoding of the crossed (nation × segment) categorical:
+    * the cross-domain count table (≤125 rows, bounded by |nations|·|segs|)
+    * is aggregated once, given its total via an unpartitioned window over
+    * those bounded rows, and broadcast back onto customers. Counts are
+    * integers; the relative frequency is one identical double division.
+    */
+  private def featFreqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cust = table(spark, sfDir)("customer")
+    val cross = cust.groupBy($"c_nationkey".as("nk"), $"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).as("xfreq"))
+      .withColumn("tot", sum($"xfreq").over())
+    cust.join(broadcast(cross),
+        $"c_nationkey" === $"nk" && $"c_mktsegment" === $"seg")
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment", $"xfreq",
+        ($"xfreq".cast("double") / $"tot").as("xfreq_rel"))
+      .orderBy($"c_custkey".asc)
+  }
+
+  private val featFreqEncodeOracle = """
+    WITH cross_tab AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS xfreq
+      FROM customer GROUP BY 1, 2)
+    SELECT c_custkey, c_nationkey, c_mktsegment, xfreq,
+      CAST(xfreq AS DOUBLE) / (SELECT sum(xfreq) FROM cross_tab) AS xfreq_rel
+    FROM customer JOIN cross_tab
+      ON c_nationkey = nk AND c_mktsegment = seg
+    ORDER BY c_custkey ASC"""
+
+  /** Weight-of-evidence encoding of mktsegment for the binary
+    * urgent-order target: woe = ln((hi_s/hi_tot)/(lo_s/lo_tot)) per
+    * segment. Counts are exact; ln's last-ulp may differ cross-engine, so
+    * woe is rounded to 4 decimals (the q_profile_entropy precedent for
+    * log-based measures). Class totals ride the unpartitioned window over
+    * the 5-row domain table.
+    */
+  private def featWoe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    val perSeg = t("orders")
+      .join(broadcast(t("customer").select($"c_custkey", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("hi_n"),
+        sum(when(hi, 0L).otherwise(1L)).as("lo_n"))
+    perSeg
+      .withColumn("hi_tot", sum($"hi_n").over())
+      .withColumn("lo_tot", sum($"lo_n").over())
+      .select($"c_mktsegment", $"hi_n", $"lo_n",
+        round(log(($"hi_n".cast("double") / $"hi_tot") /
+          ($"lo_n".cast("double") / $"lo_tot")), 4).as("woe"))
+      .orderBy($"c_mktsegment".asc_nulls_first)
+  }
+
+  private val featWoeOracle = """
+    WITH per_seg AS (
+      SELECT c_mktsegment,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 1 ELSE 0 END) AS BIGINT) AS hi_n,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          THEN 0 ELSE 1 END) AS BIGINT) AS lo_n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1)
+    SELECT c_mktsegment, hi_n, lo_n,
+      round(ln((CAST(hi_n AS DOUBLE) / (SELECT sum(hi_n) FROM per_seg))
+        / (CAST(lo_n AS DOUBLE) / (SELECT sum(lo_n) FROM per_seg))), 4)
+        AS woe
+    FROM per_seg
+    ORDER BY c_mktsegment ASC NULLS FIRST"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_feat_onehot", featOnehot, Some(featOnehotOracle)),
+    Q("q_feat_hash_bucket", featHashBucket, Some(featHashBucketOracle)),
+    Q("q_feat_minmax", featMinmax, Some(featMinmaxOracle)),
+    Q("q_feat_zscore", featZscore, Some(featZscoreOracle)),
+    Q("q_feat_bin_quantile", featBinQuantile, Some(featBinQuantileOracle)),
+    Q("q_feat_target_encode", featTargetEncode, Some(featTargetEncodeOracle)),
+    Q("q_feat_freq_encode", featFreqEncode, Some(featFreqEncodeOracle)),
+    Q("q_feat_woe", featWoe, Some(featWoeOracle)),
+  )
+}
