@@ -216,9 +216,13 @@ object SqlFlavorsB extends QueryPack {
   /** TPC-H Q15 flavor: top supplier by quarterly revenue. The revenue CTE
     * feeds both the max scalar subquery and the equality filter; Catalyst
     * reuses the suppkey-keyed aggregation exchange so the fact shuffles
-    * once. Revenue is decimal-exact, so `revenue = max(revenue)` is the
-    * same bit-for-bit comparison on both engines (the reason Q15's view
-    * equality is safe to grade at all).
+    * once. Reuse requires the two branches to CANONICALIZE identically —
+    * the supplier join pushes `isnotnull(l_suppkey)` into the main
+    * branch's scan, so the CTE states it explicitly to keep both scans
+    * equal (verified: executed plan shows ReusedExchange; without the
+    * predicate it re-scans). Revenue is decimal-exact, so
+    * `revenue = max(revenue)` is the same bit-for-bit comparison on both
+    * engines (the reason Q15's view equality is safe to grade at all).
     */
   private def sqlTpchQ15Flavor(spark: SparkSession, sfDir: String): DataFrame =
     spark.sql(s"""
@@ -229,6 +233,7 @@ object SqlFlavorsB extends QueryPack {
         FROM parquet.`$sfDir/lineitem.parquet`
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
+          AND l_suppkey IS NOT NULL
         GROUP BY l_suppkey)
       SELECT s_suppkey, s_name, total_revenue
       FROM parquet.`$sfDir/supplier.parquet`
@@ -244,6 +249,7 @@ object SqlFlavorsB extends QueryPack {
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
+        AND l_suppkey IS NOT NULL
       GROUP BY l_suppkey)
     SELECT s_suppkey, s_name, total_revenue
     FROM supplier
