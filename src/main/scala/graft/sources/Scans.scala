@@ -270,6 +270,37 @@ object Scans extends QueryPack {
       .orderBy($"s_suppkey".asc_nulls_first)
   }
 
+  /** Schema evolution part 3 (added round 10 batch 3): COLUMN RENAME
+    * across generations. v1 wrote the balance as `s_acct_balance`; v2
+    * renamed it to `s_acctbal`. Raw parquet has no column-mapping
+    * metadata (that is what Iceberg/Delta name-mapping adds on top), and
+    * `mergeSchema` would UNION the two names into two half-null columns —
+    * silently wrong. The engine-level answer is a per-generation read
+    * with an explicit rename projection, then `unionByName`: each
+    * generation keeps its own pruned scan and the mapping lives in the
+    * plan, zero data rewrite. A `gen` tag proves which generation served
+    * each row; the oracle reconstructs both from the original table.
+    */
+  private def schemaRename(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = materializeOnce("supplier_rename", sfDir) { d =>
+      val s = Catalog.load(spark, sfDir, "supplier")
+      s.filter($"s_suppkey" % 2 === 0)
+        .select($"s_suppkey", $"s_name", $"s_acctbal".as("s_acct_balance"))
+        .write.mode("overwrite").parquet(s"$d/v1")
+      s.filter($"s_suppkey" % 2 === 1)
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+        .write.mode("overwrite").parquet(s"$d/v2")
+    }
+    val v1 = spark.read.parquet(s"$dir/v1")
+      .withColumnRenamed("s_acct_balance", "s_acctbal")
+      .withColumn("gen", lit("v1"))
+    val v2 = spark.read.parquet(s"$dir/v2")
+      .withColumn("gen", lit("v2"))
+    v1.unionByName(v2)
+      .orderBy($"s_suppkey".asc_nulls_first)
+  }
+
   /** Hive-style partitioned write + partition-pruned read: at 100 TB the
     * year filter prunes whole directories before any IO — the scan lists
     * only `o_year=1998/`. (The flat fixtures can't show pruning, so the
@@ -369,5 +400,9 @@ object Scans extends QueryPack {
         CAST(year(o_orderdate) AS BIGINT) AS o_year
       FROM orders WHERE year(o_orderdate) = 1998
       ORDER BY o_orderkey ASC NULLS FIRST""")),
+    Q("q_source_schema_rename", schemaRename, Some("""
+      SELECT s_suppkey, s_name, s_acctbal,
+        CASE WHEN s_suppkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS gen
+      FROM supplier ORDER BY s_suppkey ASC NULLS FIRST""")),
   )
 }

@@ -120,4 +120,15 @@ class OperatorUnitSpec extends SparkTestBase {
       .as[Long].head()
     assert(viaSql == expected)
   }
+
+  test("schema rename read: every row mapped, balance non-null in both generations") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_source_schema_rename")(spark, sf0001)
+    // The rename projection must recover the balance for EVERY v1 row —
+    // a mergeSchema-style union would have left v1's s_acctbal null.
+    assert(df.filter(col("s_acctbal").isNull).count() == 0)
+    assert(df.filter(col("gen") === "v1" && col("s_suppkey") % 2 =!= 0).count() == 0)
+    assert(df.count() ==
+      Catalog.load(spark, sf0001, "supplier").count())
+  }
 }
