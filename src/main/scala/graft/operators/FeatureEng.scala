@@ -132,7 +132,11 @@ object FeatureEng extends QueryPack {
         stddev_samp($"o_totalprice").as("sd"))
     orders.join(broadcast(stats), $"o_orderpriority" === $"prio")
       .select($"o_orderkey", $"o_orderpriority",
-        round(($"o_totalprice" - $"mu") / $"sd", 4).as("price_z"))
+        // Degenerate guard: a single-row or constant group has sd = 0 (or
+        // null for n = 1); emit NULL instead of ±Infinity so the encoding
+        // stays join-safe. Mirrored in the oracle.
+        when($"sd" > 0.0,
+          round(($"o_totalprice" - $"mu") / $"sd", 4)).as("price_z"))
       .orderBy($"o_orderkey".asc)
   }
 
@@ -144,7 +148,8 @@ object FeatureEng extends QueryPack {
         stddev_samp(o_totalprice) AS sd
       FROM orders GROUP BY 1)
     SELECT o_orderkey, o_orderpriority,
-      round((o_totalprice - mu) / sd, 4) AS price_z
+      CASE WHEN sd > 0.0
+        THEN round((o_totalprice - mu) / sd, 4) END AS price_z
     FROM orders JOIN stats ON o_orderpriority = prio
     ORDER BY o_orderkey ASC"""
 
@@ -269,8 +274,13 @@ object FeatureEng extends QueryPack {
       .withColumn("hi_tot", sum($"hi_n").over())
       .withColumn("lo_tot", sum($"lo_n").over())
       .select($"c_mktsegment", $"hi_n", $"lo_n",
-        round(log(($"hi_n".cast("double") / $"hi_tot") /
-          ($"lo_n".cast("double") / $"lo_tot")), 4).as("woe"))
+        // Degenerate guard: a class empty within a segment makes the odds
+        // ratio 0 or ∞ (woe ±Infinity); emit NULL — the convention WoE
+        // libraries use before their smoothing step. Mirrored in the
+        // oracle.
+        when($"hi_n" > 0L && $"lo_n" > 0L,
+          round(log(($"hi_n".cast("double") / $"hi_tot") /
+            ($"lo_n".cast("double") / $"lo_tot")), 4)).as("woe"))
       .orderBy($"c_mktsegment".asc_nulls_first)
   }
 
@@ -284,9 +294,10 @@ object FeatureEng extends QueryPack {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1)
     SELECT c_mktsegment, hi_n, lo_n,
-      round(ln((CAST(hi_n AS DOUBLE) / (SELECT sum(hi_n) FROM per_seg))
-        / (CAST(lo_n AS DOUBLE) / (SELECT sum(lo_n) FROM per_seg))), 4)
-        AS woe
+      CASE WHEN hi_n > 0 AND lo_n > 0 THEN
+        round(ln((CAST(hi_n AS DOUBLE) / (SELECT sum(hi_n) FROM per_seg))
+          / (CAST(lo_n AS DOUBLE) / (SELECT sum(lo_n) FROM per_seg))), 4)
+      END AS woe
     FROM per_seg
     ORDER BY c_mktsegment ASC NULLS FIRST"""
 
