@@ -928,7 +928,45 @@ object TimeSeries extends QueryPack {
     FROM lagged
     ORDER BY month ASC NULLS FIRST"""
 
+  /** Trailing 7-day distinct users via MERGEABLE per-day HLL sketches —
+    * the sketch twin of [[rollingDistinct]] (whose scaladoc names this as
+    * the 100 TB answer when exactness is negotiable). Capability-only:
+    * sketch estimates are engine-specific, so correctness is a unit-spec
+    * error bound against the exact twin, not a DuckDB hash.
+    *
+    * Scale shape: raw rows are touched ONCE — a per-day `hll_sketch_agg`
+    * (map-side partial, constant bytes per day) collapses the corpus to a
+    * |days|-row sketch table; the trailing window is then a RANGE-framed
+    * `hll_union_agg` over that bounded table (calendar-correct across
+    * gap days, same frame semantics as the exact twin's day expansion).
+    * Where the exact form shuffles O(|pairs| × 7) expanded rows, this
+    * shuffles |days| sketches — the reaggregation property that makes
+    * sliding distinct counts tractable at 100 TB: stored per-day sketches
+    * answer ANY trailing horizon (7, 28, 90 days) without re-scanning.
+    */
+  private def rollingDistinctSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perDay = Catalog.load(spark, sfDir, "events")
+      .select(datediff(to_date($"ts"), to_date(lit("1970-01-01")))
+        .cast("long").as("di"), $"user_id")
+      .groupBy($"di")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    // Ordered-only window over the BOUNDED |days| sketch table (the §2.N
+    // calendar rule), RANGE frame so calendar gaps shrink the union set
+    // exactly like the exact twin's day expansion.
+    val w = Window.orderBy($"di").rangeBetween(-6, 0)
+    perDay
+      .withColumn("usk", expr("hll_union_agg(sk)").over(w))
+      .withColumn("est_wau", expr("hll_sketch_estimate(usk)").cast("long"))
+      .select(
+        to_timestamp(date_add(to_date(lit("1970-01-01")), $"di".cast("int")))
+          .as("day"),
+        $"est_wau")
+      .orderBy($"day".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_win_rolling_distinct_sketch", rollingDistinctSketch, None),
     Q("q_ts_acf", tsAcf, Some(tsAcfOracle)),
     Q("q_ts_holt", tsHolt, Some(tsHoltOracle)),
     Q("q_ts_mom_growth", tsMomGrowth, Some(tsMomGrowthOracle)),

@@ -102,4 +102,22 @@ class Round10CloseSpec extends SparkTestBase {
     val maxPos = rows.map(_._2).max
     assert(rows.forall(r => r._4 == (r._2 == maxPos)))
   }
+
+  test("windowed-HLL rolling distinct: every day within 10% of the exact twin") {
+    val est = SparkEntry.queries("q_win_rolling_distinct_sketch")(spark, sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val exact = SparkEntry.queries("q_win_rolling_distinct")(spark, sf0001)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // The exact twin also emits trailing days past the last active day
+    // (expansion); the sketch emits exactly the observed days — compare on
+    // the intersection, which must cover every observed day.
+    val shared = est.keySet.intersect(exact.keySet)
+    assert(shared == est.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach { d =>
+      val (e, x) = (est(d).toDouble, exact(d).toDouble)
+      assert(math.abs(e - x) <= 0.10 * x,
+        s"day $d: sketch $e vs exact $x drifts > 10%")
+    }
+  }
 }
