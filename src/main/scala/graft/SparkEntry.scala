@@ -34,6 +34,8 @@ object SparkEntry {
     Governance,
     Retrieval,
     FeatureEng,
+    GeoOps,
+    BitmapOps,
   )
 
   lazy val all: Vector[Q] = {

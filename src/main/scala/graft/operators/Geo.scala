@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryPack}
+import graft.Dsl._
+
+/** SURVEY.md §2.T — Geospatial operators (added round 10 batch 4): the
+  * grid-cell spatial-join family. Spark has no native spatial join; the
+  * Spark-first answer is the same CANDIDATE-GENERATION-BY-EQUI-JOIN pattern
+  * the dedup/ANN stack uses (shingle → band → bucket), applied to space:
+  * snap points to R×R grid cells, equi-join the probe side's 3×3 cell
+  * neighborhood against the build side's cell, then rerank exactly. The
+  * cell key plays the LSH-bucket role — candidate pairs meet under a
+  * shuffle on the cell id, NEVER a cross join, so the join scales with
+  * occupied-cell density, not |A|×|B|.
+  *
+  * Coordinates are synthesized DETERMINISTICALLY from fixture keys
+  * (integer multiply-mod spread over a ±80° lat / ±180° lon grid with
+  * .25/.75-degree offsets — exact in both engines' int64 and exact as
+  * doubles, so the squared-degree metric is bit-exact rational arithmetic
+  * and the oracle can brute-force the same predicate). Correctness of the
+  * 3×3 neighborhood: dist ≤ R ⇒ |Δlat| ≤ R and |Δlon| ≤ R ⇒ the two cell
+  * indices differ by at most 1 per axis (floor(a)−floor(b) ≤ 1 when
+  * a−b ≤ 1), so every qualifying pair meets in exactly one of the 9
+  * expanded keys — the explode is the completeness proof, not a heuristic.
+  * Longitude wrap-around is out of scope for the fixture grid (declared
+  * planar degrees); a production caller duplicates the ±180 boundary strip
+  * the same way the salt explode works.
+  *
+  * 100-TB posture: the probe-side explode is a constant 9× on the SMALLER
+  * representation (key + 2 doubles), the join is a plain shuffle-hash on
+  * (cx, cy), and skewed cells (urban hubs) take the q_join_skew_salted
+  * treatment. The exact rerank touches only in-cell candidates.
+  */
+object GeoOps extends QueryPack {
+
+  /** Search radius in degrees; cell size = R so 3×3 neighborhoods cover it. */
+  private val R = 5.0
+
+  /** Deterministic point synthesis — integer multiply-mod lattice, exact in
+    * int64 on both engines; the +off fraction (.25 customers / .75
+    * suppliers) keeps points off cell boundaries AND makes every coordinate
+    * difference end in .5, so squared distances are exact quarter-integers.
+    */
+  private def custPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir)("customer").select(
+      $"c_custkey", $"c_nationkey",
+      (($"c_custkey" * 37 % 160) - 80).cast("double") + lit(0.25) as "clat",
+      (($"c_custkey" * 101 % 360) - 180).cast("double") + lit(0.25) as "clon")
+  }
+
+  private def suppPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir)("supplier").select(
+      $"s_suppkey",
+      (($"s_suppkey" * 53 % 160) - 80).cast("double") + lit(0.75) as "slat",
+      (($"s_suppkey" * 89 % 360) - 180).cast("double") + lit(0.75) as "slon")
+  }
+
+  private val custPointsSql = """
+    SELECT c_custkey, c_nationkey,
+      CAST(((c_custkey * 37) % 160) - 80 AS DOUBLE) + 0.25 AS clat,
+      CAST(((c_custkey * 101) % 360) - 180 AS DOUBLE) + 0.25 AS clon
+    FROM customer"""
+
+  private val suppPointsSql = """
+    SELECT s_suppkey,
+      CAST(((s_suppkey * 53) % 160) - 80 AS DOUBLE) + 0.75 AS slat,
+      CAST(((s_suppkey * 89) % 360) - 180 AS DOUBLE) + 0.75 AS slon
+    FROM supplier"""
+
+  private def dist2: Column =
+    (col("clat") - col("slat")) * (col("clat") - col("slat")) +
+      (col("clon") - col("slon")) * (col("clon") - col("slon"))
+
+  /** All (customer, supplier) candidate pairs within the 3×3 cell
+    * neighborhood, exact squared-degree distance attached — the shared
+    * candidate leaf of the radius join and the kNN.
+    */
+  private def cellCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val supp = suppPoints(spark, sfDir)
+      .withColumn("cx", floor($"slat" / R))
+      .withColumn("cy", floor($"slon" / R))
+    val probe = custPoints(spark, sfDir)
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select($"c_custkey", $"clat", $"clon",
+        (floor($"clat" / R) + $"dx") as "cx",
+        (floor($"clon" / R) + $"dy") as "cy")
+    probe.join(supp, Seq("cx", "cy"))
+  }
+
+  /** Radius join: every (customer, supplier) pair within R degrees, top-100
+    * by exact squared distance. The graded shape: cell equi-join candidate
+    * generation + exact rerank — zero cross-join anywhere in the plan.
+    */
+  private def geoCellJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    cellCandidates(spark, sfDir)
+      .withColumn("dist2", dist2)
+      .filter($"dist2" <= R * R)
+      .select($"c_custkey", $"s_suppkey", $"dist2")
+      .orderBy($"dist2".asc, $"c_custkey".asc, $"s_suppkey".asc)
+      .limit(100)
+  }
+
+  private val geoCellJoinOracle = s"""
+    WITH c AS ($custPointsSql), s AS ($suppPointsSql)
+    SELECT c_custkey, s_suppkey,
+      (clat-slat)*(clat-slat) + (clon-slon)*(clon-slon) AS dist2
+    FROM c, s
+    WHERE (clat-slat)*(clat-slat) + (clon-slon)*(clon-slon) <= 25.0
+    ORDER BY dist2 ASC, c_custkey ASC, s_suppkey ASC
+    LIMIT 100"""
+
+  /** Bounded-radius nearest neighbor: each customer's closest supplier
+    * within R degrees (ties broken by suppkey). The 3×3 neighborhood is
+    * EXACT for this semantics — any supplier within R is within one cell
+    * per axis — so the per-customer window ranks only in-neighborhood
+    * candidates (bounded by cell occupancy), never the full build side.
+    */
+  private def geoKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_custkey")
+      .orderBy($"dist2".asc, $"s_suppkey".asc)
+    cellCandidates(spark, sfDir)
+      .withColumn("dist2", dist2)
+      .filter($"dist2" <= R * R)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"c_custkey", $"s_suppkey" as "nn_suppkey", $"dist2")
+      .orderBy($"c_custkey".asc)
+  }
+
+  private val geoKnnOracle = s"""
+    WITH c AS ($custPointsSql), s AS ($suppPointsSql),
+    p AS (
+      SELECT c_custkey, s_suppkey,
+        (clat-slat)*(clat-slat) + (clon-slon)*(clon-slon) AS dist2
+      FROM c, s
+      WHERE (clat-slat)*(clat-slat) + (clon-slon)*(clon-slon) <= 25.0)
+    SELECT c_custkey, s_suppkey AS nn_suppkey, dist2
+    FROM (SELECT p.*, row_number() OVER
+            (PARTITION BY c_custkey ORDER BY dist2 ASC, s_suppkey ASC) AS rn
+          FROM p) q
+    WHERE rn = 1
+    ORDER BY c_custkey ASC"""
+
+  /** Great-circle distance-to-hub feature: per-nation stats of each
+    * customer's haversine distance (km) to their nation's anchor point.
+    * The transcendental chain (sin/cos/asin/sqrt) differs between Math and
+    * libm by ulps, so the per-row km is rounded to 4dp FIRST (the
+    * q_math_funcs ln/log10 precedent — a 1e-11 cross-engine wobble cannot
+    * cross a 1e-4 grid except on measure-zero boundaries); the rounded
+    * values are exact 4-decimal rationals, so min/max/decimal-sum
+    * aggregate identically on both engines (no avg division — dsum+count
+    * instead, §2.0 determinism rules).
+    *
+    * Scale: anchor table is |nations| rows → broadcast; the distance is
+    * one codegen'd per-row projection riding the scan; the agg is
+    * map-side-combined down to |nations| rows.
+    */
+  private def geoHaversine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val anchors = table(spark, sfDir)("nation").select(
+      $"n_nationkey",
+      (($"n_nationkey" * 13 % 160) - 80).cast("double") + lit(0.5) as "alat",
+      (($"n_nationkey" * 29 % 360) - 180).cast("double") + lit(0.5) as "alon")
+    val halfDlat = radians($"clat" - $"alat") / 2
+    val halfDlon = radians($"clon" - $"alon") / 2
+    val h = sin(halfDlat) * sin(halfDlat) +
+      cos(radians($"alat")) * cos(radians($"clat")) * sin(halfDlon) * sin(halfDlon)
+    custPoints(spark, sfDir)
+      .join(broadcast(anchors), $"c_nationkey" === $"n_nationkey")
+      .withColumn("hub_km", round(lit(12742.0) * asin(sqrt(h)), 4))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)) as "n_customers",
+        min($"hub_km") as "min_km",
+        max($"hub_km") as "max_km",
+        dsum($"hub_km") as "sum_km")
+      .orderBy($"c_nationkey".asc)
+  }
+
+  private val geoHaversineOracle = s"""
+    WITH c AS ($custPointsSql),
+    a AS (
+      SELECT n_nationkey,
+        CAST(((n_nationkey * 13) % 160) - 80 AS DOUBLE) + 0.5 AS alat,
+        CAST(((n_nationkey * 29) % 360) - 180 AS DOUBLE) + 0.5 AS alon
+      FROM nation),
+    d AS (
+      SELECT c_nationkey,
+        round(12742.0 * asin(sqrt(
+          sin(radians(clat - alat) / 2) * sin(radians(clat - alat) / 2) +
+          cos(radians(alat)) * cos(radians(clat)) *
+            sin(radians(clon - alon) / 2) * sin(radians(clon - alon) / 2))),
+          4) AS hub_km
+      FROM c JOIN a ON c_nationkey = n_nationkey)
+    SELECT c_nationkey, count(*) AS n_customers,
+      min(hub_km) AS min_km, max(hub_km) AS max_km,
+      ${graft.Oracle.dsum("hub_km")} AS sum_km
+    FROM d GROUP BY c_nationkey
+    ORDER BY c_nationkey ASC"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_geo_cell_join", geoCellJoin, Some(geoCellJoinOracle)),
+    Q("q_geo_knn", geoKnn, Some(geoKnnOracle)),
+    Q("q_geo_haversine", geoHaversine, Some(geoHaversineOracle)),
+  )
+}

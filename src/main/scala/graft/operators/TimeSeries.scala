@@ -965,7 +965,50 @@ object TimeSeries extends QueryPack {
       .orderBy($"day".asc_nulls_first)
   }
 
+  /** Running-peak drawdown of the per-priority daily-revenue series (added
+    * round 10 batch 4) — the finance-style "decline from high-water mark"
+    * window: peak = running max of daily revenue, drawdown = peak − today.
+    * Every input is the decimal-exact daily sum, and max/subtract on
+    * decimals are exact, so the whole series is bit-identical cross-engine
+    * with zero rounding.
+    *
+    * Scale: the window runs over the pre-aggregated (priority × day) table
+    * — bounded by the calendar, never the raw fact (q_ts_ewma rule); the
+    * only raw-row pass is the map-side-combined daily aggregation.
+    */
+  private def winDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority",
+        date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice".cast("decimal(18,6)")).as("rev_d"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(
+        $"o_orderpriority", $"day",
+        $"rev_d".cast("double").as("revenue"),
+        max($"rev_d").over(w).cast("double").as("peak"),
+        (max($"rev_d").over(w) - $"rev_d").cast("double").as("drawdown"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"day".asc_nulls_first)
+  }
+
+  private val winDrawdownOracle = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+        CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_d
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderpriority, day,
+      CAST(rev_d AS DOUBLE) AS revenue,
+      CAST(max(rev_d) OVER w AS DOUBLE) AS peak,
+      CAST(max(rev_d) OVER w - rev_d AS DOUBLE) AS drawdown
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderpriority ASC NULLS FIRST, day ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_win_drawdown", winDrawdown, Some(winDrawdownOracle)),
     Q("q_win_rolling_distinct_sketch", rollingDistinctSketch, None),
     Q("q_ts_acf", tsAcf, Some(tsAcfOracle)),
     Q("q_ts_holt", tsHolt, Some(tsHoltOracle)),

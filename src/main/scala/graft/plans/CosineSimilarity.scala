@@ -199,6 +199,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
       (children: Seq[Expression]) => Fingerprint(children.head)))
+    // EXACT mergeable distinct-count bitmaps (BitmapDistinct.scala) — the
+    // bitmap-index aggregate: same store-then-reaggregate shape as the
+    // sketch family, but exact, so it grades against count(DISTINCT …).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "graft_bitmap_agg"),
+      (children: Seq[Expression]) => BitmapAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_merge_agg"),
+      new ExpressionInfo(classOf[BitmapMergeAgg].getName,
+        "graft_bitmap_merge_agg"),
+      (children: Seq[Expression]) => BitmapMergeAgg(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_card"),
+      new ExpressionInfo(classOf[BitmapCard].getName, "graft_bitmap_card"),
+      (children: Seq[Expression]) => BitmapCard(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_and_card"),
+      new ExpressionInfo(classOf[BitmapAndCard].getName,
+        "graft_bitmap_and_card"),
+      (children: Seq[Expression]) => BitmapAndCard(children(0), children(1))))
     // Optimizer surface: banded edit-distance predicates (length guard +
     // threshold DP) — see LevenshteinPruning's equivalence proof.
     ext.injectOptimizerRule(_ => LevenshteinPruning)
