@@ -653,7 +653,53 @@ object Marketing extends QueryPack {
     ORDER BY engagement DESC, user_id ASC NULLS FIRST
     LIMIT 100"""
 
+  /** First-order Markov transition matrix over event types (added round 10
+    * batch 5) — the clickstream "what happens after X" table under journey
+    * analysis and next-action models: per user, consecutive event bigrams
+    * (ordered by ts with the unique event_id tiebreak), counted into the
+    * |types|² matrix with each row's transition probability. Counts are
+    * exact integers; p is one integer/integer double division — the same
+    * single IEEE op both engines, emitted raw (q_sql_tpch_q14 precedent).
+    *
+    * Scale: the lead() window partitions by user_id (per-user history, the
+    * q_win_session_ids shape — never a global sort); the bigram aggregation
+    * is map-side combined down to the ≤|types|² = 25-row matrix, and the
+    * per-from-row total rides a window over that bounded matrix, not the
+    * event stream.
+    */
+  private def pathTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wFrom = Window.partitionBy($"from_type")
+    Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        $"n".cast("double") / sum($"n").over(wFrom).cast("double"))
+      .orderBy($"from_type".asc_nulls_first, $"to_type".asc_nulls_first)
+  }
+
+  private val pathTransitionsOracle = """
+    WITH bi AS (
+      SELECT event_type AS from_type,
+        lead(event_type, 1) OVER
+          (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+      FROM events),
+    m AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM bi WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+      CAST(n AS DOUBLE) /
+        CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM m
+    ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_path_transitions", pathTransitions, Some(pathTransitionsOracle)),
     Q("q_marketing_engagement_decay", engagementDecay,
       Some(engagementDecayOracle)),
     Q("q_session_stats", sessionStats, Some(sessionStatsOracle)),

@@ -899,7 +899,156 @@ object Profiling extends QueryPack {
           (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject_05
     FROM agg"""
 
+  /** Heavy-key skew profile (added round 10 batch 5): the diagnostic run
+    * BEFORE choosing a join/agg strategy at scale — top-20 heaviest
+    * o_custkey keys with row count, share of total, and cumulative share.
+    * This is the measurement side of the mitigation queries
+    * (q_join_skew_salted / q_agg_salted_skew apply the fix; this finds the
+    * keys that need it). Shares are one integer/integer double division
+    * each (raw, q_sql_tpch_q14 precedent); cumulative share sums exact
+    * integer counts BEFORE the single division, so it cannot drift.
+    *
+    * Scale: per-key counts are one map-side-combined hash agg; top-20 via
+    * TakeOrderedAndProject; the total is a 1-row broadcast; the ranking
+    * window runs over the 20-row result only.
+    */
+  private def profileSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Catalog.load(spark, sfDir, "orders")
+    val top = orders.groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"o_custkey".asc)
+      .limit(20)
+    val total = orders.agg(count(lit(1)).as("total"))
+    val wRank = Window.orderBy($"cnt".desc, $"o_custkey".asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("cum_cnt",
+        sum($"cnt").over(wRank.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select($"rnk", $"o_custkey".as("key"), $"cnt",
+        ($"cnt".cast("double") / $"total".cast("double")).as("share"),
+        ($"cum_cnt".cast("double") / $"total".cast("double"))
+          .as("cum_share"))
+      .orderBy($"rnk".asc)
+  }
+
+  private val profileSkewOracle = """
+    WITH c AS (
+      SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+      ORDER BY cnt DESC, o_custkey ASC LIMIT 20),
+    t AS (SELECT count(*) AS total FROM orders)
+    SELECT
+      CAST(row_number() OVER (ORDER BY cnt DESC, o_custkey ASC) AS INT)
+        AS rnk,
+      o_custkey AS key, cnt,
+      CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      CAST(sum(cnt) OVER (ORDER BY cnt DESC, o_custkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(total AS DOUBLE) AS cum_share
+    FROM c, t
+    ORDER BY rnk ASC"""
+
+  /** CUPED variance reduction (added round 10 batch 5) — the standard
+    * experiment-analysis adjustment: per-variant mean of the metric (1996
+    * revenue) and of the CUPED-adjusted metric y − θ·(x − x̄) using the
+    * pre-period covariate x (1995 revenue), θ = cov(x,y)/var(x) from
+    * GLOBAL moments. All base quantities are exact cents integers
+    * (q_stat_regression convention: per-row products stay < 2^63 — the
+    * sf0.1 max x·y is 6.4e16, two decades of headroom, and per-customer
+    * yearly revenue does not grow with corpus size); sums are exact
+    * decimal(38,0); θ and the per-row adjustment are identical IEEE trees
+    * both engines (oracle VARCHAR-routes the decimal→double casts);
+    * adjusted sums re-enter exact decimal(18,6) before the single
+    * rounded division. Variant assignment is the masked Knuth hash
+    * (q_split_train_test convention, 50/50) — no rand(), retry-stable.
+    *
+    * Scale: one conditional-sum pass over orders → per-customer frame;
+    * moments = ONE 1-row broadcast agg; adjustment is a stateless
+    * projection; the final agg is 2 groups. No window over raw rows.
+    */
+  private def statCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+    val perCust = Catalog.load(spark, sfDir, "orders")
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .groupBy($"o_custkey")
+      .agg(
+        sum(when(year($"o_orderdate") === 1995, cents).otherwise(0L)).as("x"),
+        sum(when(year($"o_orderdate") === 1996, cents).otherwise(0L)).as("y"))
+    val rows = Catalog.load(spark, sfDir, "customer")
+      .select($"c_custkey",
+        when((($"c_custkey".bitwiseAND(lit(2147483647L)) * lit(2654435761L))
+          % lit(4294967296L)) < lit(2147483648L), "A").otherwise("B")
+          .as("variant"))
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .select($"variant",
+        coalesce($"x", lit(0L)).as("x"), coalesce($"y", lit(0L)).as("y"))
+    def exact(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    val m = rows.agg(
+      count(lit(1)).cast("double").as("n"),
+      exact($"x").as("sx"), exact($"y").as("sy"),
+      exact($"x" * $"x").as("sxx"), exact($"x" * $"y").as("sxy"))
+    val theta = ($"n" * $"sxy" - $"sx" * $"sy") /
+      ($"n" * $"sxx" - $"sx" * $"sx")
+    rows.crossJoin(broadcast(m))
+      .withColumn("theta", theta)
+      .withColumn("adj",
+        $"y".cast("double") - $"theta" * ($"x".cast("double") - $"sx" / $"n"))
+      .groupBy($"variant")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum($"y".cast("decimal(38,0)")).cast("double") / count(lit(1))
+          / lit(100.0), 4).as("mean_y"),
+        round(sum($"adj".cast("decimal(18,6)")).cast("double") / count(lit(1))
+          / lit(100.0), 4).as("mean_y_adj"),
+        round(max($"theta"), 6).as("theta"))
+      .orderBy($"variant".asc_nulls_first)
+  }
+
+  private val statCupedOracle = """
+    WITH pc AS (
+      SELECT o_custkey,
+        sum(CASE WHEN year(o_orderdate) = 1995
+          THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+          ELSE 0 END) AS x,
+        sum(CASE WHEN year(o_orderdate) = 1996
+          THEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+          ELSE 0 END) AS y
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey),
+    r AS (
+      SELECT
+        CASE WHEN ((c_custkey & 2147483647) * 2654435761) % 4294967296
+          < 2147483648 THEN 'A' ELSE 'B' END AS variant,
+        COALESCE(x, 0) AS x, COALESCE(y, 0) AS y
+      FROM customer LEFT JOIN pc ON c_custkey = o_custkey),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(CAST(sum(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(sum(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+        CAST(CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+          AS sxx,
+        CAST(CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+          AS sxy
+      FROM r),
+    a AS (
+      SELECT variant, y,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+        CAST(y AS DOUBLE) - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+          * (CAST(x AS DOUBLE) - sx / n) AS adj
+      FROM r, m)
+    SELECT variant, count(*) AS n_customers,
+      round(CAST(CAST(sum(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+        / count(*) / 100.0, 4) AS mean_y,
+      round(CAST(CAST(sum(CAST(adj AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        / count(*) / 100.0, 4) AS mean_y_adj,
+      round(max(theta), 6) AS theta
+    FROM a GROUP BY variant
+    ORDER BY variant ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_profile_skew", profileSkew, Some(profileSkewOracle)),
+    Q("q_stat_cuped", statCuped, Some(statCupedOracle)),
     Q("q_profile_entropy", profileEntropy, Some(profileEntropyOracle)),
     Q("q_stat_chisq", statChisq, Some(statChisqOracle)),
     Q("q_stat_ks_test", statKsTest, Some(statKsTestOracle)),

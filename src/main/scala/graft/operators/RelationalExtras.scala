@@ -330,8 +330,72 @@ object RelationalExtras extends QueryPack {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority ASC NULLS FIRST"""
 
+  /** Fellegi-Sunter match scoring over the blocked candidate pairs (added
+    * round 10 batch 5) — the CLASSIFY stage that completes the ER story
+    * q_er_blocking's candidate generation starts: per-field agreement
+    * indicators (type, size, banded name edit distance, price proximity)
+    * weighted by integer log-odds-style weights, summed to a match score,
+    * thresholded into match / possible / non_match. Every feature and
+    * weight is integer (or an exact-double comparison), so the score and
+    * class are bit-deterministic cross-engine — no probability floats.
+    *
+    * Scale: candidates come from the same brand-blocked equi-join as
+    * q_er_blocking (never all-pairs); scoring is one codegen'd projection
+    * over the pair stream; top-k via TakeOrderedAndProject. At 100 TB the
+    * block key bounds the quadratic term exactly as in blocking, and a
+    * skewed block takes the q_join_skew_salted treatment.
+    */
+  private def erScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Catalog.load(spark, sfDir, "part")
+      .select($"p_partkey", $"p_name", $"p_type", $"p_size", $"p_retailprice",
+        $"p_brand")
+    val lev = levenshtein($"a.p_name", $"b.p_name")
+    val score =
+      when($"a.p_type" === $"b.p_type", 18).otherwise(-7) +
+      when($"a.p_size" === $"b.p_size", 11).otherwise(-4) +
+      when($"lev" <= 2, 25).when($"lev" <= 5, 10).otherwise(-12) +
+      when(abs($"a.p_retailprice" - $"b.p_retailprice") <= 50.0, 8)
+        .otherwise(-3)
+    p.as("a").join(p.as("b"), Seq("p_brand"))
+      .filter($"a.p_partkey" < $"b.p_partkey")
+      .withColumn("lev", lev)
+      .withColumn("score", score)
+      .select($"p_brand",
+        $"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
+        $"lev", $"score",
+        when($"score" >= 40, "match").when($"score" >= 15, "possible")
+          .otherwise("non_match").as("match_class"))
+      .orderBy($"score".desc, $"key_a".asc_nulls_first,
+        $"key_b".asc_nulls_first)
+      .limit(25)
+  }
+
+  private val erScoreOracle = """
+    WITH pairs AS (
+      SELECT a.p_brand,
+        a.p_partkey AS key_a, b.p_partkey AS key_b,
+        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+        (CASE WHEN a.p_type = b.p_type THEN 18 ELSE -7 END
+         + CASE WHEN a.p_size = b.p_size THEN 11 ELSE -4 END
+         + CASE WHEN levenshtein(a.p_name, b.p_name) <= 2 THEN 25
+                WHEN levenshtein(a.p_name, b.p_name) <= 5 THEN 10
+                ELSE -12 END
+         + CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 50.0 THEN 8
+                ELSE -3 END) AS score
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+    SELECT p_brand, key_a, key_b, lev, score,
+      CASE WHEN score >= 40 THEN 'match'
+           WHEN score >= 15 THEN 'possible'
+           ELSE 'non_match' END AS match_class
+    FROM pairs
+    ORDER BY score DESC, key_a ASC NULLS FIRST, key_b ASC NULLS FIRST
+    LIMIT 25"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_er_blocking", erBlocking, Some(erBlockingOracle)),
+    Q("q_er_score", erScore, Some(erScoreOracle)),
     Q("q_join_null_aware_anti", joinNullAwareAnti, Some(joinNullAwareAntiOracle)),
     Q("q_join_lateral_topk", joinLateralTopk, Some(joinLateralTopkOracle)),
     Q("q_sql_recursive_cte", sqlRecursiveCte, Some(sqlRecursiveCteOracle)),

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 batch-5 operators: ER match scoring, Markov transitions, skew
+  * profiling, CUPED. Semantic invariants beyond the oracle hash.
+  */
+class Batch5Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("er_score: classes consistent with thresholds, pairs canonical") {
+    val df = SparkEntry.queries("q_er_score")(spark, sf0001).cache()
+    assert(df.filter($"key_a" >= $"key_b").count() == 0)
+    // weight bounds: min -7-4-12-3 = -26, max 18+11+25+8 = 62
+    assert(df.filter($"score" < -26 || $"score" > 62).count() == 0)
+    val bad = df.filter(
+      ($"score" >= 40 && $"match_class" =!= "match") ||
+      ($"score" >= 15 && $"score" < 40 && $"match_class" =!= "possible") ||
+      ($"score" < 15 && $"match_class" =!= "non_match"))
+    assert(bad.count() == 0)
+    df.unpersist()
+  }
+
+  test("path_transitions: each from-row's probabilities sum to 1") {
+    val df = SparkEntry.queries("q_path_transitions")(spark, sf0001).cache()
+    val sums = df.groupBy($"from_type").agg(sum($"p").as("sp"))
+      .collect().map(_.getDouble(1))
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9))
+    // bigram conservation: total transitions = events - active users
+    val n = df.agg(sum($"n")).head().getLong(0)
+    val e = Catalog.load(spark, sf0001, "events")
+    val expected = e.count() - e.select(countDistinct($"user_id")).head().getLong(0)
+    assert(n == expected)
+    df.unpersist()
+  }
+
+  test("profile_skew: counts descending, cumulative share monotone to <=1") {
+    val rows = SparkEntry.queries("q_profile_skew")(spark, sf0001)
+      .collect()
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last <= 1.0 + 1e-12 && cums.head > 0.0)
+  }
+
+  test("cuped: theta global, populations partition customers, adjustment mean-preserving") {
+    val rows = SparkEntry.queries("q_stat_cuped")(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSet == Set("A", "B"))
+    val thetas = rows.map(_.getAs[Double]("theta")).distinct
+    assert(thetas.length == 1) // same global theta on both rows
+    val nTotal = rows.map(_.getAs[Long]("n_customers")).sum
+    assert(nTotal == Catalog.load(spark, sf0001, "customer").count())
+    // CUPED preserves the GLOBAL mean: sum over variants of n*mean_adj
+    // equals sum of n*mean_y (the adjustment term has zero global sum).
+    def wsum(col: String) =
+      rows.map(r => r.getAs[Long]("n_customers") * r.getAs[Double](col)).sum
+    assert(math.abs(wsum("mean_y_adj") - wsum("mean_y")) < 0.05 * nTotal)
+  }
+}
