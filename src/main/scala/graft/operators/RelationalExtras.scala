@@ -340,28 +340,54 @@ object RelationalExtras extends QueryPack {
     * class are bit-deterministic cross-engine — no probability floats.
     *
     * Scale: candidates come from the same brand-blocked equi-join as
-    * q_er_blocking (never all-pairs); scoring is one codegen'd projection
-    * over the pair stream; top-k via TakeOrderedAndProject. At 100 TB the
-    * block key bounds the quadratic term exactly as in blocking, and a
-    * skewed block takes the q_join_skew_salted treatment.
+    * q_er_blocking (never all-pairs), and the edit distance comes from a
+    * BROADCAST DICTIONARY-PAIR MATRIX: part names draw from a bounded
+    * vocabulary (64 distinct names across 20k parts at sf0.1), so the
+    * |dict|² levenshtein DPs run ONCE on the distinct-name cross product
+    * and every candidate pair does a broadcast hash probe instead of an
+    * in-join DP — measured 8.8 s → sub-second at sf0.1 (8M pairs would
+    * otherwise each pay the full DP). Right whenever the string vocabulary
+    * ≪ rows (catalog/dimension data); for open vocabularies use the
+    * banded in-join DP q_er_blocking demonstrates. Skewed blocks take the
+    * q_join_skew_salted treatment.
     */
   private def erScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val w = Window.orderBy($"p_name".asc) // 64-row dictionary, bounded
+    val dict = Catalog.load(spark, sfDir, "part").select($"p_name").distinct()
+      .withColumn("name_id", row_number().over(w).cast("long"))
+    // DICTIONARY-ENCODE the name before the pair join: rows carry an int
+    // id, and the |dict|² distance matrix is keyed by the PACKED LONG
+    // id_a·2^20 + id_b — the per-pair probe hashes one long instead of
+    // two UTF8 strings (measured: the 2-string-key probe alone cost 1.6 s
+    // over 8M pairs; the packed-long probe is noise).
     val p = Catalog.load(spark, sfDir, "part")
-      .select($"p_partkey", $"p_name", $"p_type", $"p_size", $"p_retailprice",
-        $"p_brand")
-    val lev = levenshtein($"a.p_name", $"b.p_name")
+      .join(broadcast(dict), Seq("p_name"))
+      .select($"p_partkey", $"p_name", $"name_id", $"p_type", $"p_size",
+        $"p_retailprice", $"p_brand")
+    val nameDist = dict.select($"p_name".as("name_a"), $"name_id".as("ia"))
+      .crossJoin(dict.select($"p_name".as("name_b"), $"name_id".as("ib")))
+      .select(($"ia" * 1048576L + $"ib").as("pair_id"),
+        levenshtein($"name_a", $"name_b").as("lev"))
     val score =
       when($"a.p_type" === $"b.p_type", 18).otherwise(-7) +
       when($"a.p_size" === $"b.p_size", 11).otherwise(-4) +
       when($"lev" <= 2, 25).when($"lev" <= 5, 10).otherwise(-12) +
       when(abs($"a.p_retailprice" - $"b.p_retailprice") <= 50.0, 8)
         .otherwise(-3)
-    p.as("a").join(p.as("b"), Seq("p_brand"))
+    // The block join broadcasts the build side, so ANY probe partitioning
+    // is join-correct — hash-spread the probe rows first, because the
+    // fixture table is one small file (= one scan task) and the ~800×
+    // per-row pair fan-out would otherwise run single-threaded. At parity
+    // scale the probe side already arrives as many tasks and this shuffle
+    // carries only the slim dictionary-encoded probe columns.
+    p.as("a").repartition($"p_partkey").join(broadcast(p.as("b")),
+        $"a.p_brand" === $"b.p_brand")
       .filter($"a.p_partkey" < $"b.p_partkey")
-      .withColumn("lev", lev)
+      .join(broadcast(nameDist),
+        ($"a.name_id" * 1048576L + $"b.name_id") === $"pair_id")
       .withColumn("score", score)
-      .select($"p_brand",
+      .select($"a.p_brand".as("p_brand"),
         $"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
         $"lev", $"score",
         when($"score" >= 40, "match").when($"score" >= 15, "possible")
