@@ -1046,7 +1046,84 @@ object Profiling extends QueryPack {
     FROM a GROUP BY variant
     ORDER BY variant ASC NULLS FIRST"""
 
+  /** Exact Mann-Whitney U rank-sum test (added round 10 batch 5) — the
+    * nonparametric two-sample location test next to the parametric Welch t
+    * (q_stat_ttest_welch) and distributional KS (q_stat_ks_test): do
+    * URGENT and LOW orders draw o_totalprice from the same distribution?
+    * Ranks are EXACT with midrank tie handling, computed scale-safe: the
+    * pooled sample collapses to a distinct-VALUE table (cents integers)
+    * with per-value group counts, the rank prefix comes from
+    * `DistributedRank.cumsumExact` over that table (range buckets +
+    * broadcast offsets — no single-partition window over raw rows), and
+    * 2·R₁ = Σ n1ᵥ·(2·before + nᵥ + 1) stays in exact integers through a
+    * decimal(38,0) sum (as does the tie-correction Σ(t³−t)). U, μ, σ and
+    * the tie-corrected z are then identical IEEE trees both engines
+    * (oracle VARCHAR-routes the decimal→double casts); z rounded r6.
+    */
+  private def statMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "orders")
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select(
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("v"),
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("is1"))
+    val vals = base.groupBy($"v")
+      .agg(count(lit(1)).as("nv"), sum($"is1").as("n1v"))
+    val withCum = DistributedRank.cumsumExact(vals, "nv", "v", "cum")
+    def exact(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    val m = withCum.agg(
+      sum($"n1v").as("n1l"), sum($"nv").as("nl"),
+      exact($"n1v" * (lit(2L) * ($"cum" - $"nv") + $"nv" + lit(1L)))
+        .as("r1x2"),
+      exact($"nv" * $"nv" * $"nv" - $"nv").as("tiesum"))
+    val n1 = $"n1l".cast("double")
+    val n = $"nl".cast("double")
+    val n2 = n - n1
+    val u1 = ($"r1x2" - n1 * (n1 + 1)) / 2.0
+    val mu = n1 * n2 / 2.0
+    val sigma2 = n1 * n2 / 12.0 *
+      ((n + 1) - $"tiesum" / (n * (n - 1)))
+    m.select(
+      $"n1l".as("n_urgent"),
+      ($"nl" - $"n1l").as("n_low"),
+      u1.as("u_stat"),
+      round((u1 - mu) / sqrt(sigma2), 6).as("z"))
+  }
+
+  private val statMannWhitneyOracle = """
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS v,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is1
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    vals AS (
+      SELECT v, count(*) AS nv, sum(is1) AS n1v FROM base GROUP BY v),
+    c AS (
+      SELECT v, nv, n1v,
+        sum(nv) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cum
+      FROM vals),
+    m AS (
+      SELECT sum(n1v) AS n1l, sum(nv) AS nl,
+        CAST(CAST(sum(CAST(n1v * (2 * (cum - nv) + nv + 1)
+          AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS r1x2,
+        CAST(CAST(sum(CAST(nv * nv * nv - nv AS DECIMAL(38,0)))
+          AS VARCHAR) AS DOUBLE) AS tiesum
+      FROM c)
+    SELECT CAST(n1l AS BIGINT) AS n_urgent,
+      CAST(nl - n1l AS BIGINT) AS n_low,
+      (r1x2 - CAST(n1l AS DOUBLE) * (CAST(n1l AS DOUBLE) + 1)) / 2.0
+        AS u_stat,
+      round(((r1x2 - CAST(n1l AS DOUBLE) * (CAST(n1l AS DOUBLE) + 1)) / 2.0
+          - CAST(n1l AS DOUBLE) * (CAST(nl AS DOUBLE) - CAST(n1l AS DOUBLE))
+            / 2.0)
+        / sqrt(CAST(n1l AS DOUBLE) * (CAST(nl AS DOUBLE)
+            - CAST(n1l AS DOUBLE)) / 12.0
+          * ((CAST(nl AS DOUBLE) + 1)
+            - tiesum / (CAST(nl AS DOUBLE) * (CAST(nl AS DOUBLE) - 1)))),
+        6) AS z
+    FROM m"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_stat_mannwhitney", statMannWhitney, Some(statMannWhitneyOracle)),
     Q("q_profile_skew", profileSkew, Some(profileSkewOracle)),
     Q("q_stat_cuped", statCuped, Some(statCupedOracle)),
     Q("q_profile_entropy", profileEntropy, Some(profileEntropyOracle)),

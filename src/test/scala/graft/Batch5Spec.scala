@@ -44,6 +44,30 @@ class Batch5Spec extends SparkTestBase {
     assert(cums.last <= 1.0 + 1e-12 && cums.head > 0.0)
   }
 
+  test("mannwhitney: U matches a sequential midrank replay, bounded by n1*n2") {
+    val r = SparkEntry.queries("q_stat_mannwhitney")(spark, sf0001).head()
+    val (n1, n2, u) = (r.getAs[Long]("n_urgent"), r.getAs[Long]("n_low"),
+      r.getAs[Double]("u_stat"))
+    assert(u >= 0.0 && u <= n1.toDouble * n2)
+    // Replay the definition sequentially on the fixture sample.
+    val rows = Catalog.load(spark, sf0001, "orders")
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select((($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("v"), ($"o_orderpriority" === "1-URGENT").as("g1"))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val sorted = rows.sortBy(_._1)
+    var i = 0; var r1 = 0.0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val midrank = (i + 1 + j) / 2.0 // average of ranks i+1 .. j
+      r1 += sorted.slice(i, j).count(_._2) * midrank
+      i = j
+    }
+    val expectedU = r1 - n1.toDouble * (n1 + 1) / 2.0
+    assert(u == expectedU)
+  }
+
   test("cuped: theta global, populations partition customers, adjustment mean-preserving") {
     val rows = SparkEntry.queries("q_stat_cuped")(spark, sf0001).collect()
     assert(rows.map(_.getAs[String]("variant")).toSet == Set("A", "B"))
