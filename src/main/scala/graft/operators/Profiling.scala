@@ -975,6 +975,11 @@ object Profiling extends QueryPack {
       .agg(
         sum(when(year($"o_orderdate") === 1995, cents).otherwise(0L)).as("x"),
         sum(when(year($"o_orderdate") === 1996, cents).otherwise(0L)).as("y"))
+      // Shared by the moments agg and the adjusted scan: without it the
+      // whole orders conditional-sum pass runs twice (plan-audited) — the
+      // cache makes "ONE pass over orders" literally true; the cheap
+      // broadcast join back onto customers replays per consumer.
+      .cache()
     val rows = Catalog.load(spark, sfDir, "customer")
       .select($"c_custkey",
         when((($"c_custkey".bitwiseAND(lit(2147483647L)) * lit(2654435761L))
