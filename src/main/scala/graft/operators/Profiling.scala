@@ -1127,7 +1127,89 @@ object Profiling extends QueryPack {
         6) AS z
     FROM m"""
 
+  /** Half-sample replication confidence interval (added round 10 batch 5)
+    * — the rand()-free bootstrap: when a metric has no closed-form
+    * variance (or you don't trust the closed form), resample. 32
+    * replicates, replicate r containing each order iff BIT r of the
+    * order's masked Knuth hash is set (~half each, deterministic and
+    * retry-stable on both engines — no rand(), the repo's sampling rule);
+    * SE = √(mean squared deviation of replicate means around the full
+    * mean), CI = mean ± 1.96·SE. Replicate means are exact decimal-cents
+    * sums over exact counts (identical doubles), squared deviations
+    * re-enter decimal(28,6) before the 32-row sum (cents² needs the width) so summation order
+    * cannot drift.
+    *
+    * Scale: the replicate fan-out is explode(0..31) on (hash, cents) —
+    * constant 32× on two longs, immediately map-side combined down to 32
+    * rows; the stats ride that bounded frame. One pass over the fact.
+    */
+  private def statBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "orders")
+      .select(
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("cents"),
+        (($"o_orderkey".bitwiseAND(lit(2147483647L)) * lit(2654435761L))
+          % lit(4294967296L)).as("h"))
+      .cache() // shared by the full-sample mean and the replicate fan-out
+    val full = base.agg(
+      count(lit(1)).as("n"),
+      (sum($"cents".cast("decimal(38,0)")).cast("double") / count(lit(1)))
+        .as("mean_cents"))
+    val reps = base
+      .select($"cents", $"h", explode(sequence(lit(0), lit(31))).as("r"))
+      .filter(expr("shiftright(h, CAST(r AS INT))").bitwiseAND(lit(1L)) === 1L)
+      .groupBy($"r")
+      .agg((sum($"cents".cast("decimal(38,0)")).cast("double")
+        / count(lit(1))).as("rep_mean"))
+    val dev = $"rep_mean" - $"mean_cents"
+    reps.crossJoin(broadcast(full))
+      .select($"n", $"mean_cents", (dev * dev).as("dev2"))
+      .groupBy($"n", $"mean_cents")
+      .agg((sum($"dev2".cast("decimal(28,6)")).cast("double") / 32.0)
+        .as("var_cents"))
+      .select(
+        $"n".as("n_orders"),
+        round($"mean_cents" / 100.0, 4).as("mean_total"),
+        round(sqrt($"var_cents") / 100.0, 6).as("se"),
+        round(($"mean_cents" - lit(1.96) * sqrt($"var_cents")) / 100.0, 4)
+          .as("ci_low"),
+        round(($"mean_cents" + lit(1.96) * sqrt($"var_cents")) / 100.0, 4)
+          .as("ci_high"))
+  }
+
+  private val statBootstrapCiOracle = """
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+          AS cents,
+        ((o_orderkey & 2147483647) * 2654435761) % 4294967296 AS h
+      FROM orders),
+    full_m AS (
+      SELECT count(*) AS n,
+        CAST(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+          / count(*) AS mean_cents
+      FROM base),
+    reps AS (
+      SELECT r.r,
+        CAST(CAST(sum(CAST(cents AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+          / count(*) AS rep_mean
+      FROM base, range(0, 32) r(r)
+      WHERE ((h >> CAST(r.r AS INT)) & 1) = 1
+      GROUP BY r.r),
+    v AS (
+      SELECT n, mean_cents,
+        CAST(CAST(sum(CAST((rep_mean - mean_cents) * (rep_mean - mean_cents)
+          AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / 32.0 AS var_cents
+      FROM reps, full_m
+      GROUP BY n, mean_cents)
+    SELECT CAST(n AS BIGINT) AS n_orders,
+      round(mean_cents / 100.0, 4) AS mean_total,
+      round(sqrt(var_cents) / 100.0, 6) AS se,
+      round((mean_cents - 1.96 * sqrt(var_cents)) / 100.0, 4) AS ci_low,
+      round((mean_cents + 1.96 * sqrt(var_cents)) / 100.0, 4) AS ci_high
+    FROM v"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_stat_bootstrap_ci", statBootstrapCi, Some(statBootstrapCiOracle)),
     Q("q_stat_mannwhitney", statMannWhitney, Some(statMannWhitneyOracle)),
     Q("q_profile_skew", profileSkew, Some(profileSkewOracle)),
     Q("q_stat_cuped", statCuped, Some(statCupedOracle)),

@@ -104,6 +104,51 @@ object Scans extends QueryPack {
     FROM documents WHERE doc_id < 20
     ORDER BY file_name ASC NULLS FIRST"""
 
+  /** Unstructured text-log ingest (added round 10 batch 5) — the LAST
+    * built-in file source missing from §A (csv/json/orc/avro/xml/binary/
+    * parquet are covered): application logs land as lines, not rows, and
+    * the ingest pattern is `spark.read.text` + regexp field extraction +
+    * re-typing. The scratch feed is every order formatted as a log line
+    * (`ORDER key=… prio=… total=… date=…`) by a DISTRIBUTED text write (no
+    * collect); the graded read parses the four fields back and re-types
+    * them. The money field round-trips exactly because both directions go
+    * through DECIMAL(14,2) (2dp string ↔ decimal ↔ double are lossless);
+    * the oracle never reads the scratch dir — it reconstructs the expected
+    * parse from the orders table.
+    *
+    * Scale: text is a plain FileScan (lines split across tasks by range);
+    * regexp_extract is codegen'd scan-side projection — the standard
+    * 100-TB log-ingest shape.
+    */
+  private def textRegexSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = materializeOnce("orders_log", sfDir) { d =>
+      Catalog.load(spark, sfDir, "orders")
+        .select(concat(
+          lit("ORDER key="), $"o_orderkey",
+          lit(" prio="), $"o_orderpriority",
+          lit(" total="), $"o_totalprice".cast("decimal(14,2)").cast("string"),
+          lit(" date="), date_format($"o_orderdate", "yyyy-MM-dd")).as("value"))
+        .write.mode("overwrite").text(d)
+    }
+    spark.read.text(dir)
+      .select(
+        regexp_extract($"value", "key=(\\d+)", 1).cast("long").as("o_key"),
+        // prio values contain spaces ("4-NOT SPECIFIED") — delimit by the
+        // following field marker, not by whitespace.
+        regexp_extract($"value", "prio=(.*) total=", 1).as("prio"),
+        regexp_extract($"value", "total=([0-9.]+)", 1)
+          .cast("decimal(14,2)").cast("double").as("total"),
+        regexp_extract($"value", "date=([0-9-]+)", 1).as("log_date"))
+      .orderBy($"o_key".asc_nulls_first)
+  }
+
+  private val textRegexSourceOracle = """
+    SELECT o_orderkey AS o_key, o_orderpriority AS prio,
+      CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS total,
+      strftime(o_orderdate, '%Y-%m-%d') AS log_date
+    FROM orders ORDER BY o_key ASC NULLS FIRST"""
+
   private def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = materializeOnce("nation_csv", sfDir) { d =>
@@ -370,6 +415,7 @@ object Scans extends QueryPack {
         l_shipdate ASC NULLS FIRST""")),
     Q("q_source_csv_roundtrip", csvRoundtrip, Some(
       "SELECT * FROM nation ORDER BY n_nationkey ASC NULLS FIRST")),
+    Q("q_source_text_regex", textRegexSource, Some(textRegexSourceOracle)),
     Q("q_source_json_roundtrip", jsonRoundtrip, Some(
       "SELECT * FROM customer ORDER BY c_custkey ASC NULLS FIRST")),
     Q("q_source_orc_roundtrip", orcRoundtrip, Some(

@@ -68,6 +68,35 @@ class Batch5Spec extends SparkTestBase {
     assert(u == expectedU)
   }
 
+  test("text source: every order line parses back, no malformed rows") {
+    val df = SparkEntry.queries("q_source_text_regex")(spark, sf0001).cache()
+    assert(df.count() == Catalog.load(spark, sf0001, "orders").count())
+    // regexp misses would surface as null keys or empty strings
+    assert(df.filter($"o_key".isNull || $"prio" === "" ||
+      $"total".isNull || $"log_date" === "").count() == 0)
+    df.unpersist()
+  }
+
+  test("bootstrap ci: brackets the mean, se positive, replicates balanced") {
+    val r = SparkEntry.queries("q_stat_bootstrap_ci")(spark, sf0001).head()
+    val (m, se, lo, hi) = (r.getAs[Double]("mean_total"),
+      r.getAs[Double]("se"), r.getAs[Double]("ci_low"),
+      r.getAs[Double]("ci_high"))
+    assert(se > 0.0 && lo < m && m < hi)
+    // each replicate's membership hash keeps roughly half the orders
+    val n = r.getAs[Long]("n_orders").toDouble
+    val sizes = Catalog.load(spark, sf0001, "orders")
+      .select(((($"o_orderkey".bitwiseAND(lit(2147483647L)) * lit(2654435761L))
+        % lit(4294967296L))).as("h"))
+      .select(org.apache.spark.sql.functions.explode(
+        sequence(lit(0), lit(31))).as("r"), $"h")
+      .filter(expr("shiftright(h, CAST(r AS INT))")
+        .bitwiseAND(lit(1L)) === 1L)
+      .groupBy($"r").count().collect().map(_.getLong(1))
+    assert(sizes.length == 32 &&
+      sizes.forall(s => s > n * 0.4 && s < n * 0.6))
+  }
+
   test("cuped: theta global, populations partition customers, adjustment mean-preserving") {
     val rows = SparkEntry.queries("q_stat_cuped")(spark, sf0001).collect()
     assert(rows.map(_.getAs[String]("variant")).toSet == Set("A", "B"))
