@@ -698,7 +698,85 @@ object Marketing extends QueryPack {
     FROM m
     ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST"""
 
+  /** Kaplan-Meier customer-survival curve (added round 10 batch 5) — the
+    * churn-analysis estimator: followup T = months between a customer's
+    * first and last order, event = churned (last order ≥ 6 months before
+    * the observation end), else right-censored; S(t) = Π_{s≤t} (1 − dₛ/nₛ)
+    * over the month-indexed life table. Every life-table cell is an exact
+    * integer (month indices, at-risk suffix counts, churn counts), the
+    * survival product folds in month order over the ≤|months|-bounded
+    * table, and each step is the same two IEEE ops both engines — the
+    * q_ts_holt pattern: a typed sequential fold here, a recursive CTE in
+    * the oracle, bit-identical by construction (no rounding).
+    *
+    * Scale: the only raw-row pass is the per-customer min/max aggregation;
+    * the censoring threshold is a 1-row broadcast; the at-risk window and
+    * the fold run over the calendar-bounded life table (≤84 rows), the
+    * documented global-series exception.
+    */
+  private def survivalKm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val mo = (year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
+      .cast("long")
+    val per = Catalog.load(spark, sfDir, "orders")
+      .groupBy($"o_custkey").agg(min(mo).as("f"), max(mo).as("l"))
+    val mx = per.agg(max($"l").as("mx"))
+    val life = per.crossJoin(broadcast(mx))
+      .select(($"l" - $"f").as("t_months"),
+        when($"mx" - $"l" >= 6, 1L).otherwise(0L).as("churn"))
+      .groupBy($"t_months")
+      .agg(count(lit(1)).as("ending"), sum($"churn").as("d"))
+    val wRisk = Window.orderBy($"t_months".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    life.withColumn("n_at_risk", sum($"ending").over(wRisk))
+      .select($"t_months", $"n_at_risk", $"d").as[(Long, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_, it: Iterator[(Long, Long, Long)]) =>
+        val rows = it.toArray.sortBy(_._1)
+        var s = 1.0
+        rows.iterator.map { case (t, n, d) =>
+          s = s * (1.0 - d.toDouble / n.toDouble)
+          (t, n, d, s)
+        }
+      }
+      .toDF("t_months", "n_at_risk", "churned", "survival")
+      .orderBy($"t_months".asc)
+  }
+
+  private val survivalKmOracle = """
+    WITH RECURSIVE per AS (
+      SELECT o_custkey,
+        min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS f,
+        max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS l
+      FROM orders GROUP BY o_custkey),
+    mx AS (SELECT max(l) AS mx FROM per),
+    tt AS (
+      SELECT (l - f) AS t_months,
+        CASE WHEN mx - l >= 6 THEN 1 ELSE 0 END AS churn
+      FROM per, mx),
+    life AS (
+      SELECT t_months, count(*) AS ending, sum(churn) AS d
+      FROM tt GROUP BY t_months),
+    idx AS (
+      SELECT t_months, d,
+        sum(ending) OVER (ORDER BY t_months ASC
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_at_risk,
+        row_number() OVER (ORDER BY t_months ASC) AS i
+      FROM life),
+    km AS (
+      SELECT i, t_months, n_at_risk, d,
+        1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)) AS s
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT nxt.i, nxt.t_months, nxt.n_at_risk, nxt.d,
+        km.s * (1.0 - CAST(nxt.d AS DOUBLE) / CAST(nxt.n_at_risk AS DOUBLE))
+      FROM km JOIN idx nxt ON nxt.i = km.i + 1)
+    SELECT t_months, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      CAST(d AS BIGINT) AS churned, s AS survival
+    FROM km ORDER BY t_months ASC"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_survival_km", survivalKm, Some(survivalKmOracle)),
     Q("q_path_transitions", pathTransitions, Some(pathTransitionsOracle)),
     Q("q_marketing_engagement_decay", engagementDecay,
       Some(engagementDecayOracle)),

@@ -68,6 +68,20 @@ class Batch5Spec extends SparkTestBase {
     assert(u == expectedU)
   }
 
+  test("survival km: monotone nonincreasing in (0,1], at-risk telescopes") {
+    val rows = SparkEntry.queries("q_survival_km")(spark, sf0001).collect()
+    val s = rows.map(_.getAs[Double]("survival"))
+    assert(s.head <= 1.0 && s.forall(x => x > 0.0 || x == 0.0))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a })
+    // n_at_risk at the first time equals the full population
+    assert(rows.head.getAs[Long]("n_at_risk") ==
+      Catalog.load(spark, sf0001, "orders")
+        .select(countDistinct($"o_custkey")).head().getLong(0))
+    // churned never exceeds those ending at t (which never exceed at-risk)
+    assert(rows.forall(r => r.getAs[Long]("churned") <=
+      r.getAs[Long]("n_at_risk")))
+  }
+
   test("text source: every order line parses back, no malformed rows") {
     val df = SparkEntry.queries("q_source_text_regex")(spark, sf0001).cache()
     assert(df.count() == Catalog.load(spark, sf0001, "orders").count())
