@@ -498,7 +498,66 @@ object Joins extends QueryPack {
      AND k.ts > p.ts AND k.ts <= p.ts + INTERVAL 5 MINUTE
     ORDER BY p_id ASC NULLS FIRST, k_id ASC NULLS FIRST"""
 
+  /** Pure point-in-interval join written NAIVELY — and rescued by the
+    * optimizer (added round 10 batch 5). Overlapping 30-day promo windows
+    * start every 10 days across the order span; each order joins every
+    * window containing its order day via the plain theta condition
+    * `d >= win_start && d <= win_end` with NO equi key. Without help the
+    * planner can only nested-loop that (O(orders × windows)); the
+    * injected [[graft.plans.RangeJoinBinning]] rule rewrites the logical
+    * join into the banded equi form q_join_interval_banded builds by hand
+    * — point side gains floorDiv(d, W), interval side explodes its
+    * covered bins, the range predicate stays as the residual. The spec
+    * asserts the executed plan contains the bin key and NO nested loop.
+    * The overlap is the point: non-overlapping windows would be a
+    * date_trunc aggregation; overlapping ones genuinely need an interval
+    * join.
+    *
+    * Scale: this is the declarative form every caller wants to write; the
+    * rewrite makes it shuffle on bin keys like any equi join, with W
+    * (here 16 days ≈ window span/2) trading generator fan-out (2-3 bins
+    * per window) against per-bucket residual work.
+    */
+  private def joinRangeAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set(graft.plans.RangeJoinBinning.ConfKey, "16")
+    val o = Catalog.load(spark, sfDir, "orders").select(
+      $"o_orderkey", $"o_totalprice",
+      datediff($"o_orderdate".cast("date"),
+        lit("1992-01-01").cast("date")).cast("long").as("d"))
+    val windows = o.agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select(explode(sequence($"lo" - ($"lo" % 10), $"hi", lit(10L)))
+        .as("win_start"))
+      .select($"win_start", ($"win_start" + 29L).as("win_end"))
+    o.join(windows, $"d" >= $"win_start" && $"d" <= $"win_end")
+      .groupBy($"win_start", $"win_end")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"win_start".asc_nulls_first)
+  }
+
+  private val joinRangeAutoOracle = s"""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice,
+        CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS d
+      FROM orders),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM o),
+    -- DuckDB's range() rejects lateral column bounds; a constant range
+    -- crossed with the 1-row span and filtered reproduces Spark's
+    -- sequence(lo0, hi, 10) exactly (1000 steps cover the fixture span).
+    w AS (
+      SELECT lo - (lo % 10) + 10 * r.range AS win_start,
+        lo - (lo % 10) + 10 * r.range + 29 AS win_end
+      FROM span, range(0, 1000) r
+      WHERE lo - (lo % 10) + 10 * r.range <= hi)
+    SELECT win_start, win_end, count(*) AS n_orders,
+      ${Oracle.dsum("o_totalprice")} AS revenue
+    FROM o JOIN w ON d >= win_start AND d <= win_end
+    GROUP BY win_start, win_end
+    ORDER BY win_start ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_join_range_auto", joinRangeAuto, Some(joinRangeAutoOracle)),
     Q("q_join_interval_banded", joinIntervalBanded, Some(joinIntervalBandedOracle)),
     Q("q_join_skew_salted", joinSkewSalted, Some(s"""
       SELECT s_nationkey, count(*) AS n_items,

@@ -223,6 +223,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer surface: banded edit-distance predicates (length guard +
     // threshold DP) — see LevenshteinPruning's equivalence proof.
     ext.injectOptimizerRule(_ => LevenshteinPruning)
+    // Optimizer surface: pure point-in-interval joins rewritten into
+    // binned equi joins (RangeJoinBinning.scala — kills the O(n·m)
+    // nested loop; conf-gated by spark.graft.rangeJoin.binSize).
+    ext.injectOptimizerRule(_ => RangeJoinBinning)
     // Whole-operator surface: the as-of merge join (logical node +
     // strategy + physical streaming merge — AsOfJoin.scala).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
