@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -617,7 +618,72 @@ object GraphOps extends QueryPack {
       .orderBy($"custkey".asc_nulls_first)
   }
 
+  /** Golden-record survivorship over the near-dup clusters (added round 10
+    * batch 5) — the MDM step after entity resolution: q_dedup_clusters
+    * says WHICH documents co-refer; this picks, per multi-member cluster,
+    * the canonical record AND merges fields by per-field survivorship
+    * rules that may choose DIFFERENT members (text holder = longest text,
+    * doc_id tiebreak; source/lang = lexicographic min as the deterministic
+    * "most authoritative" stand-in). Every rule is an exact comparison —
+    * no scores, no floats — so the golden record is bit-deterministic.
+    *
+    * Scale: reuses the memoized label-propagation frame (one extra
+    * consumer, zero extra graph work); the survivorship window partitions
+    * by cluster (bounded by cluster size), and the field merges are plain
+    * min/max aggregates on the same clustered shuffle.
+    */
+  private def erGolden(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lbl = nearDupLabels(spark, sfDir)
+    val w = Window.partitionBy($"component_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars", $"lang", $"source")
+      .join(lbl.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars", $"lang", $"source",
+        coalesce($"lbl", $"doc_id").as("component_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"component_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when($"rn" === 1, $"doc_id")).as("golden_doc_id"),
+        max(when($"rn" === 1, $"n_chars")).as("golden_chars"),
+        min($"source").as("merged_source"),
+        min($"lang").as("merged_lang"))
+      .filter($"n_members" >= 2)
+      .orderBy($"component_id".asc_nulls_first)
+  }
+
+  private val erGoldenOracle = s"""
+    WITH RECURSIVE ${LlmPipeline.nearPairsCtes},
+    edges AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT e.u, reach.r FROM und e JOIN reach ON e.v = reach.node),
+    comp0 AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    comp AS (
+      SELECT d.doc_id, d.n_chars, d.lang, d.source,
+             coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp0 c ON d.doc_id = c.node),
+    ranked AS (
+      SELECT comp.*, row_number() OVER (PARTITION BY component_id
+        ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM comp)
+    SELECT component_id, count(*) AS n_members,
+      max(CASE WHEN rn = 1 THEN doc_id END) AS golden_doc_id,
+      max(CASE WHEN rn = 1 THEN n_chars END) AS golden_chars,
+      min(source) AS merged_source,
+      min(lang) AS merged_lang
+    FROM ranked
+    GROUP BY component_id
+    HAVING count(*) >= 2
+    ORDER BY component_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_er_golden", erGolden, Some(erGoldenOracle)),
     Q("q_graph_kcore", graphKcore, None),
     Q("q_graph_components", components, Some(componentsOracle)),
     Q("q_graph_triangles", triangles, Some(trianglesOracle)),
