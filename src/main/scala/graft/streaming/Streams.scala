@@ -504,6 +504,77 @@ object Streams extends QueryPack {
      AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
     ORDER BY view_id ASC NULLS FIRST, click_id ASC NULLS FIRST"""
 
+  /** The EIGHTH graded real-streaming run (added round 10 batch 5): LEFT
+    * OUTER stream-stream join — the state-eviction path none of the other
+    * runs exercise. Inner matches emit as they meet (same as
+    * q_stream_stream_join); an UNMATCHED view emits with NULL click
+    * columns only when the global watermark proves no future click can
+    * match it: its join horizon (view_ts + 30 min) has fallen below the
+    * watermark. With `Trigger.AvailableNow` the engine runs a final
+    * no-new-data batch after the watermark advances to end-of-stream, so
+    * the emitted set is a pure function of the data and the oracle can
+    * reproduce it exactly: wm_ms = min(side maxima, each µs-floored to
+    * ms) − 1000 (two watermark nodes, global = MIN — the documented
+    * multi-watermark policy), and a view is finalized-unmatched iff
+    * horizon_ms < wm_ms. Views inside the final 30-minute tail stay
+    * pending in state forever — exactly what a real deployment observes,
+    * and exactly what the oracle's cutoff reproduces.
+    */
+  private def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val conf = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(conf)
+    spark.conf.set(conf, "8")
+    try runEventsStream(spark, sfDir, "soj") { src =>
+      val views = src.filter($"event_type" === "view")
+        .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+        .withWatermark("view_ts", "1 second")
+      val clicks = src.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id".as("c_user"),
+          $"ts".as("click_ts"))
+        .withWatermark("click_ts", "1 second")
+      views.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"click_ts" > $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+        .select($"view_id", $"user_id", $"view_ts", $"click_id", $"click_ts")
+    } { sinkDf =>
+      sinkDf.orderBy($"view_id".asc_nulls_first, $"click_id".asc_nulls_first)
+    } finally spark.conf.set(conf, saved)
+  }
+
+  private val streamOuterJoinSql = """
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      FROM events WHERE event_type = 'view'),
+    c AS (
+      SELECT event_id AS click_id, user_id AS c_user,
+        CAST(ts AS TIMESTAMP) AS click_ts
+      FROM events WHERE event_type = 'click'),
+    wm AS (
+      SELECT least(
+        (SELECT max(epoch_us(view_ts) // 1000) FROM v),
+        (SELECT max(epoch_us(click_ts) // 1000) FROM c)) - 1000 AS wm_ms),
+    matched AS (
+      SELECT v.view_id, v.user_id, v.view_ts, c.click_id, c.click_ts
+      FROM v JOIN c ON v.user_id = c.c_user
+        AND c.click_ts > v.view_ts
+        AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE),
+    unmatched AS (
+      SELECT v.view_id, v.user_id, v.view_ts,
+        CAST(NULL AS BIGINT) AS click_id,
+        CAST(NULL AS TIMESTAMP) AS click_ts
+      FROM v, wm
+      WHERE NOT EXISTS (
+          SELECT 1 FROM c WHERE v.user_id = c.c_user
+            AND c.click_ts > v.view_ts
+            AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE)
+        AND epoch_us(v.view_ts) // 1000 + 1800000 < wm_ms)
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched
+    ORDER BY view_id ASC NULLS FIRST, click_id ASC NULLS FIRST"""
+
   private val dedupExecSql = """
     SELECT DISTINCT user_id, event_type,
       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
@@ -569,6 +640,7 @@ object Streams extends QueryPack {
     Q("q_stream_windowed_append", windowedAppend, Some(windowedAppendSql)),
     Q("q_stream_dedup_exec", dedupExec, Some(dedupExecSql)),
     Q("q_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
+    Q("q_stream_outer_join", streamOuterJoin, Some(streamOuterJoinSql)),
     Q("q_stream_transform_state", transformState, Some(transformStateSql)),
     Q("q_stream_session_window_exec", sessionWindowExec, Some(sessionWindowExecSql)),
     Q("q_stream_tumbling", tumbling, Some(s"""

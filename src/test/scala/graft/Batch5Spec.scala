@@ -68,6 +68,24 @@ class Batch5Spec extends SparkTestBase {
     assert(u == expectedU)
   }
 
+  test("stream outer join: emits both matched and watermark-finalized rows") {
+    val df = SparkEntry.queries("q_stream_outer_join")(spark, sf0001).cache()
+    val unmatched = df.filter($"click_id".isNull)
+    assert(df.filter($"click_id".isNotNull).count() > 0)
+    assert(unmatched.count() > 0)
+    // every finalized-unmatched view's horizon lies below the final
+    // global watermark (min of the two sides' maxima, ms-floored, -1s)
+    val e = Catalog.load(spark, sf0001, "events")
+    def sideMaxMs(t: String) = e.filter($"event_type" === t)
+      .agg(max(expr("unix_micros(cast(ts as timestamp)) div 1000")))
+      .head().getLong(0)
+    val wmMs = math.min(sideMaxMs("view"), sideMaxMs("click")) - 1000L
+    val violating = unmatched.filter(
+      expr("unix_micros(view_ts) div 1000") + 1800000L >= wmMs)
+    assert(violating.count() == 0)
+    df.unpersist()
+  }
+
   test("survival km: monotone nonincreasing in (0,1], at-risk telescopes") {
     val rows = SparkEntry.queries("q_survival_km")(spark, sf0001).collect()
     val s = rows.map(_.getAs[Double]("survival"))
