@@ -524,7 +524,7 @@ object Streams extends QueryPack {
     import spark.implicits._
     val conf = "spark.sql.shuffle.partitions"
     val saved = spark.conf.get(conf)
-    spark.conf.set(conf, "8")
+    spark.conf.set(conf, "4")
     try runEventsStream(spark, sfDir, "soj") { src =>
       val views = src.filter($"event_type" === "view")
         .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
