@@ -775,7 +775,73 @@ object Marketing extends QueryPack {
       CAST(d AS BIGINT) AS churned, s AS survival
     FROM km ORDER BY t_months ASC"""
 
+  /** Cohort lifetime-value curves (added round 10 batch 5) — the revenue
+    * sibling of q_retention_cohorts: customers cohorted by first-order
+    * month, revenue accumulated by months-since-first-order, normalized to
+    * cumulative LTV per cohort member. Everything before the single
+    * output is exact: month indices are integers, per-(cohort, age)
+    * revenue is a decimal sum, the running total is a decimal window sum,
+    * and cohort size is an exact count. LTV itself is emitted as EXACT
+    * INTEGER 1e-4-dollar units with truncating division (the
+    * q_attribution ppm precedent) — a rounded decimal quotient would sit
+    * on .00005 ties whenever a 2-decimal total divides a small cohort
+    * (measured: cum/8 → .06625, where the engines' tie rules disagree).
+    *
+    * Scale: two fact passes fused into one — the per-customer first-month
+    * frame is a broadcast-back aggregate (15k rows), the (cohort × age)
+    * table is calendar² bounded (≤84² rows) so its cumulative window is
+    * the documented bounded-table exception, never a raw-row window.
+    */
+  private def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val mo = (year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
+      .cast("long")
+    val orders = Catalog.load(spark, sfDir, "orders")
+      .select($"o_custkey", mo.as("mo"),
+        $"o_totalprice".cast("decimal(18,2)").as("rev"))
+    val firstMo = orders.groupBy($"o_custkey").agg(min($"mo").as("cohort"))
+    val cohortSize = firstMo.groupBy($"cohort")
+      .agg(countDistinct($"o_custkey").as("n_customers"))
+    val cells = orders.join(firstMo, Seq("o_custkey"))
+      .groupBy($"cohort", ($"mo" - $"cohort").as("age"))
+      .agg(sum($"rev").as("rev_cell"))
+    val wCum = Window.partitionBy($"cohort").orderBy($"age".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev", sum($"rev_cell").over(wCum))
+      .join(broadcast(cohortSize), Seq("cohort"))
+      .withColumn("cum_e4", ($"cum_rev" * 10000).cast("long"))
+      .select($"cohort", $"age", $"n_customers",
+        $"rev_cell".cast("double").as("revenue"),
+        expr("cum_e4 div n_customers").as("ltv_per_customer_e4"))
+      .orderBy($"cohort".asc_nulls_first, $"age".asc_nulls_first)
+  }
+
+  private val cohortLtvOracle = """
+    WITH o AS (
+      SELECT o_custkey,
+        year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mo,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders),
+    f AS (SELECT o_custkey, min(mo) AS cohort FROM o GROUP BY o_custkey),
+    cs AS (SELECT cohort, count(DISTINCT o_custkey) AS n_customers
+           FROM f GROUP BY cohort),
+    cells AS (
+      SELECT f.cohort, o.mo - f.cohort AS age, sum(o.rev) AS rev_cell
+      FROM o JOIN f ON o.o_custkey = f.o_custkey
+      GROUP BY f.cohort, o.mo - f.cohort)
+    SELECT CAST(cells.cohort AS BIGINT) AS cohort,
+      CAST(age AS BIGINT) AS age,
+      CAST(n_customers AS BIGINT) AS n_customers,
+      CAST(rev_cell AS DOUBLE) AS revenue,
+      CAST(sum(rev_cell) OVER (PARTITION BY cells.cohort
+          ORDER BY age ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        * 10000 AS BIGINT) // n_customers AS ltv_per_customer_e4
+    FROM cells JOIN cs ON cells.cohort = cs.cohort
+    ORDER BY cohort ASC NULLS FIRST, age ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_cohort_ltv", cohortLtv, Some(cohortLtvOracle)),
     Q("q_survival_km", survivalKm, Some(survivalKmOracle)),
     Q("q_path_transitions", pathTransitions, Some(pathTransitionsOracle)),
     Q("q_marketing_engagement_decay", engagementDecay,
