@@ -68,6 +68,19 @@ class Batch5Spec extends SparkTestBase {
     assert(u == expectedU)
   }
 
+  test("cohort ltv: monotone nondecreasing per cohort, age starts at 0") {
+    val df = SparkEntry.queries("q_cohort_ltv")(spark, sf0001).cache()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"cohort").orderBy($"age".asc)
+    val drops = df.withColumn("prev", lag($"ltv_per_customer_e4", 1).over(w))
+      .filter($"prev".isNotNull && $"ltv_per_customer_e4" < $"prev")
+    assert(drops.count() == 0)
+    // every cohort has its age-0 cell (the first order IS in the cohort month)
+    val cohorts = df.select($"cohort").distinct().count()
+    assert(df.filter($"age" === 0).count() == cohorts)
+    df.unpersist()
+  }
+
   test("stream outer join: emits both matched and watermark-finalized rows") {
     val df = SparkEntry.queries("q_stream_outer_join")(spark, sf0001).cache()
     val unmatched = df.filter($"click_id".isNull)
