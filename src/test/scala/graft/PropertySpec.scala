@@ -55,6 +55,49 @@ object PropertySpec extends Properties("graft") {
     }
   }
 
+  property("bitmap distinct equals countDistinct under any grouping") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 200L)))) { xs =>
+      xs.isEmpty || {
+        val df = xs.toDF("g", "k")
+        // direct == rollup-through-merged-group-bitmaps == exact
+        val direct = df.agg(expr("graft_bitmap_card(graft_bitmap_agg(k))"))
+          .head().getLong(0)
+        val rollup = df.groupBy($"g")
+          .agg(expr("graft_bitmap_agg(k)").as("bm"))
+          .agg(expr("graft_bitmap_card(graft_bitmap_merge_agg(bm))"))
+          .head().getLong(0)
+        val exact = xs.map(_._2).distinct.size.toLong
+        direct == exact && rollup == exact
+      }
+    }
+
+  private val intervalGen = Gen.listOf(Gen.zip(
+    Gen.chooseNum(-50L, 50L), Gen.chooseNum(-20L, 40L)))
+
+  property("range-join binning result-identical to the nested loop") =
+    forAll(Gen.listOf(Gen.chooseNum(-60L, 60L)), intervalGen,
+           Gen.oneOf(1L, 3L, 16L)) { (ps, ivs, w) =>
+      ps.isEmpty || ivs.isEmpty || {
+        val p = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("pid", "p")
+        val iv = ivs.zipWithIndex.map { case ((lo, len), i) =>
+          (i.toLong, lo, lo + len) }.toDF("id", "lo", "hi")
+        def run() = p.join(iv, $"p" >= $"lo" && $"p" <= $"hi")
+          .select($"pid", $"id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val key = graft.plans.RangeJoinBinning.ConfKey
+        val saved = spark.conf.getOption(key)
+        spark.conf.set(key, "0")
+        val plain = try run() finally ()
+        spark.conf.set(key, w.toString)
+        val binned = try run() finally saved match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        plain == binned
+      }
+    }
+
   property("session count never exceeds event count") = forAll(rows) { xs =>
     val events = xs.zipWithIndex.map { case ((u, m), i) =>
       (i.toLong, u, new java.sql.Timestamp(1700000000000L + m * 60000L))
