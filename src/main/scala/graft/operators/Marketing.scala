@@ -840,7 +840,89 @@ object Marketing extends QueryPack {
     FROM cells JOIN cs ON cells.cohort = cs.cohort
     ORDER BY cohort ASC NULLS FIRST, age ASC NULLS FIRST"""
 
+  /** Time-capped window funnel (added round 10 batch 5) — the
+    * deadline-bounded sibling of q_funnel_steps (the ClickHouse
+    * `windowFunnel` semantic): view → click → purchase where every later
+    * stage must land within 7 DAYS of the user's first view, not merely
+    * after the previous stage. Graded output is the aggregate funnel
+    * table: users ending at each stage, users reaching at least each
+    * stage, and conversion-from-top as exact ppm integers (truncating
+    * division — the q_attribution convention, no float ratios).
+    *
+    * Scale: same three chained filtered min-aggregations as
+    * q_funnel_steps (each one hash shuffle on user_id, map-side combined;
+    * never a per-user sort); the funnel table is 3 rows, so its
+    * reached-at-least window is trivially bounded.
+    */
+  private def funnelWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    val deadline = expr("INTERVAL 7 DAYS")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view")).cache()
+    val clicks = ev.filter($"event_type" === "click")
+      .join(views, "user_id")
+      .filter($"ts" > $"t_view" && $"ts" <= $"t_view" + deadline)
+      .groupBy($"user_id").agg(min($"ts").as("t_click"),
+        min($"t_view").as("t_view0")).cache()
+    val purchases = ev.filter($"event_type" === "purchase")
+      .join(clicks, "user_id")
+      .filter($"ts" > $"t_click" && $"ts" <= $"t_view0" + deadline)
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    val perUser = views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select((lit(1L)
+        + when($"t_click".isNotNull, 1L).otherwise(0L)
+        + when($"t_purchase".isNotNull, 1L).otherwise(0L)).as("stage"))
+    val wAtLeast = Window.orderBy($"stage".asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    perUser.groupBy($"stage").agg(count(lit(1)).as("n_ending"))
+      .withColumn("n_reached", sum($"n_ending").over(wAtLeast))
+      .withColumn("top", max($"n_reached").over(
+        Window.orderBy($"stage".asc).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"stage", $"n_ending", $"n_reached",
+        expr("n_reached * 1000000 div top").as("conv_ppm"))
+      .orderBy($"stage".asc_nulls_first)
+  }
+
+  private val funnelWindowOracle = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS t_view0
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_view0 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    pu AS (
+      SELECT 1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id),
+    agg AS (SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_ending
+            FROM pu GROUP BY stage),
+    r AS (
+      SELECT stage, n_ending,
+        sum(n_ending) OVER (ORDER BY stage ASC
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_reached
+      FROM agg),
+    r2 AS (SELECT r.*, max(n_reached) OVER () AS top FROM r)
+    SELECT stage, n_ending, CAST(n_reached AS BIGINT) AS n_reached,
+      CAST(n_reached AS BIGINT) * 1000000 // CAST(top AS BIGINT) AS conv_ppm
+    FROM r2 ORDER BY stage ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_funnel_window", funnelWindow, Some(funnelWindowOracle)),
     Q("q_cohort_ltv", cohortLtv, Some(cohortLtvOracle)),
     Q("q_survival_km", survivalKm, Some(survivalKmOracle)),
     Q("q_path_transitions", pathTransitions, Some(pathTransitionsOracle)),
