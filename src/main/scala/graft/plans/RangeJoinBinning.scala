@@ -3,12 +3,12 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, AttributeReference, EqualTo, Explode, Expression,
   GreaterThan, GreaterThanOrEqual, IntegralDivide, LessThan,
-  LessThanOrEqual, Literal, Pmod, Sequence, Subtract}
+  LessThanOrEqual, Literal, Pmod, Sequence, Subtract, UnixMicros}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{
   Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Optimizer rule: automatic range-join binning.
   *
@@ -40,24 +40,38 @@ import org.apache.spark.sql.types.LongType
   * NULL bin, which an equi join drops — same as the original predicate.
   *
   * Scope guards (all must hold, checked on the RESOLVED join):
-  *  - inner join whose condition bounds ONE long-typed point expression
-  *    from both sides by long-typed bounds from the other side;
+  *  - inner join whose condition bounds ONE point expression from both
+  *    sides by same-typed bounds from the other side; long points bin
+  *    directly, timestamp points bin on exact epoch micros (the width
+  *    conf is then in µs);
   *  - NO cross-side equi conjunct — if one exists the planner already
   *    hash-joins on it and the suite's manual pre-binning
   *    (q_join_interval_banded) no longer matches here (its bin IS an equi
   *    conjunct), which also makes the rule idempotent: the rewritten join
   *    contains `bin = bin` and can never match again.
   *
-  * The bin width is the operator-chosen
-  * `spark.graft.rangeJoin.binSize` (in the point column's own unit;
-  * 0/unset disables the rule). Width trades generator fan-out,
+  * The bin width is operator-chosen, one conf key PER UNIT SYSTEM
+  * ([[ConfKey]] for long points in the column's own unit,
+  * [[MicrosConfKey]] for timestamp points in µs; each 0/unset keeps its
+  * arm off — see MicrosConfKey's scaladoc for why sharing one width
+  * across units would be a foot-gun). Width trades generator fan-out,
   * (hi−lo)/W + 1 rows per interval, against residual selectivity per
   * bucket — the same knob every production range-join implementation
   * exposes. Exercised by q_join_range_auto, whose spec asserts the
   * nested loop is gone from the executed plan.
   */
 object RangeJoinBinning extends Rule[LogicalPlan] {
+  /** Bin width for LONG-typed points, in the column's own unit. */
   val ConfKey = "spark.graft.rangeJoin.binSize"
+
+  /** Bin width for TIMESTAMP-typed points, in MICROSECONDS. A separate
+    * key on purpose: one shared width across unit systems would let a
+    * day-unit setting (e.g. 16, left by a long-typed query in the shared
+    * session) apply to a microsecond-scale join, where a 30-minute
+    * interval would explode into 10^8 generated bins. Each type's rule
+    * arm is armed only by its own key; 0/unset keeps it off.
+    */
+  val MicrosConfKey = "spark.graft.rangeJoin.binSizeMicros"
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -74,7 +88,8 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
   private case class Bounds(point: Expression, lo: Expression,
                             hi: Expression, pointSide: Int)
 
-  private def findBounds(j: Join, cond: Expression): Option[Bounds] = {
+  private def findBounds(j: Join, cond: Expression,
+                         wLong: Long, wTs: Long): Option[Bounds] = {
     val cs = conjuncts(cond)
     val hasCrossEqui = cs.exists {
       case EqualTo(a, b) =>
@@ -83,10 +98,14 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
       case _ => false
     }
     if (hasCrossEqui) return None
-    // (point, bound, boundIsLower) candidates, long-typed, cross-side.
+    // (point, bound, boundIsLower) candidates, cross-side; long-typed
+    // directly, or timestamp-typed (binned on epoch micros — the bin conf
+    // is then in MICROSECONDS, documented).
+    def binnable(t: org.apache.spark.sql.types.DataType) =
+      (t == LongType && wLong > 0) || (t == TimestampType && wTs > 0)
     def cand(p: Expression, b: Expression, lower: Boolean) = {
       val (sp, sb) = (sideOf(p, j), sideOf(b, j))
-      if (p.dataType == LongType && b.dataType == LongType &&
+      if (binnable(p.dataType) && p.dataType == b.dataType &&
           sp != 0 && sb != 0 && sp != sb) Seq((p, b, lower, sp))
       else Seq.empty
     }
@@ -112,11 +131,16 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
 
   private def binOf(e: Expression, w: Long): Expression = {
     val width = Literal(w, LongType)
+    // Timestamps bin on their exact epoch-micros representation (the bin
+    // width conf is then in µs); longs bin directly.
+    val asLong = if (e.dataType == TimestampType) UnixMicros(e) else e
     // floorDiv: (e - pmod(e, w)) / w — exact for negatives too.
-    new IntegralDivide(Subtract(e, Pmod(e, width)), width)
+    new IntegralDivide(Subtract(asLong, Pmod(asLong, width)), width)
   }
 
-  private def rewrite(j: Join, b: Bounds, w: Long): LogicalPlan = {
+  private def rewrite(j: Join, b: Bounds, wLong: Long,
+                      wTs: Long): LogicalPlan = {
+    val w = if (b.point.dataType == TimestampType) wTs else wLong
     val (pointPlan, boundPlan) =
       if (b.pointSide == 1) (j.left, j.right) else (j.right, j.left)
     val binAlias = Alias(binOf(b.point, w), "__graft_bin")()
@@ -145,11 +169,13 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString(ConfKey, "0").toLong
-    if (w <= 0) return plan
+    val wLong = conf.getConfString(ConfKey, "0").toLong
+    val wTs = conf.getConfString(MicrosConfKey, "0").toLong
+    if (wLong <= 0 && wTs <= 0) return plan
     plan.transform {
       case j @ Join(_, _, Inner, Some(cond), _) if j.resolved =>
-        findBounds(j, cond).map(rewrite(j, _, w)).getOrElse(j)
+        findBounds(j, cond, wLong, wTs)
+          .map(rewrite(j, _, wLong, wTs)).getOrElse(j)
     }
   }
 }

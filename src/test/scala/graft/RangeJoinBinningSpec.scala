@@ -50,6 +50,29 @@ class RangeJoinBinningSpec extends SparkTestBase {
     }
   }
 
+  test("timestamp points bin on epoch micros under their own width key") {
+    def ts(minute: Int) =
+      new java.sql.Timestamp(1700000000000L + minute * 60000L)
+    val p = (0 until 40).map(i => (i.toLong, ts(i * 3))).toDF("pid", "t")
+    val iv = Seq((1L, ts(0), ts(30)), (2L, ts(25), ts(90)),
+      (3L, ts(100), ts(95))).toDF("id", "lo", "hi")
+    def run() = p.join(iv, $"t" >= $"lo" && $"t" <= $"hi")
+      .select($"pid", $"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val key = RangeJoinBinning.MicrosConfKey
+    val plain = run() // micros key unset -> timestamps not binned
+    try {
+      spark.conf.set(key, (10 * 60 * 1000000L).toString) // 10-minute bins
+      assert(run() == plain && plain.nonEmpty)
+      val plan = p.join(iv, $"t" >= $"lo" && $"t" <= $"hi")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_bin"))
+      // the LONG width key being set must not affect timestamp joins
+      spark.conf.unset(key)
+      withBinSize(16L) { assert(run() == plain) }
+    } finally spark.conf.unset(key)
+  }
+
   test("rule fires: bin key in the plan, nested loop gone") {
     withBinSize(16L) {
       val df = SparkEntry.queries("q_join_range_auto")(spark, sf0001)
