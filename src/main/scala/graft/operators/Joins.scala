@@ -556,8 +556,55 @@ object Joins extends QueryPack {
     GROUP BY win_start, win_end
     ORDER BY win_start ASC NULLS FIRST"""
 
+  /** The TIMESTAMP arm of the automatic range-join binning rule, graded
+    * end-to-end (added round 10 batch 5; the long arm is
+    * q_join_range_auto): events joined to OVERLAPPING 2-hour monitoring
+    * windows starting every 30 minutes across the stream's span — the
+    * naive theta spelling again, rescued by the µs-keyed rewrite
+    * (`spark.graft.rangeJoin.binSizeMicros`, here 1-hour bins: each
+    * window covers 3-4 bins, each event owns one). Overlap is again the
+    * point — non-overlapping windows would be date_trunc.
+    */
+  private def joinRangeAutoTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set(graft.plans.RangeJoinBinning.MicrosConfKey,
+      (3600L * 1000000L).toString)
+    val e = Catalog.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"value")
+    val windows = e
+      .agg(min(date_trunc("hour", $"ts")).as("lo"), max($"ts").as("hi"))
+      .select(explode(expr(
+        "sequence(lo, hi, INTERVAL 30 MINUTES)")).as("win_start"))
+      .select($"win_start",
+        ($"win_start" + expr("INTERVAL 2 HOURS")).as("win_end"))
+    e.join(windows, $"ts" >= $"win_start" && $"ts" < $"win_end")
+      .groupBy($"win_start", $"win_end")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"win_start".asc_nulls_first)
+  }
+
+  private val joinRangeAutoTsOracle = s"""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    span AS (
+      SELECT CAST(min(date_trunc('hour', ts)) AS TIMESTAMP) AS lo,
+             max(ts) AS hi
+      FROM e),
+    w AS (
+      SELECT lo + to_microseconds(1800000000 * r.range) AS win_start,
+        lo + to_microseconds(1800000000 * r.range)
+          + INTERVAL 2 HOUR AS win_end
+      FROM span, range(0, 10000) r
+      WHERE lo + to_microseconds(1800000000 * r.range) <= hi)
+    SELECT win_start, win_end, count(*) AS n_events,
+      ${Oracle.dsum("value")} AS sum_value
+    FROM e JOIN w ON ts >= win_start AND ts < win_end
+    GROUP BY win_start, win_end
+    ORDER BY win_start ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_join_range_auto", joinRangeAuto, Some(joinRangeAutoOracle)),
+    Q("q_join_range_auto_ts", joinRangeAutoTs, Some(joinRangeAutoTsOracle)),
     Q("q_join_interval_banded", joinIntervalBanded, Some(joinIntervalBandedOracle)),
     Q("q_join_skew_salted", joinSkewSalted, Some(s"""
       SELECT s_nationkey, count(*) AS n_items,
