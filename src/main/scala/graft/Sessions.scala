@@ -4,6 +4,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Single place where graded sessions are configured, so Verify, Bench and
   * the test suites agree on semantics-bearing settings.
+  *
+  * Shared-session cache contract: query builders may `.cache()` an
+  * intermediate frame that is consumed more than once in the SAME query's
+  * plan (statCuped's per-customer frame, funnelWindow's views/clicks, …).
+  * These entries are deliberately NOT unpersisted by the builder — the
+  * consuming action runs after the builder returns, so eager unpersist
+  * would defeat the cache — and reclamation is delegated to the block
+  * manager's LRU eviction (storage level MEMORY_AND_DISK; evicted blocks
+  * recompute from lineage, never fail). A long-lived production session
+  * that wants deterministic reclamation should run each query batch in a
+  * `newSession()` clone and call `spark.sharedState.cacheManager
+  * .clearCache()` between batches; the graded Verify/Bench processes are
+  * bounded (one JVM per run) so LRU is the declared policy there.
   */
 object Sessions {
   def build(cpus: String): SparkSession = {

@@ -518,7 +518,16 @@ object Joins extends QueryPack {
     * (here 16 days ≈ window span/2) trading generator fan-out (2-3 bins
     * per window) against per-bucket residual work.
     */
-  private def joinRangeAuto(spark: SparkSession, sfDir: String): DataFrame = {
+  private def joinRangeAuto(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    // Conf scoping: the width must be visible at OPTIMIZATION time (the
+    // action fires after this builder returns), so a set+restore here
+    // would disarm the rule before it ever ran. A cloned session carries
+    // its own SQLConf to the returned frame's lazy optimization while the
+    // caller's session keeps the rule off — no later point-in-interval
+    // join in the shared session is silently rewritten by a width this
+    // query leaked (builder-time .config() options and injected
+    // extensions are inherited by newSession(); runtime-set conf is not).
+    val spark = sparkIn.newSession()
     import spark.implicits._
     spark.conf.set(graft.plans.RangeJoinBinning.ConfKey, "16")
     val o = Catalog.load(spark, sfDir, "orders").select(
@@ -565,7 +574,9 @@ object Joins extends QueryPack {
     * window covers 3-4 bins, each event owns one). Overlap is again the
     * point — non-overlapping windows would be date_trunc.
     */
-  private def joinRangeAutoTs(spark: SparkSession, sfDir: String): DataFrame = {
+  private def joinRangeAutoTs(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    // Cloned-session conf scoping — see joinRangeAuto.
+    val spark = sparkIn.newSession()
     import spark.implicits._
     spark.conf.set(graft.plans.RangeJoinBinning.MicrosConfKey,
       (3600L * 1000000L).toString)

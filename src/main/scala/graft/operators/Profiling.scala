@@ -993,8 +993,13 @@ object Profiling extends QueryPack {
       count(lit(1)).cast("double").as("n"),
       exact($"x").as("sx"), exact($"y").as("sy"),
       exact($"x" * $"x").as("sxx"), exact($"x" * $"y").as("sxy"))
-    val theta = ($"n" * $"sxy" - $"sx" * $"sy") /
-      ($"n" * $"sxx" - $"sx" * $"sx")
+    // Zero pre-period variance (all x equal — e.g. a filter leaving no
+    // 1995 orders) would make the OLS slope 0/0 = NaN and poison every
+    // adjusted mean; θ degrades to 0 = the plain difference-in-means
+    // estimator (oracle carries the same CASE so parity is exact).
+    val thetaDenom = $"n" * $"sxx" - $"sx" * $"sx"
+    val theta = when(thetaDenom === 0.0, 0.0)
+      .otherwise(($"n" * $"sxy" - $"sx" * $"sy") / thetaDenom)
     rows.crossJoin(broadcast(m))
       .withColumn("theta", theta)
       .withColumn("adj",
@@ -1038,8 +1043,11 @@ object Profiling extends QueryPack {
       FROM r),
     a AS (
       SELECT variant, y,
-        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
-        CAST(y AS DOUBLE) - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+          ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
+        CAST(y AS DOUBLE)
+          - (CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
           * (CAST(x AS DOUBLE) - sx / n) AS adj
       FROM r, m)
     SELECT variant, count(*) AS n_customers,

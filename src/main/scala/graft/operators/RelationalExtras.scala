@@ -339,17 +339,26 @@ object RelationalExtras extends QueryPack {
     * weight is integer (or an exact-double comparison), so the score and
     * class are bit-deterministic cross-engine — no probability floats.
     *
-    * Scale: candidates come from the same brand-blocked equi-join as
-    * q_er_blocking (never all-pairs), and the edit distance comes from a
-    * BROADCAST DICTIONARY-PAIR MATRIX: part names draw from a bounded
-    * vocabulary (64 distinct names across 20k parts at sf0.1), so the
-    * |dict|² levenshtein DPs run ONCE on the distinct-name cross product
-    * and every candidate pair does a broadcast hash probe instead of an
-    * in-join DP — measured 8.8 s → sub-second at sf0.1 (8M pairs would
-    * otherwise each pay the full DP). Right whenever the string vocabulary
-    * ≪ rows (catalog/dimension data); for open vocabularies use the
-    * banded in-join DP q_er_blocking demonstrates. Skewed blocks take the
-    * q_join_skew_salted treatment.
+    * Scale: candidates come from a (brand, type)-blocked equi-join — the
+    * same compound key q_er_blocking uses, and the block-growth rule it
+    * encodes is binding: a blocking key must have cardinality that GROWS
+    * with the data (or a size cap); brand alone is 25 fixed values, so
+    * block membership grows linearly with the corpus and in-block pairs
+    * grow QUADRATICALLY — ~8M pairs at sf0.1 would be ~80G at 100×.
+    * Salting (q_join_skew_salted) redistributes a skewed block across
+    * tasks but does NOT shrink its pair count; only a
+    * cardinality-scaling key does. (brand, type) multiplies in the
+    * 150-value type dimension, cutting fixture pairs ~150× with identical
+    * top-of-ranking semantics (a cross-type pair starts 25 points behind
+    * an equal-name same-type pair and cannot reach the match band).
+    * The edit distance comes from a BROADCAST DICTIONARY-PAIR MATRIX:
+    * part names draw from a bounded vocabulary (64 distinct names across
+    * 20k parts at sf0.1), so the |dict|² levenshtein DPs run ONCE on the
+    * distinct-name cross product and every candidate pair does a
+    * broadcast hash probe instead of an in-join DP — measured 8.8 s →
+    * sub-second at sf0.1. Right whenever the string vocabulary ≪ rows
+    * (catalog/dimension data); for open vocabularies use the banded
+    * in-join DP q_er_blocking demonstrates.
     */
   private def erScore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -382,7 +391,7 @@ object RelationalExtras extends QueryPack {
     // scale the probe side already arrives as many tasks and this shuffle
     // carries only the slim dictionary-encoded probe columns.
     p.as("a").repartition($"p_partkey").join(broadcast(p.as("b")),
-        $"a.p_brand" === $"b.p_brand")
+        $"a.p_brand" === $"b.p_brand" && $"a.p_type" === $"b.p_type")
       .filter($"a.p_partkey" < $"b.p_partkey")
       .join(broadcast(nameDist),
         ($"a.name_id" * 1048576L + $"b.name_id") === $"pair_id")
@@ -410,7 +419,8 @@ object RelationalExtras extends QueryPack {
          + CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 50.0 THEN 8
                 ELSE -3 END) AS score
       FROM part a JOIN part b
-        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        AND a.p_partkey < b.p_partkey)
     SELECT p_brand, key_a, key_b, lev, score,
       CASE WHEN score >= 40 THEN 'match'
            WHEN score >= 15 THEN 'possible'

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegralType, LongType}
 
 /** EXACT mergeable distinct-count bitmaps — the bitmap-index aggregate of
   * the OLAP engines (ClickHouse `groupBitmap`, Doris `BITMAP_UNION`), built
@@ -70,10 +70,14 @@ case class BitmapAgg(
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[RoaringBitmap] with UnaryLike[Expression] {
 
+  // Any integral key type is accepted and widened to long in update() —
+  // dictionary ids commonly arrive as INT (and the ClickHouse/Doris
+  // bitmap aggregates this mirrors accept them); rejecting the narrower
+  // types would fail analysis where widening is always safe.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType.isInstanceOf[IntegralType]) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_bitmap_agg wants a bigint key, got ${child.dataType.simpleString}")
+      s"graft_bitmap_agg wants an integral key, got ${child.dataType.simpleString}")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bitmap_agg"
@@ -82,7 +86,8 @@ case class BitmapAgg(
 
   override def update(buf: RoaringBitmap, input: InternalRow): RoaringBitmap = {
     val v = child.eval(input)
-    if (v != null) BitmapDistinct.addKey(buf, v.asInstanceOf[Long])
+    if (v != null)
+      BitmapDistinct.addKey(buf, v.asInstanceOf[Number].longValue())
     buf
   }
 
