@@ -613,9 +613,69 @@ object Joins extends QueryPack {
     GROUP BY win_start, win_end
     ORDER BY win_start ASC NULLS FIRST"""
 
+  /** INTERVAL×INTERVAL overlap join written NAIVELY — the second
+    * range-join shape (added round 11; the point-in-interval arms are
+    * q_join_range_auto/_ts). Each order carries a fulfillment interval
+    * [d, d + orderkey%20]; overlapping 30-day promo windows start every
+    * 10 days across the span; the join condition is the plain two-sided
+    * overlap `o_lo <= win_end && win_start <= o_hi` with NO equi key —
+    * nested-loop territory without help. The extended
+    * [[graft.plans.RangeJoinBinning]] overlap arm rewrites it: BOTH
+    * sides explode covered bins, the join runs equi on the bin, and the
+    * ownership residual (bin == bin(greatest(o_lo, win_start))) keeps
+    * each matching pair exactly once. The spec asserts the nested loop
+    * is gone and both generators are present.
+    *
+    * Scale: overlap joins (temporal validity × promo calendar, genomic
+    * intervals) shuffle on bin keys like any equi join; fan-out is
+    * (len/W + 1) per row ≈ 2-4 here — the generated-rows blow-up is
+    * bounded by interval length over width, not by table size.
+    */
+  private def joinIntervalOverlap(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    // Cloned-session conf scoping — see joinRangeAuto.
+    val spark = sparkIn.newSession()
+    import spark.implicits._
+    spark.conf.set(graft.plans.RangeJoinBinning.ConfKey, "16")
+    val o = Catalog.load(spark, sfDir, "orders").select(
+        $"o_orderkey", $"o_totalprice",
+        datediff($"o_orderdate".cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("o_lo"))
+      .withColumn("o_hi", $"o_lo" + ($"o_orderkey" % 20).cast("long"))
+    val windows = o.agg(min($"o_lo").as("mn"), max($"o_lo").as("mx"))
+      .select(explode(sequence($"mn" - ($"mn" % 10), $"mx", lit(10L)))
+        .as("win_start"))
+      .select($"win_start", ($"win_start" + 29L).as("win_end"))
+    o.join(windows, $"o_lo" <= $"win_end" && $"win_start" <= $"o_hi")
+      .groupBy($"win_start", $"win_end")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"win_start".asc_nulls_first)
+  }
+
+  private val joinIntervalOverlapOracle = s"""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice,
+        CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS o_lo,
+        CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) + o_orderkey % 20 AS o_hi
+      FROM orders),
+    span AS (SELECT min(o_lo) AS mn, max(o_lo) AS mx FROM o),
+    w AS (
+      SELECT mn - (mn % 10) + 10 * r.range AS win_start,
+        mn - (mn % 10) + 10 * r.range + 29 AS win_end
+      FROM span, range(0, 1000) r
+      WHERE mn - (mn % 10) + 10 * r.range <= mx)
+    SELECT win_start, win_end, count(*) AS n_orders,
+      ${Oracle.dsum("o_totalprice")} AS revenue
+    FROM o JOIN w ON o_lo <= win_end AND win_start <= o_hi
+    GROUP BY win_start, win_end
+    ORDER BY win_start ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_join_range_auto", joinRangeAuto, Some(joinRangeAutoOracle)),
     Q("q_join_range_auto_ts", joinRangeAutoTs, Some(joinRangeAutoTsOracle)),
+    Q("q_join_interval_overlap", joinIntervalOverlap,
+      Some(joinIntervalOverlapOracle)),
     Q("q_join_interval_banded", joinIntervalBanded, Some(joinIntervalBandedOracle)),
     Q("q_join_skew_salted", joinSkewSalted, Some(s"""
       SELECT s_nationkey, count(*) AS n_items,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegralType, LongType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** EXACT mergeable distinct-count bitmaps — the bitmap-index aggregate of
   * the OLAP engines (ClickHouse `groupBitmap`, Doris `BITMAP_UNION`), built
@@ -75,9 +75,12 @@ case class BitmapAgg(
   // bitmap aggregates this mirrors accept them); rejecting the narrower
   // types would fail analysis where widening is always safe.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[IntegralType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_bitmap_agg wants an integral key, got ${child.dataType.simpleString}")
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_agg wants an integral key, got ${other.simpleString}")
+    }
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bitmap_agg"

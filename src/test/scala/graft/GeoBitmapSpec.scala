@@ -94,6 +94,17 @@ class GeoBitmapSpec extends SparkTestBase {
     assert(both <= math.min(c95, c96) && c95 > 0 && c96 > 0)
   }
 
+  test("bitmap agg: narrower integral key types widen instead of failing") {
+    // Dictionary ids commonly arrive as INT; analysis must accept any
+    // integral type and widen in update(), matching long-key results.
+    val viaInt = Seq(1, 2, 2, 7).toDF("k")
+      .agg(expr("graft_bitmap_card(graft_bitmap_agg(k))")).head().getLong(0)
+    val viaShort = Seq(1, 2, 2, 7).toDF("k")
+      .select($"k".cast("smallint") as "k")
+      .agg(expr("graft_bitmap_card(graft_bitmap_agg(k))")).head().getLong(0)
+    assert(viaInt == 3L && viaShort == 3L)
+  }
+
   test("bitmap agg: keys outside the 32-bit dictionary domain fail loudly") {
     val ex = intercept[Exception] {
       Seq(1L, Int.MaxValue.toLong + 1).toDF("k")

@@ -98,4 +98,88 @@ class RangeJoinBinningSpec extends SparkTestBase {
       assert(!plan.contains("__graft_bin"))
     }
   }
+
+  // ---- two-sided interval×interval overlap arm (round 11) ----
+
+  private val ivA: Seq[(Long, java.lang.Long, java.lang.Long)] = Seq(
+    (1L, 0L, 10L), (2L, 8L, 40L), (3L, 30L, 30L),
+    (4L, 50L, 20L),                   // ill-formed lo > hi — can still match
+    (5L, null, 10L), (6L, 90L, null), // NULL bounds match nothing
+    (7L, -20L, -1L))
+  private val ivB: Seq[(Long, java.lang.Long, java.lang.Long)] = Seq(
+    (11L, 5L, 9L), (12L, 35L, 60L), (13L, -5L, 0L),
+    (14L, 45L, 25L),                  // ill-formed on the right side too
+    (15L, null, 99L), (16L, 100L, 200L))
+
+  private def runOverlap(cond: org.apache.spark.sql.Column) = {
+    val a = ivA.toDF("aid", "alo", "ahi")
+    val b = ivB.toDF("bid", "blo", "bhi")
+    a.join(b, cond).select($"aid", $"bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("overlap arm result identical to nested loop, incl ill-formed/NULLs") {
+    for (cond <- Seq(
+        $"alo" <= $"bhi" && $"blo" <= $"ahi",
+        $"alo" < $"bhi" && $"blo" < $"ahi",
+        $"bhi" >= $"alo" && $"ahi" >= $"blo")) {
+      val plain = withBinSize(0L)(runOverlap(cond))
+      for (w <- Seq(1L, 7L, 16L, 1000L)) {
+        assert(withBinSize(w)(runOverlap(cond)) == plain, s"w=$w cond=$cond")
+      }
+      assert(plain.nonEmpty)
+    }
+  }
+
+  test("overlap arm: ill-formed intervals on BOTH sides still match exactly") {
+    // (4, lo=50, hi=20) × (12, lo=35, hi=60): 50<=60 && 35<=20 false;
+    // (4) × (14, lo=45, hi=25): 50<=25 false — but (2, 8,40) × (14,45,25):
+    // 8<=25 && 45<=40 false. Construct one TRUE ill-formed match:
+    // (4, 50, 20) × (16, 100, 200): 50<=200 && 100<=20 false. Use a probe
+    // where the naive condition holds with a.lo>a.hi: a=(50,20), b=(0,70):
+    // 50<=70 && 0<=20 — MATCH.
+    val a = Seq((1L, 50L, 20L)).toDF("aid", "alo", "ahi")
+    val b = Seq((2L, 0L, 70L)).toDF("bid", "blo", "bhi")
+    def res(w: Long) = withBinSize(w)(
+      a.join(b, $"alo" <= $"bhi" && $"blo" <= $"ahi")
+        .select($"aid", $"bid").collect().length)
+    assert(res(0L) == 1)
+    for (w <- Seq(1L, 16L, 64L)) assert(res(w) == 1, s"w=$w")
+  }
+
+  test("graded overlap query: generators on both sides, nested loop gone") {
+    val df = SparkEntry.queries("q_join_interval_overlap")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bin_l") && plan.contains("__graft_bin_r"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
+  test("fan-out cap raises a NAMED error instead of an array blow-up") {
+    val capKey = RangeJoinBinning.MaxBinsConfKey
+    try {
+      spark.conf.set(capKey, "10")
+      val e = intercept[Exception] {
+        withBinSize(1L)(run($"p" >= $"lo" && $"p" <= $"hi"))
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(capKey)), msgs(e).mkString(" | "))
+    } finally spark.conf.unset(capKey)
+  }
+
+  test("malformed width conf fails naming the conf key") {
+    try {
+      spark.conf.set(RangeJoinBinning.ConfKey, "sixteen")
+      val e = intercept[Exception] {
+        points.toDF("p").join(intervals.toDF("id", "lo", "hi"),
+          $"p" >= $"lo" && $"p" <= $"hi").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(RangeJoinBinning.ConfKey)))
+    } finally spark.conf.unset(RangeJoinBinning.ConfKey)
+  }
 }
