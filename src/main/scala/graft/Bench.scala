@@ -43,8 +43,13 @@ object Bench {
     // q_graph_triangles likewise warms the co-purchase edge leaf shared
     // with q_graph_pagerank — with this, every materialize-once leaf in
     // the suite is built before the timed pass.
+    // q_sim_ann_ivf warms the memoized IVF index leaves (centroids +
+    // cell-clustered postings, round 11) shared with q_sim_ann_ivf_serve —
+    // the declared materialize-once build cost lands here, the timed pass
+    // measures the serve path both queries share.
     (SparkEntry.all.map(_.id).filter(_.startsWith("q_source_")) ++
-      Seq("q_join_bucketed", "q_graph_components", "q_graph_triangles"))
+      Seq("q_join_bucketed", "q_graph_components", "q_graph_triangles",
+        "q_sim_ann_ivf"))
       .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.

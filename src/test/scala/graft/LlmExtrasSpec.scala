@@ -63,6 +63,21 @@ class LlmExtrasSpec extends SparkTestBase {
     assert(ivf.count() > 0)
   }
 
+  test("IVF serve: second probe batch touches ONLY the index leaves") {
+    // Resolve the leaves once (the build — q_sim_ann_ivf pays it).
+    SparkEntry.queries("q_sim_ann_ivf")(spark, sf0001).count()
+    val serve = SparkEntry.queries("q_sim_ann_ivf_serve")(spark, sf0001)
+    val plan = serve.queryExecution.optimizedPlan.toString
+    // No centroid recompute: the avg-per-dimension aggregation must be
+    // absent — centroids arrive as a checkpointed LogicalRDD leaf.
+    assert(!plan.contains("avg("), plan.take(2000))
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"))
+    // Disjoint probe batches: serve answers 10..19, build answered 0..9.
+    val probes = serve.select($"probe_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(probes.nonEmpty && probes.forall(p => p >= 10L && p < 20L))
+  }
+
   test("rate source streams rows (streaming source capability)") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "50").load()
