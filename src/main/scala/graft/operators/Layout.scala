@@ -50,4 +50,51 @@ object Layout {
         targetFileBytes = 256L << 10)
       dest
     })
+
+  /** Z-value of (x, y) — bit j of x at output bit 2j, bit j of y at 2j+1 —
+    * as a pure integer expression: Σ 4^j·(xbit + 2·ybit). Unrolled to 8
+    * bits; `div`/`%` only, so the SQL mirror is exact. (Shared by the
+    * q_layout_zorder audit and the q_layout_zorder_write clustering.)
+    */
+  def zExpr(x: String, y: String): String =
+    (0 until 8).map { j =>
+      val p = 1L << j; val o = 1L << (2 * j)
+      s"((($x div $p) % 2) * $o + (($y div $p) % 2) * ${2 * o})"
+    }.mkString(" + ")
+
+  private val materializedZ =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write a Z-ORDERED copy of `orders` once per (JVM, sfDir) and return
+    * its root path — the WRITE half of the z-order story
+    * (q_layout_zorder grades the interleave arithmetic; this materializes
+    * the clustering and q_layout_zorder_write answers a 2-D range query
+    * from it). Rows carry their 8-bit grid keys (`zx` = custkey mod 256,
+    * `zy` = order-day mod 256) and interleaved `z`; the table is
+    * partitioned by the ALIGNED top-level Z tile (`z div 4096` — fixing
+    * the top 2 bits of BOTH zx and zy, so every tile is a 64×64 square:
+    * per-tile span ≤ 63 on EITHER axis, 4× tighter than the 0..255 global
+    * span, deterministically — no sampling-based range boundaries) and
+    * z-sorted within files so row-group min/max stats stay tight for
+    * finer predicates. This is the layout property that lets a 2-D range
+    * predicate skip most files on either axis, where a linear sort bounds
+    * only its leading key; the same operation Delta's `OPTIMIZE ZORDER BY`
+    * runs as table maintenance, and like [[compact]] it is a background
+    * rewrite, never on the query path.
+    */
+  def zorderedOrders(spark: SparkSession, sfDir: String): String =
+    materializedZ.computeIfAbsent(sfDir, { _ =>
+      import org.apache.spark.sql.functions.{col, expr}
+      val dest = s"$scratch/orders_z_${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}"
+      graft.Catalog.load(spark, sfDir, "orders")
+        .withColumn("zx", expr("CAST(o_custkey % 256 AS BIGINT)"))
+        .withColumn("zy",
+          expr("CAST(datediff(o_orderdate, DATE'1992-01-01') % 256 AS BIGINT)"))
+        .withColumn("z", expr(zExpr("zx", "zy")))
+        .withColumn("tile", expr("z div 4096"))
+        .repartition(col("tile"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").partitionBy("tile").parquet(dest)
+      dest
+    })
 }

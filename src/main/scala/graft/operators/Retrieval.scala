@@ -268,15 +268,10 @@ object Retrieval extends QueryPack {
     SELECT probe_id, cand_id, qdot, rank FROM ranked WHERE rank <= 3
     ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
 
-  /** Z-value of (x, y) — bit j of x at output bit 2j, bit j of y at 2j+1 —
-    * as a pure integer expression: Σ 4^j·(xbit + 2·ybit). Unrolled to 8
-    * bits; `div`/`%` only, so the SQL mirror is exact.
+  /** Z-value expression — moved to [[Layout.zExpr]] (round 11) so the
+    * write path shares the exact interleave arithmetic with this audit.
     */
-  private def zExpr(x: String, y: String): String =
-    (0 until 8).map { j =>
-      val p = 1L << j; val o = 1L << (2 * j)
-      s"((($x div $p) % 2) * $o + (($y div $p) % 2) * ${2 * o})"
-    }.mkString(" + ")
+  private def zExpr(x: String, y: String): String = Layout.zExpr(x, y)
 
   /** Z-order layout audit: orders keyed by (custkey mod 256, order-day mod
     * 256) are binned by their interleaved Z-value (16 bins); per bin the
@@ -388,8 +383,44 @@ object Retrieval extends QueryPack {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
 
+  /** The WRITE half of the z-order story (added round 11; the interleave
+    * arithmetic audit is q_layout_zorder): answer a 2-D range query —
+    * order stats over a 16×16 (zx, zy) grid window — from the Z-ORDERED
+    * copy [[Layout.zorderedOrders]] writes once per JVM, while the ORACLE
+    * reads the original un-clustered table. Layout-independence IS the
+    * correctness contract (the q_layout_compact treatment applied to
+    * clustering); the skipping proof — every aligned 64×64 tile bounds
+    * BOTH axes 4× tighter than the global span, and the zx/zy range
+    * predicates reach the parquet scan as PushedFilters — is asserted in
+    * RetrievalSpec against the written files themselves.
+    */
+  private def layoutZorderWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dest = Layout.zorderedOrders(spark, sfDir)
+    spark.read.parquet(dest)
+      .filter($"zx".between(32, 47) && $"zy".between(64, 79))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private val layoutZorderWriteOracle: String = s"""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_totalprice,
+        CAST(o_custkey % 256 AS BIGINT) AS zx,
+        CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS BIGINT) AS zy
+      FROM orders)
+    SELECT o_orderpriority, count(*) AS n_orders,
+      ${Oracle.dsum("o_totalprice")} AS revenue
+    FROM keyed
+    WHERE zx BETWEEN 32 AND 47 AND zy BETWEEN 64 AND 79
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_layout_compact", layoutCompact, Some(layoutCompactOracle)),
+    Q("q_layout_zorder_write", layoutZorderWrite,
+      Some(layoutZorderWriteOracle)),
     Q("q_text_inverted_index", invertedIndex, Some(invertedIndexOracle)),
     Q("q_text_bm25", bm25, Some(bm25Oracle)),
     Q("q_text_keyword_tfidf", keywordTfidf, Some(keywordTfidfOracle)),

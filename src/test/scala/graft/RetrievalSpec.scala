@@ -111,6 +111,30 @@ class RetrievalSpec extends SparkTestBase {
       .filter($"count" > 1).count() == 0)
   }
 
+  test("z-order WRITE: every tile bounds both axes; predicates reach the scan") {
+    val dest = graft.operators.Layout.zorderedOrders(spark, sf0001)
+    // Skipping proof against the written files themselves: each aligned
+    // 64x64 tile bounds BOTH grid keys within span 63 — 4x tighter than
+    // the 0..255 global span, on EITHER axis (a linear sort bounds only
+    // its leading key).
+    val spans = spark.read.parquet(dest)
+      .groupBy($"tile")
+      .agg(
+        (max($"zx") - min($"zx")).as("xs"),
+        (max($"zy") - min($"zy")).as("ys"))
+      .collect()
+    // 16 aligned tiles max; sparse grids at tiny SFs leave some empty.
+    assert(spans.nonEmpty && spans.length <= 16)
+    spans.foreach { r =>
+      assert(r.getLong(1) <= 63 && r.getLong(2) <= 63, r.toString)
+    }
+    // The 2-D range predicate reaches the parquet scan (row-group min/max
+    // stats can skip within files; the z-sort keeps them tight).
+    val plan = SparkEntry.queries("q_layout_zorder_write")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("zx"), plan.take(1500))
+  }
+
   test("moving median is a member of its 7-day frame") {
     val m = q("q_win_moving_median")
     // Odd frame count => the median is one of the frame's values; check it
