@@ -63,6 +63,21 @@ class StreamingSpec extends SparkTestBase {
       "expected the watermark to hold back the unfinished tail window")
   }
 
+  test("checkpoint restart: two-run recovery equals the single-run twin") {
+    // q_stream_restart splits the replay at the time midpoint into two
+    // AvailableNow runs sharing one checkpoint + durable parquet sink; the
+    // merged sink must equal the single-run q_stream_windowed_append
+    // result exactly — windows straddling the split prove the state store
+    // was recovered, identical totals prove the sink log deduplicated
+    // nothing and lost nothing. (The query itself requires both runs to
+    // be productive, so this can't pass vacuously.)
+    val twin = SparkEntry.queries("q_stream_windowed_append")(spark, sf0001)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    val restarted = SparkEntry.queries("q_stream_restart")(spark, sf0001)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    assert(restarted.nonEmpty && restarted == twin)
+  }
+
   test("tumbling window: streaming with watermark equals batch") {
     val agg = (df: DataFrame) => df
       .withWatermark("ts", "1 hour")
