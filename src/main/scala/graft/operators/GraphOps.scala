@@ -682,7 +682,88 @@ object GraphOps extends QueryPack {
     HAVING count(*) >= 2
     ORDER BY component_id ASC NULLS FIRST"""
 
+  /** The composed DEDUP ENDGAME in one graded entry (added round 11): the
+    * four stage handoffs a real corpus run chains —
+    *
+    *   1. CANDIDATES: banded-minhash pairs over the shared signature leaf
+    *      ([[LlmPipeline.mhCandidates]] ← mhDocs leaf ← shingle leaf);
+    *   2. VERIFY: exact Jaccard >= 0.8 on candidates only
+    *      ([[LlmPipeline.mhVerifiedPairs]]);
+    *   3. COMPONENTS: min-label propagation over the verified edges,
+    *      memoized as its own leaf (pipelineLabels);
+    *   4. SURVIVORSHIP: keep the min-id doc per component; per-survivor
+    *      member/char bookkeeping + the strongest in-component similarity.
+    *
+    * The oracle is the COMPOSED recursive-CTE form over the EXACT pair
+    * set (the q_dedup_near CTEs + recursive reachability + survivor
+    * stats) — so the hash match grades the banded candidates' recall
+    * end-to-end: a single missed >= 0.8 pair would change the components
+    * and fail the gate (16 one-row bands: miss probability per true pair
+    * <= 0.2^16 ≈ 7e-12, and deterministic per fixture).
+    *
+    * Scale: every stage is the declared 100 TB shape — bounded (band,
+    * sig) buckets, candidate-only exact verify, checkpointed label
+    * propagation, one survivor aggregation; no all-pairs work anywhere.
+    */
+  private def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = LlmPipeline.mhVerifiedPairs(spark, sfDir)
+    val und = pairs
+      .select(explode(array(
+        struct($"doc_a".as("u"), $"doc_b".as("v")),
+        struct($"doc_b".as("u"), $"doc_a".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+    val lbl = memoEdgeLeaf(spark, sfDir, "pipelineLabels")(
+      propagateMinLabels(spark, und))
+    val members = lbl.select($"node".as("doc_id"), $"lbl".as("survivor_id"))
+      .join(Catalog.load(spark, sfDir, "documents")
+        .select($"doc_id", $"n_chars"), Seq("doc_id"))
+    val stats = members.groupBy($"survivor_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        min(when($"doc_id" === $"survivor_id", $"n_chars")).as("chars_kept"),
+        coalesce(sum(when($"doc_id" =!= $"survivor_id", $"n_chars")),
+          lit(0L)).as("chars_dropped"))
+    val strongest = pairs
+      .join(lbl.select($"node".as("doc_a"), $"lbl".as("survivor_id")),
+        Seq("doc_a"))
+      .groupBy($"survivor_id")
+      .agg(round(max($"jaccard"), 4).as("max_jaccard"))
+    stats.join(strongest, Seq("survivor_id"))
+      .orderBy($"survivor_id".asc_nulls_first)
+  }
+
+  private val dedupPipelineOracle = s"""
+    WITH RECURSIVE ${LlmPipeline.nearPairsCtes},
+    edges AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT e.u, reach.r FROM und e JOIN reach ON e.v = reach.node),
+    comp AS (SELECT node, min(r) AS survivor_id FROM reach GROUP BY node),
+    m AS (
+      SELECT c.node AS doc_id, c.survivor_id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.node),
+    stats AS (
+      SELECT survivor_id, count(*) AS n_members, count(*) - 1 AS n_dropped,
+        min(CASE WHEN doc_id = survivor_id THEN n_chars END) AS chars_kept,
+        coalesce(CAST(sum(CASE WHEN doc_id <> survivor_id THEN n_chars END)
+          AS BIGINT), 0) AS chars_dropped
+      FROM m GROUP BY survivor_id),
+    strongest AS (
+      SELECT c.survivor_id, round(max(e.jaccard), 4) AS max_jaccard
+      FROM edges e JOIN comp c ON c.node = e.doc_a
+      GROUP BY c.survivor_id)
+    SELECT survivor_id, n_members, n_dropped, chars_kept, chars_dropped,
+      max_jaccard
+    FROM stats JOIN strongest USING (survivor_id)
+    ORDER BY survivor_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     Q("q_er_golden", erGolden, Some(erGoldenOracle)),
     Q("q_graph_kcore", graphKcore, None),
     Q("q_graph_components", components, Some(componentsOracle)),

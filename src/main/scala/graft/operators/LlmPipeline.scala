@@ -191,9 +191,12 @@ object LlmPipeline extends QueryPack {
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id)"""
 
-  /** MinHash+LSH candidate pairs — probabilistic twin of q_dedup_near.
-    * Capability-only (no oracle): minhash values are engine-specific.
-    * Deterministic run-to-run (xxhash64 with fixed per-signature salts).
+  /** MinHash+LSH family shared machinery (the scaladoc below applies to
+    * mhDocs/mhCandidates/dedupMinhash together; q_dedup_minhash itself is
+    * capability-only — minhash values are engine-specific — while the
+    * round-11 q_dedup_pipeline grades the banded candidates + exact verify
+    * end-to-end against the recursive-CTE oracle). Deterministic
+    * run-to-run (xxhash64 with fixed per-signature salts).
     *
     * Hand-rolled banded MinHash instead of Spark ML's approxSimilarityJoin:
     * the ML form (HashingTF → MinHashLSH.fit → approxSimilarityJoin) measured
@@ -211,30 +214,70 @@ object LlmPipeline extends QueryPack {
     * At 100 TB each stage is a bounded shuffle keyed by doc or (band, sig) —
     * the (band, sig) buckets are bounded by the shingle-df cap upstream.
     */
-  private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+  private val MhSigs = 16
+
+  /** Per-doc minhash signatures + sorted distinct shingle-hash set,
+    * materialized once per (application, sfDir) as a leaf (round 11 —
+    * formerly a per-query .cache() inside dedupMinhash): ONE aggregation
+    * pass over the exploded shingle leaf producing 16 min() signatures and
+    * the exact-rerank set. Shared by q_dedup_minhash and the composed
+    * q_dedup_pipeline — the index the banded candidate join and the exact
+    * verify stage both probe.
+    */
+  private[operators] def mhDocs(spark: SparkSession, sfDir: String): DataFrame =
+    GraphOps.memoEdgeLeaf(spark, sfDir, "mhDocs") {
+      import spark.implicits._
+      val sh = shingles(spark, sfDir)
+        .select($"doc_id", xxhash64(lit("graft_mh"), $"shingle").as("h"))
+      val sigCols = (0 until MhSigs).map(i =>
+        min(xxhash64(lit(i), $"h")).as(s"mh_$i"))
+      sh.groupBy($"doc_id")
+        .agg(collect_set($"h").as("hs"), sigCols: _*)
+        .withColumn("hs", array_sort($"hs"))
+    }
+
+  /** Banded-minhash candidate pairs: docs sharing ANY of the 16 one-row
+    * bands (recall at jaccard 0.8 is 1-(1-0.8)^16 ≈ 1-7e-12; false
+    * positives die in the exact rerank that follows every use).
+    */
+  private[operators] def mhCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val nSig = 16
-    val sh = shingles(spark, sfDir)
-      .select($"doc_id", xxhash64(lit("graft_mh"), $"shingle").as("h"))
-    val sigCols = (0 until nSig).map(i =>
-      min(xxhash64(lit(i), $"h")).as(s"mh_$i"))
-    // Cached: this one aggregate feeds BOTH sides of the band self-join and
-    // both set lookups of the rerank — uncached it executed four times
-    // (executed-plan audit, r4).
-    val docs = sh.groupBy($"doc_id")
-      .agg(collect_set($"h").as("hs"), sigCols: _*)
-      .withColumn("hs", array_sort($"hs"))
-      .cache()
+    val docs = mhDocs(spark, sfDir)
     val bands = docs.select($"doc_id",
-      posexplode(array((0 until nSig).map(i => col(s"mh_$i")): _*))
+      posexplode(array((0 until MhSigs).map(i => col(s"mh_$i")): _*))
         .as(Seq("band", "sig")))
-    val cands = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = docs.select($"doc_id", $"hs")
-    cands
+  }
+
+  /** The VERIFY stage over the banded candidates: exact Jaccard on each
+    * candidate pair via the stored distinct shingle-hash sets, kept at
+    * >= 0.8 — the same similarity q_dedup_near computes from the raw
+    * shingle join, so (given banded recall) the verified edge set equals
+    * the exact pair set, which is exactly what q_dedup_pipeline's
+    * recursive-CTE oracle grades end-to-end.
+    */
+  private[graft] def mhVerifiedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sets = mhDocs(spark, sfDir).select($"doc_id", $"hs")
+    mhCandidates(spark, sfDir)
+      .join(sets.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("doc_a"))
+      .join(sets.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"hs_a", $"hs_b")).cast("double").as("n_inter"),
+        size($"hs_a").as("n_a"), size($"hs_b").as("n_b"))
+      .select($"doc_a", $"doc_b",
+        round($"n_inter" / ($"n_a" + $"n_b" - $"n_inter"), 4).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+  }
+
+  private def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sets = mhDocs(spark, sfDir).select($"doc_id", $"hs")
+    mhCandidates(spark, sfDir)
       .join(sets.select($"doc_id".as("doc_a"), $"hs".as("hs_a")), Seq("doc_a"))
       .join(sets.select($"doc_id".as("doc_b"), $"hs".as("hs_b")), Seq("doc_b"))
       .select($"doc_a", $"doc_b",

@@ -45,4 +45,26 @@ class MinhashDedupSpec extends SparkTestBase {
     assert(rows("q_dedup_minhash").map(_.toString) ===
       rows("q_dedup_minhash").map(_.toString))
   }
+
+  test("pipeline verify stage equals the exact pair set (full banded recall)") {
+    // q_dedup_pipeline's correctness rests on candidates ⊇ exact pairs;
+    // make the claim explicit: verified(candidates) == q_dedup_near.
+    val near = rows("q_dedup_near")
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val verified = graft.operators.LlmPipeline
+      .mhVerifiedPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(verified == near, s"diff: ${verified.diff(near)} / ${near.diff(verified)}")
+  }
+
+  test("pipeline survivorship reconciles with q_dedup_clusters' multi-member rows") {
+    // Same components, viewed two ways: the pipeline's survivor table must
+    // match the cluster report restricted to components of >= 2 members.
+    val pipe = rows("q_dedup_pipeline")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val clusters = rows("q_dedup_clusters")
+      .filter(_.getLong(1) >= 2)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(pipe.nonEmpty && pipe == clusters)
+  }
 }
