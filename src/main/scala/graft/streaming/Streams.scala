@@ -356,6 +356,9 @@ object Streams extends QueryPack {
     val b = ev.agg(unix_micros(min($"ts")).as("mn"),
       unix_micros(max($"ts")).as("mx")).head()
     val mid = (b.getLong(0) + b.getLong(1)) / 2
+    // Two filtered writes (measured FASTER than one dynamic-partitioned
+    // write at fixture scale — partitionBy pays a per-task partition sort
+    // and committer fan-out that dwarfs the second 4 MB-split scan).
     ev.filter(unix_micros($"ts") <= mid)
       .coalesce(2).write.parquet(s"$stage/a")
     ev.filter(unix_micros($"ts") > mid)
