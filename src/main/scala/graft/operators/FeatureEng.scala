@@ -301,7 +301,66 @@ object FeatureEng extends QueryPack {
     FROM per_seg
     ORDER BY c_mktsegment ASC NULLS FIRST"""
 
+  /** Robust (median/IQR) scaling stats + outlier audit (added round 11) —
+    * the outlier-resistant sibling of q_feat_minmax/q_feat_zscore: per
+    * order priority, the exact quartiles of order value (Spark
+    * `percentile` ↔ DuckDB `quantile_cont`, r4 rule), the IQR, and the
+    * count outside the Tukey fences q1−1.5·IQR / q3+1.5·IQR — the stats
+    * a robust scaler persists and the pre-training outlier report in one
+    * pass. Fences are computed from the ROUNDED quartiles with one fixed
+    * expression tree, so the fence doubles — and hence every comparison —
+    * are bit-identical cross-engine.
+    *
+    * Scale: quartiles per group via one agg over the fact, fences
+    * broadcast back for a map-side-combined conditional count — two
+    * passes, no window over raw rows.
+    */
+  private def featRobustScale(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = table(spark, sfDir)("orders")
+    val qs = orders.groupBy($"o_orderpriority".as("prio"))
+      .agg(
+        r4(percentile($"o_totalprice", lit(0.25))).as("q1"),
+        r4(percentile($"o_totalprice", lit(0.5))).as("median"),
+        r4(percentile($"o_totalprice", lit(0.75))).as("q3"))
+      .withColumn("iqr", $"q3" - $"q1")
+      .withColumn("lo_fence", $"q1" - lit(1.5) * $"iqr")
+      .withColumn("hi_fence", $"q3" + lit(1.5) * $"iqr")
+    orders.join(broadcast(qs), $"o_orderpriority" === $"prio")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        max($"q1").as("q1"), max($"median").as("median"),
+        max($"q3").as("q3"), r4(max($"iqr")).as("iqr"),
+        sum(when($"o_totalprice" < $"lo_fence" ||
+          $"o_totalprice" > $"hi_fence", 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private val featRobustScaleOracle = """
+    WITH qs AS (
+      SELECT o_orderpriority AS prio,
+        round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+        round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+      FROM orders GROUP BY 1),
+    f AS (
+      SELECT prio, q1, median, q3, q3 - q1 AS iqr,
+        q1 - 1.5 * (q3 - q1) AS lo_fence,
+        q3 + 1.5 * (q3 - q1) AS hi_fence
+      FROM qs)
+    SELECT o_orderpriority, count(*) AS n_orders,
+      max(q1) AS q1, max(median) AS median, max(q3) AS q3,
+      round(max(iqr), 4) AS iqr,
+      CAST(sum(CASE WHEN o_totalprice < lo_fence
+                      OR o_totalprice > hi_fence THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_outliers
+    FROM orders JOIN f ON o_orderpriority = prio
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_feat_robust_scale", featRobustScale, Some(featRobustScaleOracle)),
     Q("q_feat_onehot", featOnehot, Some(featOnehotOracle)),
     Q("q_feat_hash_bucket", featHashBucket, Some(featHashBucketOracle)),
     Q("q_feat_minmax", featMinmax, Some(featMinmaxOracle)),

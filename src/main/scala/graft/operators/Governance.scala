@@ -308,7 +308,46 @@ object Governance extends QueryPack {
       rows_purged * 1000000 // rows_total AS purge_ppm
     FROM u ORDER BY table_name ASC NULLS FIRST"""
 
+  /** K-anonymity audit (added round 11) — the re-identification check a
+    * governance pipeline runs BEFORE releasing a "de-identified" extract:
+    * group the table by its quasi-identifier tuple (here segment ×
+    * nation × account-balance band — the attributes an adversary can
+    * link from outside) and report every equivalence class smaller than
+    * k = 5: those customers are re-identifiable even with names/phones
+    * masked (q_pii_mask handles the direct identifiers; this catches the
+    * indirect ones). Output = the violating classes with their sizes,
+    * smallest (most identifiable) first — the worklist a generalization
+    * pass (coarser bands, suppressed cells) would consume.
+    *
+    * Scale: ONE map-side-combined aggregation over the extract + a
+    * filter — the audit costs a groupBy no matter the table size, and
+    * the violating-class report is bounded by the QI domain, not rows.
+    */
+  private def piiKanonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "customer")
+      .select($"c_mktsegment", $"c_nationkey",
+        floor($"c_acctbal" / 1000.0).cast("long").as("bal_band"))
+      .groupBy($"c_mktsegment", $"c_nationkey", $"bal_band")
+      .agg(count(lit(1)).as("class_size"))
+      .filter($"class_size" < 5)
+      .orderBy($"class_size".asc_nulls_first,
+        $"c_mktsegment".asc_nulls_first, $"c_nationkey".asc_nulls_first,
+        $"bal_band".asc_nulls_first)
+  }
+
+  private val piiKanonymityOracle = """
+    SELECT c_mktsegment, c_nationkey,
+      CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      count(*) AS class_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 5
+    ORDER BY class_size ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST,
+      c_nationkey ASC NULLS FIRST, bal_band ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_pii_kanonymity", piiKanonymity, Some(piiKanonymityOracle)),
     Q("q_gdpr_forget", gdprForget, Some(gdprForgetOracle)),
     Q("q_pii_mask", piiMask, Some(piiMaskOracle)),
     Q("q_quality_expectations", qualityExpectations, Some(qualityExpectationsOracle)),

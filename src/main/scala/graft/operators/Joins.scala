@@ -280,6 +280,54 @@ object Joins extends QueryPack {
       .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
   }
 
+  /** FORWARD as-of join (added round 11 — completes the direction set:
+    * backward / forward / nearest / outer): each probe picks the EARLIEST
+    * event AT OR AFTER it (ties → lowest event_id) — the "next reading
+    * after the checkpoint" lookup. No new exec: forward is backward under
+    * time NEGATION, so the query runs through the existing
+    * [[graft.plans.AsOfMergeJoinExec]] in Backward mode over negated
+    * epoch-micros longs (and a negated tie, flipping the exec's
+    * highest-tie rule to conventional lowest-id) — operator COMPOSITION
+    * over the 64-bit contract instead of a fourth merge variant. The
+    * oracle is the composed window form (`ts >= probe`, `row_number()
+    * OVER (ORDER BY ts ASC, event_id ASC) = 1`), so the negation trick's
+    * tie-breaks are hash-checked against DuckDB.
+    */
+  private def joinAsofForward(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("neg_ts", -unix_micros($"ts"))
+      .withColumn("neg_eid", -$"event_id")
+    val probes = e.select($"user_id").distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-08").cast("timestamp"),
+        lit("2024-01-15").cast("timestamp"),
+        lit("2024-01-22").cast("timestamp"))))
+      .withColumn("neg_probe", -unix_micros($"probe_ts"))
+    graft.plans.AsOfJoin.asof(probes, e,
+        leftKey = "user_id", leftTime = "neg_probe",
+        rightKey = "user_id", rightTime = "neg_ts", rightTie = "neg_eid")
+      .toDF("user_id", "probe_ts", "neg_probe",
+        "r_user_id", "event_id", "ts", "neg_ts", "neg_eid")
+      .select($"user_id", $"probe_ts", $"event_id", $"ts")
+      .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
+  }
+
+  private val joinAsofForwardOracle = """
+      WITH probes AS (
+        SELECT DISTINCT user_id, p.probe_ts
+        FROM events, (VALUES (TIMESTAMP '2024-01-08'), (TIMESTAMP '2024-01-15'),
+                             (TIMESTAMP '2024-01-22')) p(probe_ts)),
+      j AS (
+        SELECT pr.user_id, pr.probe_ts, e.event_id, e.ts,
+          row_number() OVER (PARTITION BY pr.user_id, pr.probe_ts
+                             ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM probes pr JOIN events e
+          ON e.user_id = pr.user_id AND e.ts >= pr.probe_ts)
+      SELECT user_id, probe_ts, event_id, ts FROM j WHERE rn = 1
+      ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST"""
+
   /** Nearest-event as-of join (added round 9 close; custom-operator since
     * round 10): q_join_asof picks the latest event AT OR BEFORE each
     * probe; this picks the event CLOSEST in time on either side — the
@@ -671,11 +719,65 @@ object Joins extends QueryPack {
     GROUP BY win_start, win_end
     ORDER BY win_start ASC NULLS FIRST"""
 
+  /** The TIMESTAMP arm of the overlap rewrite graded end-to-end (added
+    * round 11; completes the 2x2 with q_join_range_auto/_ts and
+    * q_join_interval_overlap): each event carries a processing interval
+    * [ts, ts + (event_id%10) minutes]; overlapping 2-hour monitoring
+    * windows start every 30 minutes; the naive two-sided condition
+    * (strict on one bound, inclusive on the other — strictness rides the
+    * residual) is rescued by the µs-keyed overlap arm with 1-hour bins.
+    */
+  private def joinIntervalOverlapTs(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    // Cloned-session conf scoping — see joinRangeAuto.
+    val spark = sparkIn.newSession()
+    import spark.implicits._
+    spark.conf.set(graft.plans.RangeJoinBinning.MicrosConfKey,
+      (3600L * 1000000L).toString)
+    val e = Catalog.load(spark, sfDir, "events")
+      .select($"event_id", $"value", $"ts".as("e_lo"),
+        timestamp_micros(unix_micros($"ts") +
+          ($"event_id" % 10) * 60000000L).as("e_hi"))
+    val windows = e
+      .agg(min(date_trunc("hour", $"e_lo")).as("lo"), max($"e_lo").as("hi"))
+      .select(explode(expr(
+        "sequence(lo, hi, INTERVAL 30 MINUTES)")).as("win_start"))
+      .select($"win_start",
+        ($"win_start" + expr("INTERVAL 2 HOURS")).as("win_end"))
+    e.join(windows, $"e_lo" < $"win_end" && $"win_start" <= $"e_hi")
+      .groupBy($"win_start", $"win_end")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"win_start".asc_nulls_first)
+  }
+
+  private val joinIntervalOverlapTsOracle = s"""
+    WITH e AS (
+      SELECT event_id, value, CAST(ts AS TIMESTAMP) AS e_lo,
+        CAST(ts AS TIMESTAMP)
+          + to_microseconds((event_id % 10) * 60000000) AS e_hi
+      FROM events),
+    span AS (
+      SELECT CAST(min(date_trunc('hour', e_lo)) AS TIMESTAMP) AS lo,
+             max(e_lo) AS hi
+      FROM e),
+    w AS (
+      SELECT lo + to_microseconds(1800000000 * r.range) AS win_start,
+        lo + to_microseconds(1800000000 * r.range)
+          + INTERVAL 2 HOUR AS win_end
+      FROM span, range(0, 10000) r
+      WHERE lo + to_microseconds(1800000000 * r.range) <= hi)
+    SELECT win_start, win_end, count(*) AS n_events,
+      ${Oracle.dsum("value")} AS sum_value
+    FROM e JOIN w ON e_lo < win_end AND win_start <= e_hi
+    GROUP BY win_start, win_end
+    ORDER BY win_start ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_join_range_auto", joinRangeAuto, Some(joinRangeAutoOracle)),
     Q("q_join_range_auto_ts", joinRangeAutoTs, Some(joinRangeAutoTsOracle)),
     Q("q_join_interval_overlap", joinIntervalOverlap,
       Some(joinIntervalOverlapOracle)),
+    Q("q_join_interval_overlap_ts", joinIntervalOverlapTs,
+      Some(joinIntervalOverlapTsOracle)),
     Q("q_join_interval_banded", joinIntervalBanded, Some(joinIntervalBandedOracle)),
     Q("q_join_skew_salted", joinSkewSalted, Some(s"""
       SELECT s_nationkey, count(*) AS n_items,
@@ -772,6 +874,7 @@ object Joins extends QueryPack {
       ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST""")),
     Q("q_join_asof", joinAsof, Some(asofOracle)),
     Q("q_join_asof_merge", joinAsofMerge, Some(asofOracle)),
+    Q("q_join_asof_forward", joinAsofForward, Some(joinAsofForwardOracle)),
     Q("q_join_asof_outer", joinAsofOuter, Some(joinAsofOuterOracle)),
     Q("q_join_point_in_time", joinPointInTime, Some(joinPointInTimeOracle)),
     Q("q_join_self_interval", joinSelfInterval, Some("""

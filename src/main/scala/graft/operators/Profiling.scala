@@ -715,6 +715,88 @@ object Profiling extends QueryPack {
     * Scale: a two-branch filter pushed to the scan + a single 1-row
     * aggregate; nothing downstream touches more than one row.
     */
+  /** One-way ANOVA F-test across the five order priorities (added round
+    * 11) — does priority shift mean order value? Completes the
+    * two-sample tests (Welch t, Mann-Whitney, KS) with the k-group
+    * parametric test. The q_stat_ttest_welch determinism pattern
+    * generalized to k groups: ALL per-group moments (n_i, Σx, Σx²) land
+    * in ONE row as conditional sums over exact DECIMALs (the priority
+    * domain is the fixed 5-value dictionary, so the "wide row" is the
+    * natural shape), then SSB = Σ s_i²/n_i − S²/n and SSW = ΣQ − Σ
+    * s_i²/n_i are SCALAR double expressions with one fixed left-to-right
+    * association mirrored token-for-token in the oracle — no cross-row
+    * double summation anywhere, so the F statistic is bit-deterministic
+    * cross-engine without rounding.
+    *
+    * Scale: one map-side-combined pass over orders; everything after the
+    * 1-row agg is constant work.
+    */
+  private def statAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    // decimal(14,2): o_totalprice carries 2 decimals, so this is lossless
+    // and the vd*vd product stays inside DuckDB's int128 decimal kernel
+    // (DECIMAL(18,6) squares overflowed its multiplication there).
+    val vd = $"o_totalprice".cast("decimal(14,2)")
+    val aggs = prios.zipWithIndex.flatMap { case (p, i) =>
+      val is = $"o_orderpriority" === p
+      Seq(
+        sum(when(is, 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(is, vd)).cast("double").as(s"s$i"),
+        sum(when(is, vd * vd)).cast("double").as(s"q$i"))
+    }
+    val g = Catalog.load(spark, sfDir, "orders").agg(aggs.head, aggs.tail: _*)
+    val nTot = (0 until 5).map(i => col(s"n$i")).reduce(_ + _)
+    def nd(i: Int) = col(s"n$i").cast("double")
+    val sTot = (0 until 5).map(i => col(s"s$i")).reduce(_ + _)
+    val qTot = (0 until 5).map(i => col(s"q$i")).reduce(_ + _)
+    val bTot = (0 until 5)
+      .map(i => col(s"s$i") * col(s"s$i") / nd(i)).reduce(_ + _)
+    g.select(
+        nTot.as("n_total"),
+        (bTot - sTot * sTot / nTot.cast("double")).as("ss_between"),
+        (qTot - bTot).as("ss_within"),
+        nTot.cast("double").as("ndt"), bTot.as("bt"), sTot.as("st"),
+        qTot.as("qt"))
+      .select($"n_total",
+        $"ss_between", $"ss_within",
+        (($"ss_between" / lit(4.0)) /
+          ($"ss_within" / ($"ndt" - lit(5.0)))).as("f_stat"))
+  }
+
+  private val statAnovaOracle = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val conds = prios.zipWithIndex.map { case (p, i) =>
+      s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n$i,
+         CAST(CAST(sum(CASE WHEN o_orderpriority = '$p'
+           THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS VARCHAR)
+           AS DOUBLE) AS s$i,
+         CAST(CAST(sum(CASE WHEN o_orderpriority = '$p'
+           THEN CAST(o_totalprice AS DECIMAL(14,2))
+                * CAST(o_totalprice AS DECIMAL(14,2)) END) AS VARCHAR)
+           AS DOUBLE) AS q$i"""
+    }.mkString(",\n")
+    val nTot = (0 until 5).map(i => s"n$i").mkString(" + ")
+    val sTot = (0 until 5).map(i => s"s$i").mkString(" + ")
+    val qTot = (0 until 5).map(i => s"q$i").mkString(" + ")
+    val bTot = (0 until 5).map(i => s"s$i * s$i / CAST(n$i AS DOUBLE)")
+      .mkString(" + ")
+    s"""
+    WITH g AS (SELECT $conds FROM orders),
+    m AS (
+      SELECT $nTot AS n_total,
+        (($bTot) - ($sTot) * ($sTot) / CAST($nTot AS DOUBLE)) AS ss_between,
+        (($qTot) - ($bTot)) AS ss_within,
+        CAST($nTot AS DOUBLE) AS ndt
+      FROM g)
+    SELECT n_total, ss_between, ss_within,
+      ((ss_between / 4.0) / (ss_within / (ndt - 5.0))) AS f_stat
+    FROM m"""
+  }
+
   private def statTtestWelch(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val vd = $"value".cast("decimal(18,6)")
@@ -1225,6 +1307,7 @@ object Profiling extends QueryPack {
     Q("q_stat_chisq", statChisq, Some(statChisqOracle)),
     Q("q_stat_ks_test", statKsTest, Some(statKsTestOracle)),
     Q("q_stat_ttest_welch", statTtestWelch, Some(statTtestWelchOracle)),
+    Q("q_stat_anova", statAnova, Some(statAnovaOracle)),
     Q("q_profile_benford", profileBenford, Some(profileBenfordOracle)),
     Q("q_stat_regression", statRegression, Some(statRegressionOracle)),
     Q("q_audit_reconciliation", auditReconciliation,

@@ -148,11 +148,13 @@ class RangeJoinBinningSpec extends SparkTestBase {
   }
 
   test("graded overlap query: generators on both sides, nested loop gone") {
-    val df = SparkEntry.queries("q_join_interval_overlap")(spark, sf0001)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("__graft_bin_l") && plan.contains("__graft_bin_r"))
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"))
+    for (q <- Seq("q_join_interval_overlap", "q_join_interval_overlap_ts")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bin_l") && plan.contains("__graft_bin_r"), q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), q)
+    }
   }
 
   test("fan-out cap raises a NAMED error instead of an array blow-up") {
