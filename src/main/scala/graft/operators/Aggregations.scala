@@ -134,6 +134,35 @@ object Aggregations extends QueryPack {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** grouping_id() as the LEVEL KEY of a materialized cube (added round
+    * 11): the single bitmask (first grouping column = most significant
+    * bit, identical encoding in DuckDB's `grouping(a, b)`) that a stored
+    * rollup table keys its aggregation levels by — the consumer filters
+    * `gid = 0/1/2/3` instead of juggling per-column indicator pairs
+    * (aggRollup/aggCube's shape). Ordering by gid first groups the
+    * output by level, the layout a serving table wants.
+    */
+  private def aggGroupingId(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"gid".asc, $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+  }
+
+  private val aggGroupingIdOracle = s"""
+    SELECT CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      l_returnflag, l_linestatus,
+      count(*) AS n, ${graft.Oracle.dsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+      l_linestatus ASC NULLS FIRST"""
+
   private def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
     // SQL entry point without catalog mutation: `parquet.`-path relations
     // instead of temp views, so concurrent sessions never clobber each other.
@@ -784,6 +813,7 @@ object Aggregations extends QueryPack {
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+    Q("q_agg_grouping_id", aggGroupingId, Some(aggGroupingIdOracle)),
     Q("q_agg_grouping_sets", aggGroupingSets, Some("""
       SELECT c_mktsegment, n_name, count(*) AS n_cust
       FROM customer JOIN nation ON c_nationkey = n_nationkey

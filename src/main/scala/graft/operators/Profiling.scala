@@ -715,6 +715,65 @@ object Profiling extends QueryPack {
     * Scale: a two-branch filter pushed to the scan + a single 1-row
     * aggregate; nothing downstream touches more than one row.
     */
+  /** Gini coefficient of customer spend concentration (added round 11) —
+    * the inequality measure every marketing/revenue profile reports
+    * ("what share of revenue do the top customers carry"), computed
+    * EXACTLY: G = ((n+1)·S − 2·ΣC) / (n·S) over per-customer cents
+    * totals sorted ascending, where C is the exact running sum — all
+    * integer arithmetic in int64 until one final division (identical
+    * long→double conversion both engines; the n·S products stay under
+    * 2^63 by orders of magnitude at any plausible per-entity scale).
+    *
+    * Scale: the global running sum goes through
+    * [[DistributedRank.cumsumExact]] (bucketed two-level cumsum — no
+    * single-partition window); the order key is the UNIQUE composite
+    * spend·10^6 + custkey, which reproduces the oracle's
+    * (x ASC, custkey ASC) tie order exactly (guarded: custkey < 10^6;
+    * widen the multiplier with the id domain). Tie invariance also holds
+    * mathematically — equal spends contribute the same ΣC under any
+    * permutation — so the tie-break is belt and braces.
+    */
+  private def statGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+    val pc = Catalog.load(spark, sfDir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(cents).as("x"))
+    val keyed = pc
+      .withColumn("__ord", $"x" * 1000000L + $"o_custkey")
+    val withCum = graft.operators.DistributedRank
+      .cumsumExact(keyed, "x", "__ord", "cum")
+    withCum.agg(
+        count(lit(1)).as("n_customers"),
+        sum($"x").as("total_cents"),
+        sum($"cum").as("c"))
+      .select($"n_customers", $"total_cents",
+        round(
+          (($"n_customers" + 1L) * $"total_cents" - lit(2L) * $"c")
+            .cast("double") /
+          ($"n_customers" * $"total_cents").cast("double"), 6).as("gini"))
+  }
+
+  private val statGiniOracle = """
+    WITH pc AS (
+      SELECT o_custkey,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+          AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey),
+    c AS (
+      SELECT x, CAST(sum(x) OVER (ORDER BY x ASC, o_custkey ASC
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pc),
+    a AS (
+      SELECT count(*) AS n_customers,
+        CAST(sum(x) AS BIGINT) AS total_cents,
+        CAST(sum(cum) AS BIGINT) AS c
+      FROM c)
+    SELECT n_customers, total_cents,
+      round(CAST((n_customers + 1) * total_cents - 2 * c AS DOUBLE)
+        / CAST(n_customers * total_cents AS DOUBLE), 6) AS gini
+    FROM a"""
+
   /** One-way ANOVA F-test across the five order priorities (added round
     * 11) — does priority shift mean order value? Completes the
     * two-sample tests (Welch t, Mann-Whitney, KS) with the k-group
@@ -1308,6 +1367,7 @@ object Profiling extends QueryPack {
     Q("q_stat_ks_test", statKsTest, Some(statKsTestOracle)),
     Q("q_stat_ttest_welch", statTtestWelch, Some(statTtestWelchOracle)),
     Q("q_stat_anova", statAnova, Some(statAnovaOracle)),
+    Q("q_stat_gini", statGini, Some(statGiniOracle)),
     Q("q_profile_benford", profileBenford, Some(profileBenfordOracle)),
     Q("q_stat_regression", statRegression, Some(statRegressionOracle)),
     Q("q_audit_reconciliation", auditReconciliation,

@@ -399,7 +399,53 @@ object SqlFlavorsB extends QueryPack {
     ORDER BY numwait DESC, s_name ASC
     LIMIT 100"""
 
+  /** TPC-H Q20 plan shape re-flavored (added round 11 — closes the
+    * Q1-Q22 set; the fixture has no partsupp, so lineitem plays the
+    * supply relation): suppliers whose two-year shipped quantity of
+    * 'red%' parts exceeds the per-supplier AVERAGE — a doubly-nested IN
+    * (supplier ← qualifying shipments ← name-filtered parts) with the
+    * threshold as an uncorrelated scalar aggregate over the same grouped
+    * CTE. The comparison is INTEGER-EXACT: `qty · ns > t` multiplies
+    * through the average instead of dividing into a double, so the
+    * qualification set cannot drift cross-engine. Catalyst rewrites the
+    * IN chains to semi joins; the 1-row total broadcasts.
+    */
+  private def sqlTpchQ20Flavor(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(s"""
+      WITH rq AS (
+        SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM parquet.`$sfDir/lineitem.parquet`
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM parquet.`$sfDir/part.parquet`
+            WHERE p_name LIKE 'red%')
+          AND l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_suppkey),
+      tot AS (SELECT CAST(sum(qty) AS BIGINT) AS t, count(*) AS ns FROM rq)
+      SELECT s_suppkey, s_name, n_name
+      FROM parquet.`$sfDir/supplier.parquet`
+      JOIN parquet.`$sfDir/nation.parquet` ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (SELECT l_suppkey FROM rq, tot WHERE qty * ns > t)
+      ORDER BY s_suppkey ASC NULLS FIRST""")
+
+  private val sqlTpchQ20FlavorOracle = """
+    WITH rq AS (
+      SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= DATE '1995-01-01'
+        AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_suppkey),
+    tot AS (SELECT CAST(sum(qty) AS BIGINT) AS t, count(*) AS ns FROM rq)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM rq, tot WHERE qty * ns > t)
+    ORDER BY s_suppkey ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sql_tpch_q20_flavor", sqlTpchQ20Flavor, Some(sqlTpchQ20FlavorOracle)),
     Q("q_sql_tpch_q7_flavor", sqlTpchQ7Flavor, Some(sqlTpchQ7FlavorOracle)),
     Q("q_sql_tpch_q9_flavor", sqlTpchQ9Flavor, Some(sqlTpchQ9FlavorOracle)),
     Q("q_sql_tpch_q11_flavor", sqlTpchQ11Flavor, Some(sqlTpchQ11FlavorOracle)),
