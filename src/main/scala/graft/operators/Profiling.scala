@@ -715,6 +715,65 @@ object Profiling extends QueryPack {
     * Scale: a two-branch filter pushed to the scan + a single 1-row
     * aggregate; nothing downstream touches more than one row.
     */
+  /** Functional-dependency discovery audit (added round 11) — the
+    * profiling step schema-inference and data-contract tools run: for
+    * each candidate determinant→dependent pair, does every determinant
+    * group map to exactly ONE dependent value? Reports group and
+    * violating-group counts plus the verdict — the evidence table for
+    * declaring (or rejecting) a dependency in a contract. Three
+    * candidates over orders: the key FD (orderkey→priority, holds by
+    * uniqueness), and two plausible-but-false business FDs.
+    *
+    * Scale: each candidate is one two-level aggregation
+    * (det → countDistinct(dep), then a 1-row fold), all map-side
+    * combined; candidates are independent branches of one union.
+    */
+  private def profileFd(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Catalog.load(spark, sfDir, "orders")
+    def check(label: String, det: String, dep: String): DataFrame =
+      o.groupBy(col(det).as("d"))
+        .agg(countDistinct(col(dep)).as("nd"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(label).as("fd"), $"n_groups", $"n_violations",
+          ($"n_violations" === 0L).as("holds"))
+    check("o_orderkey->o_orderpriority", "o_orderkey", "o_orderpriority")
+      .unionAll(check("o_custkey->o_orderpriority",
+        "o_custkey", "o_orderpriority"))
+      .unionAll(check("o_orderpriority->o_orderstatus",
+        "o_orderpriority", "o_orderstatus"))
+      .orderBy($"fd".asc_nulls_first)
+  }
+
+  private val profileFdOracle = """
+    WITH c1 AS (
+      SELECT 'o_orderkey->o_orderpriority' AS fd,
+        count(*) AS n_groups,
+        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violations
+      FROM (SELECT o_orderkey, count(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY 1)),
+    c2 AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd,
+        count(*) AS n_groups,
+        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violations
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY 1)),
+    c3 AS (
+      SELECT 'o_orderpriority->o_orderstatus' AS fd,
+        count(*) AS n_groups,
+        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violations
+      FROM (SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS nd
+            FROM orders GROUP BY 1)),
+    u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+          UNION ALL SELECT * FROM c3)
+    SELECT fd, n_groups, n_violations, n_violations = 0 AS holds
+    FROM u ORDER BY fd ASC NULLS FIRST"""
+
   /** Gini coefficient of customer spend concentration (added round 11) —
     * the inequality measure every marketing/revenue profile reports
     * ("what share of revenue do the top customers carry"), computed
@@ -1368,6 +1427,7 @@ object Profiling extends QueryPack {
     Q("q_stat_ttest_welch", statTtestWelch, Some(statTtestWelchOracle)),
     Q("q_stat_anova", statAnova, Some(statAnovaOracle)),
     Q("q_stat_gini", statGini, Some(statGiniOracle)),
+    Q("q_profile_fd", profileFd, Some(profileFdOracle)),
     Q("q_profile_benford", profileBenford, Some(profileBenfordOracle)),
     Q("q_stat_regression", statRegression, Some(statRegressionOracle)),
     Q("q_audit_reconciliation", auditReconciliation,

@@ -213,7 +213,48 @@ object Windows extends QueryPack {
     FROM r WHERE rank <= 3
     ORDER BY o_orderpriority ASC NULLS FIRST, rank ASC NULLS FIRST"""
 
+  /** ratio_to_report / share-of-total window (added round 11): each
+    * nation's share of its region's customer account balance — the
+    * contribution analytic (Oracle's RATIO_TO_REPORT, also the
+    * normalization step of every mix/share report). The denominator is
+    * an EXACT decimal window sum over the pre-aggregated per-nation
+    * frame (25 rows), so the ratio is one double division on identical
+    * operands cross-engine; the raw fact pass is a plain
+    * map-side-combined agg.
+    */
+  private def winRatioToReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perNation = Catalog.load(spark, sfDir, "customer")
+      .join(broadcast(Catalog.load(spark, sfDir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_regionkey", $"n_name")
+      .agg(sum($"c_acctbal".cast("decimal(18,2)")).as("bal"))
+    val w = Window.partitionBy($"n_regionkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perNation
+      .withColumn("region_bal", sum($"bal").over(w))
+      .select($"n_regionkey", $"n_name",
+        $"bal".cast("double").as("nation_bal"),
+        round($"bal".cast("double") / $"region_bal".cast("double"), 6)
+          .as("share"))
+      .orderBy($"n_regionkey".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  private val winRatioToReportOracle = """
+    WITH pn AS (
+      SELECT n_regionkey, n_name,
+        sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2)
+    SELECT n_regionkey, n_name,
+      CAST(bal AS DOUBLE) AS nation_bal,
+      round(CAST(bal AS DOUBLE) /
+        CAST(sum(bal) OVER (PARTITION BY n_regionkey) AS DOUBLE), 6) AS share
+    FROM pn
+    ORDER BY n_regionkey ASC NULLS FIRST, n_name ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_win_ratio_to_report", winRatioToReport, Some(winRatioToReportOracle)),
     Q("q_win_topn_agg", winTopnAgg, Some(winTopnAggOracle)),
     Q("q_win_trailing_1h", winTrailing1h, Some("""
       SELECT event_id, user_id, ts,
