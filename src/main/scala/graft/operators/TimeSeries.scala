@@ -828,6 +828,125 @@ object TimeSeries extends QueryPack {
     * (customer/SKU) forecasting where groups are numerous and small —
     * this plan parallelizes across entities with no global pass.
     */
+  /** Holt-Winters ADDITIVE SEASONAL smoothing (added round 11; the
+    * seasonal extension of q_ts_holt, period 7 = day-of-week): per
+    * segment, classic init — level = week-1 mean, trend = (week-2 mean −
+    * week-1 mean)/7, seasonals = week-1 residuals — then the three-way
+    * recursion (α=0.3, β=0.1, γ=0.2) over the remaining days, forecast
+    * h=7 re-using the matching seasonal slot. Same execution/oracle
+    * pattern as Holt: the recursion is INHERENTLY sequential per group,
+    * so it runs in one typed flatMapGroups over the pre-aggregated daily
+    * series (|days| rows per group — bounded by calendar, not data), and
+    * the oracle replays the identical IEEE arithmetic in a DuckDB
+    * recursive CTE carrying the 7-slot seasonal state as a LIST, every
+    * intermediate inlined so both engines evaluate the same expression
+    * tree. Means are fixed left-to-right folds both sides.
+    */
+  private def tsHoltWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .join(broadcast(Catalog.load(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", date_trunc("day", $"o_orderdate").as("day"))
+      .agg(dsum($"o_totalprice").as("y"))
+    daily.select($"c_mktsegment", $"day", $"y")
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (seg: String, it: Iterator[(String, java.sql.Timestamp, Double)]) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3)
+        val n = ys.length
+        if (n < 15) Iterator.empty
+        else {
+          // Left-to-right folds, mirrored token-for-token in the oracle.
+          def mean7(off: Int): Double =
+            ((((((ys(off) + ys(off + 1)) + ys(off + 2)) + ys(off + 3)) +
+              ys(off + 4)) + ys(off + 5)) + ys(off + 6)) / 7.0
+          var l = mean7(0)
+          var b = (mean7(7) - mean7(0)) / 7.0
+          val s = Array.tabulate(7)(i => ys(i) - l)
+          var t = 7
+          while (t < n) {
+            val sOld = s(t % 7)
+            val lNew = 0.3 * (ys(t) - sOld) + 0.7 * (l + b)
+            b = 0.1 * (lNew - l) + 0.9 * b
+            s(t % 7) = 0.2 * (ys(t) - lNew) + 0.8 * sOld
+            l = lNew
+            t += 1
+          }
+          val season = s((n - 1) % 7)
+          Iterator((seg, n.toLong, l, b, season, l + 7.0 * b + season))
+        }
+      }
+      .toDF("c_mktsegment", "n_days", "level", "trend", "season",
+        "forecast_7")
+      .orderBy($"c_mktsegment".asc_nulls_first)
+  }
+
+  private val tsHoltWintersOracle = s"""
+    WITH RECURSIVE daily AS (
+      SELECT c_mktsegment AS seg,
+        CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        ${Oracle.dsum("o_totalprice")} AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    idx AS (
+      SELECT seg, y,
+        row_number() OVER (PARTITION BY seg ORDER BY day ASC) AS i,
+        count(*) OVER (PARTITION BY seg) AS n
+      FROM daily),
+    piv AS (
+      SELECT seg,
+        sum(CASE WHEN i = 1 THEN y END) AS y1,
+        sum(CASE WHEN i = 2 THEN y END) AS y2,
+        sum(CASE WHEN i = 3 THEN y END) AS y3,
+        sum(CASE WHEN i = 4 THEN y END) AS y4,
+        sum(CASE WHEN i = 5 THEN y END) AS y5,
+        sum(CASE WHEN i = 6 THEN y END) AS y6,
+        sum(CASE WHEN i = 7 THEN y END) AS y7,
+        sum(CASE WHEN i = 8 THEN y END) AS y8,
+        sum(CASE WHEN i = 9 THEN y END) AS y9,
+        sum(CASE WHEN i = 10 THEN y END) AS y10,
+        sum(CASE WHEN i = 11 THEN y END) AS y11,
+        sum(CASE WHEN i = 12 THEN y END) AS y12,
+        sum(CASE WHEN i = 13 THEN y END) AS y13,
+        sum(CASE WHEN i = 14 THEN y END) AS y14
+      FROM idx WHERE i <= 14 GROUP BY seg),
+    init AS (
+      SELECT seg,
+        ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS l0,
+        (((((((y8 + y9) + y10) + y11) + y12) + y13) + y14) / 7.0
+          - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0) / 7.0 AS b0,
+        [y1 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0,
+         y2 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0,
+         y3 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0,
+         y4 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0,
+         y5 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0,
+         y6 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0,
+         y7 - ((((((y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0] AS s0
+      FROM piv),
+    rec AS (
+      SELECT seg, CAST(7 AS BIGINT) AS i, l0 AS l, b0 AS b, s0 AS s
+      FROM init
+      UNION ALL
+      SELECT r.seg, r.i + 1,
+        0.3 * (x.y - r.s[(r.i % 7) + 1]) + 0.7 * (r.l + r.b) AS l,
+        0.1 * ((0.3 * (x.y - r.s[(r.i % 7) + 1]) + 0.7 * (r.l + r.b))
+          - r.l) + 0.9 * r.b AS b,
+        list_transform(range(1, 8), k -> CASE WHEN k = (r.i % 7) + 1
+          THEN 0.2 * (x.y
+            - (0.3 * (x.y - r.s[(r.i % 7) + 1]) + 0.7 * (r.l + r.b)))
+            + 0.8 * r.s[(r.i % 7) + 1]
+          ELSE r.s[k] END) AS s
+      FROM rec r JOIN idx x ON x.seg = r.seg AND x.i = r.i + 1)
+    SELECT r.seg AS c_mktsegment, r.i AS n_days, r.l AS level, r.b AS trend,
+      r.s[((r.i - 1) % 7) + 1] AS season,
+      r.l + 7.0 * r.b + r.s[((r.i - 1) % 7) + 1] AS forecast_7
+    FROM rec r
+    JOIN (SELECT seg, max(n) AS n FROM idx GROUP BY seg) t
+      ON r.seg = t.seg AND r.i = t.n
+    WHERE t.n >= 15
+    ORDER BY c_mktsegment ASC NULLS FIRST"""
+
   private def tsHolt(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val daily = Catalog.load(spark, sfDir, "orders")
@@ -1012,6 +1131,7 @@ object TimeSeries extends QueryPack {
     Q("q_win_rolling_distinct_sketch", rollingDistinctSketch, None),
     Q("q_ts_acf", tsAcf, Some(tsAcfOracle)),
     Q("q_ts_holt", tsHolt, Some(tsHoltOracle)),
+    Q("q_ts_holt_winters", tsHoltWinters, Some(tsHoltWintersOracle)),
     Q("q_ts_mom_growth", tsMomGrowth, Some(tsMomGrowthOracle)),
     Q("q_ts_changepoint", tsChangepoint, Some(tsChangepointOracle)),
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
