@@ -404,6 +404,99 @@ object Streams extends QueryPack {
       $"event_type".asc_nulls_first)
   }
 
+  /** The TENTH graded real-streaming run (round 11): LATE-DATA DROP — the
+    * one watermark behavior the other nine runs never exercise (their
+    * replays land in one batch or in time order, so nothing is ever
+    * late). The split is ADVERSARIAL: the LATE half of the events
+    * (ts > midpoint) gets a strictly OLDER mtime so the file source
+    * batches it FIRST under `maxFilesPerTrigger = 1`; batch 1 advances
+    * the watermark to ms-floor(max ts) − 1 s and batch 2's entire EARLY
+    * half arrives below it. Two behaviors PROBED this round shape the
+    * design: (1) a streaming AGGREGATION does not drop late rows whose
+    * window state was never emitted — it re-creates state and emits at
+    * the final flush (so an agg here would quietly produce the full
+    * result); the enforced input drop lives in `dropDuplicates` WITH the
+    * event-time column among the keys. (2) The late filter runs against
+    * the watermark with a ONE-BATCH LAG (the previous batch's committed
+    * value), so an EMPTY buffer file sits between the halves — batch 1
+    * carries no data but commits the batch-0 watermark into effect.
+    * Graded output = the emitted key set = exactly the late half's
+    * distinct (user, type, ts) keys; a single surviving early-half key
+    * fails the hash.
+    *
+    * This is the semantics HALF of the late-data story; the operational
+    * answer to "don't lose backfills" is q_stream_restart's
+    * checkpoint+resume or a batch merge (q_merge_upsert), not a wider
+    * watermark.
+    */
+  private def streamLateDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ld_src_")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ld_ck_")
+    val stage = java.nio.file.Files.createTempDirectory("graft_ld_stage_")
+    val ev = Catalog.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
+    val b = ev.agg(unix_micros(min($"ts")).as("mn"),
+      unix_micros(max($"ts")).as("mx")).head()
+    val mid = (b.getLong(0) + b.getLong(1)) / 2
+    ev.filter(unix_micros($"ts") > mid)
+      .coalesce(1).write.parquet(s"$stage/late")
+    // Zero-row buffer: a real file, so it gets its own micro-batch that
+    // brings the batch-0 watermark into late-filtering effect.
+    ev.filter(lit(false)).coalesce(1).write.parquet(s"$stage/buffer")
+    ev.filter(unix_micros($"ts") <= mid)
+      .coalesce(1).write.parquet(s"$stage/early")
+    def land(tag: String, prefix: String, mtimeMs: Long): Unit = {
+      val ls = java.nio.file.Files.list(java.nio.file.Path.of(s"$stage/$tag"))
+      try {
+        import scala.jdk.CollectionConverters._
+        val t = java.nio.file.attribute.FileTime.fromMillis(mtimeMs)
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { f =>
+            val link = srcDir.resolve(s"${prefix}_${f.getFileName}")
+            java.nio.file.Files.createSymbolicLink(link, f)
+            // The file source batches oldest-mtime-first: a strictly
+            // OLDER stamp on the late half pins it into batch 1.
+            java.nio.file.Files.setLastModifiedTime(f, t)
+          }
+      } finally ls.close()
+    }
+    land("late", "a_late", 0L)
+    land("buffer", "b_buffer", 3600000L)
+    land("early", "c_early", 7200000L)
+    val sink = s"graft_ld_${streamRuns.incrementAndGet()}"
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .withWatermark("ts", "1 second")
+      .dropDuplicates("user_id", "event_type", "ts")
+      .select($"user_id", $"event_type", $"ts")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val out = spark.table(sink).orderBy($"user_id".asc_nulls_first,
+      $"event_type".asc_nulls_first, $"ts".asc_nulls_first)
+    spark.catalog.dropTempView(sink)
+    Seq(srcDir, ckDir, stage).foreach(rmTree)
+    out
+  }
+
+  /** Distinct keys of the late half ONLY (ts strictly above the
+    * time-range midpoint): the early half lands entirely below the
+    * batch-1 watermark and is dropped row-by-row by the dedup exec.
+    */
+  private val streamLateDropSql = """
+    WITH span AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events)
+    SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+    FROM events, span WHERE epoch_us(ts) > mid
+    ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST,
+      ts ASC NULLS FIRST"""
+
   /** The THIRD graded real-streaming run (added round 10): streaming exact
     * dedup actually executed — `dropDuplicatesWithinWatermark` over the
     * replayed events with a 1 s watermark, AvailableNow, append sink. The
@@ -729,6 +822,7 @@ object Streams extends QueryPack {
     // Checkpoint recovery shares the single-run twin's oracle: identical
     // final result IS the state/watermark/sink-log recovery proof.
     Q("q_stream_restart", streamRestart, Some(windowedAppendSql)),
+    Q("q_stream_late_drop", streamLateDrop, Some(streamLateDropSql)),
     Q("q_stream_dedup_exec", dedupExec, Some(dedupExecSql)),
     Q("q_stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("q_stream_outer_join", streamOuterJoin, Some(streamOuterJoinSql)),
