@@ -720,6 +720,100 @@ object TimeSeries extends QueryPack {
     ORDER BY day ASC NULLS FIRST"""
 
   private val acfLags = Seq(1, 2, 3, 7)
+  private val xcorrLags = Seq(0, 1, 2, 3, 7)
+
+  /** Lagged CROSS-correlation between two segments' daily revenue series
+    * (added round 11; the two-series sibling of q_ts_acf): does BUILDING
+    * revenue lead MACHINERY revenue? corr(x_t, y_{t−k}) for k = 0..7
+    * over the shared day grid (conditional sums per day — a day absent
+    * from orders is absent from BOTH series identically cross-engine).
+    * Same determinism machinery as ACF: exact decimal base sums routed
+    * to double, per-lag Pearson from one wide moment row, identical
+    * expression trees both engines.
+    *
+    * Scale: one conditional-sum pass over the fact → |days| rows; lags
+    * and moments over the bounded calendar series.
+    */
+  private def tsXcorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .join(broadcast(Catalog.load(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(
+        sum(when($"c_mktsegment" === "BUILDING",
+          $"o_totalprice".cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,2)").as("x"),
+        sum(when($"c_mktsegment" === "MACHINERY",
+          $"o_totalprice".cast("decimal(18,6)")).otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,2)").as("y"))
+    val w = Window.orderBy($"day".asc)
+    val withLags = daily.select($"day" +: $"x" +:
+      xcorrLags.map(k => lag($"y", k).over(w).as(s"l$k")): _*)
+    val moments = xcorrLags.flatMap { k =>
+      val lk = col(s"l$k")
+      Seq(
+        count(lk).as(s"n_$k"),
+        sum(when(lk.isNotNull, $"x")).cast("double").as(s"sx_$k"),
+        sum(lk).cast("double").as(s"sy_$k"),
+        sum(when(lk.isNotNull, $"x" * $"x")).cast("double").as(s"sxx_$k"),
+        sum(lk * lk).cast("double").as(s"syy_$k"),
+        sum($"x" * lk).cast("double").as(s"sxy_$k"))
+    }
+    val agg = withLags.agg(moments.head, moments.tail: _*)
+    val rows = xcorrLags.map { k =>
+      val n = col(s"n_$k").cast("double")
+      val (sx, sy) = (col(s"sx_$k"), col(s"sy_$k"))
+      val (sxx, syy, sxy) = (col(s"sxx_$k"), col(s"syy_$k"), col(s"sxy_$k"))
+      struct(lit(k).as("lag"), col(s"n_$k").as("n_pairs"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("xcorr"))
+    }
+    agg.select(inline(array(rows: _*))).orderBy($"lag".asc_nulls_first)
+  }
+
+  private val tsXcorrOracle: String = {
+    def msum(e: String) = s"CAST(CAST(sum($e) AS VARCHAR) AS DOUBLE)"
+    val moments = xcorrLags.map { k =>
+      s"""count(l$k) AS n_$k,
+        ${msum(s"CASE WHEN l$k IS NOT NULL THEN x END")} AS sx_$k,
+        ${msum(s"l$k")} AS sy_$k,
+        ${msum(s"CASE WHEN l$k IS NOT NULL THEN x * x END")} AS sxx_$k,
+        ${msum(s"l$k * l$k")} AS syy_$k,
+        ${msum(s"x * l$k")} AS sxy_$k"""
+    }.mkString(",\n        ")
+    val selects = xcorrLags.map { k =>
+      val n = s"CAST(n_$k AS DOUBLE)"
+      s"""SELECT $k AS lag, n_$k AS n_pairs,
+        ($n * sxy_$k - sx_$k * sy_$k) /
+        (sqrt($n * sxx_$k - sx_$k * sx_$k) * sqrt($n * syy_$k - sy_$k * sy_$k)) AS xcorr
+      FROM m"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH daily AS (
+      -- DECIMAL(19,2) for the same int128-path reason as q_ts_acf's
+      -- oracle; the VALUES equal Spark's (18,2) — both exact.
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+          THEN CAST(o_totalprice AS DECIMAL(18,6))
+          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(19,2)) AS x,
+        CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+          THEN CAST(o_totalprice AS DECIMAL(18,6))
+          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(19,2)) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    s AS (
+      SELECT x,
+        ${xcorrLags.map(k => s"lag(y, $k) OVER (ORDER BY day ASC) AS l$k").mkString(",\n        ")}
+      FROM daily),
+    m AS (
+      SELECT
+        $moments
+      FROM s)
+    SELECT * FROM (
+      $selects)
+    ORDER BY lag ASC NULLS FIRST"""
+  }
 
   /** Sample autocorrelation of the daily-revenue series at lags 1/2/3/7
     * (added round 10) — the seasonality probe run before choosing a
@@ -1132,6 +1226,7 @@ object TimeSeries extends QueryPack {
     Q("q_ts_acf", tsAcf, Some(tsAcfOracle)),
     Q("q_ts_holt", tsHolt, Some(tsHoltOracle)),
     Q("q_ts_holt_winters", tsHoltWinters, Some(tsHoltWintersOracle)),
+    Q("q_ts_xcorr", tsXcorr, Some(tsXcorrOracle)),
     Q("q_ts_mom_growth", tsMomGrowth, Some(tsMomGrowthOracle)),
     Q("q_ts_changepoint", tsChangepoint, Some(tsChangepointOracle)),
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
