@@ -314,6 +314,51 @@ object Joins extends QueryPack {
       .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
   }
 
+  /** Backward as-of with a STALENESS TOLERANCE (added round 11 — the
+    * pandas merge_asof `tolerance` semantic, the freshness guard every
+    * feature-store lookup wants): the latest event at-or-before each
+    * probe qualifies only if it is at most 6 hours old; staler matches
+    * drop the probe (the cut is real at every SF: ~60% of probes drop at
+    * sf0.01). Pure composition over the custom merge exec: the
+    * backward argmax within a lower-bounded window IS the overall argmax
+    * filtered by the bound (if the latest match is outside the window,
+    * nothing in the window can beat it), so the operator is
+    * asof-backward → one residual filter — no new exec, no second scan.
+    */
+  private def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts")
+    val probes = e.select($"user_id").distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-08").cast("timestamp"),
+        lit("2024-01-15").cast("timestamp"),
+        lit("2024-01-22").cast("timestamp"))))
+    graft.plans.AsOfJoin.asof(probes, e,
+        leftKey = "user_id", leftTime = "probe_ts",
+        rightKey = "user_id", rightTime = "ts", rightTie = "event_id")
+      .toDF("user_id", "probe_ts", "r_user_id", "event_id", "ts")
+      .filter(unix_micros($"probe_ts") - unix_micros($"ts")
+        <= 6L * 3600L * 1000000L)
+      .select($"user_id", $"probe_ts", $"event_id", $"ts")
+      .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
+  }
+
+  private val joinAsofToleranceOracle = """
+      WITH probes AS (
+        SELECT DISTINCT user_id, p.probe_ts
+        FROM events, (VALUES (TIMESTAMP '2024-01-08'), (TIMESTAMP '2024-01-15'),
+                             (TIMESTAMP '2024-01-22')) p(probe_ts)),
+      j AS (
+        SELECT pr.user_id, pr.probe_ts, e.event_id, e.ts,
+          row_number() OVER (PARTITION BY pr.user_id, pr.probe_ts
+                             ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM probes pr JOIN events e
+          ON e.user_id = pr.user_id AND e.ts <= pr.probe_ts
+          AND e.ts >= pr.probe_ts - INTERVAL 6 HOURS)
+      SELECT user_id, probe_ts, event_id, ts FROM j WHERE rn = 1
+      ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST"""
+
   private val joinAsofForwardOracle = """
       WITH probes AS (
         SELECT DISTINCT user_id, p.probe_ts
@@ -875,6 +920,8 @@ object Joins extends QueryPack {
     Q("q_join_asof", joinAsof, Some(asofOracle)),
     Q("q_join_asof_merge", joinAsofMerge, Some(asofOracle)),
     Q("q_join_asof_forward", joinAsofForward, Some(joinAsofForwardOracle)),
+    Q("q_join_asof_tolerance", joinAsofTolerance,
+      Some(joinAsofToleranceOracle)),
     Q("q_join_asof_outer", joinAsofOuter, Some(joinAsofOuterOracle)),
     Q("q_join_point_in_time", joinPointInTime, Some(joinPointInTimeOracle)),
     Q("q_join_self_interval", joinSelfInterval, Some("""
