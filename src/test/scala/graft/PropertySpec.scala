@@ -98,6 +98,32 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("overlap-join binning result-identical to the nested loop") =
+    forAll(intervalGen, intervalGen, Gen.oneOf(1L, 3L, 16L)) { (as, bs, w) =>
+      as.isEmpty || bs.isEmpty || {
+        // Ill-formed intervals (hi < lo via negative len) are generated on
+        // purpose: the original condition can still match them and the
+        // rewrite must agree (least/greatest coverage in the rule).
+        val a = as.zipWithIndex.map { case ((lo, len), i) =>
+          (i.toLong, lo, lo + len) }.toDF("aid", "alo", "ahi")
+        val bdf = bs.zipWithIndex.map { case ((lo, len), i) =>
+          (i.toLong, lo, lo + len) }.toDF("bid", "blo", "bhi")
+        def run() = a.join(bdf, $"alo" <= $"bhi" && $"blo" <= $"ahi")
+          .select($"aid", $"bid")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val key = graft.plans.RangeJoinBinning.ConfKey
+        val saved = spark.conf.getOption(key)
+        spark.conf.set(key, "0")
+        val plain = try run() finally ()
+        spark.conf.set(key, w.toString)
+        val binned = try run() finally saved match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        plain == binned
+      }
+    }
+
   property("session count never exceeds event count") = forAll(rows) { xs =>
     val events = xs.zipWithIndex.map { case ((u, m), i) =>
       (i.toLong, u, new java.sql.Timestamp(1700000000000L + m * 60000L))
