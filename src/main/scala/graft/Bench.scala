@@ -56,6 +56,11 @@ object Bench {
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.
     warm("docShingles_leaf")(graft.operators.LlmPipeline.warmShingleLeaf(spark, sfDir))
+    // The midpoint-split staging shared by q_stream_restart and
+    // q_stream_late_drop (round 11): plain parquet files, written once
+    // per (JVM, sfDir) — the timed runs then measure the streaming
+    // lifecycles, not the harness split.
+    warm("midpoint_stage")(graft.streaming.Streams.warmStageSplit(spark, sfDir))
     var failed = List.empty[String]
     // Declaration order (SparkEntry.all), not the HashMap view: map order
     // changed whenever a key was added, silently re-assigning shared cold
