@@ -262,11 +262,10 @@ object GraphOps extends QueryPack {
     * broadcast (|V| rows); the closure probe joins back to the canonical
     * edge set on the (lesser, greater) node pair.
     */
-  private def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+  private def buildTriPerNode(spark: SparkSession, und: DataFrame): DataFrame = {
     import spark.implicits._
     // Filter over the memoized undirected leaf: every join reference below
     // embeds only leaf+filter, no edge-build lineage.
-    val und = coPurchaseUnd(spark, sfDir)
     val edges = und.filter($"u" < $"v").select($"u".as("a"), $"v".as("b"))
     val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
     val oriented = edges
@@ -287,9 +286,24 @@ object GraphOps extends QueryPack {
     // whole wedge-join subtree once per column (the executed plan showed
     // the oriented join built three times); the explode emits the same
     // three node rows from ONE pass over the triangle table.
-    val perNode = tri
-      .select(explode(array($"n1", $"n2", $"n3")).as("node"))
+    tri.select(explode(array($"n1", $"n2", $"n3")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-node triangle counts, memoized (round 11 — shared by
+    * q_graph_triangles and q_graph_clustering_coeff; formerly inlined in
+    * triangles): the salted-wedge join runs once per (app, sfDir).
+    */
+  private def triPerNode(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = coPurchaseUnd(spark, sfDir)
+    memoEdgeLeaf(spark, sfDir, "triPerNode")(buildTriPerNode(spark, und))
+  }
+
+  private def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val edges = und.filter($"u" < $"v").select($"u".as("a"), $"v".as("b"))
+    val perNode = triPerNode(spark, sfDir)
     val nodes = edges.select($"a".as("node")).union(edges.select($"b")).distinct()
     nodes.join(perNode, Seq("node"), "left")
       .select($"node".as("custkey"),
@@ -762,8 +776,62 @@ object GraphOps extends QueryPack {
     FROM stats JOIN strongest USING (survivor_id)
     ORDER BY survivor_id ASC NULLS FIRST"""
 
+  /** Local clustering-coefficient DISTRIBUTION over the co-purchase graph
+    * (added round 11): cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for every
+    * node of degree ≥ 2, bucketed into ten bins — the standard
+    * small-world / community-structure profile, and a second consumer of
+    * the memoized per-node triangle leaf (the salted wedge join runs
+    * once, shared with q_graph_triangles). Integer numerators and
+    * denominators make every cc the same IEEE division cross-engine; the
+    * bin edge at cc = 1.0 clamps into the top bin.
+    */
+  private def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    val cc = deg.filter($"deg" >= 2)
+      .join(triPerNode(spark, sfDir), Seq("node"), "left")
+      .select($"node", $"deg",
+        coalesce($"n_triangles", lit(0L)).as("t"))
+      .withColumn("cc",
+        (lit(2.0) * $"t") / ($"deg" * ($"deg" - 1L)))
+    cc.groupBy(least(floor($"cc" * 10), lit(9.0)).cast("long").as("cc_bin"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"t").as("sum_triangles"))
+      .orderBy($"cc_bin".asc_nulls_first)
+  }
+
+  private val graphClusteringCoeffOracle = s"""
+    WITH $coPurchaseEdgesCtes,
+    tri AS (
+      SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+    per_node AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT n1 AS node FROM tri
+        UNION ALL SELECT n2 FROM tri
+        UNION ALL SELECT n3 FROM tri)
+      GROUP BY node),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY node),
+    cc AS (
+      SELECT d.node, d.deg, coalesce(p.n_triangles, 0) AS t,
+        (2.0 * coalesce(p.n_triangles, 0)) / (d.deg * (d.deg - 1)) AS cc
+      FROM deg d LEFT JOIN per_node p ON d.node = p.node
+      WHERE d.deg >= 2)
+    SELECT CAST(least(floor(cc * 10), 9.0) AS BIGINT) AS cc_bin,
+      count(*) AS n_nodes, CAST(sum(t) AS BIGINT) AS sum_triangles
+    FROM cc
+    GROUP BY 1
+    ORDER BY cc_bin ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
+    Q("q_graph_clustering_coeff", graphClusteringCoeff,
+      Some(graphClusteringCoeffOracle)),
     Q("q_er_golden", erGolden, Some(erGoldenOracle)),
     Q("q_graph_kcore", graphKcore, None),
     Q("q_graph_components", components, Some(componentsOracle)),
