@@ -207,6 +207,62 @@ object RelationalExtras extends QueryPack {
     ORDER BY lev ASC, key_a ASC NULLS FIRST, key_b ASC NULLS FIRST
     LIMIT 25"""
 
+  /** SORTED-NEIGHBORHOOD blocking (added round 11) — the classic
+    * alternative to q_er_blocking's hash blocking: records sort by a
+    * similarity-friendly key (name, then id) and ONLY pairs within a
+    * sliding window of 3 positions become candidates — O(n·w) pairs
+    * regardless of key-value skew, where hash blocking degrades with the
+    * hottest block. Reports, per window distance d ∈ {1,2,3}, the
+    * candidate count and how many are name-close (lev ≤ 2) — the
+    * recall/cost profile that picks w.
+    *
+    * Scale: the global rank comes from [[DistributedRank.cumsumExact]]
+    * (bucketed — no single-partition window) over a UNIQUE numeric
+    * encoding of the sort key (dictionary name_id · 2^24 + partkey; the
+    * name dictionary is bounded, partkey < 2^24 here — widen the shift
+    * with the id domain); the window join is BANDED on rank div 4 (each
+    * left row explodes to 2 buckets, every ≤3-distance pair meets exactly
+    * once), so the candidate scan is an equi shuffle, never all-pairs;
+    * levenshtein runs on the 3n candidates only.
+    */
+  private def erSortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Catalog.load(spark, sfDir, "part").select($"p_partkey", $"p_name")
+    val wDict = Window.orderBy($"p_name".asc) // bounded name dictionary
+    val dict = p.select($"p_name").distinct()
+      .withColumn("name_id", row_number().over(wDict).cast("long"))
+    val keyed = p.join(broadcast(dict), Seq("p_name"))
+      .withColumn("ord", $"name_id" * 16777216L + $"p_partkey")
+      .withColumn("one", lit(1L))
+    val ranked = DistributedRank.cumsumExact(keyed, "one", "ord", "rnk")
+      .withColumn("bkt", expr("CAST((rnk - 1) DIV 4 AS BIGINT)"))
+    val a = ranked.select($"p_name".as("na"), $"rnk".as("ra"),
+        explode(array($"bkt", $"bkt" + 1L)).as("bkt"))
+    val b = ranked.select($"p_name".as("nb"), $"rnk".as("rb"), $"bkt")
+    a.join(b, Seq("bkt"))
+      .withColumn("d", $"rb" - $"ra")
+      .filter($"d" >= 1L && $"d" <= 3L)
+      .groupBy($"d")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(levenshtein($"na", $"nb") <= 2, 1L).otherwise(0L))
+          .as("n_close"))
+      .orderBy($"d".asc_nulls_first)
+  }
+
+  private val erSortedNeighborhoodOracle = """
+    WITH ranked AS (
+      SELECT p_partkey, p_name,
+        row_number() OVER (ORDER BY p_name ASC, p_partkey ASC) AS rnk
+      FROM part),
+    pairs AS (
+      SELECT b.rnk - a.rnk AS d, a.p_name AS na, b.p_name AS nb
+      FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND 3)
+    SELECT d, count(*) AS n_pairs,
+      CAST(sum(CASE WHEN levenshtein(na, nb) <= 2 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_close
+    FROM pairs GROUP BY d
+    ORDER BY d ASC NULLS FIRST"""
+
   /** Correlated LATERAL subquery with ORDER BY + LIMIT (added round 9):
     * per nation the 2 highest-value orders — the SQL-surface form of
     * top-k-per-group (q_win_topn_per_group is the DataFrame-window twin).
@@ -431,6 +487,8 @@ object RelationalExtras extends QueryPack {
 
   override val queries: Vector[Q] = Vector(
     Q("q_er_blocking", erBlocking, Some(erBlockingOracle)),
+    Q("q_er_sorted_neighborhood", erSortedNeighborhood,
+      Some(erSortedNeighborhoodOracle)),
     Q("q_er_score", erScore, Some(erScoreOracle)),
     Q("q_join_null_aware_anti", joinNullAwareAnti, Some(joinNullAwareAntiOracle)),
     Q("q_join_lateral_topk", joinLateralTopk, Some(joinLateralTopkOracle)),
