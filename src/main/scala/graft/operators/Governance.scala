@@ -346,7 +346,69 @@ object Governance extends QueryPack {
     ORDER BY class_size ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST,
       c_nationkey ASC NULLS FIRST, bal_band ASC NULLS FIRST"""
 
+  /** Population-Stability-Index drift report (added round 11) — the
+    * standard ML-ops monitor for "did this feature's distribution move
+    * between training and serving": order values bucketed into ten fixed
+    * bands, 1995 as the reference period vs 1996 as the comparison, with
+    * Laplace smoothing ((n+1)/(N+10)) so empty bands stay finite. The
+    * per-band term (p−q)·ln(p/q) follows the q_math_funcs transcendental
+    * rule — ln rounded to 4dp first (ulp wobble cannot cross the 1e-4
+    * grid), term rounded to 6dp — so every row is bit-deterministic
+    * cross-engine; consumers sum the column for the headline PSI (> 0.2
+    * = actionable drift by the usual rule of thumb).
+    *
+    * Scale: one conditional-count pass over the fact + a 1-row totals
+    * broadcast — the drift monitor costs a groupBy at any size.
+    */
+  private def qualityDriftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Catalog.load(spark, sfDir, "orders")
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .select(year($"o_orderdate").as("y"),
+        least(floor($"o_totalprice" / 50000.0), lit(9.0)).cast("long")
+          .as("band"))
+    val counts = o.groupBy($"band")
+      .agg(
+        sum(when($"y" === 1995, 1L).otherwise(0L)).as("n_1995"),
+        sum(when($"y" === 1996, 1L).otherwise(0L)).as("n_1996"))
+    val totals = counts.agg(
+      sum($"n_1995").as("t95"), sum($"n_1996").as("t96"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p",
+        ($"n_1995" + 1L).cast("double") / ($"t95" + 10L).cast("double"))
+      .withColumn("q",
+        ($"n_1996" + 1L).cast("double") / ($"t96" + 10L).cast("double"))
+      .select($"band", $"n_1995", $"n_1996",
+        round(($"p" - $"q") * round(log($"p" / $"q"), 4), 6).as("psi_term"))
+      .orderBy($"band".asc_nulls_first)
+  }
+
+  private val qualityDriftPsiOracle = """
+    WITH o AS (
+      SELECT year(o_orderdate) AS y,
+        CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT) AS band
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+    counts AS (
+      SELECT band,
+        CAST(sum(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS n_1995,
+        CAST(sum(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_1996
+      FROM o GROUP BY band),
+    totals AS (
+      SELECT CAST(sum(n_1995) AS BIGINT) AS t95,
+        CAST(sum(n_1996) AS BIGINT) AS t96
+      FROM counts),
+    pq AS (
+      SELECT band, n_1995, n_1996,
+        CAST(n_1995 + 1 AS DOUBLE) / CAST(t95 + 10 AS DOUBLE) AS p,
+        CAST(n_1996 + 1 AS DOUBLE) / CAST(t96 + 10 AS DOUBLE) AS q
+      FROM counts, totals)
+    SELECT band, n_1995, n_1996,
+      round((p - q) * round(ln(p / q), 4), 6) AS psi_term
+    FROM pq
+    ORDER BY band ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiOracle)),
     Q("q_pii_kanonymity", piiKanonymity, Some(piiKanonymityOracle)),
     Q("q_gdpr_forget", gdprForget, Some(gdprForgetOracle)),
     Q("q_pii_mask", piiMask, Some(piiMaskOracle)),
