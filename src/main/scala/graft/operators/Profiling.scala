@@ -787,10 +787,13 @@ object Profiling extends QueryPack {
     * [[DistributedRank.cumsumExact]] (bucketed two-level cumsum — no
     * single-partition window); the order key is the UNIQUE composite
     * spend·10^6 + custkey, which reproduces the oracle's
-    * (x ASC, custkey ASC) tie order exactly (guarded: custkey < 10^6;
-    * widen the multiplier with the id domain). Tie invariance also holds
-    * mathematically — equal spends contribute the same ΣC under any
-    * permutation — so the tie-break is belt and braces.
+    * (x ASC, custkey ASC) tie order exactly. The key-domain assumptions
+    * are ENFORCED at runtime with raise_error branches (the
+    * ntileExactMulti precedent): custkey < 10^6 and x·10^6 < 2^63 per
+    * row, and (n+1)·total_cents < 2^63 at the final fold — a violating
+    * SF fails loudly instead of silently mis-sorting/overflowing. Tie
+    * invariance also holds mathematically — equal spends contribute the
+    * same ΣC under any permutation — so the tie-break is belt and braces.
     */
   private def statGini(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -799,7 +802,15 @@ object Profiling extends QueryPack {
       .groupBy($"o_custkey")
       .agg(sum(cents).as("x"))
     val keyed = pc
-      .withColumn("__ord", $"x" * 1000000L + $"o_custkey")
+      .withColumn("__ord",
+        when($"o_custkey" >= 1000000L || $"o_custkey" < 0L, raise_error(lit(
+          "graft q_stat_gini: o_custkey outside [0, 1e6) — composite " +
+            "order key x*1e6+custkey is no longer order-preserving; " +
+            "widen the multiplier with the id domain")))
+          .when($"x" > (Long.MaxValue - 999999L) / 1000000L, raise_error(lit(
+            "graft q_stat_gini: per-customer cents total too large — " +
+              "x*1e6 would overflow int64; widen the order-key encoding")))
+          .otherwise($"x" * 1000000L + $"o_custkey"))
     val withCum = graft.operators.DistributedRank
       .cumsumExact(keyed, "x", "__ord", "cum")
     withCum.agg(
@@ -807,10 +818,15 @@ object Profiling extends QueryPack {
         sum($"x").as("total_cents"),
         sum($"cum").as("c"))
       .select($"n_customers", $"total_cents",
-        round(
-          (($"n_customers" + 1L) * $"total_cents" - lit(2L) * $"c")
-            .cast("double") /
-          ($"n_customers" * $"total_cents").cast("double"), 6).as("gini"))
+        when($"total_cents" > lit(Long.MaxValue) / ($"n_customers" + 1L),
+          raise_error(lit(
+            "graft q_stat_gini: (n+1)*total_cents overflows int64; " +
+              "widen the final fold arithmetic")))
+          .otherwise(round(
+            (($"n_customers" + 1L) * $"total_cents" - lit(2L) * $"c")
+              .cast("double") /
+            ($"n_customers" * $"total_cents").cast("double"), 6))
+          .as("gini"))
   }
 
   private val statGiniOracle = """

@@ -219,8 +219,10 @@ object RelationalExtras extends QueryPack {
     * Scale: the global rank comes from [[DistributedRank.cumsumExact]]
     * (bucketed — no single-partition window) over a UNIQUE numeric
     * encoding of the sort key (dictionary name_id · 2^24 + partkey; the
-    * name dictionary is bounded, partkey < 2^24 here — widen the shift
-    * with the id domain); the window join is BANDED on rank div 4 (each
+    * name dictionary is bounded, and partkey < 2^24 is ENFORCED with a
+    * raise_error branch so a larger id domain fails loudly instead of
+    * silently breaking rank order); the window join is BANDED on rank
+    * div 4 (each
     * left row explodes to 2 buckets, every ≤3-distance pair meets exactly
     * once), so the candidate scan is an equi shuffle, never all-pairs;
     * levenshtein runs on the 3n candidates only.
@@ -232,7 +234,13 @@ object RelationalExtras extends QueryPack {
     val dict = p.select($"p_name").distinct()
       .withColumn("name_id", row_number().over(wDict).cast("long"))
     val keyed = p.join(broadcast(dict), Seq("p_name"))
-      .withColumn("ord", $"name_id" * 16777216L + $"p_partkey")
+      .withColumn("ord",
+        when($"p_partkey" >= 16777216L || $"p_partkey" < 0L,
+          raise_error(lit(
+            "graft q_er_sorted_neighborhood: p_partkey outside [0, 2^24)" +
+              " — composite sort key name_id*2^24+partkey is no longer " +
+              "unique/order-preserving; widen the shift")))
+          .otherwise($"name_id" * 16777216L + $"p_partkey"))
       .withColumn("one", lit(1L))
     val ranked = DistributedRank.cumsumExact(keyed, "one", "ord", "rnk")
       .withColumn("bkt", expr("CAST((rnk - 1) DIV 4 AS BIGINT)"))

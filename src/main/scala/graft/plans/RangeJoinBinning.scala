@@ -177,7 +177,9 @@ object RangeJoinBinning extends Rule[LogicalPlan] {
           s"bins ($MaxBinsConfKey); widen $ConfKey / $MicrosConfKey or " +
           "raise the cap"))),
       seq.dataType)
-    If(GreaterThan(Subtract(binHi, binLo), Literal(maxBins, LongType)),
+    // A row generates binHi-binLo+1 bins, so the cap trips at
+    // binHi-binLo >= maxBins (>= not >: `>` admitted maxBins+1 bins).
+    If(GreaterThanOrEqual(Subtract(binHi, binLo), Literal(maxBins, LongType)),
       err, seq)
   }
 

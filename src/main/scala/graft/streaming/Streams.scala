@@ -378,9 +378,14 @@ object Streams extends QueryPack {
       stage.toString
     })
 
-  /** Symlink one staged phase dir's parquet files into `srcDir` under a
-    * `prefix`, stamping the staged files' mtime (the file source batches
-    * oldest-mtime-first, so the stamp controls batch order).
+  /** Copy one staged phase dir's parquet files into `srcDir` under a
+    * `prefix`, stamping the COPIES' mtime (the file source batches
+    * oldest-mtime-first, so the stamp controls batch order). Per-run
+    * copies, not symlinks: a symlink's mtime stamp lands on the SHARED
+    * memoized stage file, so two queries with conflicting stamp needs
+    * (restart wants all-zero, late-drop needs late<buffer<early) could
+    * race under concurrent execution. The staged files are a few MB, so
+    * the copy is noise next to the streaming lifecycles being graded.
     */
   private def landStaged(stage: String, tag: String, srcDir: java.nio.file.Path,
                          prefix: String, mtimeMs: Long): Unit = {
@@ -391,9 +396,9 @@ object Streams extends QueryPack {
       ls.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .foreach { f =>
-          java.nio.file.Files.createSymbolicLink(
-            srcDir.resolve(s"${prefix}_${f.getFileName}"), f)
-          java.nio.file.Files.setLastModifiedTime(f, t)
+          val dst = srcDir.resolve(s"${prefix}_${f.getFileName}")
+          java.nio.file.Files.copy(f, dst)
+          java.nio.file.Files.setLastModifiedTime(dst, t)
         }
     } finally ls.close()
   }

@@ -77,6 +77,39 @@ class OperatorUnitSpec extends SparkTestBase {
     assert(ok.columns.toSeq == Seq("id", "v", "nt") && ok.count() == 3)
   }
 
+  test("q_stat_gini composite-key guard raises on out-of-domain custkey") {
+    // Round-12 guard (round-11 advice): the x*1e6+custkey order key is only
+    // order-preserving while custkey < 1e6; a violating domain must fail
+    // loudly with the named error, never silently mis-sort.
+    val dir = java.nio.file.Files.createTempDirectory("graft_gini_guard_")
+    Seq((1000000L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q_stat_gini")(spark, dir.toString).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("q_stat_gini")), msgs(e).mkString(" | "))
+  }
+
+  test("q_er_sorted_neighborhood composite-key guard raises on huge partkey") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sn_guard_")
+    Seq((16777216L, "widget alpha"), (2L, "widget beta"))
+      .toDF("p_partkey", "p_name")
+      .write.parquet(s"$dir/part.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q_er_sorted_neighborhood")(spark, dir.toString)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("q_er_sorted_neighborhood")),
+      msgs(e).mkString(" | "))
+  }
+
   test("near-dup Jaccard: identical shingle sets give 1.0, disjoint give no pair") {
     val docs = Seq(
       (1L, "a b c d e f"),

