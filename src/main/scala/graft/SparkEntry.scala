@@ -36,6 +36,7 @@ object SparkEntry {
     FeatureEng,
     GeoOps,
     BitmapOps,
+    KMeansOps,
   )
 
   lazy val all: Vector[Q] = {
