@@ -57,6 +57,33 @@ class PlanPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("CBO join reorder: stats flip the bad syntactic order, dims first") {
+    import graft.operators.RelationalExtras
+    // The graded query returns a checkpointed leaf (conf-scoped execution),
+    // which hides its source plan — so probe the optimizer directly: build
+    // the same SQL under each conf and read the leaf order out of the
+    // OPTIMIZED plan before execution.
+    val tables = Seq("lineitem", "orders", "customer", "nation")
+      .map(t => t -> s"graft_cbo_${t}_${sf0001.replaceAll("[^A-Za-z0-9]", "_")}")
+      .toMap
+    RelationalExtras.cboReorderFrame(spark, sf0001, cbo = true).count() // materialize+analyze tables
+    def order(cbo: Boolean): Seq[String] = {
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      keys.foreach(k => spark.conf.set(k, cbo.toString))
+      try {
+        val p = spark.sql(RelationalExtras.cboBadOrderSql(tables))
+          .queryExecution.optimizedPlan.toString
+        tables.values.toSeq.sortBy(p.indexOf)
+      } finally keys.foreach(spark.conf.unset)
+    }
+    val off = order(false)
+    val on = order(true)
+    // Syntactic order starts from the big fact; CBO must demote it.
+    assert(off.head == tables("lineitem"), s"off=$off")
+    assert(on.head != tables("lineitem") && on.last == tables("lineitem"),
+      s"CBO should join selective dims first, fact last: on=$on")
+  }
+
   test("RFM scoring contains no unpartitioned window") {
     // A bare Window.orderBy funnels all rows through one task; ntileExact
     // must keep every per-row window partitioned (the only ordered-only
