@@ -142,6 +142,112 @@ object GraphOps extends QueryPack {
     lbl
   }
 
+  /** LARGE-STAR/SMALL-STAR connected components (added round 12) — the
+    * Kiveris et al. "Connected Components in MapReduce and Beyond"
+    * formulation: the edge set itself is rewritten each round
+    * (large-star hangs every node's larger neighbors onto its minimum,
+    * small-star then hangs the node and its smaller neighbors onto their
+    * minimum) until the graph is a union of STARS, each centered at its
+    * component minimum. Rounds are O(log n) REGARDLESS of diameter —
+    * the property [[propagateMinLabels]] lacks (min-label needs
+    * O(diameter) rounds, fine for shallow near-dup clusters, unbounded
+    * for adversarial chains; GraphMemoSpec pins a 64-node chain
+    * converging in ≤ 8 two-star rounds where min-label would need 63).
+    *
+    * Edge state is canonical (c, p) with p < c. Convergence = the exact
+    * star fixpoint, checked with two cheap driver Longs per round:
+    * (a) no parent is itself a child (semi-join count), and (b) every
+    * child has exactly ONE parent (count == distinct-child count) — (a)
+    * alone is NOT a fixpoint (a two-parent child still merges its
+    * parents on the next small-star), which is why (b) exists. Each
+    * round's edge set is eagerly localCheckpoint-ed (flat lineage, the
+    * house iterative pattern); per round: one explode, two hash aggs,
+    * two equi-joins — all keyed shuffles, nothing driver-side but the
+    * two convergence Longs.
+    *
+    * Returns ((node, lbl) labels, rounds). Labels cover every node with
+    * an edge; singletons resolve downstream via the same coalesce join
+    * as min-label components.
+    */
+  private[graft] def twoStarLabels(
+      spark: SparkSession,
+      edges0: DataFrame): (DataFrame, Int) = {
+    import spark.implicits._
+    var e = edges0
+      .select(greatest($"u", $"v").as("c"), least($"u", $"v").as("p"))
+      .filter($"c" =!= $"p").distinct()
+      .localCheckpoint(true)
+    def isStar(df: DataFrame): Boolean = {
+      val parentIsChild = df.select($"p".as("c"))
+        .join(df.select($"c"), Seq("c"), "left_semi")
+        .limit(1).count() > 0
+      if (parentIsChild) false
+      else {
+        val r = df.agg(count(lit(1)), count_distinct($"c")).head()
+        r.getLong(0) == r.getLong(1)
+      }
+    }
+    var rounds = 0
+    var done = isStar(e)
+    while (!done && rounds < MaxRounds) {
+      // Large-star: for every node u, hang each LARGER neighbor v onto
+      // m(u) = min(N(u) ∪ {u}).
+      val und = e.select(explode(array(
+          struct($"c".as("u"), $"p".as("v")),
+          struct($"p".as("u"), $"c".as("v")))).as("x"))
+        .select($"x.u".as("u"), $"x.v".as("v"))
+      val m = und.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val ls = und.join(m, Seq("u")).filter($"v" > $"u")
+        .select($"v".as("c"), $"m".as("p"))
+        .filter($"c" =!= $"p").distinct()
+      // Small-star: group each node's SMALLER neighbors (ls is already
+      // child→parents), hang them and the node onto their minimum.
+      val sm = ls.groupBy($"c").agg(min($"p").as("m"))
+      val ss = ls.join(sm, Seq("c"))
+        .select(explode(array($"p", $"c")).as("n"), $"m")
+        .select(greatest($"n", $"m").as("c"), least($"n", $"m").as("p"))
+        .filter($"c" =!= $"p").distinct()
+      e = ss.localCheckpoint(true)
+      rounds += 1
+      done = isStar(e)
+    }
+    require(done,
+      s"two-star components did not converge within $MaxRounds rounds")
+    val lbl = e.select($"c".as("node"), $"p".as("lbl"))
+      .union(e.select($"p".as("node"), $"p".as("lbl")))
+      .distinct()
+    (lbl, rounds)
+  }
+
+  /** Memoized two-star labels over the near-dup graph (the sibling of
+    * [[nearDupLabels]] — same graph, the other formulation).
+    */
+  private def nearDupLabelsTwoStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = nearDupUnd(spark, sfDir)
+    memoEdgeLeaf(spark, sfDir, "nearDupLabelsTwoStar")(
+      twoStarLabels(spark, und)._1.localCheckpoint(true))
+  }
+
+  /** q_graph_components_twostar: identical output contract (and the SAME
+    * recursive-CTE oracle) as q_graph_components, computed by the
+    * two-star formulation — the two algorithms verify each other through
+    * one shared oracle, the house dual-formulation pattern
+    * (q_skyline_pareto precedent).
+    */
+  private def componentsTwoStar(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lbl = nearDupLabelsTwoStar(spark, sfDir)
+    val docs = Catalog.load(spark, sfDir, "documents").select($"doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"component_id")
+    docs
+      .join(lbl.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("component_id"))
+      .withColumn("comp_size", count(lit(1)).over(w))
+      .select($"doc_id", $"component_id", $"comp_size")
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
   /** Undirected near-dup edge leaf (memoized). Both edge directions come
     * from ONE explode over the pair pipeline — a union of two selects would
     * embed the shingle→join→jaccard subtree twice in the plan and execute
@@ -922,6 +1028,7 @@ object GraphOps extends QueryPack {
     Q("q_er_golden", erGolden, Some(erGoldenOracle)),
     Q("q_graph_kcore", graphKcore, None),
     Q("q_graph_components", components, Some(componentsOracle)),
+    Q("q_graph_components_twostar", componentsTwoStar, Some(componentsOracle)),
     Q("q_graph_triangles", triangles, Some(trianglesOracle)),
     Q("q_graph_degree_hist", degreeHist, Some(degreeHistOracle)),
     Q("q_graph_common_neighbors", commonNeighbors, Some(commonNeighborsOracle)),

@@ -51,4 +51,25 @@ class GraphMemoSpec extends SparkTestBase {
       assert(clus(spark, sf0001).count() > 0, s"dedup_clusters, iteration $i")
     }
   }
+
+  test("two-star components: O(log n) rounds on a 64-node chain, labels exact") {
+    import spark.implicits._
+    // A path 0-1-2-...-63 is the adversarial case for min-label
+    // propagation (diameter 63 > MaxRounds 20); two-star must collapse it
+    // to one star centered at 0 in ~log2(64) rounds.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("u", "v")
+    val und = chain.select(explode(array(
+        struct($"u", $"v"), struct($"v".as("u"), $"u".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+    val (lbl, rounds) = GraphOps.twoStarLabels(spark, und)
+    assert(rounds <= 8, s"expected ~log2(64) rounds, got $rounds")
+    val got = lbl.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L), got.toString)
+  }
+
+  test("two-star labels equal min-label labels on the near-dup graph") {
+    val a = SparkEntry.queries("q_graph_components")(spark, sf0001)
+    val b = SparkEntry.queries("q_graph_components_twostar")(spark, sf0001)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty && a.count() > 0)
+  }
 }
