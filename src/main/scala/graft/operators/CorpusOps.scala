@@ -361,7 +361,130 @@ object CorpusOps extends QueryPack {
       avg_p_ppm < $LmLowLikPpm AS flagged_lowlik
     FROM scored ORDER BY doc_id ASC NULLS FIRST"""
 
+  private val BpeMerges = 8
+
+  /** BPE MERGE-PAIR LEARNING (added round 12; round-11 verdict gap #4) —
+    * the half of the tokenizer story q_text_token_bpe (which only COUNTS
+    * pre-tokens) left open: learn the merge table itself. [[BpeMerges]]
+    * fixed rounds of the classic loop — count adjacent symbol pairs over
+    * the corpus vocabulary (weighted by word frequency), pick the argmax
+    * with a deterministic (count DESC, left ASC, right ASC) tie-break,
+    * merge that pair everywhere, repeat. Output = the learned merge table
+    * (round, pair, count) plus the post-merge corpus token count (the
+    * compression metric a tokenizer is judged on).
+    *
+    * Determinism/oracle contract: a word's segmentation is carried as a
+    * DOUBLE-SPACE-delimited string (" h  e  l  l  o ") so one literal
+    * `replace(s, " l  r ", " lr ")` performs the greedy LEFT-TO-RIGHT
+    * NON-OVERLAPPING merge — exactly BPE's semantics, and exactly what
+    * both engines' `replace` implements (single-space delimiters would
+    * make adjacent occurrences share a space and silently skip every
+    * second merge; probed both engines on " a  a  a " → " aa  a "). Pair
+    * counts are pure integers; the 8 argmax rows are the ONLY driver
+    * actions (one bounded 1-row collect per round — the convergence-Long
+    * pattern), and the oracle unrolls the same 8 rounds as CTEs with
+    * scalar subqueries for each round's best pair.
+    *
+    * Scale: the loop state is the DISTINCT-WORD table (vocabulary-sized,
+    * orders of magnitude smaller than the corpus — the standard BPE
+    * trainer shape), eagerly checkpointed per round; pair counting is one
+    * explode + map-side-combined agg per round; the corpus itself is
+    * touched once to build word frequencies.
+    */
+  private def textBpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Catalog.load(spark, sfDir, "documents")
+      .select(explode(expr("regexp_extract_all(text, '([a-z]+)', 1)"))
+        .as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+    var seg = words.select($"word", $"cnt",
+        concat(lit(" "),
+          rtrim(regexp_replace($"word", "(.)", "$1  ")), lit(" ")).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to BpeMerges) {
+      val pairs = seg
+        .select($"cnt", split(trim($"s"), "  ").as("syms"))
+        .select($"cnt", explode(zip_with(
+          slice($"syms", lit(1), size($"syms") - 1),
+          slice($"syms", lit(2), size($"syms") - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("c"))
+      val top = pairs
+        .orderBy($"c".desc, $"l".asc, $"r".asc).limit(1).collect()
+      // Loud failure, not a silent short table: a corpus too small for the
+      // declared merge count would otherwise diverge from the unrolled
+      // oracle (whose later rounds go NULL rather than absent).
+      require(top.nonEmpty,
+        s"graft q_text_bpe_learn: corpus exhausted after ${r - 1} merges, " +
+          s"$BpeMerges declared")
+      val best = top(0)
+      val (l, rr, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, l, rr, c))
+      seg = seg.withColumn("s",
+          call_function("replace", $"s",
+            lit(s" $l  $rr "), lit(s" $l$rr ")))
+        .localCheckpoint(true)
+    }
+    val tokensAfter = seg
+      .select(sum(size(split(trim($"s"), "  ")) * $"cnt").as("t"))
+      .head().getLong(0)
+    merges.toSeq
+      .toDF("merge_round", "left_sym", "right_sym", "pair_count")
+      .withColumn("corpus_tokens_after", lit(tokensAfter))
+      .orderBy($"merge_round".asc_nulls_first)
+  }
+
+  private val textBpeLearnSql = {
+    // Every round CTE is MATERIALIZED: w_r references w_{r-1} four times
+    // (directly + three scalar subqueries on b_r), so DuckDB's default
+    // inlining re-evaluates the chain 4^8 times — enough re-opened scans
+    // to exhaust the fd limit before any wrong answer could even appear.
+    def round(r: Int) = s"""
+    p$r AS MATERIALIZED (
+      SELECT pr[1] AS l, pr[2] AS r2, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        SELECT cnt, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+          AS pr
+        FROM (SELECT cnt, string_split(trim(s, ' '), '  ') AS syms
+              FROM w${r - 1}))
+      GROUP BY 1, 2),
+    b$r AS MATERIALIZED (
+      SELECT l, r2, c FROM p$r ORDER BY c DESC, l ASC, r2 ASC LIMIT 1),
+    w$r AS MATERIALIZED (
+      SELECT word, cnt,
+        replace(s,
+          ' ' || (SELECT l FROM b$r) || '  ' || (SELECT r2 FROM b$r) || ' ',
+          ' ' || (SELECT l FROM b$r) || (SELECT r2 FROM b$r) || ' ') AS s
+      FROM w${r - 1}),
+    m$r AS (SELECT CAST($r AS BIGINT) AS merge_round, l AS left_sym,
+              r2 AS right_sym, c AS pair_count FROM b$r)"""
+    val rounds = (1 to BpeMerges).map(round).mkString(",")
+    val unioned = (1 to BpeMerges).map(r => s"SELECT * FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+        FROM documents)
+      GROUP BY word),
+    w0 AS MATERIALIZED (
+      SELECT word, cnt,
+        ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s
+      FROM words),
+    $rounds,
+    toks AS (
+      SELECT CAST(sum(cnt * len(string_split(trim(s, ' '), '  '))) AS BIGINT)
+        AS corpus_tokens_after
+      FROM w$BpeMerges)
+    SELECT m.merge_round, m.left_sym, m.right_sym, m.pair_count,
+      t.corpus_tokens_after
+    FROM ($unioned) m CROSS JOIN toks t
+    ORDER BY merge_round ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_text_bpe_learn", textBpeLearn, Some(textBpeLearnSql)),
     Q("q_text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
     Q("q_text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("q_corpus_mix", corpusMix, Some(corpusMixSql)),
