@@ -366,7 +366,75 @@ object LlmPipeline extends QueryPack {
       .orderBy($"doc_id".asc_nulls_first)
   }
 
+  /** CROSS-CORPUS dedup (added round 12; round-11 verdict gap #6) — the
+    * nightly-ingest shape: an INCOMING batch (doc_id ≡ 7 mod 10, ~10% of
+    * the corpus standing in for tonight's crawl) is screened against the
+    * TRAIN corpus (the other 90%) for near-duplicates before admission.
+    * Same near-dup semantics as q_dedup_exact/q_dedup_near (df-capped
+    * 5-shingles, Jaccard ≥ 0.8), but the join is ASYMMETRIC train×incoming
+    * instead of the intra-corpus self-join.
+    *
+    * The scale lever is the BLOOM PREFILTER (the q_join_bloom_prefilter
+    * pattern, via the injected graft_bloom_agg/graft_might_contain): the
+    * bloom builds over the SMALL incoming side's shingle hashes and
+    * prefilters the TRAIN shingle scan, so only train shingles that might
+    * match tonight's batch reach the join shuffle — at 100 TB that is the
+    * difference between shuffling the whole train index and shuffling the
+    * batch-sized slice. Bloom false positives die in the exact equi-join;
+    * false negatives don't exist, so the result is IDENTICAL to the plain
+    * cross join — exactly what the bloom-free oracle checks. Jaccard
+    * denominators use FULL per-doc shingle counts (from the unfiltered
+    * leaf), never post-bloom counts. Both sides read the ONE memoized
+    * df-capped shingle leaf (shared with q_dedup_near/minhash/pipeline).
+    */
+  private def dedupCrossCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    shingles(spark, sfDir).createOrReplaceTempView("graft_xcorp_sh")
+    spark.sql(s"""
+      WITH inc AS (
+        SELECT doc_id, shingle FROM graft_xcorp_sh WHERE doc_id % 10 = 7),
+      trn AS (
+        SELECT doc_id, shingle FROM graft_xcorp_sh
+        WHERE doc_id % 10 <> 7
+          AND graft_might_contain(
+            (SELECT graft_bloom_agg(shingle) FROM inc), shingle)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM graft_xcorp_sh
+                GROUP BY doc_id),
+      inter AS (
+        SELECT i.doc_id AS in_doc, t.doc_id AS train_doc, count(*) AS n_inter
+        FROM trn t JOIN inc i ON t.shingle = i.shingle
+        GROUP BY 1, 2),
+      j AS (
+        SELECT in_doc, train_doc, n_inter,
+          round(CAST(n_inter AS DOUBLE) / (si.n + st.n - n_inter), 4)
+            AS jaccard
+        FROM inter
+        JOIN sizes si ON in_doc = si.doc_id
+        JOIN sizes st ON train_doc = st.doc_id)
+      SELECT in_doc, train_doc, n_inter, jaccard FROM j
+      WHERE jaccard >= 0.8
+      ORDER BY in_doc ASC NULLS FIRST, train_doc ASC NULLS FIRST""")
+  }
+
+  private val dedupCrossCorpusSql = s"""
+    WITH $shinglesSql,
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT i.doc_id AS in_doc, t.doc_id AS train_doc, count(*) AS n_inter
+      FROM sh t JOIN sh i ON t.shingle = i.shingle
+      WHERE t.doc_id % 10 <> 7 AND i.doc_id % 10 = 7
+      GROUP BY 1, 2),
+    j AS (
+      SELECT in_doc, train_doc, n_inter,
+        round(CAST(n_inter AS DOUBLE) / (si.n + st.n - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes si ON in_doc = si.doc_id
+      JOIN sizes st ON train_doc = st.doc_id)
+    SELECT in_doc, train_doc, n_inter, jaccard FROM j
+    WHERE jaccard >= 0.8
+    ORDER BY in_doc ASC NULLS FIRST, train_doc ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_dedup_cross_corpus", dedupCrossCorpus, Some(dedupCrossCorpusSql)),
     Q("q_text_normalize", textNormalize, Some(s"""
       SELECT doc_id, $normTextSql AS norm_text,
         CAST(len(string_split($normTextSql, ' ')) AS BIGINT) AS n_tokens

@@ -57,6 +57,14 @@ class PlanPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("cross-corpus dedup prefilters the train side through the bloom") {
+    val df = SparkEntry.queries("q_dedup_cross_corpus")(spark, sf0001)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("might_contain"),
+      s"train scan must carry the bloom prefilter:\n${p.take(2000)}")
+    assert(df.count() > 0)
+  }
+
   test("CBO join reorder: stats flip the bad syntactic order, dims first") {
     import graft.operators.RelationalExtras
     // The graded query returns a checkpointed leaf (conf-scoped execution),
