@@ -238,6 +238,104 @@ object KMeansOps extends QueryPack {
       .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
   }
 
+  /** Within-cluster inertia of the trained model — the index-quality /
+    * elbow metric every clustering build reports: per cell, member count
+    * and the EXACT integer sum of squared distances to the final centroid
+    * (the same scaled-integer arithmetic as the training loop, so the
+    * metric is bit-equal cross-engine, not an IEEE estimate).
+    */
+  private def kmeansInertia(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    kmAssign(spark, sfDir)
+      .join(kmQuant(spark, sfDir), Seq("vec_id"))
+      .join(broadcast(kmCentroids(spark, sfDir)), Seq("cell"))
+      .select($"cell", sqDist($"e", $"c").as("d2"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"), sum($"d2").as("inertia"))
+      .orderBy($"cell".asc_nulls_first)
+  }
+
+  private val kmeansInertiaOracle = s"""
+    WITH $kmeansCtes,
+    inert AS (
+      SELECT a.cell, a.vec_id, sum((q.e - c.c) * (q.e - c.c)) AS d2
+      FROM assign3 a
+      JOIN quant q USING (vec_id)
+      JOIN cent3 c ON c.cell = a.cell AND c.pos = q.pos
+      GROUP BY 1, 2)
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+      CAST(sum(d2) AS BIGINT) AS inertia
+    FROM inert GROUP BY cell
+    ORDER BY cell ASC NULLS FIRST"""
+
+  /** MULTI-PROBE IVF (nprobe=2): each probe routes to its TWO nearest
+    * trained cells and reranks the union of both cells' postings — the
+    * standard recall lever when the true neighbor sits just across a cell
+    * boundary (single-probe IVF misses it by construction). Routing stays
+    * exact integer squared-L2 with (d2, cell) ties; the rerank cost is
+    * nprobe/k of the corpus per probe, the knob a 100-TB deployment tunes
+    * against recall.
+    */
+  private def ivfTrainedNprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val probes = kmQuant(spark, sfDir).filter($"vec_id" < 10L)
+      .select($"vec_id".as("probe_id"), $"e")
+    val pd = probes.crossJoin(broadcast(kmCentroids(spark, sfDir)))
+      .select($"probe_id", $"cell", sqDist($"e", $"c").as("d2"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"d2".asc, $"cell".asc)
+    val pcells = pd.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).select($"probe_id", $"cell")
+    val pEmb = Catalog.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val scored = pcells.join(pEmb, Seq("probe_id"))
+      .join(kmPostings(spark, sfDir), Seq("cell"))
+      .filter($"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cell", $"cand_id",
+        round(expr("graft_cosine(p_emb, c_emb)"), 4).as("cos_sim"))
+    val wr = Window.partitionBy($"probe_id")
+      .orderBy($"cos_sim".desc, $"cand_id".asc)
+    scored.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= 3)
+      .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  private val ivfTrainedNprobeOracle = {
+    def zipdot(a: String, b: String) = s"""(
+      SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+      FROM (SELECT unnest(list_zip($a, $b)) AS r))"""
+    s"""
+    WITH $kmeansCtes,
+    postings AS (
+      SELECT a.cell, em.vec_id AS cand_id, em.embedding AS c_emb
+      FROM assign3 a JOIN embeddings em USING (vec_id)),
+    pdist AS (
+      SELECT q.vec_id AS probe_id, c.cell, sum((q.e - c.c) * (q.e - c.c)) AS d2
+      FROM quant q JOIN cent3 c USING (pos)
+      WHERE q.vec_id < 10 GROUP BY 1, 2),
+    pcells AS (
+      SELECT probe_id, cell FROM (
+        SELECT probe_id, cell, row_number() OVER
+          (PARTITION BY probe_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM pdist) WHERE rn <= 2),
+    scored AS (
+      SELECT pc.probe_id, pc.cell, po.cand_id,
+        round(${zipdot("p.embedding", "po.c_emb")}
+              / (sqrt(${zipdot("p.embedding", "p.embedding")})
+                 * sqrt(${zipdot("po.c_emb", "po.c_emb")})), 4) AS cos_sim
+      FROM pcells pc
+      JOIN postings po USING (cell)
+      JOIN embeddings p ON p.vec_id = pc.probe_id
+      WHERE po.cand_id <> pc.probe_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id ASC)
+        AS BIGINT) AS rank
+      FROM scored)
+    SELECT probe_id, cell, cand_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+  }
+
   private val ivfTrainedOracle = {
     def zipdot(a: String, b: String) = s"""(
       SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
@@ -276,6 +374,8 @@ object KMeansOps extends QueryPack {
 
   override val queries: Vector[Q] = Vector(
     Q("q_ml_kmeans_train", kmeansTrain, Some(kmeansTrainOracle)),
+    Q("q_ml_kmeans_inertia", kmeansInertia, Some(kmeansInertiaOracle)),
     Q("q_sim_ann_ivf_trained", ivfTrainedProbe, Some(ivfTrainedOracle)),
+    Q("q_sim_ann_ivf_nprobe", ivfTrainedNprobe, Some(ivfTrainedNprobeOracle)),
   )
 }
