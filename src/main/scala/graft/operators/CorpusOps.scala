@@ -391,7 +391,40 @@ object CorpusOps extends QueryPack {
     * explode + map-side-combined agg per round; the corpus itself is
     * touched once to build word frequencies.
     */
-  private def textBpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Learned model: the 8 merge rows plus the post-merge vocabulary
+    * (word, cnt, s) — `s` is the word's final double-space-delimited
+    * segmentation. Built once per (application, sfDir) and shared by the
+    * learner and the apply query (train once, encode many — the kmAssign/
+    * ivf leaf precedent). The vocab DataFrame is the loop's final eager
+    * localCheckpoint, i.e. already a leaf.
+    */
+  private case class BpeModel(
+      merges: Seq[(Long, String, String, Long)], vocab: DataFrame)
+
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeModel]()
+
+  /** Test hook mirroring [[GraphOps.clearMemoForTest]]. */
+  private[graft] def clearBpeMemoForTest(): Unit = bpeModels.clear()
+
+  /** Memoized model accessor — the get → build → putIfAbsent shape of
+    * [[GraphOps.memoEdgeLeaf]] (same stale-app eviction, same benign-race
+    * contract; a losing duplicate build is just an unreferenced leaf).
+    */
+  private def bpeModel(spark: SparkSession, sfDir: String): BpeModel = {
+    val appId = spark.sparkContext.applicationId
+    bpeModels.keySet.removeIf(k => !k.startsWith(s"$appId#"))
+    val key = s"$appId#$sfDir"
+    val cached = bpeModels.get(key)
+    if (cached != null) cached
+    else {
+      val built = buildBpeModel(spark, sfDir)
+      val prev = bpeModels.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  private def buildBpeModel(spark: SparkSession, sfDir: String): BpeModel = {
     import spark.implicits._
     val words = Catalog.load(spark, sfDir, "documents")
       .select(explode(expr("regexp_extract_all(text, '([a-z]+)', 1)"))
@@ -427,16 +460,61 @@ object CorpusOps extends QueryPack {
             lit(s" $l  $rr "), lit(s" $l$rr ")))
         .localCheckpoint(true)
     }
-    val tokensAfter = seg
+    BpeModel(merges.toSeq, seg)
+  }
+
+  private def textBpeLearn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val model = bpeModel(spark, sfDir)
+    val tokensAfter = model.vocab
       .select(sum(size(split(trim($"s"), "  ")) * $"cnt").as("t"))
       .head().getLong(0)
-    merges.toSeq
+    model.merges
       .toDF("merge_round", "left_sym", "right_sym", "pair_count")
       .withColumn("corpus_tokens_after", lit(tokensAfter))
       .orderBy($"merge_round".asc_nulls_first)
   }
 
-  private val textBpeLearnSql = {
+  /** BPE APPLY — encode the corpus with the learned merge table (the serve
+    * half q_text_bpe_learn's training half implies): per document, the
+    * word count and the post-merge token count, plus the tokens-per-word
+    * ratio in exact ppm integer arithmetic (the compression metric that
+    * decides whether a tokenizer ships). The corpus is encoded through ONE
+    * dictionary equi-join — each word's final segmentation was already
+    * computed by the training loop, so apply never replays the merges over
+    * the corpus (the classic trainer/encoder split: vocabulary-sized
+    * state, corpus-sized throughput).
+    *
+    * Scale: the dictionary is the distinct-word table — Zipf-bounded,
+    * orders of magnitude smaller than a 100-TB corpus — so it broadcasts
+    * (declared; at open-vocabulary scale fall back to a shuffle join on
+    * `word`). The per-doc aggregation is map-side combined; documents with
+    * no `[a-z]+` word survive via the left join with zero counts and a
+    * NULL ratio.
+    */
+  private def textBpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dict = bpeModel(spark, sfDir).vocab
+      .select($"word",
+        size(split(trim($"s"), "  ")).cast("long").as("ntok"))
+    val counts = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        explode(expr("regexp_extract_all(text, '([a-z]+)', 1)")).as("word"))
+      .join(broadcast(dict), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("w"), sum($"ntok").as("t"))
+    Catalog.load(spark, sfDir, "documents").select($"doc_id")
+      .join(counts, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"w", lit(0L)).as("n_words"),
+        coalesce($"t", lit(0L)).as("n_tokens"))
+      .withColumn("tok_per_word_ppm",
+        when($"n_words" === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_tokens * 1000000) div n_words")))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val textBpeCtesAndUnion = {
     // Every round CTE is MATERIALIZED: w_r references w_{r-1} four times
     // (directly + three scalar subqueries on b_r), so DuckDB's default
     // inlining re-evaluates the chain 4^8 times — enough re-opened scans
@@ -462,8 +540,7 @@ object CorpusOps extends QueryPack {
     val rounds = (1 to BpeMerges).map(round).mkString(",")
     val unioned = (1 to BpeMerges).map(r => s"SELECT * FROM m$r")
       .mkString(" UNION ALL ")
-    s"""
-    WITH words AS (
+    val ctes = s"""words AS (
       SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
         SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
         FROM documents)
@@ -472,7 +549,14 @@ object CorpusOps extends QueryPack {
       SELECT word, cnt,
         ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s
       FROM words),
-    $rounds,
+    $rounds"""
+    (ctes, unioned)
+  }
+
+  private val textBpeLearnSql = {
+    val (ctes, unioned) = textBpeCtesAndUnion
+    s"""
+    WITH $ctes,
     toks AS (
       SELECT CAST(sum(cnt * len(string_split(trim(s, ' '), '  '))) AS BIGINT)
         AS corpus_tokens_after
@@ -483,8 +567,34 @@ object CorpusOps extends QueryPack {
     ORDER BY merge_round ASC NULLS FIRST"""
   }
 
+  private val textBpeApplySql = {
+    val (ctes, _) = textBpeCtesAndUnion
+    s"""
+    WITH $ctes,
+    per_word AS (
+      SELECT word,
+        CAST(len(string_split(trim(s, ' '), '  ')) AS BIGINT) AS ntok
+      FROM w$BpeMerges),
+    docw AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+      FROM documents),
+    cnts AS (
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(p.ntok) AS BIGINT) AS n_tokens
+      FROM docw d JOIN per_word p USING (word)
+      GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+      coalesce(c.n_words, 0) AS n_words,
+      coalesce(c.n_tokens, 0) AS n_tokens,
+      CASE WHEN coalesce(c.n_words, 0) = 0 THEN NULL
+           ELSE (c.n_tokens * 1000000) // c.n_words END AS tok_per_word_ppm
+    FROM documents doc LEFT JOIN cnts c USING (doc_id)
+    ORDER BY doc_id ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_text_bpe_learn", textBpeLearn, Some(textBpeLearnSql)),
+    Q("q_text_bpe_apply", textBpeApply, Some(textBpeApplySql)),
     Q("q_text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
     Q("q_text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("q_corpus_mix", corpusMix, Some(corpusMixSql)),

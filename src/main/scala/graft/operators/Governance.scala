@@ -407,7 +407,69 @@ object Governance extends QueryPack {
     FROM pq
     ORDER BY band ASC NULLS FIRST"""
 
+  private val SampleTicks = 1000L
+
+  /** WEIGHTED SAMPLING — systematic probability-proportional-to-size
+    * (added round 12): draw ~[[SampleTicks]] orders with inclusion
+    * probability proportional to o_totalprice, the downsampling shape a
+    * 100-TB corpus uses when rows carry importance weights (quality
+    * scores, dedup multiplicities). Deterministic systematic PPS: lay
+    * [[SampleTicks]] equally-spaced ticks (phase = step/2) along the
+    * cumulative-weight axis ordered by o_orderkey; an order is selected
+    * iff a tick lands inside its weight interval, with multiplicity = the
+    * number of captured ticks (heavy rows can capture several — the
+    * with-replacement multiplicity PPS reports rather than hides).
+    *
+    * Everything is exact integer cents, so the oracle is bit-equal: no
+    * RNG, no float thresholds — rerunning a failed task re-derives the
+    * same sample (exactly-once-friendly, like q_sample_stratified's hash
+    * filter, but for WEIGHTED inclusion which a per-row hash cannot do).
+    *
+    * Scale: the global cumulative weight runs through
+    * [[DistributedRank.cumsumExact]] (bucketed two-level cumsum — no
+    * single-partition window anywhere); the (step, phase) pair is a 1-row
+    * broadcast dim; selection is then a pure per-row integer predicate.
+    * Two passes over the weights, zero corpus shuffles beyond the cumsum's
+    * own bucketing.
+    */
+  private def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderkey",
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("w"))
+    val cum = DistributedRank.cumsumExact(w, "w", "o_orderkey", "cw")
+    val params = w.agg(sum($"w").as("tot"))
+      .select(expr(s"tot div $SampleTicks").as("step"))
+      .select($"step", expr("step div 2").as("phase"))
+    cum.crossJoin(broadcast(params))
+      .withColumn("m", expr(
+        "(cw + step - phase) div step - (cw - w + step - phase) div step"))
+      .filter($"m" >= 1L)
+      .select($"o_orderkey", $"w", $"cw", $"m")
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  private val sampleWeightedOracle = s"""
+    WITH w AS (
+      SELECT o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS w
+      FROM orders),
+    c AS (
+      SELECT o_orderkey, w,
+        CAST(sum(w) OVER (ORDER BY o_orderkey) AS BIGINT) AS cw
+      FROM w),
+    p AS (
+      SELECT CAST(sum(w) // $SampleTicks AS BIGINT) AS step,
+        CAST((sum(w) // $SampleTicks) // 2 AS BIGINT) AS phase
+      FROM w)
+    SELECT o_orderkey, w, cw,
+      (cw + step - phase) // step - (cw - w + step - phase) // step AS m
+    FROM c CROSS JOIN p
+    WHERE (cw + step - phase) // step - (cw - w + step - phase) // step >= 1
+    ORDER BY o_orderkey ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedOracle)),
     Q("q_quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiOracle)),
     Q("q_pii_kanonymity", piiKanonymity, Some(piiKanonymityOracle)),
     Q("q_gdpr_forget", gdprForget, Some(gdprForgetOracle)),

@@ -372,10 +372,160 @@ object KMeansOps extends QueryPack {
     ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
   }
 
+  /** SEMANTIC DEDUP (the SemDeDup shape: cluster the embedding space, then
+    * deduplicate WITHIN each cluster) — the semantic counterpart of the
+    * lexical dedup family: per trained k-means cell, every ordered pair
+    * with rounded cosine >= [[SemDedupTau]] marks its HIGHER vec_id as a
+    * semantic duplicate (pair-greedy keep-lowest-id survivorship; the
+    * connected-component survivor variant is q_dedup_clusters' job).
+    * Output = per-cell member / dropped / kept counts.
+    *
+    * Recall contract: pairs that land in DIFFERENT cells are missed BY
+    * DESIGN — that is SemDeDup's trade (the oracle applies the same
+    * within-cell restriction, so the trade is graded, not hidden). Cosine
+    * determinism is the q_dedup_embedding_cosine contract: round to 4dp
+    * per pair before the threshold, both engines.
+    *
+    * Scale: candidate pairs are bounded at k * (n/k)^2 by the cell
+    * partitioning — the equi-join on `cell` reuses kmPostings'
+    * cell-clustered leaf, so the quadratic verify never crosses cells and
+    * never shuffles the corpus a second time. At 100 TB the knob is k:
+    * more cells, smaller quadratic islands, lower recall — the published
+    * SemDeDup operating curve.
+    */
+  private val SemDedupTau = 0.45
+
+  private def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = kmPostings(spark, sfDir)
+    val a = p.select($"cell", $"cand_id".as("vec_a"), $"c_emb".as("emb_a"))
+    val b = p.select($"cell", $"cand_id".as("vec_b"), $"c_emb".as("emb_b"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter($"vec_a" < $"vec_b" &&
+        round(expr("graft_cosine(emb_a, emb_b)"), 4) >= SemDedupTau)
+      .select($"vec_b".as("vec_id")).distinct()
+      .withColumn("dropped", lit(1L))
+    kmAssign(spark, sfDir)
+      .join(dropped, Seq("vec_id"), "left")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce($"dropped", lit(0L))).as("n_dropped"))
+      .withColumn("n_kept", $"n_members" - $"n_dropped")
+      .orderBy($"cell".asc_nulls_first)
+  }
+
+  private val dedupSemanticOracle = {
+    def zipdot(a: String, b: String) = s"""(
+      SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+      FROM (SELECT unnest(list_zip($a, $b)) AS r))"""
+    s"""
+    WITH $kmeansCtes,
+    postings AS (
+      SELECT a.cell, em.vec_id, em.embedding
+      FROM assign3 a JOIN embeddings em USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM postings a JOIN postings b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(${zipdot("a.embedding", "b.embedding")}
+              / (sqrt(${zipdot("a.embedding", "a.embedding")})
+                 * sqrt(${zipdot("b.embedding", "b.embedding")})), 4)
+            >= $SemDedupTau)
+    SELECT p.cell, CAST(count(*) AS BIGINT) AS n_members,
+      CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dropped,
+      CAST(count(*) -
+        sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept
+    FROM postings p LEFT JOIN dropped d ON p.vec_id = d.vec_id
+    GROUP BY p.cell
+    ORDER BY cell ASC NULLS FIRST"""
+  }
+
+  private val PowerIters = 3
+
+  /** DOMINANT EMBEDDING DIRECTION via power iteration (the
+    * "all-but-the-top" embedding-cleanup shape: real corpora concentrate
+    * mass on one common direction; finding it is the first step of
+    * removing it). [[PowerIters]] fixed iterations of v <- M'Mv over the
+    * quantized corpus, entirely in EXACT integer/decimal arithmetic:
+    *
+    *  - v0 = (10^6, ..., 10^6); per iteration dot = e . v per vector
+    *    (int64: 64 * 2.2e6 * 1e6 ~ 1.4e14), then w_i = sum(dot * e_i) with
+    *    the per-row product cast to decimal(38,0) BEFORE multiplying
+    *    (3e20 per row overflows int64; ~3e24 summed fits 38 digits —
+    *    DuckDB side runs the same chain in HUGEINT);
+    *  - renormalize by the max-|component| in integer division with the
+    *    kmeans positivity offset: v'_i = ((w_i + m)*10^6 div m) - 10^6,
+    *    dividend non-negative because |w_i| <= m — floor and truncating
+    *    division agree, so Spark `div` == DuckDB `//`.
+    *
+    * The only driver actions are [[PowerIters]] bounded 64-row collects
+    * (the w vector; BPE's 1-row-per-round precedent) — each iteration's
+    * corpus work is ONE scan + one map-side-combined 64-group agg; the
+    * 64-long v rides back as a literal array, never a join. No float
+    * enters the loop, so the unrolled oracle is bit-equal by construction.
+    */
+  private def vecPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val quant = kmQuant(spark, sfDir)
+    var v: IndexedSeq[BigInt] = IndexedSeq.fill(Dim)(BigInt(1000000))
+    for (_ <- 1 to PowerIters) {
+      val vCol = array(v.map(x => lit(x.toLong)): _*)
+      val w = quant
+        .select(aggregate(zip_with($"e", vCol, (x, y) => x * y),
+          lit(0L), _ + _).as("dot"), $"e")
+        .select($"dot", posexplode($"e").as(Seq("pos0", "ei")))
+        .groupBy($"pos0")
+        .agg(sum($"dot".cast("decimal(38,0)") * $"ei").as("w"))
+        .orderBy($"pos0".asc)
+        .collect()
+        .map(r => BigInt(r.getDecimal(1).toBigInteger))
+      val m = w.map(_.abs).max
+      v = w.map(wi => ((wi + m) * 1000000) / m - 1000000).toIndexedSeq
+    }
+    v.zipWithIndex
+      .map { case (vi, i) => (i + 1L, vi.toLong) }
+      .toDF("pos", "v_dir")
+      .orderBy($"pos".asc_nulls_first)
+  }
+
+  private val vecPcaPowerOracle = {
+    def iter(t: Int) = s"""
+    dot$t AS (
+      SELECT q.vec_id, sum(CAST(q.e AS HUGEINT) * v.v) AS dot
+      FROM quant q JOIN v${t - 1} v USING (pos) GROUP BY 1),
+    w$t AS (
+      SELECT q.pos, sum(CAST(d.dot AS HUGEINT) * q.e) AS w
+      FROM quant q JOIN dot$t d USING (vec_id) GROUP BY 1),
+    m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+    v$t AS (
+      SELECT pos,
+        ((w + (SELECT m FROM m$t)) * 1000000) // (SELECT m FROM m$t)
+          - 1000000 AS v
+      FROM w$t)"""
+    val iters = (1 to PowerIters).map(iter).mkString(",")
+    s"""
+    WITH quant AS (
+      SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              unnest(embedding) AS v
+            FROM embeddings)),
+    v0 AS (
+      SELECT CAST(range AS BIGINT) AS pos, CAST(1000000 AS HUGEINT) AS v
+      FROM range(1, ${Dim + 1})),
+    $iters
+    SELECT pos, CAST(v AS BIGINT) AS v_dir FROM v$PowerIters
+    ORDER BY pos ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_ml_kmeans_train", kmeansTrain, Some(kmeansTrainOracle)),
     Q("q_ml_kmeans_inertia", kmeansInertia, Some(kmeansInertiaOracle)),
     Q("q_sim_ann_ivf_trained", ivfTrainedProbe, Some(ivfTrainedOracle)),
     Q("q_sim_ann_ivf_nprobe", ivfTrainedNprobe, Some(ivfTrainedNprobeOracle)),
+    Q("q_dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
+    Q("q_vec_pca_power", vecPcaPower, Some(vecPcaPowerOracle)),
   )
 }
