@@ -520,7 +520,71 @@ object KMeansOps extends QueryPack {
     ORDER BY pos ASC NULLS FIRST"""
   }
 
+  private val CovTopK = 50
+
+  /** EMBEDDING COVARIANCE STRUCTURE (the whitening-prep companion of
+    * [[vecPcaPower]]): the [[CovTopK]] strongest off-diagonal covariance
+    * pairs of the quantized corpus, in EXACT integer arithmetic —
+    * cov_num(i,j) = n·Σeᵢeⱼ − Σeᵢ·Σeⱼ (the covariance numerator, i.e.
+    * n²·cov; reporting the unscaled numerator keeps every step integral).
+    * Per-row products eᵢeⱼ ≈ 5·10¹² stay in int64; the sums and the final
+    * combination go through decimal(38,0) / HUGEINT (n·Σeᵢeⱼ ≈ 5·10²⁰
+    * overflows int64).
+    *
+    * Scale: the corpus is touched ONCE — each row expands to its 2080
+    * upper-triangle products via nested `transform` + one explode, feeding
+    * a single map-side-combined (i,j)-keyed agg (the ivfCentroids shape,
+    * 2080 groups). No joins over the corpus, no per-pair shuffle; the
+    * top-k is over the 2016 off-diagonal pairs.
+    */
+  private def vecCovariance(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val quant = kmQuant(spark, sfDir)
+    val n = quant.count()
+    val prods = quant.select(explode(expr(
+      s"""flatten(transform(sequence(1, $Dim), i ->
+            transform(sequence(i, $Dim), j ->
+              named_struct('i', i, 'j', j,
+                'p', element_at(e, i) * element_at(e, j),
+                'ei', element_at(e, i), 'ej', element_at(e, j)))))"""))
+      .as("t"))
+      .select($"t.i".cast("long").as("i"), $"t.j".cast("long").as("j"),
+        $"t.p", $"t.ei", $"t.ej")
+    val stats = prods.groupBy($"i", $"j")
+      .agg(sum($"p".cast("decimal(38,0)")).as("sij"),
+        sum($"ei".cast("decimal(38,0)")).as("ti"),
+        sum($"ej".cast("decimal(38,0)")).as("tj"))
+    stats.filter($"i" < $"j")
+      .select($"i", $"j",
+        (lit(n) * $"sij" - $"ti" * $"tj").cast("decimal(38,0)").as("cov_num"))
+      .orderBy(abs($"cov_num").desc, $"i".asc, $"j".asc)
+      .limit(CovTopK)
+      .orderBy(abs($"cov_num").desc, $"i".asc, $"j".asc)
+  }
+
+  private val vecCovarianceOracle = s"""
+    WITH quant AS (
+      SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              unnest(embedding) AS v
+            FROM embeddings)),
+    n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+    s AS (
+      SELECT a.pos AS i, b.pos AS j,
+        sum(CAST(a.e AS HUGEINT) * b.e) AS sij,
+        sum(CAST(a.e AS HUGEINT)) AS ti,
+        sum(CAST(b.e AS HUGEINT)) AS tj
+      FROM quant a JOIN quant b
+        ON a.vec_id = b.vec_id AND a.pos < b.pos
+      GROUP BY 1, 2)
+    SELECT i, j, CAST(n.n * s.sij - s.ti * s.tj AS DECIMAL(38,0)) AS cov_num
+    FROM s CROSS JOIN n
+    ORDER BY abs(n.n * s.sij - s.ti * s.tj) DESC, i ASC, j ASC
+    LIMIT $CovTopK"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_vec_covariance", vecCovariance, Some(vecCovarianceOracle)),
     Q("q_ml_kmeans_train", kmeansTrain, Some(kmeansTrainOracle)),
     Q("q_ml_kmeans_inertia", kmeansInertia, Some(kmeansInertiaOracle)),
     Q("q_sim_ann_ivf_trained", ivfTrainedProbe, Some(ivfTrainedOracle)),

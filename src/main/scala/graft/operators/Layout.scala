@@ -62,6 +62,61 @@ object Layout {
       s"((($x div $p) % 2) * $o + (($y div $p) % 2) * ${2 * o})"
     }.mkString(" + ")
 
+  /** One Hilbert xy→d rotation step for an 8-bit (256×256) grid, as
+    * (hd', hx', hy') expression strings over columns `hx, hy, hd` — the
+    * classic loop (quadrant digit added at weight s², then the
+    * reflect-and-swap rotation) unrolled so BOTH engines evaluate the
+    * identical arithmetic; `divOp` is `div` (Spark) or `//` (DuckDB), and
+    * every operand is non-negative so the operators agree. Bit tests are
+    * spelled `(v div s) % 2` — pure integer, no engine bitand dialect.
+    * The quadrant digit (3·rx) XOR ry is the 4-case CASE.
+    */
+  def hilbertStep(s: Int, divOp: String): (String, String, String) = {
+    val rx = s"((hx $divOp $s) % 2)"
+    val ry = s"((hy $divOp $s) % 2)"
+    val dd = s"hd + ${s.toLong * s} * (CASE WHEN $rx = 1 AND $ry = 1 THEN 2" +
+      s" WHEN $rx = 1 THEN 3 WHEN $ry = 1 THEN 1 ELSE 0 END)"
+    val nx = s"CASE WHEN $ry = 0 THEN" +
+      s" (CASE WHEN $rx = 1 THEN 255 - hy ELSE hy END) ELSE hx END"
+    val ny = s"CASE WHEN $ry = 0 THEN" +
+      s" (CASE WHEN $rx = 1 THEN 255 - hx ELSE hx END) ELSE hy END"
+    (dd, nx, ny)
+  }
+
+  /** The bit weights of the unrolled 8-bit Hilbert walk, most significant
+    * first. */
+  val hilbertBits: Seq[Int] = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+
+  /** Append column `hd` = Hilbert index of (`x`, `y`) on the 256×256 grid
+    * (working columns consumed; exposed for the locality spec, which
+    * checks the full-grid bijection + unit-step continuity).
+    */
+  def withHilbertD(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    var d = df.withColumn("hx", col("x")).withColumn("hy", col("y"))
+      .withColumn("hd", lit(0L))
+    for (s <- hilbertBits) {
+      val (dd, nx, ny) = hilbertStep(s, "div")
+      d = d.withColumns(Map(
+        "hd" -> expr(dd), "hx" -> expr(nx), "hy" -> expr(ny)))
+    }
+    d.drop("hx", "hy")
+  }
+
+  /** The matching DuckDB CTE chain: g0..g8 over a CTE `keyed(x, y)`;
+    * g8 carries (x, y, hd). */
+  def hilbertSqlCtes: String = {
+    val steps = hilbertBits.zipWithIndex.map { case (s, i) =>
+      val (dd, nx, ny) = hilbertStep(s, "//")
+      s"""g${i + 1} AS (
+      SELECT x, y, CAST($dd AS BIGINT) AS hd, $nx AS hx, $ny AS hy
+      FROM g$i)"""
+    }.mkString(",\n    ")
+    s"""g0 AS (
+      SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM keyed),
+    $steps"""
+  }
+
   private val materializedZ =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

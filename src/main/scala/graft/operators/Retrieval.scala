@@ -93,7 +93,13 @@ object Retrieval extends QueryPack {
     * One of the terms ('dup') is rare (df 25/500 at sf0.01) so the idf term
     * is exercised, not constant.
     */
-  private def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+  private def bm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Ranked(spark, sfDir, 10)
+
+  /** BM25 top-k list, shared by q_text_bm25 (k=10) and the RRF fusion's
+    * lexical arm (k=[[ArmTopK]]).
+    */
+  private def bm25Ranked(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     import spark.implicits._
     val terms = Seq("dup", "join", "hash")
     // Cached: the tokenized base feeds BOTH the 1-row corpus-stats branch
@@ -129,12 +135,11 @@ object Retrieval extends QueryPack {
     // vocab; the scale path bounds it the standard way (per-shard top-k
     // before a global merge) — here row_number over the scored set.
     perDoc.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 10)
+      .filter($"rank" <= k)
       .orderBy($"rank".asc_nulls_first)
   }
 
-  private val bm25Oracle = s"""
-    WITH docs AS (
+  private val bm25Ctes = s"""docs AS (
       SELECT doc_id, string_split(${LlmPipeline.normTextSql}, ' ') AS toks
       FROM documents),
     d2 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM docs),
@@ -159,9 +164,93 @@ object Retrieval extends QueryPack {
     ranked AS (
       SELECT doc_id, CAST(bm25_s AS BIGINT) AS bm25_s, n_terms_hit,
         CAST(row_number() OVER (ORDER BY bm25_s DESC, doc_id ASC) AS BIGINT) AS rank
-      FROM per_doc)
+      FROM per_doc)"""
+
+  private val bm25Oracle = s"""
+    WITH $bm25Ctes
     SELECT doc_id, bm25_s, n_terms_hit, rank FROM ranked WHERE rank <= 10
     ORDER BY rank ASC NULLS FIRST"""
+
+  private val ArmTopK = 20
+
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion (added round 12 batch 3)
+    * — the serving pattern every modern retrieval stack runs: a LEXICAL
+    * arm (the shared BM25 ranking, top-[[ArmTopK]]) and a SEMANTIC arm
+    * (cosine to a query embedding — doc 0's vector stands in for the
+    * encoded query; doc_id ≡ vec_id per the multimodal join contract),
+    * fused by RRF: score = Σ_arms 10^6 div (60 + rank). Integer division
+    * keeps fusion exact; 60 is the canonical RRF constant. Documents
+    * surfaced by only one arm keep that arm's contribution (full outer
+    * join over the two top-k lists — the standard formulation).
+    *
+    * Scale: each arm ends in a bounded top-k (the semantic arm through
+    * `orderBy.limit` = TakeOrderedAndProject, distributed partial top-k
+    * then a k-row merge — its row_number window ranks the 20-row result,
+    * never the corpus); fusion then touches ≤ 2k rows. The corpus-sized
+    * work is one scan per arm, both reusing shared leaves/stages.
+    */
+  private def retrievalHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lex = bm25Ranked(spark, sfDir, ArmTopK)
+      .select($"doc_id", $"rank".as("rank_lex"))
+    val qv = Catalog.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" === 0L).select($"embedding".as("q_emb"))
+    val semTop = Catalog.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" =!= 0L)
+      .crossJoin(broadcast(qv))
+      .select($"vec_id".as("doc_id"),
+        round(expr("graft_cosine(embedding, q_emb)"), 4).as("cs"))
+      .orderBy($"cs".desc, $"doc_id".asc).limit(ArmTopK)
+    val sem = semTop
+      .withColumn("rank_sem", row_number().over(
+        Window.orderBy($"cs".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"rank_sem")
+    val fused = lex.join(sem, Seq("doc_id"), "full")
+      .withColumn("rrf_s",
+        coalesce(expr(s"$S div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"$S div (60 + rank_sem)"), lit(0L)))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"rrf_s".desc, $"doc_id".asc)).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"doc_id", $"rank_lex", $"rank_sem", $"rrf_s", $"rank")
+      .orderBy($"rank".asc_nulls_first)
+  }
+
+  private val retrievalHybridRrfOracle = {
+    def zipdot(a: String, b: String) = s"""(
+      SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+      FROM (SELECT unnest(list_zip($a, $b)) AS r))"""
+    s"""
+    WITH $bm25Ctes,
+    lex AS (
+      SELECT doc_id, rank AS rank_lex FROM ranked WHERE rank <= $ArmTopK),
+    qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    sem0 AS (
+      SELECT e.vec_id AS doc_id,
+        round(${zipdot("e.embedding", "qv.q_emb")}
+              / (sqrt(${zipdot("e.embedding", "e.embedding")})
+                 * sqrt(${zipdot("qv.q_emb", "qv.q_emb")})), 4) AS cs
+      FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+    sem AS (
+      SELECT doc_id, rank_sem FROM (
+        SELECT doc_id, CAST(row_number() OVER
+          (ORDER BY cs DESC, doc_id ASC) AS BIGINT) AS rank_sem
+        FROM sem0) WHERE rank_sem <= $ArmTopK),
+    fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+        l.rank_lex, s.rank_sem,
+        coalesce($S // (60 + l.rank_lex), 0)
+          + coalesce($S // (60 + s.rank_sem), 0) AS rrf_s
+      FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, rank_lex, rank_sem, CAST(rrf_s AS BIGINT) AS rrf_s, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER
+        (ORDER BY rrf_s DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM fused)
+    WHERE rank <= 10
+    ORDER BY rank ASC NULLS FIRST"""
+  }
 
   /** Per-document top-3 keywords by scaled-integer TF-IDF (demo slice:
     * doc_id < 50; df is computed over the FULL corpus first — the slice
@@ -313,6 +402,54 @@ object Retrieval extends QueryPack {
     ORDER BY zbin ASC NULLS FIRST"""
   }
 
+  /** HILBERT-CURVE LAYOUT audit (added round 12 batch 3) — the locality
+    * twin of q_layout_zorder on the SAME (custkey mod 256, order-day mod
+    * 256) grid: per contiguous 4096-cell curve segment, row count and
+    * per-axis min/max/span. Hilbert's recursive reflect-and-swap walk
+    * never takes the long diagonal jumps Z-order's bit interleave does,
+    * so segment spans bound BOTH axes at least as tightly — the property
+    * that makes Hilbert the stronger clustering key for 2-D range
+    * skipping (the spec checks full-grid bijection + unit-step
+    * continuity, and that total Hilbert span ≤ total Z span on the
+    * fixture). Index arithmetic is the classic xy→d loop unrolled to 8
+    * bits as pure `div`/`%`/CASE integer expressions ([[Layout
+    * .hilbertStep]]) — identical text both engines, the zExpr precedent
+    * extended to a STATEFUL unroll (each bit's rotation feeds the next).
+    *
+    * Scale: the whole index is scan-side per-row arithmetic (8 chained
+    * projections, whole-stage codegen'd, no shuffle); the only shuffle is
+    * the |segments|-row audit agg — same posture as the z-order audit.
+    */
+  private def layoutHilbert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Catalog.load(spark, sfDir, "orders")
+      .select(
+        expr("CAST(o_custkey % 256 AS BIGINT)").as("x"),
+        expr("CAST(datediff(o_orderdate, DATE'1992-01-01') % 256 AS BIGINT)")
+          .as("y"))
+    Layout.withHilbertD(keyed)
+      .groupBy(expr("hd div 4096").as("hbin"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"x").as("x_min"), max($"x").as("x_max"),
+        min($"y").as("y_min"), max($"y").as("y_max"))
+      .withColumn("x_span", $"x_max" - $"x_min")
+      .withColumn("y_span", $"y_max" - $"y_min")
+      .orderBy($"hbin".asc_nulls_first)
+  }
+
+  private val layoutHilbertOracle: String = s"""
+    WITH keyed AS (
+      SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS BIGINT) AS y
+      FROM orders),
+    ${Layout.hilbertSqlCtes}
+    SELECT hd // 4096 AS hbin, count(*) AS n_rows,
+      min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
+      max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+    FROM g8 GROUP BY 1
+    ORDER BY hbin ASC NULLS FIRST"""
+
   /** Trailing 7-day MEDIAN of global daily revenue — the robust twin of
     * q_win_moving_avg. Output starts at the 7th day so every frame holds
     * exactly 7 values: an odd count means the median is a data element
@@ -423,9 +560,12 @@ object Retrieval extends QueryPack {
       Some(layoutZorderWriteOracle)),
     Q("q_text_inverted_index", invertedIndex, Some(invertedIndexOracle)),
     Q("q_text_bm25", bm25, Some(bm25Oracle)),
+    Q("q_retrieval_hybrid_rrf", retrievalHybridRrf,
+      Some(retrievalHybridRrfOracle)),
     Q("q_text_keyword_tfidf", keywordTfidf, Some(keywordTfidfOracle)),
     Q("q_sim_quantized", simQuantized, Some(simQuantizedOracle)),
     Q("q_layout_zorder", layoutZorder, Some(layoutZorderOracle)),
+    Q("q_layout_hilbert", layoutHilbert, Some(layoutHilbertOracle)),
     Q("q_win_moving_median", winMovingMedian, Some(winMovingMedianOracle)),
   )
 }
