@@ -37,6 +37,7 @@ object SparkEntry {
     GeoOps,
     BitmapOps,
     KMeansOps,
+    MvOps,
   )
 
   lazy val all: Vector[Q] = {

@@ -531,30 +531,43 @@ object KMeansOps extends QueryPack {
     * combination go through decimal(38,0) / HUGEINT (n·Σeᵢeⱼ ≈ 5·10²⁰
     * overflows int64).
     *
-    * Scale: the corpus is touched ONCE — each row expands to its 2080
-    * upper-triangle products via nested `transform` + one explode, feeding
-    * a single map-side-combined (i,j)-keyed agg (the ivfCentroids shape,
-    * 2080 groups). No joins over the corpus, no per-pair shuffle; the
-    * top-k is over the 2016 off-diagonal pairs.
+    * Scale: the corpus is touched ONCE — each row expands to its 2016
+    * off-diagonal products via nested `transform` + one explode, feeding
+    * a map-side-combined pair-keyed agg. The sums run TWO-LEVEL (the
+    * statRegression dsum pattern): int64 partials per (pair, hash-group)
+    * with a documented per-group bound, decimal only over the |pairs|·g
+    * partials — the all-decimal form measured 4.9 s at sf0.1, this one
+    * ~5000× less decimal work for the same exact value. Per-dimension
+    * totals come from a separate 64-group agg and broadcast-join onto the
+    * 2016-pair frame. No joins over the corpus, no per-pair shuffle.
     */
   private def vecCovariance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val quant = kmQuant(spark, sfDir)
     val n = quant.count()
-    val prods = quant.select(explode(expr(
-      s"""flatten(transform(sequence(1, $Dim), i ->
-            transform(sequence(i, $Dim), j ->
-              named_struct('i', i, 'j', j,
-                'p', element_at(e, i) * element_at(e, j),
-                'ei', element_at(e, i), 'ej', element_at(e, j)))))"""))
-      .as("t"))
-      .select($"t.i".cast("long").as("i"), $"t.j".cast("long").as("j"),
-        $"t.p", $"t.ei", $"t.ej")
-    val stats = prods.groupBy($"i", $"j")
-      .agg(sum($"p".cast("decimal(38,0)")).as("sij"),
-        sum($"ei".cast("decimal(38,0)")).as("ti"),
-        sum($"ej".cast("decimal(38,0)")).as("tj"))
-    stats.filter($"i" < $"j")
+    // Two-level sum (the statRegression dsum pattern): level 1 sums the
+    // int64 products per (pair, hash-group) — per-group bound is
+    // rows/g × 4.84e12, far under int64 as long as g tracks n/5000 — and
+    // only the |pairs|·g partials pay the decimal cast. The all-decimal
+    // single-level form measured 4.9 s at sf0.1; this shape is the same
+    // exact value with the decimal work shrunk 5000×.
+    val g = math.max(64L, n / 5000L + 1L)
+    val pairs = quant.select($"vec_id", explode(expr(
+      s"""flatten(transform(sequence(1, ${Dim - 1}), i ->
+            transform(sequence(i + 1, $Dim), j ->
+              named_struct('k', i * 65 + j,
+                'p', element_at(e, i) * element_at(e, j)))))""")).as("t"))
+      .select(pmod(xxhash64($"vec_id"), lit(g)).as("__g"), $"t.k", $"t.p")
+    val sij = pairs.groupBy($"k", $"__g").agg(sum($"p").as("sp"))
+      .groupBy($"k").agg(sum($"sp".cast("decimal(38,0)")).as("sij"))
+    val dims = quant.select(posexplode($"e").as(Seq("pos0", "ei")))
+      .groupBy(($"pos0" + 1).cast("long").as("pos"))
+      .agg(sum($"ei".cast("decimal(38,0)")).as("t"))
+    sij
+      .select(expr("k div 65").cast("long").as("i"),
+        ($"k" % 65).cast("long").as("j"), $"sij")
+      .join(broadcast(dims.select($"pos".as("i"), $"t".as("ti"))), Seq("i"))
+      .join(broadcast(dims.select($"pos".as("j"), $"t".as("tj"))), Seq("j"))
       .select($"i", $"j",
         (lit(n) * $"sij" - $"ti" * $"tj").cast("decimal(38,0)").as("cov_num"))
       .orderBy(abs($"cov_num").desc, $"i".asc, $"j".asc)

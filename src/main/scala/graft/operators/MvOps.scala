@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+import graft.plans.MvAggregateRewrite
+
+/** SURVEY.md §2.M — materialized-view aggregate rewrite (added round 12
+  * batch 4). The query here is written against the RAW lineitem table; the
+  * [[MvAggregateRewrite]] optimizer rule reroutes it onto a registered
+  * monthly rollup (built and registered once per application/sfDir, the
+  * memo-leaf pattern). Correctness is self-verifying three ways: the
+  * DuckDB oracle aggregates the raw table, the MvRewriteSpec runs the same
+  * plan with and without the registration and diffs, and the spec asserts
+  * the optimized plan reads the rollup leaf, not the fact scan.
+  */
+object MvOps extends QueryPack {
+
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def clearForTest(): Unit = {
+    registered.clear()
+    MvAggregateRewrite.clearForTest()
+  }
+
+  /** Build the monthly rollup of lineitem once per (application, sfDir)
+    * and register it with the rewrite rule, keyed to the fact relation's
+    * root paths (derived through the SAME walk the matcher uses, so the
+    * key can never drift from what the rule sees).
+    */
+  private def ensureMv(spark: SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    val appId = spark.sparkContext.applicationId
+    registered.keySet.removeIf(k => !k.startsWith(s"$appId#"))
+    val memoKey = s"$appId#$sfDir"
+    if (registered.containsKey(memoKey)) return
+    val li = Catalog.load(spark, sfDir, "lineitem")
+    val pathKey = MvAggregateRewrite.factPathKey(li.queryExecution.analyzed)
+      .getOrElse(throw new IllegalStateException(
+        "graft q_mv_rewrite: fact relation did not resolve to root paths"))
+    val mv = li
+      .groupBy($"l_returnflag", $"l_linestatus",
+        month($"l_shipdate").cast("long").as("mon"))
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast("long")).as("sqty"))
+      .localCheckpoint(true)
+    val out = mv.queryExecution.analyzed.output
+    MvAggregateRewrite.register(appId, pathKey,
+      MvAggregateRewrite.Entry(mv.queryExecution.analyzed,
+        out(0), out(1), out(2), out(3), out(4)))
+    registered.put(memoKey, java.lang.Boolean.TRUE)
+  }
+
+  /** The graded query — written against the fact table, served from the
+    * rollup: per (returnflag, ship month) row count and total quantity.
+    * Its grouping keys are a strict SUBSET of the rollup's (flag, status,
+    * mon), so the rewrite must RE-aggregate partial states — rollup
+    * navigation, not a 1:1 view swap. The oracle aggregates the raw table;
+    * identical results are the rewrite's correctness proof at the gate.
+    */
+  private def mvRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    ensureMv(spark, sfDir)
+    Catalog.load(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag", month($"l_shipdate").cast("long").as("mon"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("long")).as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"mon".asc_nulls_first)
+  }
+
+  private val mvRewriteOracle = """
+    SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS mon,
+      count(*) AS n_rows,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY l_returnflag ASC NULLS FIRST, mon ASC NULLS FIRST"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_mv_rewrite", mvRewrite, Some(mvRewriteOracle)),
+  )
+}

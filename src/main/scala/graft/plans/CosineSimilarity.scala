@@ -227,6 +227,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // binned equi joins (RangeJoinBinning.scala — kills the O(n·m)
     // nested loop; conf-gated by spark.graft.rangeJoin.binSize).
     ext.injectOptimizerRule(_ => RangeJoinBinning)
+    // Optimizer surface: materialized-view aggregate navigation —
+    // registered monthly rollups serve matching fact aggregations
+    // (MvRewrite.scala; inert until a rollup is registered).
+    ext.injectOptimizerRule(_ => MvAggregateRewrite)
     // Whole-operator surface: the as-of merge join (logical node +
     // strategy + physical streaming merge — AsOfJoin.scala).
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
