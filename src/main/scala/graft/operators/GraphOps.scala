@@ -1021,7 +1021,208 @@ object GraphOps extends QueryPack {
     GROUP BY 1
     ORDER BY cc_bin ASC NULLS FIRST"""
 
+  private val LpaRounds = 3
+
+  /** LABEL-PROPAGATION COMMUNITIES over the co-purchase graph (added
+    * round 12 batch 5) — the near-linear community detector every graph
+    * stack ships next to components/pagerank: [[LpaRounds]] SYNCHRONOUS
+    * rounds, each node adopting the most frequent label among its
+    * neighbors with a fully deterministic tie (count DESC, label ASC —
+    * async/random-order LPA is not oracle-able, the synchronous
+    * fixed-round form is, the pagerank precedent). Labels start as node
+    * ids; output = per-community size + min member.
+    *
+    * Scale: each round is ONE equi-join of the undirected edge leaf with
+    * the |V|-row label frame + one (node, label)-keyed count + a
+    * per-node argmax window (partitioned by node — never global), with
+    * the label frame eagerly checkpointed per round (flat lineage, the
+    * components/pagerank pattern). Pure integer counting — no float
+    * parity risk.
+    */
+  private def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    var labels = und.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      val w = Window.partitionBy($"node")
+        .orderBy($"c".desc, $"lbl".asc)
+      labels = und
+        .join(labels.select($"node".as("nbr"), $"lbl"), $"v" === $"nbr")
+        .select($"u".as("node"), $"lbl")
+        .groupBy($"node", $"lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"node", $"lbl")
+        .localCheckpoint(true)
+    }
+    labels.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"), min($"node").as("min_node"))
+      .orderBy($"community".asc_nulls_first)
+  }
+
+  private val labelPropagationOracle = {
+    def round(r: Int) = s"""
+    cnt$r AS (
+      SELECT u.u AS node, l.lbl, count(*) AS c
+      FROM und u JOIN l${r - 1} l ON u.v = l.node
+      GROUP BY 1, 2),
+    l$r AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER
+          (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+        FROM cnt$r) WHERE rn = 1)"""
+    val rounds = (1 to LpaRounds).map(round).mkString(",")
+    s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b AS u, a AS v FROM edges),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+    $rounds
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+      min(node) AS min_node
+    FROM l$LpaRounds
+    GROUP BY lbl
+    ORDER BY community ASC NULLS FIRST"""
+  }
+
+  /** RESOURCE-ALLOCATION link prediction (added round 12 batch 6) — the
+    * Zhou–Lü–Zhang RA index next to the common-neighbor/Jaccard scores:
+    * score(a,b) = Σ over shared neighbors z of 1/deg(z), down-weighting
+    * hub-mediated wedges (a shared neighbor everyone touches predicts
+    * nothing — the same reasoning as the degree cap, applied as a smooth
+    * weight instead of a cutoff). Adamic–Adar's 1/ln(deg) weight would put
+    * a transcendental in the score path; RA's 1/deg is the
+    * integer-exact sibling — each neighbor's weight is 10^6 div deg(z)
+    * in BIGINT (Spark `div` ↔ DuckDB `//`), so sums are engine-exact
+    * ppm with no float parity risk, the pagerank precedent.
+    *
+    * Scale: the per-neighbor weight joins ONCE onto the undirected leaf
+    * (|V|-row degree table, shuffled hash join), the wedge self-join is
+    * the salted shuffle of [[commonNeighbors]] (hub fan-out spread over
+    * 8 salt buckets), the non-edge filter is the anti-join reusing
+    * the wedge (a,b) partitioning, and top-20 is a
+    * TakeOrderedAndProject. No |E|-broadcast anywhere.
+    */
+  private def linkRa(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val S = 8
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    val edges = und.filter($"u" < $"v").select($"u".as("a"), $"v".as("b"))
+    val weighted = und
+      .join(deg.select($"node".as("v"), expr("1000000 div deg").as("w"))
+        .hint("shuffle_hash"), Seq("v"))
+    val probe = weighted.select($"u", $"v", $"w",
+      pmod(xxhash64($"u"), lit(S.toLong)).as("salt"))
+    val build = und.select($"u".as("u2"), $"v",
+      explode(array((0 until S).map(i => lit(i.toLong)): _*)).as("salt"))
+    val pairs = probe.hint("shuffle_hash").join(build, Seq("v", "salt"))
+      .filter($"u" < $"u2")
+      .select($"u".as("a"), $"u2".as("b"), $"w")
+      .groupBy($"a", $"b")
+      .agg(sum($"w").as("ra_ppm"), count(lit(1)).as("common"))
+    pairs
+      .join(edges.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
+      .orderBy($"ra_ppm".desc, $"a".asc_nulls_first, $"b".asc_nulls_first)
+      .limit(20)
+  }
+
+  private val linkRaOracle = s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+    wund AS (
+      SELECT und.u, und.v, 1000000 // deg.deg AS w
+      FROM und JOIN deg ON deg.node = und.v),
+    pairs AS (
+      SELECT e1.u AS a, e2.u AS b,
+        CAST(sum(e1.w) AS BIGINT) AS ra_ppm, count(*) AS common
+      FROM wund e1 JOIN und e2 ON e1.v = e2.v AND e1.u < e2.u
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT p.* FROM pairs p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.a = p.a AND e.b = p.b))
+    SELECT a, b, ra_ppm, common
+    FROM cand
+    ORDER BY ra_ppm DESC, a ASC NULLS FIRST, b ASC NULLS FIRST
+    LIMIT 20"""
+
+  /** GROUP-AWARE train/val/test split (added round 12 batch 6) — the
+    * leakage-safe sibling of `q_split_train_test`: hashing DOCUMENTS into
+    * splits puts near-duplicates of a training document into the test
+    * set, silently inflating eval scores — the classic contamination
+    * failure. This split hashes each document's near-dup CLUSTER
+    * (component id from the same label leaf as q_dedup_clusters;
+    * singletons are their own cluster), so every cluster lands wholly in
+    * one split BY CONSTRUCTION — no near-dup pair can cross the
+    * train/test boundary. Same Knuth multiplicative hash and 80/10/10
+    * cuts as the doc-level split, applied to the cluster id.
+    *
+    * Scale: one left join of documents against the memoized |V|-row label
+    * frame + one map-side-combined agg; the split decision is per-row
+    * integer arithmetic in the scan. The cluster structure is the dedup
+    * pipeline's — computed once, reused here.
+    */
+  private def splitGroupAware(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lbl = nearDupLabels(spark, sfDir)
+    val h = ($"component_id".bitwiseAND(lit(2147483647L)) * lit(2654435761L)) %
+      lit(4294967296L)
+    val agg = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", $"n_chars")
+      .join(lbl.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chars",
+        coalesce($"lbl", $"doc_id").as("component_id"))
+      .select($"n_chars", $"component_id",
+        when(h < 3435973836L, "train")
+          .when(h < 3865470566L, "val")
+          .otherwise("test").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"component_id").as("n_clusters"),
+        sum($"n_chars").as("sum_chars"))
+    agg.orderBy($"split".asc_nulls_first)
+  }
+
+  private val splitGroupAwareOracle = s"""
+    WITH RECURSIVE ${LlmPipeline.nearPairsCtes},
+    gedges AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+    gund AS (SELECT doc_a AS u, doc_b AS v FROM gedges
+             UNION ALL SELECT doc_b, doc_a FROM gedges),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM gund)
+      UNION
+      SELECT e.u, reach.r FROM gund e JOIN reach ON e.v = reach.node),
+    comp0 AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    comp AS (
+      SELECT d.doc_id, d.n_chars,
+        coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp0 c ON d.doc_id = c.node),
+    s AS (
+      SELECT n_chars, component_id,
+        CASE WHEN ((component_id & 2147483647) * 2654435761) % 4294967296
+                  < 3435973836 THEN 'train'
+             WHEN ((component_id & 2147483647) * 2654435761) % 4294967296
+                  < 3865470566 THEN 'val'
+             ELSE 'test' END AS split
+      FROM comp)
+    SELECT split, count(*) AS n_docs,
+      count(DISTINCT component_id) AS n_clusters,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split
+    ORDER BY split ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_graph_label_propagation", labelPropagation,
+      Some(labelPropagationOracle)),
+    Q("q_graph_link_ra", linkRa, Some(linkRaOracle)),
+    Q("q_split_group_aware", splitGroupAware, Some(splitGroupAwareOracle)),
     Q("q_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     Q("q_graph_clustering_coeff", graphClusteringCoeff,
       Some(graphClusteringCoeffOracle)),

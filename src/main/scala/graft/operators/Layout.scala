@@ -117,6 +117,51 @@ object Layout {
     $steps"""
   }
 
+  private val materializedH =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write a HILBERT-clustered copy of `orders` once per (JVM, sfDir) —
+    * the write half of the Hilbert story (q_layout_hilbert grades the
+    * index arithmetic and per-segment locality; this materializes the
+    * clustering and q_layout_hilbert_write answers a 2-D range query from
+    * it). Rows carry their grid keys and Hilbert index `hd`; the table is
+    * partitioned by the 4096-cell curve SEGMENT (`hd div 4096`) and
+    * hd-sorted within files. Unlike the Z tile, a Hilbert segment is a
+    * contiguous walk — an ALIGNED 2^k×2^k box is one contiguous run of
+    * the curve, so a well-aligned 2-D range touches exactly ONE segment
+    * partition (the q_layout_hilbert_write spec proves it).
+    */
+  def hilbertOrders(spark: SparkSession, sfDir: String): String =
+    materializedH.computeIfAbsent(sfDir, { _ =>
+      import org.apache.spark.sql.functions.{col, expr}
+      val dest = s"$scratch/orders_h_${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}"
+      val keyed = graft.Catalog.load(spark, sfDir, "orders")
+        .withColumn("x", expr("CAST(o_custkey % 256 AS BIGINT)"))
+        .withColumn("y",
+          expr("CAST(datediff(o_orderdate, DATE'1992-01-01') % 256 AS BIGINT)"))
+      withHilbertD(keyed)
+        .withColumn("seg", expr("hd div 4096"))
+        .repartition(col("seg"))
+        .sortWithinPartitions(col("hd"))
+        .write.mode("overwrite").partitionBy("seg").parquet(dest)
+      dest
+    })
+
+  /** Hilbert RANGE DECOMPOSITION — the query-planning step of every
+    * Hilbert-clustered store: the distinct curve segments intersecting
+    * the box [x0,x1]×[y0,y1], found by indexing the box's own cells
+    * through the same unrolled walk. Bounded work: |box| rows through 8
+    * projections, one distinct, one collect of ≤ |box| longs.
+    */
+  def hilbertSegmentsFor(spark: SparkSession,
+                         x0: Int, x1: Int, y0: Int, y1: Int): Seq[Long] = {
+    val w = x1 - x0 + 1
+    val grid = spark.range(0L, w.toLong * (y1 - y0 + 1))
+      .selectExpr(s"id % $w + $x0 AS x", s"id div $w + $y0 AS y")
+    withHilbertD(grid).selectExpr("hd div 4096 AS seg").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
   private val materializedZ =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -78,7 +78,61 @@ object MvOps extends QueryPack {
     GROUP BY 1, 2
     ORDER BY l_returnflag ASC NULLS FIRST, mon ASC NULLS FIRST"""
 
+  /** Day the "nightly" delta starts: everything shipped on/after this date
+    * is new since the rollup was last refreshed. Fixture shipdates run
+    * through 1998-12-01, so the delta is ~3 months of a 7-year fact table.
+    */
+  private val IncCutoff = "1998-09-01"
+
+  /** The STALE rollup: monthly partials over only the rows shipped BEFORE
+    * [[IncCutoff]], materialized once per (application, sfDir) as a
+    * checkpoint leaf (the [[GraphOps.memoEdgeLeaf]] memo-leaf contract).
+    * At 100 TB this is the table a refresh job maintains on disk; the leaf
+    * stands in for it.
+    */
+  private def staleRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraphOps.memoEdgeLeaf(spark, sfDir, "mvStaleRollup")(
+      Catalog.load(spark, sfDir, "lineitem")
+        .filter($"l_shipdate" < lit(IncCutoff).cast("date"))
+        .groupBy($"l_returnflag", $"l_linestatus",
+          month($"l_shipdate").cast("long").as("mon"))
+        .agg(count(lit(1)).as("cnt"),
+          sum($"l_quantity".cast("long")).as("sqty")))
+  }
+
+  /** INCREMENTAL MV MAINTENANCE (added round 12 batch 6) — the refresh
+    * path every 100-TB rollup needs: instead of recomputing the monthly
+    * rollup from the full fact table, aggregate ONLY the delta (rows
+    * shipped on/after [[IncCutoff]], a pushed-down scan filter) into the
+    * same partial-state shape and re-aggregate it together with the stale
+    * rollup leaf. count and sum partials are self-maintainable under
+    * inserts — merge = sum of partials, the exact algebra
+    * [[MvAggregateRewrite]] serves from — so refresh cost is
+    * O(delta + |groups|), never O(fact). The oracle recomputes the served
+    * query from the raw table: identical results prove the incremental
+    * merge equals the full recompute. The batch-6 spec additionally
+    * asserts the delta scan's PushedFilters carries the shipdate bound and
+    * that the plan contains exactly ONE lineitem relation scan (the stale
+    * side arrives as a checkpoint leaf).
+    */
+  private def mvIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stale = staleRollup(spark, sfDir)
+    val delta = Catalog.load(spark, sfDir, "lineitem")
+      .filter($"l_shipdate" >= lit(IncCutoff).cast("date"))
+      .groupBy($"l_returnflag", $"l_linestatus",
+        month($"l_shipdate").cast("long").as("mon"))
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast("long")).as("sqty"))
+    stale.unionByName(delta)
+      .groupBy($"l_returnflag", $"mon")
+      .agg(sum($"cnt").as("n_rows"), sum($"sqty").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"mon".asc_nulls_first)
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_mv_rewrite", mvRewrite, Some(mvRewriteOracle)),
+    Q("q_mv_incremental", mvIncremental, Some(mvRewriteOracle)),
   )
 }

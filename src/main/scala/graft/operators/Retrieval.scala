@@ -450,6 +450,47 @@ object Retrieval extends QueryPack {
     FROM g8 GROUP BY 1
     ORDER BY hbin ASC NULLS FIRST"""
 
+  /** HILBERT WRITE + RANGE QUERY (added round 12 batch 5) — the serve
+    * half of the Hilbert layout: orders materialized once per (JVM,
+    * sfDir) partitioned by 4096-cell curve segment and hd-sorted within
+    * files ([[Layout.hilbertOrders]]), then a 2-D box query answered
+    * through RANGE DECOMPOSITION: the box's cells are indexed through the
+    * same walk to find the segments it intersects
+    * ([[Layout.hilbertSegmentsFor]]), the segment IN-list prunes
+    * partitions, and the exact x/y bounds run as residual (pushed to the
+    * parquet scan, where the hd-sort keeps row-group min/max tight). The
+    * box is an ALIGNED 32×32 square, which on a Hilbert curve is ONE
+    * contiguous 1024-cell run — exactly one segment partition is read
+    * (spec-asserted), where the Z layout's same-size box straddles tiles.
+    * Scale: decomposition is |box|-bounded driver work (the standard
+    * Hilbert query-planning step); everything else is a pruned scan + one
+    * small agg.
+    */
+  private def layoutHilbertWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dest = Layout.hilbertOrders(spark, sfDir)
+    val segs = Layout.hilbertSegmentsFor(spark, 96, 127, 160, 191)
+    spark.read.parquet(dest)
+      .filter($"seg".isin(segs: _*) &&
+        $"x".between(96, 127) && $"y".between(160, 191))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private val layoutHilbertWriteOracle: String = s"""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_totalprice,
+        CAST(o_custkey % 256 AS BIGINT) AS x,
+        CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS BIGINT) AS y
+      FROM orders)
+    SELECT o_orderpriority, count(*) AS n_orders,
+      ${Oracle.dsum("o_totalprice")} AS revenue
+    FROM keyed
+    WHERE x BETWEEN 96 AND 127 AND y BETWEEN 160 AND 191
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
   /** Trailing 7-day MEDIAN of global daily revenue — the robust twin of
     * q_win_moving_avg. Output starts at the 7th day so every frame holds
     * exactly 7 values: an odd count means the median is a data element
@@ -566,6 +607,8 @@ object Retrieval extends QueryPack {
     Q("q_sim_quantized", simQuantized, Some(simQuantizedOracle)),
     Q("q_layout_zorder", layoutZorder, Some(layoutZorderOracle)),
     Q("q_layout_hilbert", layoutHilbert, Some(layoutHilbertOracle)),
+    Q("q_layout_hilbert_write", layoutHilbertWrite,
+      Some(layoutHilbertWriteOracle)),
     Q("q_win_moving_median", winMovingMedian, Some(winMovingMedianOracle)),
   )
 }
