@@ -58,11 +58,16 @@ object Bench {
     // q_text_bpe_apply — the trainer/encoder split's train-once cost);
     // q_mv_rewrite warms the monthly-rollup build + registration so the
     // timed pass measures the SERVED plan, the declared steady state.
+    // Batch 6/7: q_layout_hilbert_write warms the Hilbert-clustered
+    // materialize-once copy (the timed pass measures the pruned read);
+    // q_mv_incremental warms the stale-rollup leaf (the timed pass
+    // measures the delta-merge refresh, the declared steady state).
     (SparkEntry.all.map(_.id).filter(_.startsWith("q_source_")) ++
       Seq("q_join_bucketed", "q_graph_components", "q_graph_triangles",
         "q_sim_ann_ivf", "q_dedup_pipeline", "q_ml_kmeans_train",
         "q_graph_components_twostar", "q_join_cbo_reorder",
-        "q_text_bpe_learn", "q_mv_rewrite"))
+        "q_text_bpe_learn", "q_mv_rewrite", "q_layout_hilbert_write",
+        "q_mv_incremental"))
       .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.

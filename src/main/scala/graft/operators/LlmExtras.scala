@@ -1101,7 +1101,63 @@ object LlmExtras extends QueryPack {
     SELECT probe_id, cand_id, dot_score, rank FROM ranked WHERE rank <= 5
     ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
 
+  /** HARD-NEGATIVE MINING (added round 12 batch 7) — the contrastive-
+    * training data step downstream of retrieval: for each anchor, the
+    * negatives that matter are the ones the model finds HARDEST — highest
+    * similarity among items of a DIFFERENT class (same-class items are
+    * potential positives and must not leak into the negative set). Per
+    * probe (the first 10 vectors, the shared probe-set convention), the
+    * top-5 candidates by dot product among vectors with a different
+    * `label`, ranked with deterministic (score, cand_id) ties; scores are
+    * rounded to 4dp BEFORE ranking (the [[simMipsTopk]] round-first
+    * precedent — ulp wobble cannot cross a 1e-4 grid, so rank order is
+    * engine-exact). Vectors are unit-norm, so dot IS cosine.
+    *
+    * Scale: the probe set broadcasts (small by construction); each
+    * corpus vector scores against all probes map-side via the codegen
+    * `graft_dot` — one pass, no shuffle of the corpus; ranking shuffles
+    * only (probe, cand, score) triples keyed by probe. With an ANN index
+    * the candidate pass narrows to the probes' neighboring cells
+    * (q_sim_ann_ivf's serve path) — this exact form is the graded
+    * baseline the index variant verifies against.
+    */
+  private def simHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"label".as("probe_label"),
+        $"embedding".as("probe_emb"))
+    val cands = e.select($"vec_id".as("cand_id"), $"label".as("cand_label"),
+      $"embedding".as("cand_emb"))
+    val scored = cands.join(broadcast(probes), $"cand_label" =!= $"probe_label")
+      .select($"probe_id", $"cand_id", $"cand_label",
+        round(expr("graft_dot(probe_emb, cand_emb)"), 4).as("dot_score"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"dot_score".desc, $"cand_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  private val simHardNegativesSql = """
+    WITH scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        c.label AS cand_label,
+        round((SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+               FROM (SELECT unnest(list_zip(p.embedding, c.embedding)) AS r)),
+          4) AS dot_score
+      FROM embeddings p JOIN embeddings c ON c.label <> p.label
+      WHERE p.vec_id < 10),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY probe_id ORDER BY dot_score DESC, cand_id ASC) AS BIGINT) AS rank
+      FROM scored)
+    SELECT probe_id, cand_id, cand_label, dot_score, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sim_hard_negatives", simHardNegatives, Some(simHardNegativesSql)),
     Q("q_sim_mips_topk", simMipsTopk, Some(simMipsTopkSql)),
     Q("q_dedup_passage_exact", dedupPassage, Some(dedupPassageSql)),
     Q("q_dedup_containment", dedupContainment, Some(dedupContainmentSql)),

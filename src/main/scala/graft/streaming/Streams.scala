@@ -837,7 +837,55 @@ object Streams extends QueryPack {
           > epoch_us(session_end) // 1000 + 1800000
     ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST"""
 
+  /** The ELEVENTH graded real-streaming run (added round 12 batch 7):
+    * STREAM-STATIC ENRICHMENT — the dimension-join shape every landing
+    * pipeline runs (events keyed by user enriched with the user's nation
+    * from the customer/nation dimension tables before landing). The
+    * static side is a batch DataFrame joined into the stream; Spark
+    * re-plans it per micro-batch with the stream side as the probe —
+    * state-free, so the join is deterministic under ANY micro-batch
+    * split (unlike stream-stream joins there is no watermark/state
+    * interaction to pin), which is what makes an exact oracle possible.
+    * The per-event enriched rows are the append-mode output; the graded
+    * shape re-aggregates them per nation in `finish` (batch post-sink,
+    * the foreachBatchSink precedent).
+    *
+    * Scale: the dimension side is |customers| rows — broadcast onto the
+    * stream so each micro-batch pays a map-side hash join, no shuffle of
+    * the event stream at all; at 100 TB/day of events this is the only
+    * join shape that keeps enrichment off the shuffle path.
+    */
+  private def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Catalog.load(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+      .join(Catalog.load(spark, sfDir, "nation")
+        .select($"n_nationkey".as("c_nationkey"), $"n_name"), Seq("c_nationkey"))
+      .select($"c_custkey".as("user_id"), $"n_name")
+    runEventsStream(spark, sfDir, "ss") { src =>
+      src.join(broadcast(dim), Seq("user_id"))
+        .select($"event_id", $"user_id", $"n_name", $"value")
+    } { sinkDf =>
+      sinkDf.groupBy($"n_name")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          dsum($"value").as("sum_value"))
+        .orderBy($"n_name".asc_nulls_first)
+    }
+  }
+
+  private val streamStaticJoinSql = s"""
+    SELECT n.n_name, count(*) AS n_events,
+      count(DISTINCT e.user_id) AS n_users,
+      ${graft.Oracle.dsum("e.value")} AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
     Q("q_stream_foreach_sink", foreachBatchSink, Some(foreachBatchSinkSql)),
     Q("q_stream_windowed_append", windowedAppend, Some(windowedAppendSql)),
