@@ -37,6 +37,7 @@ object SparkEntry {
     GeoOps,
     BitmapOps,
     KMeansOps,
+    PqOps,
     MvOps,
   )
 

@@ -1432,7 +1432,51 @@ object Profiling extends QueryPack {
       round((mean_cents + 1.96 * sqrt(var_cents)) / 100.0, 4) AS ci_high
     FROM v"""
 
+  /** OBSERVED-METRICS audit (added round 12 batch 9) — the
+    * `Dataset.observe` / `CollectMetrics` surface: audit aggregates that
+    * RIDE an existing job instead of paying a second scan. The pipeline
+    * job here is a real count over the pruned lineitem projection; the
+    * observation attaches (row count, exact integer quantity total,
+    * shipdate bounds, null-key violations) to that same pass, and the
+    * graded output is the metrics row the job delivered. At 100 TB this
+    * is the difference between auditing for free and re-reading the
+    * table: expectations checks (q_quality_expectations) answer "is the
+    * data valid" as their OWN job; observe answers it as a side-channel
+    * of the job you were already running. Only order-independent metrics
+    * are observed (count / integer sum / min / max — a float sum's
+    * accumulation order would be run-dependent), so the row is
+    * engine-exact.
+    */
+  private def observeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    val base = Catalog.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_shipdate")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        min($"l_shipdate").as("min_ship"),
+        max($"l_shipdate").as("max_ship"),
+        sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("null_keys"))
+    base.count() // the pipeline job the metrics ride
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Long],
+      m("min_ship").asInstanceOf[java.sql.Timestamp],
+      m("max_ship").asInstanceOf[java.sql.Timestamp],
+      m("null_keys").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "min_ship", "max_ship", "null_keys")
+  }
+
+  private val observeMetricsOracle = """
+    SELECT count(*) AS n_rows,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_keys
+    FROM lineitem"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_observe_metrics", observeMetrics, Some(observeMetricsOracle)),
     Q("q_stat_bootstrap_ci", statBootstrapCi, Some(statBootstrapCiOracle)),
     Q("q_stat_mannwhitney", statMannWhitney, Some(statMannWhitneyOracle)),
     Q("q_profile_skew", profileSkew, Some(profileSkewOracle)),

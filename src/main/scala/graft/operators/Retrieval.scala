@@ -491,6 +491,42 @@ object Retrieval extends QueryPack {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority ASC NULLS FIRST"""
 
+  /** ZONE-MAP DATA SKIPPING (added round 12 batch 8) — the file-level
+    * min/max pruning every lakehouse serves range predicates with (Delta
+    * per-file stats, Iceberg manifests), distinct from both partition
+    * pruning (q_source_partitioned_roundtrip — directory values) and
+    * Z/Hilbert clustering (multi-dim tiles): lineitem is range-clustered
+    * by shipdate once per JVM with a file-level min/max manifest built at
+    * write time ([[Layout.zonemapLineitem]]); a 3-month range query plans
+    * against the MANIFEST (pure driver arithmetic over |files| rows — no
+    * data file opens), reads only the overlapping files, and applies the
+    * exact bounds as a pushed residual. The spec asserts the pruned set
+    * is a strict subset of the files and that skipped files cannot hold
+    * matches (manifest completeness); the oracle reads the ORIGINAL
+    * table — layout independence is the correctness contract.
+    */
+  private def layoutZonemapSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lo = "1995-06-01"
+    val hi = "1995-08-31"
+    val files = Layout.zonemapFilesFor(spark, sfDir, lo, hi)
+    spark.read.parquet(files: _*)
+      .filter($"l_shipdate" >= lit(lo).cast("timestamp") &&
+        $"l_shipdate" <= lit(hi).cast("timestamp"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"l_returnflag".asc_nulls_first)
+  }
+
+  private val layoutZonemapSkipOracle: String = s"""
+    SELECT l_returnflag, count(*) AS n_rows,
+      ${Oracle.dsum("l_extendedprice")} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1995-08-31 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC NULLS FIRST"""
+
   /** Trailing 7-day MEDIAN of global daily revenue — the robust twin of
     * q_win_moving_avg. Output starts at the 7th day so every frame holds
     * exactly 7 values: an odd count means the median is a data element
@@ -609,6 +645,8 @@ object Retrieval extends QueryPack {
     Q("q_layout_hilbert", layoutHilbert, Some(layoutHilbertOracle)),
     Q("q_layout_hilbert_write", layoutHilbertWrite,
       Some(layoutHilbertWriteOracle)),
+    Q("q_layout_zonemap_skip", layoutZonemapSkip,
+      Some(layoutZonemapSkipOracle)),
     Q("q_win_moving_median", winMovingMedian, Some(winMovingMedianOracle)),
   )
 }

@@ -70,7 +70,59 @@ object TypedOps extends QueryPack {
       .orderBy($"custkey".asc_nulls_first)
   }
 
+  /** Typed COGROUP surface (`KeyValueGroupedDataset.cogroup`, added round
+    * 12 batch 8) — the two-sided grouped-map Catalyst can't express when
+    * per-key logic needs BOTH groups at once: orders and events cogrouped
+    * on customer id, emitting one reconciliation row per key present on
+    * EITHER side (order count, event count, and order-independent extremes
+    * — max order price, max event value; no float SUM inside the lambda,
+    * where iterator order would make the result run-dependent).
+    *
+    * Scale: cogroup co-partitions both inputs with ONE hash shuffle each
+    * onto the same key layout, then zips the per-key iterators — the same
+    * cost as a shuffle join, but with imperative access to both bounded
+    * groups (the merge-reconcile shape CDC pipelines hand-roll).
+    */
+  private def typedCogroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Catalog.load(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_totalprice").as[(Long, Double)]
+      .groupByKey(_._1)
+    val events = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"value").as[(Long, Double)]
+      .groupByKey(_._1)
+    orders.cogroup(events) {
+      (key: Long, os: Iterator[(Long, Double)], es: Iterator[(Long, Double)]) =>
+        var nO = 0L; var maxP = Double.NegativeInfinity
+        os.foreach { o => nO += 1; if (o._2 > maxP) maxP = o._2 }
+        var nE = 0L; var maxV = Double.NegativeInfinity
+        es.foreach { e => nE += 1; if (e._2 > maxV) maxV = e._2 }
+        Iterator((key, nO, nE,
+          if (nO == 0) None else Some(maxP),
+          if (nE == 0) None else Some(maxV)))
+    }
+      .toDF("custkey", "n_orders", "n_events", "max_price", "max_value")
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private val typedCogroupSql = """
+    WITH o AS (
+      SELECT o_custkey AS custkey, count(*) AS n_orders,
+        max(o_totalprice) AS max_price
+      FROM orders GROUP BY 1),
+    e AS (
+      SELECT user_id AS custkey, count(*) AS n_events,
+        max(value) AS max_value
+      FROM events GROUP BY 1)
+    SELECT coalesce(o.custkey, e.custkey) AS custkey,
+      coalesce(o.n_orders, 0) AS n_orders,
+      coalesce(e.n_events, 0) AS n_events,
+      o.max_price, e.max_value
+    FROM o FULL OUTER JOIN e ON o.custkey = e.custkey
+    ORDER BY custkey ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_typed_cogroup", typedCogroup, Some(typedCogroupSql)),
     Q("q_typed_groupmap", typedGroupmap, Some("""
       WITH g AS (
         SELECT o_custkey, o_orderdate,
