@@ -767,7 +767,115 @@ object Aggregations extends QueryPack {
       GROUP BY r.r_name
       ORDER BY r.r_name ASC NULLS FIRST""")
 
+  /** ROBUST LOCATION ESTIMATES (round 13): exact 10%-trimmed and
+    * winsorized mean of the order totals per priority — the outlier-proof
+    * aggregates a 100-TB metrics pipeline reports when a handful of
+    * corrupt or whale rows would swing a plain mean. Everything runs in
+    * exact integer cents: the trimmed mean drops the bottom/top k = n÷10
+    * ranks, the winsorized mean clamps them to the rank-(k+1)/rank-(n−k)
+    * values, and both report floor-divided cents (positive dividends, so
+    * Spark `div` ↔ DuckDB `//` agree).
+    *
+    * Scale: per-group exact ranks WITHOUT per-group single-partition
+    * windows — the group is packed into a composite order key
+    * ((prio−1)·2^60 + cents·2^33 + orderkey; disjoint-range proof and
+    * runtime raise_error guards below) and ONE
+    * [[DistributedRank.cumsumExact]] global cumulative count yields every
+    * group's ranks at once; group offsets/sizes come from a |groups|-row
+    * broadcast table. The ORACLE is the single-partition
+    * `row_number() OVER (PARTITION BY …)` form — the two formulations
+    * verify each other (the corpusQualityBins dual-formulation pattern).
+    *
+    * Key-packing domain (each guarded by raise_error, gini precedent):
+    * cents < 2^27 (≤ $1.34M per order), orderkey in [0, 2^33), priority
+    * digit in 1..5 — then cents·2^33 + key < 2^60 and the five group
+    * blocks are disjoint with max key < 5·2^60 < int64 max.
+    */
+  private def aggTrimmedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderpriority",
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("v"),
+        $"o_orderkey",
+        substring($"o_orderpriority", 1, 1).cast("long").as("p"))
+      .withColumn("p",
+        when($"p".isNull || $"p" < 1L || $"p" > 5L, raise_error(lit(
+          "graft q_agg_trimmed_mean: priority digit outside 1..5 — " +
+            "widen the composite-key group block")))
+          .otherwise($"p"))
+      .withColumn("v",
+        when($"v" >= (1L << 27) || $"v" < 0L, raise_error(lit(
+          "graft q_agg_trimmed_mean: cents outside [0, 2^27) — " +
+            "composite order key would collide across groups")))
+          .otherwise($"v"))
+      .withColumn("__ord",
+        when($"o_orderkey" >= (1L << 33) || $"o_orderkey" < 0L,
+          raise_error(lit(
+            "graft q_agg_trimmed_mean: orderkey outside [0, 2^33) — " +
+              "widen the composite-key encoding")))
+          .otherwise(($"p" - 1L) * (1L << 60) + $"v" * (1L << 33) +
+            $"o_orderkey"))
+      .withColumn("__one", lit(1L))
+    val ranked = DistributedRank.cumsumExact(base, "__one", "__ord", "rk")
+    // |groups|-row dim: per-priority size, trim depth, and rank offset.
+    val wG = Window.orderBy($"p")
+    val dims = ranked.groupBy($"p").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum($"n").over(wG.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("k", expr("n div 10"))
+    ranked.join(broadcast(dims), Seq("p"))
+      .withColumn("rg", $"rk" - $"off")
+      .groupBy($"o_orderpriority")
+      .agg(
+        max($"n").as("n_orders"),
+        max($"k").as("k_trim"),
+        sum(when($"rg" > $"k" && $"rg" <= $"n" - $"k", $"v").otherwise(0L))
+          .as("__kept"),
+        max(when($"rg" === $"k" + 1L, $"v")).as("winsor_lo_cents"),
+        max(when($"rg" === $"n" - $"k", $"v")).as("winsor_hi_cents"))
+      // Integer `div`, NOT `/` (which is double division on longs and
+      // loses exactness past 2^53).
+      .select($"o_orderpriority", $"n_orders", $"k_trim",
+        expr("__kept div (n_orders - 2 * k_trim)").as("trimmed_mean_cents"),
+        $"winsor_lo_cents", $"winsor_hi_cents",
+        expr("""(__kept + k_trim * winsor_lo_cents
+                 + k_trim * winsor_hi_cents) div n_orders""")
+          .as("winsor_mean_cents"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private val aggTrimmedMeanOracle = """
+    WITH w AS (
+      SELECT o_orderpriority AS prio,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS v,
+        o_orderkey
+      FROM orders),
+    r AS (
+      SELECT prio, v,
+        row_number() OVER (PARTITION BY prio ORDER BY v ASC, o_orderkey ASC)
+          AS rn,
+        count(*) OVER (PARTITION BY prio) AS n
+      FROM w),
+    k AS (SELECT prio, v, rn, n, n // 10 AS kk FROM r)
+    SELECT prio AS o_orderpriority,
+      CAST(max(n) AS BIGINT) AS n_orders,
+      CAST(max(kk) AS BIGINT) AS k_trim,
+      CAST(sum(CASE WHEN rn > kk AND rn <= n - kk THEN v ELSE 0 END)
+        // (max(n) - 2 * max(kk)) AS BIGINT) AS trimmed_mean_cents,
+      CAST(max(CASE WHEN rn = kk + 1 THEN v END) AS BIGINT)
+        AS winsor_lo_cents,
+      CAST(max(CASE WHEN rn = n - kk THEN v END) AS BIGINT)
+        AS winsor_hi_cents,
+      CAST((sum(CASE WHEN rn > kk AND rn <= n - kk THEN v ELSE 0 END)
+        + max(kk) * max(CASE WHEN rn = kk + 1 THEN v END)
+        + max(kk) * max(CASE WHEN rn = n - kk THEN v END))
+        // max(n) AS BIGINT) AS winsor_mean_cents
+    FROM k GROUP BY prio
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_agg_trimmed_mean", aggTrimmedMean, Some(aggTrimmedMeanOracle)),
     Q("q_agg_listagg", aggListagg, Some("""
       SELECT r_name, count(*) AS n_nations,
         string_agg(n_name, ',' ORDER BY n_name) AS members

@@ -592,7 +592,127 @@ object CorpusOps extends QueryPack {
     ORDER BY doc_id ASC NULLS FIRST"""
   }
 
+  private val DupNgramTopK = 40
+
+  /** CROSS-DOCUMENT BOILERPLATE SPANS (round 13): the [[DupNgramTopK]]
+    * 5-gram spans repeated across the most DISTINCT documents — the
+    * corpus-level twin of [[textRepetition]] (which scores repetition
+    * WITHIN a document). This is the "repeated boilerplate" report a
+    * curation run reads before dedup thresholds are chosen: navigation
+    * chrome, license headers, and template text show up here with their
+    * document reach (df_docs) and raw occurrence mass (n_occur), telling
+    * the operator whether passage-level dedup or a df-cap is the right
+    * knife. Reported by span TEXT (not hash) because the output is a
+    * human decision table.
+    *
+    * Scale: one tokenize pass, spans built per-row with `transform` over
+    * the token array (no per-token shuffle), ONE explode feeding a
+    * map-side-combined span-keyed agg — count(*) and count(DISTINCT
+    * doc_id) in the same agg (Spark plans the distinct via expand, still
+    * one shuffle family keyed by span). The top-k then ranks the
+    * |distinct spans| aggregate, never the corpus. Span df distribution
+    * is Zipf-bounded the same way the shingle leaf's df-cap argument
+    * runs; a production corpus would hash spans for the agg key and join
+    * text back for the top-k only.
+    */
+  private def textDupNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split(LlmPipeline.normText($"text"), " ").as("toks"))
+      .select($"doc_id", explode(when(size($"toks") >= 5,
+          transform(sequence(lit(0), size($"toks") - 5),
+            i => concat_ws(" ", slice($"toks", i + 1, lit(5)))))
+        .otherwise(array())).as("span"))
+      .groupBy($"span")
+      .agg(countDistinct($"doc_id").as("df_docs"),
+        count(lit(1)).as("n_occur"))
+      .filter($"df_docs" >= 2L)
+      .orderBy($"df_docs".desc, $"n_occur".desc, $"span".asc)
+      .limit(DupNgramTopK)
+  }
+
+  private val textDupNgramsSql = s"""
+    WITH spans AS (
+      SELECT doc_id, array_to_string(toks[i+1:i+5], ' ') AS span
+      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS i
+            FROM (SELECT doc_id, string_split(${LlmPipeline.normTextSql}, ' ') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 5))
+    SELECT span, count(DISTINCT doc_id) AS df_docs, count(*) AS n_occur
+    FROM spans
+    GROUP BY span
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY df_docs DESC, n_occur DESC, span ASC
+    LIMIT $DupNgramTopK"""
+
+  /** TEMPERATURE-SCALED MIXTURE QUOTAS (round 13; the reweighting half of
+    * [[corpusMix]]'s capping half): per-source sampling quotas under
+    * T = 2 temperature scaling — weight w_s = ⌊√(token mass)⌋, quota share
+    * = w_s / Σw — the standard move that UP-weights small high-value
+    * sources and DOWN-weights the dominant crawl slice without the hard
+    * min-clamp [[corpusMix]] applies. Reports, per source, the raw token
+    * share and the tempered share (both exact ppm integers) and the boost
+    * ratio between them — the table a mixture designer reads to set epoch
+    * sampling rates.
+    *
+    * Determinism: token mass is an exact integer; √ via IEEE-754 double
+    * sqrt is CORRECTLY ROUNDED in both engines (and tok ≪ 2^52 so the
+    * int→double cast is exact), so ⌊√tok⌋ is bit-identical cross-engine;
+    * every share is integer ppm arithmetic (x·10^6 div total, positive
+    * dividends so Spark `div` ↔ DuckDB `//` agree); the boost ratio is ppm
+    * of ppm — still integer. No float comparison anywhere.
+    *
+    * Scale: ONE map-side-combined aggregate over the corpus produces the
+    * |sources|-row weight table; everything after is arithmetic on that
+    * dimension table (broadcast-scale). The corpus is never shuffled.
+    */
+  private def corpusTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val totals = Catalog.load(spark, sfDir, "documents")
+      .select($"source",
+        size(split(LlmPipeline.normText($"text"), " ")).cast("long").as("n_toks"))
+      .groupBy($"source").agg(sum($"n_toks").as("tok_total"))
+      .withColumn("w", floor(sqrt($"tok_total".cast("double"))).cast("long"))
+    val sums = totals.agg(sum($"tok_total").as("tok_all"), sum($"w").as("w_all"))
+    totals.crossJoin(broadcast(sums))
+      // Domain guard (gini pattern): tok_total·10^6 must fit int64 — fires
+      // at ≈9.2e12 tokens in ONE source; widen to decimal(38,0) then.
+      .withColumn("tok_total",
+        when($"tok_total" > (Long.MaxValue - 999999L) / 1000000L,
+          raise_error(lit("graft q_corpus_temperature: per-source token " +
+            "mass * 1e6 overflows int64; widen the ppm arithmetic")))
+          .otherwise($"tok_total"))
+      .select($"source", $"tok_total", $"w",
+        expr("tok_total * 1000000 div tok_all").as("raw_ppm"),
+        expr("w * 1000000 div w_all").as("tempered_ppm"))
+      // nullif: a sub-ppm source has raw share 0 — boost undefined, NULL
+      // (identically in both engines), never a divide-by-zero.
+      .withColumn("boost_ppm",
+        expr("tempered_ppm * 1000000 div nullif(raw_ppm, 0)"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
+  private val corpusTemperatureSql = s"""
+    WITH totals AS (
+      SELECT source, sum(n_toks) AS tok_total,
+        CAST(floor(sqrt(CAST(sum(n_toks) AS DOUBLE))) AS BIGINT) AS w
+      FROM (SELECT source,
+              CAST(len(string_split(${LlmPipeline.normTextSql}, ' ')) AS BIGINT) AS n_toks
+            FROM documents)
+      GROUP BY source),
+    sums AS (SELECT CAST(sum(tok_total) AS BIGINT) AS tok_all,
+               CAST(sum(w) AS BIGINT) AS w_all FROM totals)
+    SELECT source, CAST(tok_total AS BIGINT) AS tok_total, w,
+      CAST(tok_total * 1000000 // tok_all AS BIGINT) AS raw_ppm,
+      CAST(w * 1000000 // w_all AS BIGINT) AS tempered_ppm,
+      CAST((w * 1000000 // w_all) * 1000000
+        // nullif(tok_total * 1000000 // tok_all, 0) AS BIGINT) AS boost_ppm
+    FROM totals CROSS JOIN sums
+    ORDER BY source ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_text_dup_ngrams", textDupNgrams, Some(textDupNgramsSql)),
+    Q("q_corpus_temperature", corpusTemperature, Some(corpusTemperatureSql)),
     Q("q_text_bpe_learn", textBpeLearn, Some(textBpeLearnSql)),
     Q("q_text_bpe_apply", textBpeApply, Some(textBpeApplySql)),
     Q("q_text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),

@@ -438,8 +438,17 @@ object Governance extends QueryPack {
       .select($"o_orderkey",
         ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long").as("w"))
     val cum = DistributedRank.cumsumExact(w, "w", "o_orderkey", "cw")
+    // Domain guard (the q_stat_gini raise_error pattern): total weight
+    // under SampleTicks cents makes step = 0 and the multiplicity
+    // expression divides by zero — an ENGINE-DIVERGENT error (Spark ANSI
+    // raises, DuckDB errors differently). Fail loudly with the query name
+    // instead; a corpus with < 1 cent of weight per requested tick has no
+    // meaningful PPS sample at this tick count.
     val params = w.agg(sum($"w").as("tot"))
-      .select(expr(s"tot div $SampleTicks").as("step"))
+      .select(when(expr(s"tot div $SampleTicks") < 1L, raise_error(lit(
+          s"graft q_sample_weighted: total weight < $SampleTicks cents — " +
+            "step would be 0; lower SampleTicks or supply more weight")))
+        .otherwise(expr(s"tot div $SampleTicks")).as("step"))
       .select($"step", expr("step div 2").as("phase"))
     cum.crossJoin(broadcast(params))
       .withColumn("m", expr(

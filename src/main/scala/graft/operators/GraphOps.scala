@@ -1218,10 +1218,82 @@ object GraphOps extends QueryPack {
     FROM s GROUP BY split
     ORDER BY split ASC NULLS FIRST"""
 
+  /** PARTITION MODULARITY over the near-dup graph (round 13): Newman
+    * modularity of the grouping "community = document source" — does
+    * near-duplication concentrate WITHIN sources (template/boilerplate
+    * reuse inside a crawl slice) or cut across them (syndication)? Per
+    * source s: n_nodes (edge-bearing docs), e_in (intra-source edges),
+    * d_tot (Σ degree), and the exact modularity term
+    * (4m·e_in − d_tot²) / (4m²) — summing q_term over sources IS
+    * Newman's Q for the partition. Components can't play the community
+    * role here (a component never splits, making every edge intra by
+    * construction); an ATTRIBUTE partition makes the metric informative
+    * and keeps it exact.
+    *
+    * Determinism: numerator and denominator are exact int64 counts; the
+    * ONE double division per row is correctly rounded from identical
+    * exact operands in both engines — no float accumulation anywhere.
+    *
+    * Scale: reuses the memoized und-edge leaf; degree and intra-edge
+    * tables are map-side-combined aggs keyed by node/source; the
+    * source map joins are plain shuffle equi-joins (no |E| broadcast —
+    * the commonNeighbors lesson); m rides as a 1-row broadcast dim.
+    */
+  private def graphModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = LlmPipeline.dedupNear(spark, sfDir).select($"doc_a", $"doc_b")
+    val src = Catalog.load(spark, sfDir, "documents").select($"doc_id", $"source")
+    val und = nearDupUnd(spark, sfDir)
+    val deg = und.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val mdim = edges.agg(count(lit(1)).as("m"))
+    val ds = deg.join(src, $"u" === $"doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("d_tot"))
+    val ei = edges
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+      .filter($"sa" === $"sb")
+      .groupBy($"sa".as("source")).agg(count(lit(1)).as("e_in"))
+    ds.join(ei, Seq("source"), "left")
+      .withColumn("e_in", coalesce($"e_in", lit(0L)))
+      .crossJoin(broadcast(mdim))
+      .select($"source", $"n_nodes", $"e_in", $"d_tot",
+        ((lit(4L) * $"m" * $"e_in" - $"d_tot" * $"d_tot").cast("double") /
+          (lit(4L) * $"m" * $"m").cast("double")).as("q_term"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
+  private val graphModularityOracle = s"""
+    WITH ${LlmPipeline.nearPairsCtes},
+    edges AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    deg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+    m AS (SELECT count(*) AS m FROM edges),
+    ds AS (
+      SELECT d.source, count(*) AS n_nodes, sum(deg.deg) AS d_tot
+      FROM deg JOIN documents d ON deg.u = d.doc_id
+      GROUP BY d.source),
+    ei AS (
+      SELECT da.source, count(*) AS e_in
+      FROM edges e
+        JOIN documents da ON e.doc_a = da.doc_id
+        JOIN documents db ON e.doc_b = db.doc_id
+      WHERE da.source = db.source
+      GROUP BY da.source)
+    SELECT ds.source, CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+      CAST(coalesce(ei.e_in, 0) AS BIGINT) AS e_in,
+      CAST(ds.d_tot AS BIGINT) AS d_tot,
+      CAST(4 * m.m * coalesce(ei.e_in, 0) - ds.d_tot * ds.d_tot AS DOUBLE)
+        / CAST(4 * m.m * m.m AS DOUBLE) AS q_term
+    FROM ds LEFT JOIN ei ON ds.source = ei.source CROSS JOIN m
+    ORDER BY ds.source ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_graph_label_propagation", labelPropagation,
       Some(labelPropagationOracle)),
     Q("q_graph_link_ra", linkRa, Some(linkRaOracle)),
+    Q("q_graph_modularity", graphModularity, Some(graphModularityOracle)),
     Q("q_split_group_aware", splitGroupAware, Some(splitGroupAwareOracle)),
     Q("q_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     Q("q_graph_clustering_coeff", graphClusteringCoeff,

@@ -30,7 +30,10 @@ import graft.{Catalog, Q, QueryPack}
   * BIGINT; distances are exact integer squared-L2 over 8 dims; centroid
   * update is offset integer division ((Σ(e+Off)) div n − Off, positive
   * dividend so `div` ↔ `//` agree); seeding picks the [[Kpq]] vec_ids
-  * minimizing the Knuth hash — the SAME seed rows feed all subspaces
+  * minimizing the Knuth hash ((vec_id & (2^31−1)) · 2654435761 mod 2^31 —
+  * masked BEFORE the multiply so the product fits int64 for any id
+  * domain; unmasked ids ≥ ~3.47e9 wrap in Spark but error in DuckDB) —
+  * the SAME seed rows feed all subspaces
   * (their subvectors differ per subspace, so codebooks still diverge).
   * ADC scores are integer dot products of quantized values — no float
   * anywhere, so training, codes, LUT, and ranking are all bit-equal
@@ -106,7 +109,8 @@ object PqOps extends QueryPack {
       val seedW = Window.orderBy($"h".asc, $"vec_id".asc)
       val seeds = sq.select($"vec_id").distinct()
         .select($"vec_id",
-          pmod($"vec_id" * 2654435761L, lit(2147483648L)).as("h"))
+          pmod(($"vec_id".bitwiseAND(2147483647L)) * 2654435761L,
+            lit(2147483648L)).as("h"))
         .orderBy($"h".asc, $"vec_id".asc).limit(Kpq)
         .withColumn("code", (row_number().over(seedW) - 1).cast("long"))
         .select($"vec_id", $"code")
@@ -199,11 +203,11 @@ object PqOps extends QueryPack {
     pseeds AS (
       SELECT vec_id,
         CAST(row_number() OVER
-          (ORDER BY (vec_id * 2654435761) % 2147483648 ASC, vec_id ASC)
+          (ORDER BY ((vec_id & 2147483647) * 2654435761) % 2147483648 ASC, vec_id ASC)
           AS BIGINT) - 1 AS code
       FROM embeddings
       QUALIFY row_number() OVER
-        (ORDER BY (vec_id * 2654435761) % 2147483648 ASC, vec_id ASC) <= $Kpq),
+        (ORDER BY ((vec_id & 2147483647) * 2654435761) % 2147483648 ASC, vec_id ASC) <= $Kpq),
     pcent0 AS (
       SELECT q.sub, s.code, q.spos, q.e AS c
       FROM pseeds s JOIN squant q ON q.vec_id = s.vec_id),

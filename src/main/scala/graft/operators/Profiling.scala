@@ -1475,7 +1475,66 @@ object Profiling extends QueryPack {
         AS null_keys
     FROM lineitem"""
 
+  private val SkewBuckets = 32L
+
+  /** SHUFFLE-BUCKET SKEW DIAGNOSTIC (round 13): how evenly would
+    * lineitem hash-partition on l_suppkey across [[SkewBuckets]] reducers?
+    * The pre-flight every 100-TB join/agg plan deserves: per bucket the
+    * row count, distinct-key count, and the load ratio vs the ideal even
+    * share (ppm) — the table that tells an operator whether the shuffle
+    * needs salting (q_join_skew_salted / q_agg_salted_skew are the cures;
+    * this is the diagnosis). [[profileSkew]] reports VALUE skew of a
+    * numeric column's distribution; this reports PARTITION skew of a
+    * shuffle key — different failure, different fix.
+    *
+    * The bucket function is the house Knuth multiplicative hash
+    * ((key & (2^31−1))·2654435761 mod 2^31) mod buckets — mirrorable in
+    * DuckDB (Spark's own `hash()` is Murmur3 with engine-private seeding,
+    * fine for real shuffles, unusable for an oracle) and the same
+    * family the corpus samplers use, so the diagnostic measures what a
+    * multiplicative-family partitioner would see: a proxy with the same
+    * collision statistics, not Spark's literal partition assignment.
+    *
+    * Scale: ONE map-side-combined aggregate keyed by (bucket) with an
+    * exact count-distinct expand — output is |buckets| rows; nothing else
+    * leaves the scan.
+    */
+  private def profilePartitionSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = SkewBuckets
+    Catalog.load(spark, sfDir, "lineitem")
+      .select($"l_suppkey",
+        (pmod(($"l_suppkey".bitwiseAND(2147483647L)) * 2654435761L,
+          lit(2147483648L)) % n).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"l_suppkey").as("n_keys"))
+      // load_ppm = bucket rows / ideal even share, in ppm: 1e6 = perfectly
+      // even. total = sum over buckets rides a 1-row broadcast dim.
+      .crossJoin(broadcast(
+        Catalog.load(spark, sfDir, "lineitem").agg(count(lit(1)).as("__t"))))
+      .select($"bucket", $"n_rows", $"n_keys",
+        expr(s"n_rows * $n * 1000000 div __t").as("load_ppm"))
+      .orderBy($"bucket".asc_nulls_first)
+  }
+
+  private val profilePartitionSkewOracle = s"""
+    WITH b AS (
+      SELECT ((l_suppkey & 2147483647) * 2654435761) % 2147483648
+               % $SkewBuckets AS bucket,
+        l_suppkey
+      FROM lineitem),
+    t AS (SELECT count(*) AS tot FROM lineitem)
+    SELECT bucket, count(*) AS n_rows,
+      count(DISTINCT l_suppkey) AS n_keys,
+      CAST(count(*) * $SkewBuckets * 1000000 // tot AS BIGINT) AS load_ppm
+    FROM b CROSS JOIN t
+    GROUP BY bucket, tot
+    ORDER BY bucket ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_profile_partition_skew", profilePartitionSkew,
+      Some(profilePartitionSkewOracle)),
     Q("q_observe_metrics", observeMetrics, Some(observeMetricsOracle)),
     Q("q_stat_bootstrap_ci", statBootstrapCi, Some(statBootstrapCiOracle)),
     Q("q_stat_mannwhitney", statMannWhitney, Some(statMannWhitneyOracle)),

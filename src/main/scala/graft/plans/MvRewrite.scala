@@ -128,11 +128,18 @@ object MvAggregateRewrite extends Rule[LogicalPlan] {
       case ar: AttributeReference => ar.name == "l_returnflag"
       case _ => false
     }
-    def isMon(x: Expression): Boolean = {
-      val r = resolved(x)
-      r.dataType == LongType &&
-        r.references.map(_.name).toSet == Set("l_shipdate") &&
-        r.exists(_.isInstanceOf[Month])
+    // Exactly month(l_shipdate)::long — structural, not containment. The
+    // r11-advice containment check (`references == {l_shipdate} && exists
+    // Month`) also matched e.g. (year*12+month)::long or (month%2)::long
+    // and would have silently served them the rollup's plain month column.
+    // Only a value-preserving relabel cast may sit between Month and the
+    // relation attribute (the Catalog normalize shape resolved via env).
+    def isMon(x: Expression): Boolean = resolved(x) match {
+      case Cast(Month(inner), LongType, _, _) => stripCasts(inner) match {
+        case ar: AttributeReference => ar.name == "l_shipdate"
+        case _ => false
+      }
+      case _ => false
     }
     val flagG = gs.find(isFlag)
     val monG = gs.find(g => !isFlag(g) && isMon(g))
