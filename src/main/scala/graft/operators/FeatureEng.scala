@@ -359,7 +359,61 @@ object FeatureEng extends QueryPack {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority ASC NULLS FIRST"""
 
+  /** HASHED FEATURE CROSSES (round 13): the cross of two categorical
+    * columns (customer market segment × nation) hashed into 64 buckets —
+    * the wide-and-deep / FM "crossed column" a feature pipeline
+    * materializes when the raw cross product would blow up the embedding
+    * table (here 5×25 = 125 crosses stand in for the 10^8-cross case that
+    * motivates hashing). Output is the bucket table an offline audit
+    * reads: per bucket the row count, the number of DISTINCT crosses
+    * sharing it (the collision diagnostic — hashed crosses trade
+    * collisions for memory, and this is the measurement), and exact count
+    * mass.
+    *
+    * The string halves enter the hash as their ASCII code-point sums (the
+    * q_udf_scalar mirror trick — Spark `aggregate(transform(split(…)))`
+    * ≡ DuckDB `list_aggregate(list_transform(string_split(…)))`), mixed
+    * asymmetrically (seg·31 + nat) then through the house masked Knuth
+    * multiplicative hash mod 64 — all int64-exact in both engines; the
+    * ascii sums are ≤ ~10^3·len, nowhere near the 31-bit mask.
+    *
+    * Scale: the cross + hash is a stateless scan-side projection; ONE
+    * map-side-combined aggregation keyed by bucket (≤64 groups) with the
+    * distinct-cross count riding the same shuffle family. The nation name
+    * arrives via a 25-row broadcast dim join.
+    */
+  private def featCrossed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def asciiSum(c: String): org.apache.spark.sql.Column =
+      expr(s"aggregate(transform(split($c, ''), ch -> ascii(ch)), 0, (a, b) -> a + b)")
+    val nat = table(spark, sfDir)("nation")
+      .select($"n_nationkey", $"n_name")
+    val crossed = table(spark, sfDir)("customer")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_mktsegment", $"n_name",
+        ((asciiSum("c_mktsegment").cast("long") * 31L +
+          asciiSum("n_name").cast("long")).bitwiseAND(lit(2147483647L))
+          * 2654435761L % 4294967296L % 64L).as("bucket"))
+    crossed.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"c_mktsegment", $"n_name").as("n_crosses"))
+      .orderBy($"bucket".asc_nulls_first)
+  }
+
+  private val featCrossedOracle = """
+    WITH c AS (
+      SELECT c_mktsegment, n_name,
+        ((list_aggregate(list_transform(string_split(c_mktsegment, ''), ch -> ascii(ch)), 'sum') * 31
+          + list_aggregate(list_transform(string_split(n_name, ''), ch -> ascii(ch)), 'sum'))
+         & 2147483647) * 2654435761 % 4294967296 % 64 AS bucket_h
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT CAST(bucket_h AS BIGINT) AS bucket, count(*) AS n_rows,
+      count(DISTINCT (c_mktsegment, n_name)) AS n_crosses
+    FROM c GROUP BY bucket_h
+    ORDER BY bucket ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_feat_crossed", featCrossed, Some(featCrossedOracle)),
     Q("q_feat_robust_scale", featRobustScale, Some(featRobustScaleOracle)),
     Q("q_feat_onehot", featOnehot, Some(featOnehotOracle)),
     Q("q_feat_hash_bucket", featHashBucket, Some(featHashBucketOracle)),

@@ -1156,7 +1156,73 @@ object LlmExtras extends QueryPack {
     FROM ranked WHERE rank <= 5
     ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
 
+  /** TRUNCATION-DUPLICATE DETECTION (round 13): documents whose
+    * normalized text is a strict TOKEN-BOUNDARY PREFIX of a longer
+    * document — the crawl pathology Jaccard-family dedup systematically
+    * misses (the same article cut at different lengths shares few
+    * shingles proportionally once the long version dominates, and the
+    * containment query flags overlap, not prefix structure). Per
+    * truncated doc: its longest superseding doc (ties by smaller id),
+    * with both token lengths — the survivorship rule "keep the longest
+    * cut" made explicit.
+    *
+    * Semantics: candidates meet on an 8-token prefix key (equi-join —
+    * never all-pairs); a pair qualifies iff len(a) < len(b) and b's norm
+    * starts with a's norm + ' ' (the appended space pins the match to a
+    * token boundary, so "the cat sat" never claims "the cat satellite").
+    * Equal-text duplicates are q_dedup_exact's job and are excluded here
+    * by the strict length test.
+    *
+    * Scale: the prefix key plays the LSH-bucket role — candidate pairs
+    * meet under a shuffle on the 8-token key, with the same Zipf-bounded
+    * bucket-size argument as the shingle df-cap (a production corpus
+    * df-caps the prefix key identically); the startswith verify touches
+    * candidate pairs only. One window per truncated doc picks the
+    * longest superseder.
+    */
+  private def dedupPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", LlmPipeline.normText($"text").as("n"))
+      .withColumn("toks", split($"n", " "))
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", $"n", size($"toks").cast("long").as("n_toks"),
+        concat_ws(" ", slice($"toks", 1, 8)).as("key"))
+    val a = d.select($"key", $"doc_id".as("doc_trunc"), $"n".as("na"),
+      $"n_toks".as("len_trunc"))
+    val b = d.select($"key", $"doc_id".as("doc_full"), $"n".as("nb"),
+      $"n_toks".as("len_full"))
+    val pairs = a.join(b, Seq("key"))
+      .filter(length($"na") < length($"nb") &&
+        $"nb".startsWith(concat($"na", lit(" "))))
+    val w = Window.partitionBy($"doc_trunc")
+      .orderBy($"len_full".desc, $"doc_full".asc)
+    pairs.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"doc_trunc", $"doc_full", $"len_trunc", $"len_full")
+      .orderBy($"doc_trunc".asc_nulls_first)
+  }
+
+  private val dedupPrefixSql = s"""
+    WITH d AS (
+      SELECT doc_id, n, CAST(len(string_split(n, ' ')) AS BIGINT) AS n_toks,
+        array_to_string((string_split(n, ' '))[1:8], ' ') AS key
+      FROM (SELECT doc_id, ${LlmPipeline.normTextSql} AS n FROM documents)
+      WHERE len(string_split(n, ' ')) >= 8),
+    pairs AS (
+      SELECT a.doc_id AS doc_trunc, b.doc_id AS doc_full,
+        a.n_toks AS len_trunc, b.n_toks AS len_full
+      FROM d a JOIN d b ON a.key = b.key
+      WHERE len(a.n) < len(b.n) AND starts_with(b.n, a.n || ' ')),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_trunc
+        ORDER BY len_full DESC, doc_full ASC) AS rk
+      FROM pairs)
+    SELECT doc_trunc, doc_full, len_trunc, len_full
+    FROM best WHERE rk = 1
+    ORDER BY doc_trunc ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_dedup_prefix", dedupPrefix, Some(dedupPrefixSql)),
     Q("q_sim_hard_negatives", simHardNegatives, Some(simHardNegativesSql)),
     Q("q_sim_mips_topk", simMipsTopk, Some(simMipsTopkSql)),
     Q("q_dedup_passage_exact", dedupPassage, Some(dedupPassageSql)),

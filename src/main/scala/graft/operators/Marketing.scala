@@ -921,7 +921,164 @@ object Marketing extends QueryPack {
       CAST(n_reached AS BIGINT) * 1000000 // CAST(top AS BIGINT) AS conv_ppm
     FROM r2 ORDER BY stage ASC NULLS FIRST"""
 
+  private val MarkovIters = 8
+  private val MarkovChannels = Vector("click", "error", "signup", "view")
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (round 13) — the data-driven
+    * attribution model beyond [[attribution]]'s positional rules: user
+    * journeys become a first-order Markov chain over touch states
+    * (click/error/signup/view) with absorbing CONV (purchase) and NULL
+    * (journey ends unconverted); a channel's credit is its REMOVAL
+    * EFFECT — how much the chain's conversion probability drops when
+    * every transition into that channel is redirected to NULL — and the
+    * attribution share normalizes removal effects across channels. This
+    * is the Shapley-adjacent model real attribution vendors run; the
+    * positional query stays as the baseline rule set.
+    *
+    * Journey semantics: per user, events ordered by (ts, event_id); a
+    * journey ends AT a purchase (the next event starts a new one) or at
+    * the user's last event (→ NULL); START opens every journey.
+    *
+    * Determinism: conversion probabilities run [[MarkovIters]] fixed
+    * value-iteration rounds in integer ppm — p(CONV) = 10^6, p(NULL) = 0,
+    * p_{k+1}(s) = Σ cnt(s→t)·p_k(t) div tot(s) (non-negative dividends,
+    * so `div` ↔ `//` agree) — the pagerank/PCA fixed-iteration contract;
+    * the oracle unrolls the same rounds per removal variant as CTEs.
+    *
+    * Scale: the corpus is touched ONCE (two per-user windows + one
+    * map-side-combined (from, to) count agg); the value iteration runs on
+    * the collected |states|² ≤ ~36-row transition matrix — bounded by the
+    * CHANNEL vocabulary, not the data (the BPE argmax / PCA 64-row
+    * bounded-collect precedent) — and all five variants (base + four
+    * removals) reuse the one matrix.
+    */
+  private def attributionMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wAll = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val withJid = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("jid", coalesce(
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wj = Window.partitionBy($"user_id", $"jid")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val seq = withJid
+      .withColumn("prev", lag($"event_type", 1).over(wj))
+      .withColumn("nxt", lead($"event_id", 1).over(wj))
+    val t1 = seq.select(coalesce($"prev", lit("START")).as("f"),
+      when($"event_type" === "purchase", lit("CONV"))
+        .otherwise($"event_type").as("t"))
+    val t2 = seq.filter($"nxt".isNull && $"event_type" =!= "purchase")
+      .select($"event_type".as("f"), lit("NULL").as("t"))
+    // Bounded collect: |states|^2 <= ~36 rows (channel vocabulary, not data).
+    val cnt = t1.unionByName(t2).groupBy($"f", $"t").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val tot = cnt.groupMapReduce(_._1._1)(_._2)(_ + _)
+    def converge(removed: Option[String]): Long = {
+      var p = Map.empty[String, Long]
+      for (_ <- 1 to MarkovIters) {
+        p = tot.map { case (f, tf) =>
+          val num = cnt.collect {
+            case ((`f`, t), c) =>
+              c * (t match {
+                case "CONV" => 1000000L
+                case "NULL" => 0L
+                case x if removed.contains(x) => 0L
+                case x => p.getOrElse(x, 0L)
+              })
+          }.sum
+          f -> num / tf
+        }
+      }
+      p.getOrElse("START", 0L)
+    }
+    val base = converge(None)
+    val rows = MarkovChannels.map { ch =>
+      val conv = converge(Some(ch))
+      (ch, base, conv, base - conv)
+    }
+    val totRem = rows.map(_._4).sum
+    rows.map { case (ch, b, conv, rem) =>
+      (ch, b, conv,
+        if (b == 0) None else Some(rem * 1000000L / b),
+        if (totRem == 0) None else Some(rem * 1000000L / totRem))
+    }.toDF("channel", "conv_base_ppm", "conv_removed_ppm",
+      "removal_ppm", "attribution_ppm")
+      .orderBy($"channel".asc_nulls_first)
+  }
+
+  private val attributionMarkovOracle: String = {
+    val states = "('START'), ('click'), ('error'), ('signup'), ('view')"
+    def iters(tag: String, removed: Option[String]): String = {
+      val remCase = removed.map(r => s"WHEN c.t = '$r' THEN 0 ").getOrElse("")
+      (1 to MarkovIters).map { k =>
+        s"""
+    p_${tag}_$k AS (
+      SELECT c.f AS s, CAST(sum(c.c * (CASE
+          WHEN c.t = 'CONV' THEN 1000000
+          WHEN c.t = 'NULL' THEN 0
+          $remCase ELSE coalesce(p.p, 0) END)) // max(tt.tc) AS BIGINT) AS p
+      FROM cnt c JOIN tot tt ON c.f = tt.f
+        LEFT JOIN p_${tag}_${k - 1} p ON c.t = p.s
+      GROUP BY c.f)"""
+      }.mkString(",")
+    }
+    val variantCtes = (("base", None) +:
+      MarkovChannels.map(c => (c, Some(c): Option[String]))).map {
+        case (tag, rem) =>
+          s"""
+    p_${tag}_0 AS (SELECT s, CAST(0 AS BIGINT) AS p
+                   FROM (VALUES $states) v(s)), ${iters(tag, rem)}"""
+      }.mkString(",")
+    val resRows = MarkovChannels.map { c =>
+      s"""SELECT '$c' AS channel,
+        (SELECT p FROM p_base_$MarkovIters WHERE s = 'START') AS b,
+        (SELECT p FROM p_${c}_$MarkovIters WHERE s = 'START') AS conv"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH ord AS MATERIALIZED (
+      SELECT user_id, ts, event_id, event_type,
+        coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+      FROM events),
+    seq AS MATERIALIZED (
+      SELECT user_id, jid, event_type,
+        lag(event_type) OVER (PARTITION BY user_id, jid
+          ORDER BY ts, event_id) AS prev,
+        lead(event_id) OVER (PARTITION BY user_id, jid
+          ORDER BY ts, event_id) AS nxt
+      FROM ord),
+    tr AS (
+      SELECT coalesce(prev, 'START') AS f,
+        CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS t
+      FROM seq
+      UNION ALL
+      SELECT event_type, 'NULL' FROM seq
+      WHERE nxt IS NULL AND event_type <> 'purchase'),
+    -- MATERIALIZED (DuckDB planning hint; the CorpusOps BPE precedent):
+    -- cnt/tot are referenced by all 5 variants x 8 unrolled iterations —
+    -- inlined, each reference re-scans events through two windows (OOMs
+    -- at sf0.1); materialized, the corpus is touched once, like the Spark
+    -- side's bounded collect.
+    cnt AS MATERIALIZED (SELECT f, t, count(*) AS c FROM tr GROUP BY 1, 2),
+    tot AS MATERIALIZED (SELECT f, sum(c) AS tc FROM cnt GROUP BY 1),
+    $variantCtes,
+    res AS (
+      $resRows)
+    SELECT channel, b AS conv_base_ppm, conv AS conv_removed_ppm,
+      CAST((b - conv) * 1000000 // nullif(b, 0) AS BIGINT) AS removal_ppm,
+      CAST((b - conv) * 1000000
+        // nullif((SELECT sum(b - conv) FROM res), 0) AS BIGINT)
+        AS attribution_ppm
+    FROM res
+    ORDER BY channel ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_attribution_markov", attributionMarkov,
+      Some(attributionMarkovOracle)),
     Q("q_funnel_window", funnelWindow, Some(funnelWindowOracle)),
     Q("q_cohort_ltv", cohortLtv, Some(cohortLtvOracle)),
     Q("q_survival_km", survivalKm, Some(survivalKmOracle)),

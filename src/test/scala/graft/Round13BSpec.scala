@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 batch-2 invariants: hashed-cross mass/collision conservation,
+  * prefix-dup pair verification against the raw texts, and Markov
+  * removal-effect algebra (monotonicity + share normalization).
+  */
+class Round13BSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hashed crosses conserve rows and partition the cross domain") {
+    val out = SparkEntry.queries("q_feat_crossed")(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= 64)
+    out.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < 64L)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
+    }
+    val cust = Catalog.load(spark, sf0001, "customer")
+    assert(out.map(_.getLong(1)).sum == cust.count())
+    // The bucket is a function of the cross, so buckets PARTITION the
+    // cross domain: per-bucket distinct-cross counts sum to the global.
+    val nat = Catalog.load(spark, sf0001, "nation")
+    val crosses = cust.join(nat, $"c_nationkey" === $"n_nationkey")
+      .select($"c_mktsegment", $"n_name").distinct().count()
+    assert(out.map(_.getLong(2)).sum == crosses)
+  }
+
+  test("prefix dups verify against raw texts; one superseder per victim") {
+    val out = SparkEntry.queries("q_dedup_prefix")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // One row per truncated doc.
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.foreach(r => assert(r.getLong(2) < r.getLong(3)))
+    // Re-verify every reported pair against the normalized texts.
+    val ids = out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    // Same normalization as LlmPipeline.normText (private[operators]).
+    val norm: Map[Long, String] = Catalog.load(spark, sf0001, "documents")
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (a, b) = (norm(r.getLong(0)), norm(r.getLong(1)))
+      assert(b.startsWith(a + " "),
+        s"doc ${r.getLong(1)} does not extend doc ${r.getLong(0)}")
+      assert(a.split(" ").length.toLong == r.getLong(2))
+      assert(b.split(" ").length.toLong == r.getLong(3))
+    }
+  }
+
+  test("markov removal effects: monotone, normalized, base-consistent") {
+    val out = SparkEntry.queries("q_attribution_markov")(spark, sf0001)
+      .collect()
+    assert(out.length == 4)
+    val base = out.head.getLong(1)
+    assert(base > 0L && base <= 1000000L)
+    out.foreach { r =>
+      // Same base conversion on every row; removal can only hurt.
+      assert(r.getLong(1) == base)
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= base)
+      // removal_ppm recomputes from the two conversion columns.
+      assert(r.getLong(3) == (base - r.getLong(2)) * 1000000L / base)
+    }
+    // Attribution shares sum to 1e6 up to one floored ppm per channel.
+    val shares = out.map(_.getLong(4))
+    assert(shares.forall(s => s >= 0L && s <= 1000000L))
+    assert(math.abs(shares.sum - 1000000L) <= out.length,
+      s"attribution shares sum ${shares.sum}")
+  }
+}
