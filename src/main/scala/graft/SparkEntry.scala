@@ -38,6 +38,7 @@ object SparkEntry {
     BitmapOps,
     KMeansOps,
     PqOps,
+    VectorServe,
     MvOps,
   )
 

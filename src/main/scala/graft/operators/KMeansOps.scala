@@ -65,7 +65,7 @@ object KMeansOps extends QueryPack {
   /** Quantized corpus leaf: (vec_id, e: array<long>) with
     * e[i] = floor(v[i]·10^6).
     */
-  private def kmQuant(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def kmQuant(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     GraphOps.memoEdgeLeaf(spark, sfDir, "kmQuant") {
       Catalog.load(spark, sfDir, "embeddings")
@@ -170,7 +170,7 @@ object KMeansOps extends QueryPack {
     * fixed-iteration precedent. All-integer, so every intermediate is
     * engine-exact; HUGEINT sums cast back to BIGINT at the boundaries.
     */
-  private val kmeansCtes = {
+  private[operators] val kmeansCtes = {
     def distAssign(i: Int, prev: String) = s"""
     dist$i AS (
       SELECT q.vec_id, c.cell, sum((q.e - c.c) * (q.e - c.c)) AS d2

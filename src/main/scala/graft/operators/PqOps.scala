@@ -59,7 +59,7 @@ object PqOps extends QueryPack {
   /** Subvector frame: (vec_id, sub, se: array<long>[SubDim]) — one row
     * per (vector, subspace), quantized like [[KMeansOps]] (floor·10^6).
     */
-  private def subQuant(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def subQuant(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     GraphOps.memoEdgeLeaf(spark, sfDir, "pqSubQuant") {
       Catalog.load(spark, sfDir, "embeddings")
@@ -77,7 +77,7 @@ object PqOps extends QueryPack {
   private def sqDist(e: Column, c: Column): Column =
     aggregate(zip_with(e, c, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
-  private def dotInt(e: Column, c: Column): Column =
+  private[operators] def dotInt(e: Column, c: Column): Column =
     aggregate(zip_with(e, c, (x, y) => x * y), lit(0L), _ + _)
 
   /** One assignment pass over ALL subspaces: nearest code per (vec_id,
@@ -174,7 +174,7 @@ object PqOps extends QueryPack {
   /** The PQ pipeline unrolled as CTEs (the [[KMeansOps.kmeansCtes]]
     * pattern, keyed by subspace): subvector quantization, shared seeds,
     * [[Iters]] assign/update rounds. */
-  private val pqCtes = {
+  private[operators] val pqCtes = {
     def distAssign(i: Int, prev: String) = s"""
     pdist$i AS (
       SELECT q.vec_id, q.sub, c.code, sum((q.e - c.c) * (q.e - c.c)) AS d2

@@ -49,6 +49,70 @@ class Round13BSpec extends SparkTestBase {
     }
   }
 
+  test("ivfpq candidates come only from the probe's routed cells") {
+    val out = SparkEntry.queries("q_sim_ann_ivfpq")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // Dense ranks per probe.
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length))
+    }
+    // Every served candidate's trained cell is one of its probe's
+    // nprobe=2 routed cells — routing recomputed here from the centroid
+    // leaf with the same integer arithmetic.
+    val assign = graft.operators.KMeansOps.kmAssign(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = graft.operators.KMeansOps.kmCentroids(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val quant = Catalog.load(spark, sf0001, "embeddings")
+      .filter($"vec_id" < 10L)
+      .select($"vec_id",
+        expr("transform(embedding, v -> cast(floor(cast(v as double) * 1000000) as long))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def routed(p: Long): Set[Long] = {
+      val e = quant(p)
+      cents.toSeq.map { case (cell, c) =>
+        (cell, e.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.sortBy { case (cell, d2) => (d2, cell) }.take(2).map(_._1).toSet
+    }
+    out.foreach { r =>
+      val (p, c) = (r.getLong(0), r.getLong(1))
+      assert(routed(p).contains(assign(c)),
+        s"cand $c of probe $p served from unrouted cell ${assign(c)}")
+    }
+  }
+
+  test("mmr greedy recomputes from relevance and pairwise sims") {
+    val out = SparkEntry.queries("q_retrieval_mmr")(spark, sf0001).collect()
+    assert(out.length == 20)
+    // Independent greedy recompute for every probe from raw vectors.
+    val quant = Catalog.load(spark, sf0001, "embeddings")
+      .select($"vec_id",
+        expr("transform(embedding, v -> cast(floor(cast(v as double) * 1000000) as long))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    out.groupBy(_.getLong(0)).foreach { case (p, rows) =>
+      val pe = quant(p)
+      val cands = quant.keys.filter(_ != p).toSeq
+        .map(c => (c, dot(quant(c), pe)))
+        .sortBy { case (c, r) => (-r, c) }.take(12)
+      var selected = Vector.empty[Long]
+      val expect = (1 to 5).map { _ =>
+        val pick = cands.filterNot(c => selected.contains(c._1))
+          .map { case (c, r) =>
+            val ms = if (selected.isEmpty) 0L
+              else selected.map(s => dot(quant(c), quant(s))).max
+            (c, r, 7L * r - 3L * ms)
+          }.minBy { case (c, _, s) => (-s, c) }
+        selected :+= pick._1
+        pick
+      }
+      val got = rows.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == expect, s"probe $p greedy mismatch")
+    }
+  }
+
   test("markov removal effects: monotone, normalized, base-consistent") {
     val out = SparkEntry.queries("q_attribution_markov")(spark, sf0001)
       .collect()
