@@ -39,6 +39,7 @@ object SparkEntry {
     KMeansOps,
     PqOps,
     VectorServe,
+    SetSimJoin,
     MvOps,
   )
 

@@ -710,7 +710,91 @@ object CorpusOps extends QueryPack {
     FROM totals CROSS JOIN sums
     ORDER BY source ASC NULLS FIRST"""
 
+  private val BinCap = 256L
+  private val PackBuckets = 8L
+
+  /** NO-STRADDLE BIN PACKING (round 13) — the padding-aware sibling of
+    * [[packSequences]]: concat-and-chunk cuts documents across sequence
+    * boundaries; instruction-tuning / long-context curricula instead
+    * pack each document WHOLE into a [[BinCap]]-token bin and pad the
+    * remainder, so the packing quality (fill ratio) is the batch-
+    * efficiency metric. Greedy next-fit over documents ordered
+    * (capped_len desc, doc_id asc) — the FFD-flavored order that keeps
+    * big docs from stranding half-empty bins; docs longer than the cap
+    * are clamped to one full bin (the loader truncates). Output = one
+    * row per bin: doc count, token sum, exact fill ppm.
+    *
+    * Determinism: the greedy state is (current bin, current fill) —
+    * pure integer; the oracle replays the identical walk as a
+    * recursive CTE stepping rn → rn+1 within each bucket (all buckets
+    * advance in parallel per recursion round).
+    *
+    * Scale: packing is inherently sequential WITHIN a stream, so the
+    * corpus is sharded into [[PackBuckets]] hash buckets (the masked
+    * Knuth hash) and each bucket packs independently — bucket count is
+    * the parallelism lever and scales with the corpus (at 100 TB you
+    * run ~10⁵ buckets ≈ one per loader shard; per-group state is the
+    * bucket's doc list, bounded by corpus/buckets). One scan builds
+    * (doc, len, bucket); the greedy runs as typed flatMapGroups per
+    * bucket (the q_ts_holt/q_retrieval_mmr typed-fold escape) — no
+    * driver loop, no global order, no corpus-wide window.
+    */
+  private def packBins(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "documents")
+      .select(
+        pmod(($"doc_id".bitwiseAND(2147483647L)) * 2654435761L,
+          lit(2147483648L)).%(PackBuckets).as("bucket"),
+        $"doc_id",
+        least(size(split($"text", " ")).cast("long"), lit(BinCap)).as("c"))
+      .as[(Long, Long, Long)]
+    base.groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val docs = it.map { case (_, id, c) => (id, c) }.toArray
+          .sortBy { case (id, c) => (-c, id) }
+        val bins = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+        var bin = 0L; var fill = 0L; var nDocs = 0L
+        def flush(): Unit = if (bin > 0L)
+          bins += ((bucket, bin, nDocs, fill, fill * 1000000L / BinCap))
+        docs.foreach { case (_, c) =>
+          if (bin == 0L || fill + c > BinCap) {
+            flush(); bin += 1L; fill = c; nDocs = 1L
+          } else { fill += c; nDocs += 1L }
+        }
+        flush()
+        bins.result()
+      }
+      .toDF("bucket", "bin", "n_docs", "n_toks", "fill_ppm")
+      .orderBy($"bucket".asc_nulls_first, $"bin".asc_nulls_first)
+  }
+
+  private val packBinsSql = s"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+        least(CAST(len(string_split(text, ' ')) AS BIGINT), $BinCap) AS c,
+        ((doc_id & 2147483647) * 2654435761) % 2147483648 % $PackBuckets
+          AS bucket
+      FROM documents),
+    d AS (
+      SELECT bucket, c, row_number() OVER (PARTITION BY bucket
+        ORDER BY c DESC, doc_id ASC) AS rn
+      FROM t),
+    walk AS (
+      SELECT bucket, rn, c, CAST(1 AS BIGINT) AS bin, c AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.c,
+        CASE WHEN w.fill + d.c > $BinCap THEN w.bin + 1 ELSE w.bin END,
+        CASE WHEN w.fill + d.c > $BinCap THEN d.c ELSE w.fill + d.c END
+      FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+    SELECT bucket, bin, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(c) AS BIGINT) AS n_toks,
+      CAST(sum(c) * 1000000 // $BinCap AS BIGINT) AS fill_ppm
+    FROM walk GROUP BY bucket, bin
+    ORDER BY bucket ASC NULLS FIRST, bin ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_pack_bins", packBins, Some(packBinsSql)),
     Q("q_text_dup_ngrams", textDupNgrams, Some(textDupNgramsSql)),
     Q("q_corpus_temperature", corpusTemperature, Some(corpusTemperatureSql)),
     Q("q_text_bpe_learn", textBpeLearn, Some(textBpeLearnSql)),

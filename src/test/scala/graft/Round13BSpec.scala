@@ -113,6 +113,51 @@ class Round13BSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-filtered join equals the exhaustive near-dup pair set") {
+    val pf = SparkEntry.queries("q_dedup_prefix_filter")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val near = SparkEntry.queries("q_dedup_near")(spark, sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(pf.nonEmpty)
+    assert(pf == near, "prefix filtering lost or invented pairs")
+  }
+
+  test("pack bins recompute from an independent greedy walk") {
+    val out = SparkEntry.queries("q_pack_bins")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out.nonEmpty)
+    // Fill never exceeds capacity; ppm consistent; bins dense per bucket.
+    out.foreach { case (_, _, nd, nt, ppm) =>
+      assert(nd >= 1L && nt <= 256L && ppm == nt * 1000000L / 256L)
+    }
+    out.groupBy(_._1).foreach { case (_, bins) =>
+      assert(bins.map(_._2).sorted == (1L to bins.length))
+    }
+    // Independent next-fit replay over the raw documents.
+    val docs = Catalog.load(spark, sf0001, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), math.min(r.getLong(1), 256L)))
+    val expect = docs
+      .groupBy { case (id, _) => ((id & 2147483647L) * 2654435761L
+        % 2147483648L + 2147483648L) % 2147483648L % 8L }
+      .toSeq.flatMap { case (bucket, ds) =>
+        val ordered = ds.sortBy { case (id, c) => (-c, id) }
+        var bin = 0L; var fill = 0L; var nd = 0L
+        val acc = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+        def flush(): Unit = if (bin > 0)
+          acc += ((bucket, bin, nd, fill, fill * 1000000L / 256L))
+        ordered.foreach { case (_, c) =>
+          if (bin == 0L || fill + c > 256L) { flush(); bin += 1; fill = c; nd = 1 }
+          else { fill += c; nd += 1 }
+        }
+        flush(); acc.result()
+      }.sortBy(x => (x._1, x._2))
+    assert(out.sortBy(x => (x._1, x._2)) == expect)
+  }
+
   test("markov removal effects: monotone, normalized, base-consistent") {
     val out = SparkEntry.queries("q_attribution_markov")(spark, sf0001)
       .collect()
