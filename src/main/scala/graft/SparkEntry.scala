@@ -40,6 +40,7 @@ object SparkEntry {
     PqOps,
     VectorServe,
     SetSimJoin,
+    MlTrees,
     MvOps,
   )
 

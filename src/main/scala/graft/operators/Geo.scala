@@ -207,9 +207,167 @@ object GeoOps extends QueryPack {
     FROM d GROUP BY c_nationkey
     ORDER BY c_nationkey ASC"""
 
+  private val DbEps2 = 50.0   // eps = sqrt(50) ~ 7.07
+  private val DbCell = 8.0    // cell >= eps, so 3x3 neighborhoods cover eps
+  private val DbMinPts = 3L   // neighborhood count INCLUDING the point
+
+  /** Deterministic clustered point set for DBSCAN: 16 dense centers on a
+    * 4x4 grid spaced 40 apart (jitter ±3 via the masked Knuth hash) plus
+    * 20% uniform scatter over the ±160 square — hash-derived so no
+    * modular orbit piles points onto duplicate sites at any SF (the
+    * custkey lattice degenerates: 0 cores at sf0.01, all-core at sf0.1).
+    * All integer arithmetic then +0.25, so coordinates and squared
+    * distances are exact in both engines.
+    */
+  private def dbPoints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir)("orders")
+      .filter($"o_orderkey" % 23 === 0)
+      .select($"o_orderkey".as("id"),
+        pmod(($"o_orderkey".bitwiseAND(2147483647L)) * 2654435761L,
+          lit(2147483648L)).as("h"))
+      .select($"id",
+        (when($"id" % 5 === 0, $"h" % 320 - 160)
+          .otherwise(($"id" % 16 % 4) * 40 - 60 + $"h" % 7 - 3))
+          .cast("double").+(lit(0.25)).as("x"),
+        (when($"id" % 5 === 0, expr("h div 320") % 320 - 160)
+          .otherwise(expr("(id % 16) div 4") * 40 - 60 +
+            expr("h div 7") % 7 - 3))
+          .cast("double").+(lit(0.25)).as("y"))
+  }
+
+  private val dbPointsSql = """
+      SELECT o_orderkey AS id,
+        CASE WHEN o_orderkey % 5 = 0
+          THEN CAST(h % 320 - 160 AS DOUBLE) + 0.25
+          ELSE CAST((o_orderkey % 16 % 4) * 40 - 60 + h % 7 - 3 AS DOUBLE)
+            + 0.25 END AS x,
+        CASE WHEN o_orderkey % 5 = 0
+          THEN CAST((h // 320) % 320 - 160 AS DOUBLE) + 0.25
+          ELSE CAST((o_orderkey % 16 // 4) * 40 - 60 + (h // 7) % 7 - 3
+            AS DOUBLE) + 0.25 END AS y
+      FROM (SELECT o_orderkey,
+              ((o_orderkey & 2147483647) * 2654435761) % 2147483648 AS h
+            FROM orders WHERE o_orderkey % 23 = 0)"""
+
+  /** GRID DBSCAN (round 13) — density clustering, the family Spark/SQL
+    * lack natively: core points (≥ [[DbMinPts]] neighbors within eps,
+    * self included), clusters = connected components of the core-core
+    * eps-graph labeled by component-minimum id, border points adopt the
+    * MINIMUM cluster label among their core neighbors (the classic
+    * nondeterminism of DBSCAN border assignment pinned to a
+    * deterministic rule), the rest is noise. Output = one row per
+    * cluster (core/border/total counts) + the noise row (cluster −1).
+    *
+    * Scale: the eps-neighbor graph comes from the SAME 3×3 cell
+    * equi-join as [[geoCellJoin]] (never all-pairs — the oracle is the
+    * brute-force quadratic form, so the cell completeness proof is
+    * hash-graded again here); components run large-star/small-star
+    * ([[GraphOps.twoStarLabels]], O(log n) rounds regardless of cluster
+    * diameter — a worm-shaped cluster cannot stall the loop); core
+    * flags, border adoption, and the count rollup are all keyed
+    * aggregations over the candidate-pair frame.
+    */
+  private def geoDbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pts = dbPoints(spark, sfDir)
+    val build = pts
+      .withColumn("cx", floor($"x" / DbCell))
+      .withColumn("cy", floor($"y" / DbCell))
+      .select($"id".as("b"), $"x".as("bx"), $"y".as("by"), $"cx", $"cy")
+    val probe = pts
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select($"id".as("a"), $"x".as("ax"), $"y".as("ay"),
+        (floor($"x" / DbCell) + $"dx").as("cx"),
+        (floor($"y" / DbCell) + $"dy").as("cy"))
+    val nbr = probe.join(build, Seq("cx", "cy"))
+      .filter(($"ax" - $"bx") * ($"ax" - $"bx") +
+        ($"ay" - $"by") * ($"ay" - $"by") <= DbEps2)
+      .select($"a", $"b")
+      .localCheckpoint(true)
+    val cnt = nbr.groupBy($"a").agg(count(lit(1)).as("n"))
+    val core = cnt.filter($"n" >= DbMinPts).select($"a".as("node"))
+    val coreEdges = nbr.filter($"a" =!= $"b")
+      .join(core.select($"node".as("a")), Seq("a"))
+      .join(core.select($"node".as("b")), Seq("b"))
+      .select($"a".as("u"), $"b".as("v"))
+    val (lbl, _) = GraphOps.twoStarLabels(spark, coreEdges)
+    val coreLbl = core
+      .join(lbl, Seq("node"), "left")
+      .select($"node", coalesce($"lbl", $"node").as("cluster"))
+    val borderLbl = cnt.filter($"n" < DbMinPts).select($"a")
+      .join(nbr.filter($"a" =!= $"b"), Seq("a"))
+      .join(coreLbl.select($"node".as("b"), $"cluster"), Seq("b"))
+      .groupBy($"a").agg(min($"cluster").as("cluster"))
+    val nNoise = cnt.filter($"n" < DbMinPts)
+      .join(borderLbl.select($"a"), Seq("a"), "left_anti")
+      .count()
+    val coreAgg = coreLbl.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_core"))
+    val borderAgg = borderLbl.groupBy($"cluster")
+      .agg(count(lit(1)).as("n_border"))
+    val clusters = coreAgg.join(borderAgg, Seq("cluster"), "left")
+      .select($"cluster", $"n_core",
+        coalesce($"n_border", lit(0L)).as("n_border"))
+      .withColumn("n_points", $"n_core" + $"n_border")
+    clusters
+      .unionByName(Seq((-1L, 0L, 0L, nNoise))
+        .toDF("cluster", "n_core", "n_border", "n_points"))
+      .orderBy($"cluster".asc_nulls_first)
+  }
+
+  /** Brute-force quadratic oracle — no cells anywhere, so the grid
+    * candidate generation's completeness is what the hash grade pins. */
+  private val geoDbscanOracle = s"""
+    WITH RECURSIVE p AS ($dbPointsSql),
+    nbr AS (
+      SELECT a.id AS a, b.id AS b FROM p a JOIN p b
+        ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= $DbEps2),
+    cnt AS (SELECT a, count(*) AS n FROM nbr GROUP BY 1),
+    core AS (SELECT a AS node FROM cnt WHERE n >= $DbMinPts),
+    ce AS (
+      SELECT n1.a AS u, n1.b AS v FROM nbr n1
+      JOIN core ca ON n1.a = ca.node
+      JOIN core cb ON n1.b = cb.node
+      WHERE n1.a <> n1.b),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM ce)
+      UNION
+      SELECT e.u, reach.r FROM ce e JOIN reach ON e.v = reach.node),
+    comp0 AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    corelbl AS (
+      SELECT c.node, coalesce(k.component_id, c.node) AS cluster
+      FROM core c LEFT JOIN comp0 k ON k.node = c.node),
+    borderlbl AS (
+      SELECT n.a, min(cl.cluster) AS cluster
+      FROM cnt x JOIN nbr n ON n.a = x.a AND n.a <> n.b
+      JOIN corelbl cl ON cl.node = n.b
+      WHERE x.n < $DbMinPts
+      GROUP BY n.a),
+    clus AS (
+      SELECT cl.cluster,
+        CAST(count(*) AS BIGINT) AS n_core,
+        CAST(coalesce(max(b.nb), 0) AS BIGINT) AS n_border
+      FROM corelbl cl
+      LEFT JOIN (SELECT cluster, count(*) AS nb FROM borderlbl GROUP BY 1) b
+        ON b.cluster = cl.cluster
+      GROUP BY cl.cluster),
+    noise AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM cnt c
+      WHERE c.n < $DbMinPts
+        AND NOT EXISTS (SELECT 1 FROM borderlbl bl WHERE bl.a = c.a))
+    SELECT cluster, n_core, n_border, n_core + n_border AS n_points
+    FROM clus
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), n
+    FROM noise
+    ORDER BY cluster ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_geo_cell_join", geoCellJoin, Some(geoCellJoinOracle)),
     Q("q_geo_knn", geoKnn, Some(geoKnnOracle)),
     Q("q_geo_haversine", geoHaversine, Some(geoHaversineOracle)),
+    Q("q_geo_dbscan", geoDbscan, Some(geoDbscanOracle)),
   )
 }

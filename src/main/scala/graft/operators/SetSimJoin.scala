@@ -41,11 +41,10 @@ import graft.{Q, QueryPack}
   * stays confined to the leaf, as in the rest of the dedup family.
   *
   * Scale: candidate generation reads ~n/5-sized prefixes (≈ 5× less
-  * join input than the exhaustive shingle join — the `obs` metrics
-  * spec pins the reduction); the 5·min ≥ 4·max length filter kills
-  * mismatched pairs pre-verify; the exact-intersection verify joins
-  * the full leaf against CANDIDATE pairs only. Everything derives from
-  * the one memoized shingle leaf.
+  * join input than the exhaustive shingle join); the length filter
+  * (100000·min ≥ 79995·max) kills mismatched pairs pre-verify; the
+  * exact-intersection verify joins the full leaf against CANDIDATE
+  * pairs only. Everything derives from the one memoized shingle leaf.
   */
 object SetSimJoin extends QueryPack {
 

@@ -158,6 +158,99 @@ class Round13BSpec extends SparkTestBase {
     assert(out.sortBy(x => (x._1, x._2)) == expect)
   }
 
+  test("dbscan conserves points and replays brute-force at sf0.001") {
+    val out = SparkEntry.queries("q_geo_dbscan")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.exists(_._1 == -1L))
+    out.foreach { case (c, nc, nb, np) =>
+      if (c >= 0L) { assert(np == nc + nb); assert(nc >= 1L) }
+      else assert(nc == 0L && nb == 0L)
+    }
+    // Brute-force replay over the synthesized points.
+    val pts = Catalog.load(spark, sf0001, "orders")
+      .filter($"o_orderkey" % 23 === 0).select($"o_orderkey")
+      .collect().map(_.getLong(0)).map { id =>
+        val h = (id & 2147483647L) * 2654435761L % 2147483648L
+        val x = (if (id % 5 == 0) h % 320 - 160
+                 else (id % 16 % 4) * 40 - 60 + h % 7 - 3) + 0.25
+        val y = (if (id % 5 == 0) h / 320 % 320 - 160
+                 else (id % 16 / 4) * 40 - 60 + h / 7 % 7 - 3) + 0.25
+        (id, x, y)
+      }
+    assert(out.map(_._4).sum == pts.length)
+    def near(a: (Long, Double, Double), b: (Long, Double, Double)) = {
+      val (dx, dy) = (a._2 - b._2, a._3 - b._3); dx * dx + dy * dy <= 50.0
+    }
+    val core = pts.filter(p => pts.count(q => near(p, q)) >= 3).map(_._1).toSet
+    // Components over core-core edges (union-find replay).
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- pts if core(a._1); b <- pts if core(b._1) && near(a, b)) {
+      val (ra, rb) = (find(a._1), find(b._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val lbl = core.map(c => c -> find(c)).toMap
+    // Canonical label = min member id per component.
+    val canon = lbl.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    val coreByCluster = canon.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val border = pts.filter(p => !core(p._1))
+      .flatMap { p =>
+        val cl = pts.filter(q => core(q._1) && q._1 != p._1 && near(p, q))
+          .map(q => canon(q._1))
+        if (cl.isEmpty) None else Some(p._1 -> cl.min)
+      }
+    val borderByCluster = border.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val nNoise = pts.length - core.size - border.length
+    val expect = (coreByCluster.keySet ++ borderByCluster.keySet).toSeq
+      .map(c => (c, coreByCluster.getOrElse(c, 0).toLong,
+        borderByCluster.getOrElse(c, 0).toLong))
+      .map { case (c, nc, nb) => (c, nc, nb, nc + nb) }
+      .:+((-1L, 0L, 0L, nNoise.toLong)).sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == expect)
+  }
+
+  test("tree stump: top split recomputes from a driver-side histogram") {
+    val out = SparkEntry.queries("q_ml_tree_stump")(spark, sf0001).collect()
+    assert(out.length == 10)
+    val costs = out.map(_.getLong(6))
+    assert(costs.toSeq == costs.sorted.toSeq)
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(5) <= r.getLong(4))
+      assert(r.getLong(2) >= 1L && r.getLong(4) >= 1L)
+    }
+    // Independent recompute of every candidate split's cost.
+    val rows = Catalog.load(spark, sf0001, "orders")
+      .join(Catalog.load(spark, sf0001, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select(month($"o_orderdate").cast("long"),
+        $"c_nationkey".cast("long"),
+        expr("(cast(c_acctbal * 100 as long) + 100000) div 75000"),
+        when($"o_totalprice" > 150000, 1L).otherwise(0L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val feats = Seq(
+      ("month", rows.map(r => (r._1, r._4))),
+      ("nation", rows.map(r => (r._2, r._4))),
+      ("balbin", rows.map(r => (r._3, r._4))))
+    val cands = feats.flatMap { case (f, vs) =>
+      val tn = vs.length.toLong; val tp = vs.map(_._2).sum
+      vs.map(_._1).distinct.sorted.dropRight(1).map { thr =>
+        val nl = vs.count(_._1 <= thr).toLong
+        val pl = vs.filter(_._1 <= thr).map(_._2).sum
+        val (nr, pr) = (tn - nl, tp - pl)
+        val cost = (nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1000000L / nl +
+          (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * 1000000L / nr
+        (f, thr, nl, pl, nr, pr, cost)
+      }
+    }.sortBy(c => (c._7, c._1, c._2)).take(10)
+    val got = out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == cands)
+  }
+
   test("markov removal effects: monotone, normalized, base-consistent") {
     val out = SparkEntry.queries("q_attribution_markov")(spark, sf0001)
       .collect()
