@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryPack}
@@ -224,6 +225,71 @@ object FeatureEng extends QueryPack {
     FROM per_seg
     ORDER BY c_mktsegment ASC NULLS FIRST"""
 
+  /** K-fold OUT-OF-FOLD target encoding (round 13) — the leakage-safe
+    * variant every competition/production pipeline actually ships:
+    * a row's own fold is EXCLUDED from the category statistics that
+    * encode it, so the feature never memorizes its own label
+    * (plain [[featTargetEncode]] leaks at small category counts).
+    * Folds are deterministic (`o_custkey % 5`); for cell (nation, fold):
+    * enc = (k_c − k_cf + m·prior_oof) / (n_c − n_cf + m) with m = 20 and
+    * prior_oof = (K − k_f)/(N − n_f) — the global rate also excludes the
+    * fold. Every input is an exact integer count, and the encoding is
+    * the same two-division double chain on both engines (per-row IEEE is
+    * order-free — the [[featTargetEncode]] precedent); the +m in the
+    * denominator makes division-by-zero impossible by construction.
+    *
+    * Scale: ONE map-side-combined (category × fold) aggregation over the
+    * fact join — the cell table is bounded by |categories|·|folds|
+    * (125 rows), and every marginal (per-category, per-fold, global)
+    * is a window over those bounded rows, not a corpus re-scan; the
+    * encode table then broadcasts back onto the corpus for serving.
+    */
+  private def featTargetEncodeCv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val cell = t("orders")
+      .join(broadcast(t("customer").select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey", ($"o_custkey" % 5).as("fold"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"o_totalprice" > 300000.0, 1L).otherwise(0L)).as("k"))
+    cell
+      .withColumn("n_c", sum($"n").over(Window.partitionBy($"c_nationkey")))
+      .withColumn("k_c", sum($"k").over(Window.partitionBy($"c_nationkey")))
+      .withColumn("n_f", sum($"n").over(Window.partitionBy($"fold")))
+      .withColumn("k_f", sum($"k").over(Window.partitionBy($"fold")))
+      .withColumn("n_tot", sum($"n").over())
+      .withColumn("k_tot", sum($"k").over())
+      .select($"c_nationkey", $"fold",
+        ($"n_c" - $"n").as("n_oof"), ($"k_c" - $"k").as("k_oof"),
+        ((($"k_c" - $"k") + lit(20.0) *
+          (($"k_tot" - $"k_f").cast("double") / ($"n_tot" - $"n_f"))) /
+          (($"n_c" - $"n") + lit(20.0))).as("enc_oof"))
+      .orderBy($"c_nationkey".asc_nulls_first, $"fold".asc_nulls_first)
+  }
+
+  private val featTargetEncodeCvOracle = """
+    WITH cell AS (
+      SELECT c_nationkey, o_custkey % 5 AS fold, count(*) AS n,
+        CAST(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    m AS (
+      SELECT c_nationkey, fold, n, k,
+        CAST(sum(n) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n_c,
+        CAST(sum(k) OVER (PARTITION BY c_nationkey) AS BIGINT) AS k_c,
+        CAST(sum(n) OVER (PARTITION BY fold) AS BIGINT) AS n_f,
+        CAST(sum(k) OVER (PARTITION BY fold) AS BIGINT) AS k_f,
+        CAST(sum(n) OVER () AS BIGINT) AS n_tot,
+        CAST(sum(k) OVER () AS BIGINT) AS k_tot
+      FROM cell)
+    SELECT c_nationkey, fold, n_c - n AS n_oof, k_c - k AS k_oof,
+      ((k_c - k) + 20.0 * (CAST(k_tot - k_f AS DOUBLE) / (n_tot - n_f)))
+        / ((n_c - n) + 20.0) AS enc_oof
+    FROM m
+    ORDER BY c_nationkey ASC NULLS FIRST, fold ASC NULLS FIRST"""
+
   /** Frequency encoding of the crossed (nation × segment) categorical:
     * the cross-domain count table (≤125 rows, bounded by |nations|·|segs|)
     * is aggregated once, given its total via an unpartitioned window over
@@ -421,6 +487,8 @@ object FeatureEng extends QueryPack {
     Q("q_feat_zscore", featZscore, Some(featZscoreOracle)),
     Q("q_feat_bin_quantile", featBinQuantile, Some(featBinQuantileOracle)),
     Q("q_feat_target_encode", featTargetEncode, Some(featTargetEncodeOracle)),
+    Q("q_feat_target_encode_cv", featTargetEncodeCv,
+      Some(featTargetEncodeCvOracle)),
     Q("q_feat_freq_encode", featFreqEncode, Some(featFreqEncodeOracle)),
     Q("q_feat_woe", featWoe, Some(featWoeOracle)),
   )

@@ -346,6 +346,54 @@ object Governance extends QueryPack {
     ORDER BY class_size ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST,
       c_nationkey ASC NULLS FIRST, bal_band ASC NULLS FIRST"""
 
+  /** L-diversity audit (round 13) — k-anonymity's stronger sibling: a
+    * QI class of size ≥ k is STILL disclosive if everyone in it shares
+    * the same sensitive value (the homogeneity attack — "all 7 patients
+    * in that class have the flu"). Over the released order extract, the
+    * quasi-identifier tuple is (customer nation, order year-month,
+    * market segment) and the sensitive attribute is the order priority;
+    * report
+    * every class whose distinct-sensitive-value count l < 3, most
+    * homogeneous first — the suppression worklist l-diversity
+    * enforcement consumes.
+    *
+    * Scale: ONE map-side-combined aggregation (count + exact distinct
+    * over a 5-value sensitive domain — the two-phase distinct rewrite
+    * keeps it combiner-friendly); the report is bounded by the QI
+    * domain (≤ 25·84·5 classes), never by corpus rows — the year-month
+    * QI keeps classes order-of-tens at any SF, so the audit stays
+    * non-degenerate as the corpus grows.
+    */
+  private def piiLdiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .join(Catalog.load(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey",
+        (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("long")
+          .as("o_ym"),
+        $"c_mktsegment", $"o_orderpriority")
+      .groupBy($"c_nationkey", $"o_ym", $"c_mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct($"o_orderpriority").as("l_div"))
+      .filter($"l_div" < 3)
+      .orderBy($"l_div".asc_nulls_first, $"class_size".asc_nulls_first,
+        $"c_nationkey".asc_nulls_first, $"o_ym".asc_nulls_first,
+        $"c_mktsegment".asc_nulls_first)
+  }
+
+  private val piiLdiversityOracle = """
+    SELECT c_nationkey,
+      CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS o_ym,
+      c_mktsegment, count(*) AS class_size,
+      count(DISTINCT o_orderpriority) AS l_div
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3
+    HAVING count(DISTINCT o_orderpriority) < 3
+    ORDER BY l_div ASC NULLS FIRST, class_size ASC NULLS FIRST,
+      c_nationkey ASC NULLS FIRST, o_ym ASC NULLS FIRST,
+      c_mktsegment ASC NULLS FIRST"""
+
   /** Population-Stability-Index drift report (added round 11) — the
     * standard ML-ops monitor for "did this feature's distribution move
     * between training and serving": order values bucketed into ten fixed
@@ -481,6 +529,7 @@ object Governance extends QueryPack {
     Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedOracle)),
     Q("q_quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiOracle)),
     Q("q_pii_kanonymity", piiKanonymity, Some(piiKanonymityOracle)),
+    Q("q_pii_ldiversity", piiLdiversity, Some(piiLdiversityOracle)),
     Q("q_gdpr_forget", gdprForget, Some(gdprForgetOracle)),
     Q("q_pii_mask", piiMask, Some(piiMaskOracle)),
     Q("q_quality_expectations", qualityExpectations, Some(qualityExpectationsOracle)),

@@ -493,6 +493,80 @@ object LlmExtras extends QueryPack {
   private def simIvfAnn(spark: SparkSession, sfDir: String): DataFrame =
     ivfProbe(spark, sfDir, 0L, 10L)
 
+  /** ANN RECALL@K EVALUATION (round 13) — the acceptance gate every
+    * approximate index must pass before it replaces exact search: for
+    * the probe batch, compare the IVF single-cell serve's top-3
+    * ([[ivfProbe]], the approximate path) against the exact brute-force
+    * top-3 over the FULL corpus (same rounded-cosine + cand-id tie
+    * contract as q_sim_knn_bruteforce, so both sides are individually
+    * hash-graded queries already), and report per-probe overlap and
+    * recall in exact ppm. Both retrievals are deterministic rankings of
+    * identical integers/4dp-grids, so the EVALUATION itself is
+    * hash-exact — where a float recall harness could flap on ties.
+    *
+    * Scale: ground truth is the only corpus-wide pass (broadcast probe
+    * batch × corpus, map-side `graft_cosine`, top-k window keyed by
+    * probe); the ANN side touches one cell per probe by construction;
+    * the set intersection joins two k·|probes|-row frames. Recall evals
+    * always run on a probe SAMPLE — the corpus-sized brute force is paid
+    * once per eval batch, never per query.
+    */
+  private def simAnnRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val probes = e.filter($"vec_id" < 10L)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val scored = e.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+      .join(broadcast(probes), $"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id",
+        round(expr("graft_cosine(p_emb, c_emb)"), 4).as("cos_sim"))
+    val wk = Window.partitionBy($"probe_id")
+      .orderBy($"cos_sim".desc, $"cand_id".asc)
+    val gt = scored.withColumn("rank", row_number().over(wk))
+      .filter($"rank" <= 3).select($"probe_id", $"cand_id")
+    val ann = ivfProbe(spark, sfDir, 0L, 10L)
+      .select($"probe_id", $"cand_id")
+    val hits = gt.join(ann, Seq("probe_id", "cand_id"))
+      .groupBy($"probe_id").agg(count(lit(1)).as("n_hit"))
+    gt.groupBy($"probe_id").agg(count(lit(1)).as("n_gt"))
+      .join(hits, Seq("probe_id"), "left")
+      .select($"probe_id", $"n_gt",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000 div n_gt").as("recall_ppm"))
+      .orderBy($"probe_id".asc_nulls_first)
+  }
+
+  private val simAnnRecallEvalSql = {
+    def zipdot(a: String, b: String) = s"""(
+      SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+      FROM (SELECT unnest(list_zip($a, $b)) AS r))"""
+    s"""
+    WITH gt AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            round(${zipdot("p.embedding", "c.embedding")}
+              / (sqrt(${zipdot("p.embedding", "p.embedding")})
+                 * sqrt(${zipdot("c.embedding", "c.embedding")})), 4) DESC,
+            c.vec_id ASC) AS rank
+        FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10) r WHERE rank <= 3),
+    ann AS (
+      SELECT probe_id, cand_id FROM (${simIvfSql(0L, 10L)}) a),
+    hits AS (
+      SELECT g.probe_id, count(*) AS n_hit
+      FROM gt g JOIN ann a
+        ON a.probe_id = g.probe_id AND a.cand_id = g.cand_id
+      GROUP BY 1)
+    SELECT g.probe_id, count(*) AS n_gt,
+      CAST(coalesce(min(h.n_hit), 0) AS BIGINT) AS n_hit,
+      (CAST(coalesce(min(h.n_hit), 0) AS BIGINT) * 1000000) // count(*)
+        AS recall_ppm
+    FROM gt g LEFT JOIN hits h ON h.probe_id = g.probe_id
+    GROUP BY g.probe_id
+    ORDER BY g.probe_id ASC NULLS FIRST"""
+  }
+
   /** The SERVE half of the IVF split: a second probe batch answered
     * entirely from the persisted index leaves — the plan contains no
     * centroid aggregation and no full-corpus candidate scan, just the two
@@ -1237,6 +1311,7 @@ object LlmExtras extends QueryPack {
     Q("q_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
     Q("q_sim_ann_ivf", simIvfAnn, Some(simIvfSql(0L, 10L))),
     Q("q_sim_ann_ivf_serve", simIvfAnnServe, Some(simIvfSql(10L, 20L))),
+    Q("q_sim_ann_recall_eval", simAnnRecallEval, Some(simAnnRecallEvalSql)),
     Q("q_multimodal_binary", multimodalBinary, Some(multimodalBinarySql)),
     Q("q_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("q_text_collocations", collocations, Some(collocationsSql)),

@@ -31,9 +31,11 @@ import graft.Dsl._
   */
 object MlTrees extends QueryPack {
 
-  private def treeStump(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared labeled feature frame: 3 small-domain integer features +
+    * binary label over orders⋈customer. */
+  private def featureBase(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val base = table(spark, sfDir)("orders")
+    table(spark, sfDir)("orders")
       .join(table(spark, sfDir)("customer"),
         $"o_custkey" === $"c_custkey")
       .select(
@@ -42,6 +44,18 @@ object MlTrees extends QueryPack {
         expr("(cast(c_acctbal * 100 as long) + 100000) div 75000")
           .as("f_balbin"),
         when($"o_totalprice" > 150000, 1L).otherwise(0L).as("pos"))
+  }
+
+  private val featureBaseSql = """
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS f_month,
+        CAST(c_nationkey AS BIGINT) AS f_nation,
+        (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 75000 AS f_balbin,
+        CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pos
+      FROM orders JOIN customer ON o_custkey = c_custkey"""
+
+  private def treeStump(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = featureBase(spark, sfDir)
     val hist = base
       .select(explode(array(
         struct(lit("month").as("feature"), $"f_month".as("bin")),
@@ -75,13 +89,8 @@ object MlTrees extends QueryPack {
       .limit(10)
   }
 
-  private val treeStumpOracle = """
-    WITH base AS (
-      SELECT CAST(month(o_orderdate) AS BIGINT) AS f_month,
-        CAST(c_nationkey AS BIGINT) AS f_nation,
-        (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 75000 AS f_balbin,
-        CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pos
-      FROM orders JOIN customer ON o_custkey = c_custkey),
+  private val treeStumpOracle = s"""
+    WITH base AS ($featureBaseSql),
     hist AS (
       SELECT feature, bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS p
       FROM (
@@ -109,7 +118,231 @@ object MlTrees extends QueryPack {
     ORDER BY cost_ppm ASC, feature ASC, thr ASC
     LIMIT 10"""
 
+  /** Candidate-split frame for [[treeDepth2]]: the stump's histogram →
+    * cumulative-window → integer-ppm-Gini chain, keyed additionally by
+    * the routing `node` column so ONE corpus pass scores every node of
+    * the current tree level at once (LightGBM's level-wise growth). */
+  private def nodeCandidates(routed: DataFrame): DataFrame = {
+    import routed.sparkSession.implicits._
+    val hist = routed
+      .select($"node", explode(array(
+        struct(lit("month").as("feature"), $"f_month".as("bin")),
+        struct(lit("nation").as("feature"), $"f_nation".as("bin")),
+        struct(lit("balbin").as("feature"), $"f_balbin".as("bin")))).as("x"),
+        $"pos")
+      .groupBy($"node", $"x.feature".as("feature"), $"x.bin".as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"pos").as("p"))
+    val wf = Window.partitionBy($"node", $"feature")
+    val wc = wf.orderBy($"bin".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("nl", sum($"n").over(wc))
+      .withColumn("pl", sum($"p").over(wc))
+      .withColumn("tn", sum($"n").over(wf))
+      .withColumn("tp", sum($"p").over(wf))
+      .filter($"nl" < $"tn")
+      .select($"node", $"feature", $"bin".as("thr"), $"nl", $"pl",
+        ($"tn" - $"nl").as("nr"), ($"tp" - $"pl").as("pr"),
+        when($"tn" > 2000000L, raise_error(lit(
+          "graft q_ml_tree_depth2: n^2*1e6 exceeds int64 beyond 2M rows; " +
+            "rescale the ppm factor")))
+          .otherwise(
+            expr("""(nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1000000L
+                      div nl
+                    + (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * 1000000L
+                      div nr"""))
+          .as("cost_ppm"))
+  }
+
+  /** Best split per node: deterministic argmin by (cost, feature, thr). */
+  private def bestPerNode(cand: DataFrame): DataFrame = {
+    import cand.sparkSession.implicits._
+    cand
+      .withColumn("rn", row_number().over(Window.partitionBy($"node")
+        .orderBy($"cost_ppm".asc, $"feature".asc, $"thr".asc)))
+      .filter($"rn" === 1).drop("rn")
+  }
+
+  /** Depth-2 tree growth (round 13) — the recursive half of the GBDT
+    * story [[treeStump]] opens: pick the root split (argmin over the
+    * stump candidates), ROUTE every row left/right by it (a broadcast
+    * join against the 1-row best-split frame — the split is data-
+    * dependent, so it enters the plan as data, never as a collected
+    * literal), and re-run the identical histogram pass keyed by the
+    * node column to pick each child's best split. Output = the 3 chosen
+    * splits (root, L, R) with their full cumulative-count evidence.
+    *
+    * Scale: tree depth d costs d corpus passes (every node of a level
+    * shares one pass via the node-keyed histogram agg) — never
+    * nodes × corpus and never corpus × candidates; the routing join is
+    * a broadcast of one row.
+    */
+  private def treeDepth2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = featureBase(spark, sfDir).localCheckpoint(true)
+    val root = bestPerNode(nodeCandidates(base.withColumn("node", lit("root"))))
+    val routed = base.crossJoin(broadcast(
+        root.select($"feature".as("bf"), $"thr".as("bt"))))
+      .withColumn("node",
+        when(when($"bf" === "month", $"f_month")
+          .when($"bf" === "nation", $"f_nation")
+          .otherwise($"f_balbin") <= $"bt", "L").otherwise("R"))
+    val children = bestPerNode(nodeCandidates(routed))
+    root.unionByName(children)
+      .select($"node", $"feature", $"thr", $"nl", $"pl", $"nr", $"pr",
+        $"cost_ppm")
+      .orderBy($"node".asc_nulls_first)
+  }
+
+  /** Oracle twin of [[nodeCandidates]] over the CTE named `src`. */
+  private def candSql(src: String): String = s"""
+      SELECT node, feature, bin AS thr, nl, pl, tn - nl AS nr, tp - pl AS pr,
+        CAST(CASE WHEN tn > 2000000
+          THEN error('graft q_ml_tree_depth2: overflow')
+          ELSE (nl*nl - pl*pl - (nl-pl)*(nl-pl)) * 1000000 // nl
+             + ((tn-nl)*(tn-nl) - (tp-pl)*(tp-pl)
+                - ((tn-nl)-(tp-pl))*((tn-nl)-(tp-pl))) * 1000000 // (tn-nl)
+          END AS BIGINT) AS cost_ppm
+      FROM (
+        SELECT node, feature, bin,
+          CAST(sum(n) OVER (PARTITION BY node, feature ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS nl,
+          CAST(sum(p) OVER (PARTITION BY node, feature ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS pl,
+          CAST(sum(n) OVER (PARTITION BY node, feature) AS BIGINT) AS tn,
+          CAST(sum(p) OVER (PARTITION BY node, feature) AS BIGINT) AS tp
+        FROM (
+          SELECT node, feature, bin, count(*) AS n,
+            CAST(sum(pos) AS BIGINT) AS p
+          FROM (
+            SELECT node, 'month' AS feature, f_month AS bin, pos FROM $src
+            UNION ALL SELECT node, 'nation', f_nation, pos FROM $src
+            UNION ALL SELECT node, 'balbin', f_balbin, pos FROM $src)
+          GROUP BY 1, 2, 3))
+      WHERE nl < tn"""
+
+  private val treeDepth2Oracle = s"""
+    WITH base AS ($featureBaseSql),
+    rootsrc AS (SELECT *, 'root' AS node FROM base),
+    rootc AS (${candSql("rootsrc")}),
+    rootbest AS (
+      SELECT * FROM rootc ORDER BY cost_ppm ASC, feature ASC, thr ASC
+      LIMIT 1),
+    routed AS (
+      SELECT b.*, CASE WHEN (CASE rb.feature
+          WHEN 'month' THEN b.f_month
+          WHEN 'nation' THEN b.f_nation
+          ELSE b.f_balbin END) <= rb.thr THEN 'L' ELSE 'R' END AS node
+      FROM base b CROSS JOIN rootbest rb),
+    childc AS (${candSql("routed")}),
+    childbest AS (
+      SELECT node, feature, thr, nl, pl, nr, pr, cost_ppm FROM (
+        SELECT *, row_number() OVER (PARTITION BY node
+          ORDER BY cost_ppm ASC, feature ASC, thr ASC) AS rn
+        FROM childc) WHERE rn = 1)
+    SELECT node, feature, thr, nl, pl, nr, pr, cost_ppm FROM rootbest
+    UNION ALL
+    SELECT node, feature, thr, nl, pl, nr, pr, cost_ppm FROM childbest
+    ORDER BY node ASC NULLS FIRST"""
+
+  /** Batch perceptron training (round 13) — distributed linear-model
+    * training as it actually runs on a cluster: each epoch is ONE
+    * map-side-combined aggregation (the batch gradient), and the model
+    * is a 1-row frame broadcast back into the next epoch's margin
+    * computation — model state never leaves the plan, the corpus is
+    * never collected. All-integer arithmetic (features are small-domain
+    * ints, rate 1, y ∈ {−1,+1}) makes 3 unrolled epochs bit-equal to
+    * the CTE-unrolled oracle: w ← w + Σ_{y·(w·x) ≤ 0} y·x from
+    * w₀ = 0 (epoch 1's update is therefore Σ y·x over ALL rows).
+    * Output = per-epoch weight vector + the misclassified count the
+    * update consumed. |w| grows ≤ epochs·n·max|x| ≈ 10⁸ at sf1 and
+    * margins ≤ |w|·max|x|·4 ≈ 10¹⁰ — int64-safe with 8 orders of
+    * headroom, no guard needed.
+    */
+  private def perceptron(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = featureBase(spark, sfDir)
+      .select(($"pos" * 2 - 1).as("y"),
+        $"f_month".as("x1"), $"f_nation".as("x2"), $"f_balbin".as("x3"))
+      .localCheckpoint(true)
+    // One epoch: margin under the incoming weights, batch update from
+    // the misclassified set (margin <= 0), weights advance by the sums.
+    // Conditional sums (not a filter) so a fully-separated epoch still
+    // yields a well-defined row: zero update, n_mis = 0.
+    def epoch(w: DataFrame): DataFrame =
+      base.crossJoin(broadcast(w))
+        .withColumn("mis", ($"y" * ($"w0" + $"w1" * $"x1" + $"w2" * $"x2" +
+          $"w3" * $"x3")) <= 0)
+        .agg(
+          (first($"w0") + sum(when($"mis", $"y").otherwise(0L))).as("w0"),
+          (first($"w1") + sum(when($"mis", $"y" * $"x1").otherwise(0L)))
+            .as("w1"),
+          (first($"w2") + sum(when($"mis", $"y" * $"x2").otherwise(0L)))
+            .as("w2"),
+          (first($"w3") + sum(when($"mis", $"y" * $"x3").otherwise(0L)))
+            .as("w3"),
+          sum(when($"mis", 1L).otherwise(0L)).as("n_mis"))
+    val w0 = Seq((0L, 0L, 0L, 0L)).toDF("w0", "w1", "w2", "w3")
+    val e1 = epoch(w0).localCheckpoint(true)
+    val e2 = epoch(e1.drop("n_mis")).localCheckpoint(true)
+    val e3 = epoch(e2.drop("n_mis")).localCheckpoint(true)
+    e1.withColumn("epoch", lit(1L))
+      .unionByName(e2.withColumn("epoch", lit(2L)))
+      .unionByName(e3.withColumn("epoch", lit(3L)))
+      .select($"epoch", $"w0", $"w1", $"w2", $"w3", $"n_mis")
+      .orderBy($"epoch".asc_nulls_first)
+  }
+
+  private val perceptronOracle = s"""
+    WITH base AS (
+      SELECT 2 * pos - 1 AS y, f_month AS x1, f_nation AS x2,
+        f_balbin AS x3
+      FROM ($featureBaseSql) fb),
+    e1 AS (
+      SELECT CAST(sum(y) AS BIGINT) AS w0,
+        CAST(sum(y * x1) AS BIGINT) AS w1,
+        CAST(sum(y * x2) AS BIGINT) AS w2,
+        CAST(sum(y * x3) AS BIGINT) AS w3,
+        count(*) AS n_mis
+      FROM base),
+    e2 AS (
+      SELECT
+        CAST(min(w.w0) + sum(CASE WHEN mis THEN y ELSE 0 END) AS BIGINT)
+          AS w0,
+        CAST(min(w.w1) + sum(CASE WHEN mis THEN y * x1 ELSE 0 END)
+          AS BIGINT) AS w1,
+        CAST(min(w.w2) + sum(CASE WHEN mis THEN y * x2 ELSE 0 END)
+          AS BIGINT) AS w2,
+        CAST(min(w.w3) + sum(CASE WHEN mis THEN y * x3 ELSE 0 END)
+          AS BIGINT) AS w3,
+        CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mis
+      FROM (SELECT b.*,
+              b.y * (w.w0 + w.w1*b.x1 + w.w2*b.x2 + w.w3*b.x3) <= 0 AS mis
+            FROM base b CROSS JOIN e1 w) m CROSS JOIN e1 w),
+    e3 AS (
+      SELECT
+        CAST(min(w.w0) + sum(CASE WHEN mis THEN y ELSE 0 END) AS BIGINT)
+          AS w0,
+        CAST(min(w.w1) + sum(CASE WHEN mis THEN y * x1 ELSE 0 END)
+          AS BIGINT) AS w1,
+        CAST(min(w.w2) + sum(CASE WHEN mis THEN y * x2 ELSE 0 END)
+          AS BIGINT) AS w2,
+        CAST(min(w.w3) + sum(CASE WHEN mis THEN y * x3 ELSE 0 END)
+          AS BIGINT) AS w3,
+        CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mis
+      FROM (SELECT b.*,
+              b.y * (w.w0 + w.w1*b.x1 + w.w2*b.x2 + w.w3*b.x3) <= 0 AS mis
+            FROM base b CROSS JOIN e2 w) m CROSS JOIN e2 w)
+    SELECT CAST(1 AS BIGINT) AS epoch, w0, w1, w2, w3, n_mis FROM e1
+    UNION ALL SELECT 2, w0, w1, w2, w3, n_mis FROM e2
+    UNION ALL SELECT 3, w0, w1, w2, w3, n_mis FROM e3
+    ORDER BY epoch ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ml_tree_stump", treeStump, Some(treeStumpOracle)),
+    Q("q_ml_tree_depth2", treeDepth2, Some(treeDepth2Oracle)),
+    Q("q_ml_perceptron", perceptron, Some(perceptronOracle)),
   )
 }
