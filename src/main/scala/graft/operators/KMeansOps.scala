@@ -563,45 +563,72 @@ object KMeansOps extends QueryPack {
     * combination go through decimal(38,0) / HUGEINT (n·Σeᵢeⱼ ≈ 5·10²⁰
     * overflows int64).
     *
-    * Scale: the corpus is touched ONCE — each row expands to its 2016
-    * off-diagonal products via nested `transform` + one explode, feeding
-    * a map-side-combined pair-keyed agg. The sums run TWO-LEVEL (the
-    * statRegression dsum pattern): int64 partials per (pair, hash-group)
-    * with a documented per-group bound, decimal only over the |pairs|·g
-    * partials — the all-decimal form measured 4.9 s at sf0.1, this one
-    * ~5000× less decimal work for the same exact value. Per-dimension
-    * totals come from a separate 64-group agg and broadcast-join onto the
-    * 2016-pair frame. No joins over the corpus, no per-pair shuffle.
+    * Scale: the corpus is touched ONCE, by a typed per-partition
+    * accumulator (the q_ts_holt/q_retrieval_mmr typed-fold escape): a
+    * tight JVM loop folds each row's 2016 off-diagonal products, its 64
+    * dimension values, AND the row count into one 65×65 array — the
+    * earlier `transform`+explode form shipped 2016 interpreted-HOF
+    * structs per row through a shuffle (2.6 s steady at sf0.1; this
+    * shape retimed 5× faster for the same exact value). Partials flush
+    * every 4096 rows, so each int64 partial is bounded by 4096·4.84e12
+    * ≈ 2·10¹⁶ REGARDLESS of partition size — no per-SF group tuning —
+    * and only the ~(2081·chunks) flushed partials pay the decimal cast
+    * in the one small pair-keyed agg. No joins over the corpus, no
+    * per-pair shuffle, and no separate count() job (the count rides the
+    * same pass as key 0).
     */
   private def vecCovariance(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val quant = kmQuant(spark, sfDir)
-    val n = quant.count()
-    // Two-level sum (the statRegression dsum pattern): level 1 sums the
-    // int64 products per (pair, hash-group) — per-group bound is
-    // rows/g × 4.84e12, far under int64 as long as g tracks n/5000 — and
-    // only the |pairs|·g partials pay the decimal cast. The all-decimal
-    // single-level form measured 4.9 s at sf0.1; this shape is the same
-    // exact value with the decimal work shrunk 5000×.
-    val g = math.max(64L, n / 5000L + 1L)
-    val pairs = quant.select($"vec_id", explode(expr(
-      s"""flatten(transform(sequence(1, ${Dim - 1}), i ->
-            transform(sequence(i + 1, $Dim), j ->
-              named_struct('k', i * 65 + j,
-                'p', element_at(e, i) * element_at(e, j)))))""")).as("t"))
-      .select(pmod(xxhash64($"vec_id"), lit(g)).as("__g"), $"t.k", $"t.p")
-    val sij = pairs.groupBy($"k", $"__g").agg(sum($"p").as("sp"))
-      .groupBy($"k").agg(sum($"sp".cast("decimal(38,0)")).as("sij"))
-    val dims = quant.select(posexplode($"e").as(Seq("pos0", "ei")))
-      .groupBy(($"pos0" + 1).cast("long").as("pos"))
-      .agg(sum($"ei".cast("decimal(38,0)")).as("t"))
-    sij
+    // Key space: 0 = row count, 1..64 = per-dimension totals,
+    // i*65+j (1 <= i < j <= 64) = pair product sums — disjoint ranges.
+    val partials = kmQuant(spark, sfDir).select($"e").as[Seq[Long]]
+      .mapPartitions { it =>
+        val sums = new Array[Long](65 * 65)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var rows = 0L
+        var chunk = 0
+        def flush(): Unit = {
+          var k = 1
+          while (k < sums.length) {
+            if (sums(k) != 0L) { out += ((k, sums(k))); sums(k) = 0L }
+            k += 1
+          }
+          chunk = 0
+        }
+        while (it.hasNext) {
+          val e = it.next().toArray
+          var i = 0
+          while (i < e.length) {
+            sums(i + 1) += e(i)
+            var j = i + 1
+            while (j < e.length) {
+              sums((i + 1) * 65 + (j + 1)) += e(i) * e(j)
+              j += 1
+            }
+            i += 1
+          }
+          rows += 1L
+          chunk += 1
+          if (chunk == 4096) flush()
+        }
+        flush()
+        if (rows > 0L) out += ((0, rows))
+        out.iterator
+      }.toDF("k", "sp")
+    val agg = partials.groupBy($"k")
+      .agg(sum($"sp".cast("decimal(38,0)")).as("s"))
+      .localCheckpoint(true)
+    val nF = agg.filter($"k" === 0).select($"s".as("n"))
+    val dims = agg.filter($"k" >= 1 && $"k" <= 64)
+      .select($"k".cast("long").as("pos"), $"s".as("t"))
+    agg.filter($"k" >= 66)
       .select(expr("k div 65").cast("long").as("i"),
-        ($"k" % 65).cast("long").as("j"), $"sij")
+        ($"k" % 65).cast("long").as("j"), $"s".as("sij"))
       .join(broadcast(dims.select($"pos".as("i"), $"t".as("ti"))), Seq("i"))
       .join(broadcast(dims.select($"pos".as("j"), $"t".as("tj"))), Seq("j"))
+      .crossJoin(broadcast(nF))
       .select($"i", $"j",
-        (lit(n) * $"sij" - $"ti" * $"tj").cast("decimal(38,0)").as("covd"))
+        ($"n" * $"sij" - $"ti" * $"tj").cast("decimal(38,0)").as("covd"))
       .orderBy(abs($"covd").desc, $"i".asc, $"j".asc)
       .limit(CovTopK)
       // Output as BIGINT, not decimal(38,0): the r12 driver graded this
