@@ -1289,7 +1289,57 @@ object GraphOps extends QueryPack {
     FROM ds LEFT JOIN ei ON ds.source = ei.source CROSS JOIN m
     ORDER BY ds.source ASC NULLS FIRST"""
 
+  /** EIGENVECTOR CENTRALITY via unnormalized power iteration (round 13)
+    * — the influence measure complementing [[pagerank]] (no damping, no
+    * out-degree normalization: a node is central in proportion to how
+    * central its neighbors are, the A^k·1 limit): s₀ = 1, s_{k+1}(u) =
+    * Σ_{v∈N(u)} s_k(v), three iterations over the co-purchase graph.
+    * s₁ IS the degree; all-integer, so the unrolled oracle is bit-equal
+    * — where normalized float iteration would drift per engine. Output =
+    * top-20 by (s₃ desc, node asc) with the full s₁/s₂/s₃ trajectory.
+    * Bounds: s₃ ≤ d_max³ — int64-safe to d_max ≈ 2·10⁶, far above any
+    * co-purchase degree.
+    *
+    * Scale: each iteration is ONE sparse matvec — the undirected edge
+    * leaf joined to the |V|-row score frame on its key and re-aggregated
+    * by the other endpoint (shuffle keyed by node both times, the
+    * standard distributed power iteration; the leaf is memoized once).
+    */
+  private def eigencentrality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val s1 = und.groupBy($"u").agg(count(lit(1)).as("s1"))
+    def matvec(s: DataFrame, in: String, out: String): DataFrame =
+      und.join(s.select($"u".as("v"), col(in)), Seq("v"))
+        .groupBy($"u").agg(sum(col(in)).as(out))
+    val s2 = matvec(s1, "s1", "s2")
+    val s3 = matvec(s2, "s2", "s3")
+    s1.join(s2, Seq("u")).join(s3, Seq("u"))
+      .select($"u".as("node"), $"s1", $"s2", $"s3")
+      .orderBy($"s3".desc, $"node".asc)
+      .limit(20)
+  }
+
+  private val eigencentralityOracle = s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b, a FROM edges),
+    s1 AS (SELECT u, count(*) AS s1 FROM und GROUP BY u),
+    s2 AS (
+      SELECT und.u, CAST(sum(s1.s1) AS BIGINT) AS s2
+      FROM und JOIN s1 ON s1.u = und.v GROUP BY und.u),
+    s3 AS (
+      SELECT und.u, CAST(sum(s2.s2) AS BIGINT) AS s3
+      FROM und JOIN s2 ON s2.u = und.v GROUP BY und.u)
+    SELECT s1.u AS node, CAST(s1.s1 AS BIGINT) AS s1, s2.s2, s3.s3
+    FROM s1 JOIN s2 ON s2.u = s1.u JOIN s3 ON s3.u = s1.u
+    ORDER BY s3.s3 DESC, node ASC
+    LIMIT 20"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_graph_eigencentrality", eigencentrality,
+      Some(eigencentralityOracle)),
     Q("q_graph_label_propagation", labelPropagation,
       Some(labelPropagationOracle)),
     Q("q_graph_link_ra", linkRa, Some(linkRaOracle)),

@@ -1220,7 +1220,83 @@ object TimeSeries extends QueryPack {
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ORDER BY o_orderpriority ASC NULLS FIRST, day ASC NULLS FIRST"""
 
+  /** ROLLING OLS TREND SLOPE (round 13) — the local-trend feature a
+    * forecasting pipeline computes per series point (pandas
+    * `rolling().apply(ols)`, Flink's over-window regression): over each
+    * trailing 7-observed-day window of the URGENT daily-revenue series,
+    * the least-squares slope against the epoch-day index. Emitted as the
+    * EXACT integer numerator/denominator pair
+    * num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)² (n = 7) — revenue in
+    * cents and x an epoch day keep every term integral, so the pair is
+    * bit-equal cross-engine where the divided float slope would wobble;
+    * den > 0 whenever the 7 days are distinct (guaranteed — the series
+    * is grouped by day). Bounds: Σxy ≤ 7·10⁴·(daily cents); int64-safe
+    * while daily revenue < 10¹³ cents, with a loud raise_error beyond
+    * (the gini guard pattern).
+    *
+    * Scale: map-side-combined daily agg → ONE ordered window pass with
+    * four trailing-frame sums over the |days|-bounded series (the
+    * q_win_moving_avg single-series justification); per-key series
+    * would partition the same window by the key.
+    */
+  private def tsRollingSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("y"))
+      .select($"day",
+        when($"y" >= 10000000000000L, raise_error(lit(
+          "graft q_ts_rolling_slope: daily cents >= 1e13 overflows the " +
+            "rolling Sxy bound; rescale y")))
+          .otherwise($"y").as("y"),
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long").as("x"))
+    val w = Window.orderBy($"day".asc).rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sy", sum($"y").over(w))
+      .withColumn("sxy", sum($"x" * $"y").over(w))
+      .withColumn("sxx", sum($"x" * $"x").over(w))
+      .filter($"cnt" === 7)
+      .select($"day", $"x", $"y",
+        (lit(7L) * $"sxy" - $"sx" * $"sy").as("slope_num"),
+        (lit(7L) * $"sxx" - $"sx" * $"sx").as("slope_den"))
+      .orderBy($"day".asc_nulls_first)
+  }
+
+  private val tsRollingSlopeOracle = """
+    WITH daily0 AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+          AS BIGINT) AS y
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1),
+    daily AS (
+      SELECT day,
+        CASE WHEN y >= 10000000000000 THEN error(
+          'graft q_ts_rolling_slope: overflow') ELSE y END AS y,
+        CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+      FROM daily0),
+    r AS (
+      SELECT day, x, y,
+        count(*) OVER w AS cnt,
+        CAST(sum(x) OVER w AS BIGINT) AS sx,
+        CAST(sum(y) OVER w AS BIGINT) AS sy,
+        CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+        CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (ORDER BY day ASC
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT day, x, y,
+      7 * sxy - sx * sy AS slope_num,
+      7 * sxx - sx * sx AS slope_den
+    FROM r WHERE cnt = 7
+    ORDER BY day ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_ts_rolling_slope", tsRollingSlope, Some(tsRollingSlopeOracle)),
     Q("q_win_drawdown", winDrawdown, Some(winDrawdownOracle)),
     Q("q_win_rolling_distinct_sketch", rollingDistinctSketch, None),
     Q("q_ts_acf", tsAcf, Some(tsAcfOracle)),

@@ -134,4 +134,56 @@ class Round13CSpec extends SparkTestBase {
       assert(nHit == overlap.getOrElse(p, 0L))
     }
   }
+
+  test("rolling slope replays from a driver-side window walk") {
+    val out = SparkEntry.queries("q_ts_rolling_slope")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val daily = Catalog.load(spark, sf0001, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("y"))
+      .select(datediff($"day", lit("1970-01-01").cast("date")).cast("long"),
+        $"y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expect = daily.sliding(7).filter(_.length == 7).map { w =>
+      val (sx, sy) = (w.map(_._1).sum, w.map(_._2).sum)
+      val sxy = w.map(p => p._1 * p._2).sum
+      val sxx = w.map(p => p._1 * p._1).sum
+      (w.last._1, w.last._2, 7 * sxy - sx * sy, 7 * sxx - sx * sx)
+    }.toSeq
+    assert(out.toSeq == expect)
+    out.foreach(r => assert(r._4 > 0L)) // distinct days => positive den
+  }
+
+  test("eigencentrality: s1 is degree, s2/s3 replay the matvec") {
+    val out = SparkEntry.queries("q_graph_eigencentrality")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 20)
+    assert(out.map(_._4).toSeq == out.map(_._4).sortBy(-_).toSeq)
+    // Rebuild the co-purchase adjacency driver-side.
+    val urgent = Catalog.load(spark, sf0001, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey", date_trunc("day", $"o_orderdate"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val adj: Map[Long, Set[Long]] = urgent.toSeq.groupBy(_._2).values
+      .flatMap { g =>
+        val cs = g.map(_._1)
+        for (a <- cs; b <- cs if a != b) yield (a, b)
+      }.toSet[(Long, Long)]
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val s1 = adj.map { case (k, ns) => k -> ns.size.toLong }
+    val s2 = adj.map { case (k, ns) => k -> ns.toSeq.map(s1).sum }
+    val s3 = adj.map { case (k, ns) => k -> ns.toSeq.map(s2).sum }
+    out.foreach { case (node, a, b, c) =>
+      assert(a == s1(node) && b == s2(node) && c == s3(node))
+    }
+    // Top-20 selection is the true (s3 desc, node asc) cut.
+    val expectTop = s3.toSeq.sortBy { case (n, v) => (-v, n) }.take(20)
+    assert(out.map(r => (r._1, r._4)).toSeq == expectTop)
+  }
 }
