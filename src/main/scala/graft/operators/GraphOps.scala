@@ -1337,7 +1337,77 @@ object GraphOps extends QueryPack {
     ORDER BY s3.s3 DESC, node ASC
     LIMIT 20"""
 
+  /** DEGREE ASSORTATIVITY (round 13) — the graph-science summary "do
+    * hubs attach to hubs?" (Newman's r): the Pearson correlation of
+    * endpoint degrees over the symmetric directed edge set. Symmetry
+    * makes the two marginals identical, so
+    * r = (M·Σdᵤdᵥ − (Σd)²) / (M·Σd² − (Σd)²) is a ratio of two EXACT
+    * integers — emitted as num/den longs (bit-equal cross-engine) plus
+    * the one identical double division. The big products run in
+    * decimal(38,0) and cast back under a loud overflow guard (the
+    * covariance pattern — M·Σd² ≈ 4·10¹⁸ already flirts with int64 at
+    * single-digit-million edges).
+    *
+    * Scale: two broadcast-or-shuffle joins decorate each edge with its
+    * endpoint degrees (the degree frame is |V|-sized), then ONE
+    * map-side-combined global agg — no quadratic structure anywhere.
+    */
+  private def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = und.groupBy($"u").agg(count(lit(1)).as("d"))
+    val m = und
+      .join(deg.select($"u", $"d".as("du")), Seq("u"))
+      .join(deg.select($"u".as("v"), $"d".as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("m"), sum($"du").as("sd"),
+        sum($"du" * $"dv").as("sdd"), sum($"du" * $"du").as("sd2"))
+    val md = m.select($"m", $"sd", $"sdd", $"sd2",
+      ($"m".cast("decimal(38,0)") * $"sdd" -
+        $"sd".cast("decimal(38,0)") * $"sd").as("numd"),
+      ($"m".cast("decimal(38,0)") * $"sd2" -
+        $"sd".cast("decimal(38,0)") * $"sd").as("dend"))
+    val cap = lit(Long.MaxValue).cast("decimal(38,0)")
+    md.select($"m", $"sd", $"sdd", $"sd2",
+        when(abs($"numd") > cap || abs($"dend") > cap, raise_error(lit(
+          "graft q_graph_assortativity: moment products overflow int64; " +
+            "report the decimal moments")))
+          .otherwise($"numd".cast("long")).as("assort_num"),
+        $"dend".cast("long").as("assort_den"))
+      .select($"m", $"sd", $"sdd", $"sd2", $"assort_num", $"assort_den",
+        when($"assort_den" === 0L, lit(null).cast("double"))
+          .otherwise($"assort_num".cast("double") /
+            $"assort_den".cast("double")).as("assort_r"))
+  }
+
+  private val assortativityOracle = s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+    mom AS (
+      SELECT count(*) AS m,
+        CAST(sum(x.d) AS BIGINT) AS sd,
+        CAST(sum(x.d * y.d) AS BIGINT) AS sdd,
+        CAST(sum(x.d * x.d) AS BIGINT) AS sd2
+      FROM und e JOIN deg x ON x.u = e.u JOIN deg y ON y.u = e.v),
+    md AS (
+      SELECT m, sd, sdd, sd2,
+        CAST(m AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd AS numd,
+        CAST(m AS HUGEINT) * sd2 - CAST(sd AS HUGEINT) * sd AS dend
+      FROM mom)
+    SELECT m, sd, sdd, sd2,
+      CAST(CASE WHEN abs(numd) > 9223372036854775807
+          OR abs(dend) > 9223372036854775807
+        THEN error('graft q_graph_assortativity: overflow')
+        ELSE numd END AS BIGINT) AS assort_num,
+      CAST(dend AS BIGINT) AS assort_den,
+      CASE WHEN dend = 0 THEN NULL
+        ELSE CAST(numd AS DOUBLE) / CAST(dend AS DOUBLE) END AS assort_r
+    FROM md"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_graph_assortativity", assortativity, Some(assortativityOracle)),
     Q("q_graph_eigencentrality", eigencentrality,
       Some(eigencentralityOracle)),
     Q("q_graph_label_propagation", labelPropagation,

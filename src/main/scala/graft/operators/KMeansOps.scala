@@ -341,6 +341,129 @@ object KMeansOps extends QueryPack {
     ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
   }
 
+  /** NPROBE RECALL CURVE (round 13) — the tuning sweep every IVF
+    * deployment runs before fixing its speed/recall trade-off: for
+    * nprobe ∈ {1,2,3}, macro recall@3 of the TRAINED-cell probe
+    * ([[ivfTrainedNprobe]]'s machinery generalized over the cell-count
+    * parameter) against the exact brute-force top-3 (the
+    * q_sim_ann_recall_eval ground-truth contract: rounded cosine +
+    * cand-id ties, deterministic on both engines). The curve is
+    * monotone non-decreasing in nprobe BY CONSTRUCTION (cells nest), a
+    * spec-checked invariant. Output = one row per nprobe with exact
+    * integer hit counts and ppm recall.
+    *
+    * Scale: ONE corpus pass for ground truth (broadcast probe batch);
+    * the swept ANN side scores the ≤3-cell union ONCE (rn ≤ 3) and the
+    * per-nprobe variants are a bounded explode of that frame — the
+    * sweep costs one serve, not three.
+    */
+  private def ivfRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val probes = kmQuant(spark, sfDir).filter($"vec_id" < 10L)
+      .select($"vec_id".as("probe_id"), $"e")
+    val pd = probes.crossJoin(broadcast(kmCentroids(spark, sfDir)))
+      .select($"probe_id", $"cell", sqDist($"e", $"c").as("d2"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"d2".asc, $"cell".asc)
+    val pcells = pd.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).select($"probe_id", $"cell", $"rn")
+    val pEmb = Catalog.load(spark, sfDir, "embeddings")
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val scored = pcells.join(pEmb, Seq("probe_id"))
+      .join(kmPostings(spark, sfDir), Seq("cell"))
+      .filter($"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"rn", $"cand_id",
+        round(expr("graft_cosine(p_emb, c_emb)"), 4).as("cos_sim"))
+      .localCheckpoint(true)
+    val swept = scored
+      .withColumn("nprobe", explode(array(lit(1L), lit(2L), lit(3L))))
+      .filter($"rn" <= $"nprobe")
+    val wr = Window.partitionBy($"nprobe", $"probe_id")
+      .orderBy($"cos_sim".desc, $"cand_id".asc)
+    val ann = swept.withColumn("rank", row_number().over(wr))
+      .filter($"rank" <= 3).select($"nprobe", $"probe_id", $"cand_id")
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val gt = e.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"))
+      .join(broadcast(pEmb.filter($"probe_id" < 10L)),
+        $"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id",
+        round(expr("graft_cosine(p_emb, c_emb)"), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"probe_id")
+        .orderBy($"cos_sim".desc, $"cand_id".asc)))
+      .filter($"rank" <= 3).select($"probe_id", $"cand_id")
+    val nGt = gt.count()
+    val hits = ann.join(gt, Seq("probe_id", "cand_id"))
+      .groupBy($"nprobe").agg(count(lit(1)).as("n_hit"))
+    // Left join from the nprobe domain: a zero-hit setting still reports
+    // its (flat-zero) point on the curve.
+    Seq(1L, 2L, 3L).toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
+      .select($"nprobe", lit(nGt).as("n_gt"),
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        expr(s"coalesce(n_hit, 0L) * 1000000 div $nGt").as("recall_ppm"))
+      .orderBy($"nprobe".asc_nulls_first)
+  }
+
+  private val ivfRecallCurveOracle = {
+    def zipdot(a: String, b: String) = s"""(
+      SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+      FROM (SELECT unnest(list_zip($a, $b)) AS r))"""
+    s"""
+    WITH $kmeansCtes,
+    postings AS (
+      SELECT a.cell, em.vec_id AS cand_id, em.embedding AS c_emb
+      FROM assign3 a JOIN embeddings em USING (vec_id)),
+    pdist AS (
+      SELECT q.vec_id AS probe_id, c.cell, sum((q.e - c.c) * (q.e - c.c)) AS d2
+      FROM quant q JOIN cent3 c USING (pos)
+      WHERE q.vec_id < 10 GROUP BY 1, 2),
+    pcells AS (
+      SELECT probe_id, cell, rn FROM (
+        SELECT probe_id, cell, row_number() OVER
+          (PARTITION BY probe_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM pdist) WHERE rn <= 3),
+    scored AS (
+      SELECT pc.probe_id, pc.rn, po.cand_id,
+        round(${zipdot("p.embedding", "po.c_emb")}
+              / (sqrt(${zipdot("p.embedding", "p.embedding")})
+                 * sqrt(${zipdot("po.c_emb", "po.c_emb")})), 4) AS cos_sim
+      FROM pcells pc
+      JOIN postings po USING (cell)
+      JOIN embeddings p ON p.vec_id = pc.probe_id
+      WHERE po.cand_id <> pc.probe_id),
+    swept AS (
+      SELECT t.np AS nprobe, s.* FROM scored s
+      CROSS JOIN (SELECT unnest([1, 2, 3]) AS np) t
+      WHERE s.rn <= t.np),
+    ann AS (
+      SELECT nprobe, probe_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY nprobe, probe_id
+          ORDER BY cos_sim DESC, cand_id ASC) AS rank
+        FROM swept) WHERE rank <= 3),
+    gt AS (
+      SELECT probe_id, cand_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            round(${zipdot("p.embedding", "c.embedding")}
+              / (sqrt(${zipdot("p.embedding", "p.embedding")})
+                 * sqrt(${zipdot("c.embedding", "c.embedding")})), 4) DESC,
+            c.vec_id ASC) AS rank
+        FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < 10) r WHERE rank <= 3),
+    ngt AS (SELECT count(*) AS n_gt FROM gt),
+    hits AS (
+      SELECT a.nprobe, count(*) AS n_hit
+      FROM ann a JOIN gt USING (probe_id, cand_id)
+      GROUP BY a.nprobe)
+    SELECT CAST(t.np AS BIGINT) AS nprobe, CAST(g.n_gt AS BIGINT) AS n_gt,
+      CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000)
+        // CAST(g.n_gt AS BIGINT) AS recall_ppm
+    FROM (SELECT unnest([1, 2, 3]) AS np) t
+    LEFT JOIN hits h ON h.nprobe = t.np CROSS JOIN ngt g
+    ORDER BY nprobe ASC NULLS FIRST"""
+  }
+
   private val ivfTrainedOracle = {
     def zipdot(a: String, b: String) = s"""(
       SELECT sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
@@ -720,6 +843,7 @@ object KMeansOps extends QueryPack {
     Q("q_ml_kmeans_inertia", kmeansInertia, Some(kmeansInertiaOracle)),
     Q("q_sim_ann_ivf_trained", ivfTrainedProbe, Some(ivfTrainedOracle)),
     Q("q_sim_ann_ivf_nprobe", ivfTrainedNprobe, Some(ivfTrainedNprobeOracle)),
+    Q("q_sim_ann_recall_curve", ivfRecallCurve, Some(ivfRecallCurveOracle)),
     Q("q_dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("q_vec_pca_power", vecPcaPower, Some(vecPcaPowerOracle)),
   )

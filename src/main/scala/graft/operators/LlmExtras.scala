@@ -331,6 +331,66 @@ object LlmExtras extends QueryPack {
       FROM sh
       ORDER BY doc_id ASC NULLS FIRST"""
 
+  /** SIMHASH DEDUP EVALUATION (round 13) — the curation decision metric
+    * behind "is the cheap fingerprint good enough?": a per-document
+    * confusion matrix of [[dedupSimhash]]'s is_dup flag against the
+    * exact normalized-text duplicate flag (q_dedup_exact's contract —
+    * doc is a dup iff a smaller doc_id shares its norm_text). One row:
+    * counts + precision/recall in exact ppm (−1 when the denominator is
+    * empty, deterministically on both engines). Flag-level, not
+    * pair-level, evaluation on purpose: simhash classes go quadratic in
+    * class size when enumerated as pairs (measured 1.19M pairs at
+    * sf0.1), while flags stay linear in |docs|.
+    *
+    * Scale: both flag frames are one groupBy/window over the corpus;
+    * the comparison is a |docs|-row equi-join + ONE global agg.
+    */
+  private def dedupSimhashEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sim = dedupSimhash(spark, sfDir).select($"doc_id", $"is_dup")
+    val exact = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", normText($"text").as("nt"))
+      .withColumn("exact_dup",
+        $"doc_id" =!= min($"doc_id").over(Window.partitionBy($"nt")))
+      .select($"doc_id", $"exact_dup")
+    val conf = sim.join(exact, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"is_dup" && $"exact_dup", 1L).otherwise(0L)).as("tp"),
+        sum(when($"is_dup" && !$"exact_dup", 1L).otherwise(0L)).as("fp"),
+        sum(when(!$"is_dup" && $"exact_dup", 1L).otherwise(0L)).as("fn"),
+        sum(when(!$"is_dup" && !$"exact_dup", 1L).otherwise(0L)).as("tn"))
+    conf.select($"n_docs", $"tp", $"fp", $"fn", $"tn",
+      when($"tp" + $"fp" === 0L, lit(-1L))
+        .otherwise(expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
+      when($"tp" + $"fn" === 0L, lit(-1L))
+        .otherwise(expr("tp * 1000000 div (tp + fn)")).as("recall_ppm"))
+  }
+
+  private val dedupSimhashEvalSql = s"""
+    WITH sim AS (
+      SELECT doc_id, is_dup FROM ($dedupSimhashSql) s),
+    exact AS (
+      SELECT doc_id,
+        doc_id <> min(doc_id) OVER (PARTITION BY nt) AS exact_dup
+      FROM (SELECT doc_id, $normTextSql AS nt FROM documents) d),
+    conf AS (
+      SELECT count(*) AS n_docs,
+        CAST(sum(CASE WHEN is_dup AND exact_dup THEN 1 ELSE 0 END)
+          AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN is_dup AND NOT exact_dup THEN 1 ELSE 0 END)
+          AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN NOT is_dup AND exact_dup THEN 1 ELSE 0 END)
+          AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN NOT is_dup AND NOT exact_dup THEN 1 ELSE 0 END)
+          AS BIGINT) AS tn
+      FROM sim JOIN exact USING (doc_id))
+    SELECT n_docs, tp, fp, fn, tn,
+      CASE WHEN tp + fp = 0 THEN -1
+        ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+      CASE WHEN tp + fn = 0 THEN -1
+        ELSE (tp * 1000000) // (tp + fn) END AS recall_ppm
+    FROM conf"""
+
   /** Hyperplane-LSH ANN: 8 deterministic pseudo-random hyperplanes -> 8-bit
     * bucket; probes join candidates in the SAME bucket only, then exact
     * cosine rerank. The bucketed-scan scale path vs brute force.
@@ -1308,6 +1368,7 @@ object LlmExtras extends QueryPack {
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_chunk", textChunk, Some(textChunkSql)),
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    Q("q_dedup_simhash_eval", dedupSimhashEval, Some(dedupSimhashEvalSql)),
     Q("q_sim_ann_lsh", simAnnLsh, Some(simAnnLshSql)),
     Q("q_sim_ann_ivf", simIvfAnn, Some(simIvfSql(0L, 10L))),
     Q("q_sim_ann_ivf_serve", simIvfAnnServe, Some(simIvfSql(10L, 20L))),
