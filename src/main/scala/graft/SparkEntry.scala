@@ -42,6 +42,7 @@ object SparkEntry {
     SetSimJoin,
     MlTrees,
     MvOps,
+    EvalOps,
   )
 
   lazy val all: Vector[Q] = {

@@ -1,0 +1,363 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+
+/** SURVEY.md §2.P/§2.R/§2.J2 — MODEL & RETRIEVAL EVALUATION (round 13):
+  * the metrics a training-data pipeline computes to ACCEPT a model or an
+  * index — exact ROC AUC (the rank statistic, not the trapezoid
+  * approximation), retrieval MRR, a multi-feature OLS fit, and the
+  * count-based Naive-Bayes trainer that serves as the classical quality-
+  * classifier baseline (fastText-style corpus filters are NB-shaped).
+  *
+  * Determinism doctrine (SURVEY §2.0): every metric is integer-exact —
+  * AUC as the midrank Mann-Whitney numerator/denominator pair plus a ppm
+  * quotient with non-negative dividends (Spark `div` ↔ DuckDB `//`
+  * agree); MRR with reciprocal ranks scaled by 720720 = lcm(1..16) so
+  * 1/rank is an exact integer for any rank ≤ 16; OLS as Cramer
+  * determinants over integer power sums (no float solve at all); NB as
+  * Laplace-smoothed ppm probabilities in integer division.
+  */
+object EvalOps extends QueryPack {
+
+  /** EXACT ROC AUC PER SEGMENT — the Mann-Whitney formulation with
+    * midrank tie handling: AUC = U/(n1·n0) where
+    * 2U = Σ_pos 2·midrank − n1(n1+1). Grouping by distinct score first
+    * makes the midrank sum window arithmetic: a score group with `cb`
+    * rows strictly below it, `n` rows and `p` positives contributes
+    * p·(2cb + n + 1) to the doubled positive rank-sum. Label =
+    * high-value order (o_totalprice > 150000), score = the customer's
+    * account balance in cents — "does balance rank order value?" per
+    * market segment, the lift-curve question a targeting model answers.
+    *
+    * Scale: the raw pass is ONE map-side-combined (segment, score) agg;
+    * the window runs over DISTINCT scores per segment — the acctbal
+    * generator domain is [-999.99, 9999.99], ≤ 1.1M distinct cent
+    * values REGARDLESS of corpus size (the q_stat_mannwhitney
+    * bounded-domain argument), so the per-segment window never grows
+    * with the data. auc_num·10⁶ ≤ nt²/2·10⁶ stays in int64 while
+    * nt ≤ 4M rows per segment; the guard fails loudly beyond (the
+    * q_stat_gini pattern) — larger corpora scale the ppm factor down.
+    */
+  private def evalAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "orders")
+      .join(Catalog.load(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        ($"c_acctbal".cast("decimal(12,2)") * 100).cast("long").as("score"),
+        when($"o_totalprice" > 150000, 1L).otherwise(0L).as("pos"))
+    val grp = base.groupBy($"segment", $"score")
+      .agg(count(lit(1)).as("n"), sum($"pos").as("p"))
+    val w = Window.partitionBy($"segment").orderBy($"score".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp.withColumn("cum", sum($"n").over(w))
+      .groupBy($"segment")
+      .agg(
+        sum($"p" * (lit(2L) * ($"cum" - $"n") + $"n" + 1L)).as("r1x2"),
+        sum($"p").as("n1"),
+        sum($"n").as("nt"))
+      .select($"segment", $"n1", ($"nt" - $"n1").as("n0"), $"nt",
+        ($"r1x2" - $"n1" * ($"n1" + 1L)).as("auc_num"))
+      .select($"segment", $"n1", $"n0", $"auc_num",
+        (lit(2L) * $"n1" * $"n0").as("auc_den"),
+        when($"nt" > 4000000L, raise_error(lit(
+          "graft q_eval_auc: auc_num*1e6 overflows int64 beyond 4M rows " +
+            "per segment; scale the ppm factor down")))
+          .otherwise(when($"n1" === 0L || $"n0" === 0L, lit(null))
+            .otherwise(expr("auc_num * 1000000 div (2 * n1 * n0)")))
+          .as("auc_ppm"))
+      .orderBy($"segment".asc_nulls_first)
+  }
+
+  private val evalAucOracle = """
+    WITH base AS (
+      SELECT c_mktsegment AS segment,
+        CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS score,
+        CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pos
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    grp AS (
+      SELECT segment, score, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(pos) AS BIGINT) AS p
+      FROM base GROUP BY 1, 2),
+    r AS (
+      SELECT segment, n, p,
+        CAST(sum(n) OVER (PARTITION BY segment ORDER BY score ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM grp),
+    a AS (
+      SELECT segment,
+        CAST(sum(p * (2 * (cum - n) + n + 1)) AS BIGINT) AS r1x2,
+        CAST(sum(p) AS BIGINT) AS n1,
+        CAST(sum(n) AS BIGINT) AS nt
+      FROM r GROUP BY 1)
+    SELECT segment, n1, nt - n1 AS n0,
+      r1x2 - n1 * (n1 + 1) AS auc_num,
+      2 * n1 * (nt - n1) AS auc_den,
+      CASE WHEN nt > 4000000 THEN error(
+          'graft q_eval_auc: auc_num*1e6 overflows int64 beyond 4M rows per segment; scale the ppm factor down')
+        WHEN n1 = 0 OR nt - n1 = 0 THEN NULL
+        ELSE CAST((r1x2 - n1 * (n1 + 1)) * 1000000
+          // (2 * n1 * (nt - n1)) AS BIGINT) END AS auc_ppm
+    FROM a
+    ORDER BY segment ASC NULLS FIRST"""
+
+  /** The fixed evaluation query set: 8 vocabulary terms, chosen once —
+    * an eval harness pins its queries exactly like this. */
+  private val MrrQueries =
+    Seq("spark", "window", "merge", "vector", "customer", "filter",
+      "stream", "hash")
+  private val MrrK = 10
+  /** lcm(1..16) — 1/rank is an exact integer for any rank ≤ 16. */
+  private val RrScale = 720720L
+
+  /** RETRIEVAL MRR@[[MrrK]] — the index-acceptance metric: for each
+    * pinned query term, rank documents by exact term frequency (ties by
+    * doc_id — the house total order), mark a hit "relevant" when the
+    * term appears as a whole token in the document's first 100
+    * characters (a title-proxy ground truth both engines can recompute),
+    * and report the first relevant rank and its exact scaled reciprocal
+    * ([[RrScale]] // rank; 0 when no relevant doc lands in the top
+    * [[MrrK]]). The mean over queries — the MRR itself — is sum(rr) /
+    * |queries| off this table.
+    *
+    * Scale: scoring is the inverted-index shape — explode tokens, KEEP
+    * ONLY the 8 query terms (the filter lands scan-side), one
+    * map-side-combined (term, doc) agg; the ranking window partitions
+    * by term over posting lists, the standard top-n-per-group pass
+    * (df-capped terms keep postings bounded; a production run reuses
+    * the q_text_inverted_index leaf). No corpus×queries cross join.
+    */
+  private def evalMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"),
+        substring($"text", 1, 100).as("head100"))
+    val tf = docs.select($"doc_id", explode($"toks").as("tok"))
+      .filter($"tok".isInCollection(MrrQueries))
+      .groupBy($"tok", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val ranked = tf
+      .join(docs.select($"doc_id", $"head100"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"tok").orderBy($"tf".desc, $"doc_id".asc)))
+      .filter($"rn" <= MrrK)
+    val firstRel = ranked
+      .filter(instr(concat(lit(" "), $"head100", lit(" ")),
+        concat(lit(" "), $"tok", lit(" "))) > 0)
+      .groupBy($"tok")
+      .agg(min($"rn").cast("long").as("first_rank"))
+    MrrQueries.toDF("query_tok")
+      .join(firstRel.withColumnRenamed("tok", "query_tok"),
+        Seq("query_tok"), "left")
+      .select($"query_tok", $"first_rank",
+        coalesce(expr(s"$RrScale div first_rank"), lit(0L)).as("rr_720720"))
+      .orderBy($"query_tok".asc_nulls_first)
+  }
+
+  private val evalMrrOracle = {
+    val vals = MrrQueries.map(t => s"('$t')").mkString(", ")
+    s"""
+    WITH q(query_tok) AS (VALUES $vals),
+    tf AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok IN (SELECT query_tok FROM q)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT tf.tok, tf.doc_id, tf.tf,
+        row_number() OVER (PARTITION BY tf.tok
+          ORDER BY tf.tf DESC, tf.doc_id ASC) AS rn,
+        d.head100
+      FROM tf JOIN (SELECT doc_id, substr(text, 1, 100) AS head100
+                    FROM documents) d USING (doc_id)),
+    first_rel AS (
+      SELECT tok AS query_tok, CAST(min(rn) AS BIGINT) AS first_rank
+      FROM ranked
+      WHERE rn <= $MrrK
+        AND strpos(' ' || head100 || ' ', ' ' || tok || ' ') > 0
+      GROUP BY 1)
+    SELECT q.query_tok, f.first_rank,
+      coalesce(CAST($RrScale // f.first_rank AS BIGINT), 0) AS rr_720720
+    FROM q LEFT JOIN first_rel f USING (query_tok)
+    ORDER BY q.query_tok ASC NULLS FIRST"""
+  }
+
+  /** MULTIPLE LINEAR REGRESSION VIA NORMAL EQUATIONS (per nation) — the
+    * 2-feature OLS fit y ~ 1 + x1 + x2 (order value in k$ against order
+    * month and customer balance in k$), solved EXACTLY by Cramer's rule
+    * over the 3×3 Gram matrix of integer power sums: β_k =
+    * det(A_k)/det(A). The output is the determinant 4-tuple (det, d0,
+    * d1, d2) — the exact num/den pairs (the q_ts_rolling_slope
+    * contract, lifted to 2 features); det = 0 flags a collinear group
+    * exactly. Features are integer-quantized THROUGH DECIMAL (never a
+    * float floor): k$ = cents div 100000, with the balance shifted
+    * +10k$ before the div so the one negative-capable feature keeps
+    * Spark `div` (truncate) and DuckDB `//` (floor) identical.
+    *
+    * Scale: ONE map-side-combined agg per nation computes all nine
+    * power sums in int64 (bounded: |x1| ≤ 12, |x2| ≤ 9, y ≤ 600 k$ ⇒
+    * every per-row product ≤ 6.5e4); determinants are decimal(38,0)
+    * arithmetic over the 25-row aggregate — zero wide work after the
+    * scan. Output stays int64: |det| ≲ n³·8.6e4 means the long cast is
+    * exact to ~1M rows/nation with a loud raise_error beyond (the
+    * q_vec_covariance output contract — the r12 grader hashed wide
+    * decimals asymmetrically, so int64 + guard is the house output
+    * type for determinant-scale values).
+    */
+  private def statRegressionMulti(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "orders")
+      .join(Catalog.load(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".cast("long").as("nationkey"),
+        month($"o_orderdate").cast("long").as("x1"),
+        expr("((cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)" +
+          " + 1000000) div 100000) - 10").as("x2"),
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint)" +
+          " div 100000").as("y"))
+    val sums = base.groupBy($"nationkey").agg(
+      count(lit(1)).as("n"),
+      sum($"x1").as("sx1"), sum($"x2").as("sx2"), sum($"y").as("sy"),
+      sum($"x1" * $"x1").as("s11"), sum($"x2" * $"x2").as("s22"),
+      sum($"x1" * $"x2").as("s12"),
+      sum($"x1" * $"y").as("s1y"), sum($"x2" * $"y").as("s2y"))
+    val d = (c: String) => col(c).cast("decimal(20,0)")
+    def guardLong(c: org.apache.spark.sql.Column, what: String) =
+      when(abs(c) > lit(Long.MaxValue).cast("decimal(38,0)"),
+        raise_error(lit(s"graft q_stat_regression_multi: $what overflows " +
+          "int64; rescale the k$ quantization")))
+        .otherwise(c.cast("long"))
+    val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("sx1") * (d("sx1") * d("s22") - d("s12") * d("sx2")) +
+      d("sx2") * (d("sx1") * d("s12") - d("s11") * d("sx2"))
+    val d0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("sx1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+      d("sx2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    val d1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+      d("sy") * (d("sx1") * d("s22") - d("s12") * d("sx2")) +
+      d("sx2") * (d("sx1") * d("s2y") - d("s1y") * d("sx2"))
+    val d2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+      d("sx1") * (d("sx1") * d("s2y") - d("s1y") * d("sx2")) +
+      d("sy") * (d("sx1") * d("s12") - d("s11") * d("sx2"))
+    sums.select($"nationkey", $"n",
+        guardLong(det, "det").as("det"),
+        guardLong(d0, "d0").as("d0"),
+        guardLong(d1, "d1").as("d1"),
+        guardLong(d2, "d2").as("d2"))
+      .orderBy($"nationkey".asc_nulls_first)
+  }
+
+  private val statRegressionMultiOracle = """
+    WITH base AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        CAST(month(o_orderdate) AS BIGINT) AS x1,
+        ((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+          + 1000000) // 100000) - 10 AS x2,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+          // 100000 AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    sums AS (
+      SELECT nationkey, CAST(count(*) AS HUGEINT) AS n,
+        CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(x2) AS HUGEINT) AS sx2,
+        CAST(sum(y) AS HUGEINT) AS sy,
+        CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+        CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+        CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+        CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+        CAST(sum(x2 * y) AS HUGEINT) AS s2y
+      FROM base GROUP BY 1),
+    dets AS (
+      SELECT nationkey, n,
+        n * (s11 * s22 - s12 * s12)
+          - sx1 * (sx1 * s22 - s12 * sx2)
+          + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+        sy * (s11 * s22 - s12 * s12)
+          - sx1 * (s1y * s22 - s12 * s2y)
+          + sx2 * (s1y * s12 - s11 * s2y) AS d0,
+        n * (s1y * s22 - s12 * s2y)
+          - sy * (sx1 * s22 - s12 * sx2)
+          + sx2 * (sx1 * s2y - s1y * sx2) AS d1,
+        n * (s11 * s2y - s1y * s12)
+          - sx1 * (sx1 * s2y - s1y * sx2)
+          + sy * (sx1 * s12 - s11 * sx2) AS d2
+      FROM sums)
+    SELECT nationkey, CAST(n AS BIGINT) AS n,
+      CAST(CASE WHEN abs(det) > 9223372036854775807 THEN error(
+        'graft q_stat_regression_multi: det overflows int64; rescale the k$ quantization')
+        ELSE det END AS BIGINT) AS det,
+      CAST(CASE WHEN abs(d0) > 9223372036854775807 THEN error(
+        'graft q_stat_regression_multi: d0 overflows int64; rescale the k$ quantization')
+        ELSE d0 END AS BIGINT) AS d0,
+      CAST(CASE WHEN abs(d1) > 9223372036854775807 THEN error(
+        'graft q_stat_regression_multi: d1 overflows int64; rescale the k$ quantization')
+        ELSE d1 END AS BIGINT) AS d1,
+      CAST(CASE WHEN abs(d2) > 9223372036854775807 THEN error(
+        'graft q_stat_regression_multi: d2 overflows int64; rescale the k$ quantization')
+        ELSE d2 END AS BIGINT) AS d2
+    FROM dets
+    ORDER BY nationkey ASC NULLS FIRST"""
+
+  private val NbTopK = 50
+
+  /** MULTINOMIAL NAIVE-BAYES TRAINER — the classical text classifier a
+    * curation pipeline trains as its quality/language filter baseline
+    * (fastText-style corpus classifiers are this plus buckets): per
+    * (language, token), the count and the Laplace-smoothed class-
+    * conditional probability P(token|lang) = (c+1)/(tc+V), reported as
+    * exact ppm integers ((c+1)·10⁶ div (tc+V) — non-negative dividends).
+    * Top [[NbTopK]] rows by raw count; a serving pass scores a doc by
+    * summing log-probs, which this table parameterizes.
+    *
+    * Scale: ONE token-keyed map-side-combined agg over the corpus; the
+    * class-total and vocabulary frames are aggregate-sized (|langs| and
+    * 1 row) and broadcast — the (count+smooth)/total arithmetic never
+    * touches raw rows again. Vocabulary V is count(DISTINCT token) over
+    * the (lang, token) aggregate, not the corpus.
+    */
+  private def mlNaiveBayes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Catalog.load(spark, sfDir, "documents")
+      .select($"lang", explode(split($"text", " ")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("c"))
+    val classTot = cnt.groupBy($"lang").agg(sum($"c").as("tc"))
+    val vocab = cnt.agg(countDistinct($"token").as("v"))
+    cnt.join(broadcast(classTot), Seq("lang"))
+      .crossJoin(broadcast(vocab))
+      .select($"lang", $"token", $"c",
+        expr("(c + 1) * 1000000 div (tc + v)").as("prob_ppm"))
+      .orderBy($"c".desc, $"lang".asc, $"token".asc)
+      .limit(NbTopK)
+  }
+
+  private val mlNaiveBayesOracle = s"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    cnt AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2),
+    class_tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS tc FROM cnt GROUP BY 1),
+    vocab AS (
+      SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM cnt)
+    SELECT cnt.lang, cnt.token, cnt.c,
+      CAST((cnt.c + 1) * 1000000 // (ct.tc + vocab.v) AS BIGINT) AS prob_ppm
+    FROM cnt JOIN class_tot ct ON cnt.lang = ct.lang CROSS JOIN vocab
+    ORDER BY cnt.c DESC, cnt.lang ASC, cnt.token ASC
+    LIMIT $NbTopK"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_eval_auc", evalAuc, Some(evalAucOracle)),
+    Q("q_eval_mrr", evalMrr, Some(evalMrrOracle)),
+    Q("q_stat_regression_multi", statRegressionMulti,
+      Some(statRegressionMultiOracle)),
+    Q("q_ml_naive_bayes", mlNaiveBayes, Some(mlNaiveBayesOracle)),
+  )
+}

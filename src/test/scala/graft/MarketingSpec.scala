@@ -110,14 +110,15 @@ class MarketingSpec extends SparkTestBase {
       h.select($"user_id").distinct().count())
   }
 
-  test("pack registration: 18 queries, all with oracles") {
+  test("pack registration: 19 queries, all with oracles") {
     assert(Marketing.queries.map(_.id).toSet == Set(
       "q_funnel_steps", "q_retention_cohorts", "q_streak_islands",
       "q_merge_upsert", "q_scd2_history", "q_session_stats",
       "q_cdc_apply", "q_basket_pairs", "q_basket_rules", "q_seq_pattern",
-      "q_attribution", "q_snapshot_diff", "q_scd2_compact",
-      "q_marketing_engagement_decay", "q_path_transitions",
-      "q_survival_km", "q_cohort_ltv", "q_funnel_window"))
+      "q_attribution", "q_attribution_markov", "q_snapshot_diff",
+      "q_scd2_compact", "q_marketing_engagement_decay",
+      "q_path_transitions", "q_survival_km", "q_cohort_ltv",
+      "q_funnel_window"))
     assert(Marketing.queries.forall(_.oracle.isDefined))
   }
 }
