@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Catalog, Q, QueryPack}
@@ -793,7 +794,102 @@ object CorpusOps extends QueryPack {
     FROM walk GROUP BY bucket, bin
     ORDER BY bucket ASC NULLS FIRST, bin ASC NULLS FIRST"""
 
+  /** DUPLICATED-SPAN REMOVAL (the apply half of [[textDupNgrams]]'s
+    * report half — the Lee-et-al exact-substring dedup shape): find
+    * every 5-gram position whose span text recurs in ≥2 distinct
+    * documents, MERGE overlapping/adjacent positions into maximal
+    * per-document spans (the islands pattern over [i, i+4] intervals:
+    * a new island starts when i jumps past prev_end + 1), and report
+    * per affected document the span count, tokens removed, and the
+    * exact kept-ppm ratio — the "how much of this doc is boilerplate"
+    * cut sheet a curation run executes. Differs from passage dedup
+    * ([[LlmExtras]] `q_dedup_passage_exact` keeps first occurrences of
+    * fixed chunks): this removes EVERY occurrence of cross-doc repeated
+    * text and merges to maximal extent, the substring-dedup semantics.
+    *
+    * Scale: one tokenize pass; spans stream through a span-keyed
+    * map-side-combined df agg (Zipf-bounded like the shingle leaf; a
+    * production run hashes the span key); hits join back by span
+    * (bucketed equi-join); the island merge is a per-document window
+    * over that doc's HIT positions only — bounded by doc length,
+    * never corpus-wide.
+    */
+  private def dedupSpanRemoval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split(LlmPipeline.normText($"text"), " ").as("toks"))
+    val spans = docs
+      .select($"doc_id", $"toks",
+        explode(when(size($"toks") >= 5,
+          sequence(lit(0), size($"toks") - 5)).otherwise(array())).as("i"))
+      .select($"doc_id", $"i".cast("long").as("i"),
+        concat_ws(" ", slice($"toks", $"i" + 1, lit(5))).as("span"))
+    val dup = spans.groupBy($"span")
+      .agg(countDistinct($"doc_id").as("dfd"))
+      .filter($"dfd" >= 2L)
+      .select($"span")
+    val hits = spans.join(dup, Seq("span")).select($"doc_id", $"i")
+    val wp = Window.partitionBy($"doc_id").orderBy($"i".asc)
+    val islands = hits
+      .withColumn("prev_end",
+        max($"i" + 4L).over(wp.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when($"prev_end".isNull || $"i" > $"prev_end" + 1L, 1L).otherwise(0L))
+      .withColumn("g", sum($"fresh")
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"g")
+      .agg(min($"i").as("s"), max($"i" + 4L).as("e"))
+    islands.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"e" - $"s" + 1L).as("removed_tokens"))
+      .join(docs.select($"doc_id", size($"toks").cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .select($"doc_id", $"n_spans", $"removed_tokens", $"n_tokens",
+        expr("(n_tokens - removed_tokens) * 1000000 div n_tokens")
+          .as("kept_ppm"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val dedupSpanRemovalSql = s"""
+    WITH docs AS (
+      SELECT doc_id, string_split(${LlmPipeline.normTextSql}, ' ') AS toks
+      FROM documents),
+    spans AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+        array_to_string(toks[i+1:i+5], ' ') AS span
+      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 4)) AS i
+            FROM docs WHERE len(toks) >= 5)),
+    dup AS (
+      SELECT span FROM spans GROUP BY span
+      HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, i FROM spans JOIN dup USING (span)),
+    marked AS (
+      SELECT doc_id, i,
+        max(i + 4) OVER (PARTITION BY doc_id ORDER BY i ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits),
+    grouped AS (
+      SELECT doc_id, i,
+        sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY i ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked),
+    islands AS (
+      SELECT doc_id, g, min(i) AS s, max(i + 4) AS e
+      FROM grouped GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(e - s + 1) AS BIGINT) AS removed_tokens
+      FROM islands GROUP BY 1)
+    SELECT p.doc_id, p.n_spans, p.removed_tokens,
+      CAST(len(d.toks) AS BIGINT) AS n_tokens,
+      CAST((len(d.toks) - p.removed_tokens) * 1000000 // len(d.toks)
+        AS BIGINT) AS kept_ppm
+    FROM per_doc p JOIN docs d USING (doc_id)
+    ORDER BY p.doc_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_dedup_span_removal", dedupSpanRemoval, Some(dedupSpanRemovalSql)),
     Q("q_pack_bins", packBins, Some(packBinsSql)),
     Q("q_text_dup_ngrams", textDupNgrams, Some(textDupNgramsSql)),
     Q("q_corpus_temperature", corpusTemperature, Some(corpusTemperatureSql)),

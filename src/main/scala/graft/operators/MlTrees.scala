@@ -340,9 +340,83 @@ object MlTrees extends QueryPack {
     UNION ALL SELECT 3, w0, w1, w2, w3, n_mis FROM e3
     ORDER BY epoch ASC NULLS FIRST"""
 
+  /** GINI-GAIN FEATURE RANKING — the filter-style feature-selection pass
+    * a training pipeline runs before any model: for each categorical
+    * feature, the impurity REDUCTION of the multi-way split on it
+    * (parent Gini cost minus the sum of per-bin child costs, in the
+    * stump's exact integer-ppm cost units) — CART's split criterion
+    * used as a feature score. Complements [[treeStump]]: the stump
+    * scans binary "f ≤ t" thresholds, this scores the full multi-way
+    * partition per feature (the form used to RANK features, not to cut
+    * one). All integer: per-bin cost = (n²−p²−q²)·10⁶ div n summed
+    * inside the agg, parent from the same totals; gain = parent − sum
+    * (can land a unit negative after truncation — identical both
+    * engines, so still hash-exact).
+    *
+    * Scale: the same ONE histogram pass as the stump (3 rows per
+    * input row into a ≤52-group map-side-combined agg); ranking is
+    * arithmetic over the 3-row feature aggregate. The tn ≤ 2M ppm
+    * guard fires before any row is emitted (n²·10⁶ bound, stump
+    * contract).
+    */
+  private def featGiniGain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hist = featureBase(spark, sfDir)
+      .select(explode(array(
+        struct(lit("month").as("feature"), $"f_month".as("bin")),
+        struct(lit("nation").as("feature"), $"f_nation".as("bin")),
+        struct(lit("balbin").as("feature"), $"f_balbin".as("bin")))).as("x"),
+        $"pos")
+      .groupBy($"x.feature".as("feature"), $"x.bin".as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"pos").as("p"))
+    hist.groupBy($"feature")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(expr("(n * n - p * p - (n - p) * (n - p)) * 1000000L div n"))
+          .as("child_cost"),
+        sum($"n").as("tn"), sum($"p").as("tp"))
+      .select($"feature", $"n_bins",
+        when($"tn" > 2000000L, raise_error(lit(
+          "graft q_feat_gini_gain: n^2*1e6 exceeds int64 beyond 2M rows; " +
+            "rescale the ppm factor")))
+          .otherwise(expr(
+            "(tn * tn - tp * tp - (tn - tp) * (tn - tp)) * 1000000L div tn"))
+          .as("parent_cost"),
+        $"child_cost".cast("long").as("child_cost"))
+      .withColumn("gain", $"parent_cost" - $"child_cost")
+      .orderBy($"gain".desc, $"feature".asc)
+  }
+
+  private val featGiniGainOracle = s"""
+    WITH base AS ($featureBaseSql),
+    hist AS (
+      SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(pos) AS BIGINT) AS p
+      FROM (
+        SELECT 'month' AS feature, f_month AS bin, pos FROM base
+        UNION ALL SELECT 'nation', f_nation, pos FROM base
+        UNION ALL SELECT 'balbin', f_balbin, pos FROM base)
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT feature, CAST(count(*) AS BIGINT) AS n_bins,
+        CAST(sum((n*n - p*p - (n-p)*(n-p)) * 1000000 // n) AS BIGINT)
+          AS child_cost,
+        CAST(sum(n) AS BIGINT) AS tn, CAST(sum(p) AS BIGINT) AS tp
+      FROM hist GROUP BY 1)
+    SELECT feature, n_bins,
+      CAST(CASE WHEN tn > 2000000
+        THEN error('graft q_feat_gini_gain: overflow')
+        ELSE (tn*tn - tp*tp - (tn-tp)*(tn-tp)) * 1000000 // tn
+        END AS BIGINT) AS parent_cost,
+      child_cost,
+      CAST((tn*tn - tp*tp - (tn-tp)*(tn-tp)) * 1000000 // tn - child_cost
+        AS BIGINT) AS gain
+    FROM agg
+    ORDER BY gain DESC, feature ASC"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ml_tree_stump", treeStump, Some(treeStumpOracle)),
     Q("q_ml_tree_depth2", treeDepth2, Some(treeDepth2Oracle)),
     Q("q_ml_perceptron", perceptron, Some(perceptronOracle)),
+    Q("q_feat_gini_gain", featGiniGain, Some(featGiniGainOracle)),
   )
 }

@@ -80,6 +80,48 @@ class Round13ESpec extends SparkTestBase {
     }
   }
 
+  test("q_feat_gini_gain: reconciles with the stump's cost units") {
+    val out = SparkEntry.queries("q_feat_gini_gain")(spark, sf0001).collect()
+    assert(out.map(_.getString(0)).toSet == Set("month", "nation", "balbin"))
+    out.foreach { r =>
+      // Multi-way child cost never exceeds the parent cost by more than
+      // the per-bin truncation slack (1 unit per bin).
+      assert(r.getLong(4) >= -r.getLong(1))
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+    // Ordered by gain descending.
+    val gains = out.map(_.getLong(4)).toSeq
+    assert(gains == gains.sortBy(-_))
+  }
+
+  test("q_dedup_span_removal: islands are maximal, disjoint, in-range") {
+    val out = SparkEntry.queries("q_dedup_span_removal")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nSpans, removed, nToks, kept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // Each island covers >= 5 tokens; disjoint islands fit the doc.
+      assert(nSpans >= 1L && removed >= 5L * nSpans && removed <= nToks)
+      assert(kept == (nToks - removed) * 1000000L / nToks)
+    }
+    // Every reported doc really shares a 5-gram with another doc: replay
+    // on the driver for the smallest fixture.
+    val docs = Catalog.load(spark, sf0001, "documents")
+      .select($"doc_id",
+        split(org.apache.spark.sql.functions.trim(
+          regexp_replace(regexp_replace(lower($"text"), "[^a-z0-9 ]", " "),
+            " +", " ")), " ").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val spanDocs = docs.flatMap { case (id, toks) =>
+      toks.sliding(5).filter(_.size == 5).map(w => (w.mkString(" "), id))
+    }
+    val dupSpans = spanDocs.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val affected = spanDocs.filter(p => dupSpans(p._1)).map(_._2).distinct
+    assert(out.map(_.getLong(0)).toSet == affected.toSet)
+  }
+
   test("q_ml_naive_bayes: smoothing arithmetic and ordering") {
     val out = SparkEntry.queries("q_ml_naive_bayes")(spark, sf0001).collect()
     assert(out.nonEmpty && out.length <= 50)
