@@ -43,6 +43,7 @@ object SparkEntry {
     MlTrees,
     MvOps,
     EvalOps,
+    AuditStats,
   )
 
   lazy val all: Vector[Q] = {

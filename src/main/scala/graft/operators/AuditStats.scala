@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+
+/** SURVEY.md §2.P/§2.J2 — AUDIT & ASSOCIATION DEPTH (round 13 batch 6):
+  * the cross-environment reconciliation fingerprint, rank correlation,
+  * market-concentration screening, and vocabulary-richness profiling.
+  *
+  * Determinism doctrine (SURVEY §2.0): the checksum is an ORDER-
+  * INDEPENDENT sum of md5-derived 48-bit integers (md5 is bit-identical
+  * cross-engine; the hex→int fold is ONE shared SQL fragment evaluated
+  * by both engines); Spearman keeps doubled midranks exact-integral and
+  * combines through decimal(38,0), emitting the final ρ as a single
+  * fixed-association IEEE expression (the q_stat_anova scalar-double
+  * pattern); HHI and hapax are pure scaled-integer arithmetic.
+  */
+object AuditStats extends QueryPack {
+
+  /** Shared Spark/DuckDB SQL fragment: the first 12 hex chars of
+    * md5(`col`) as a 48-bit integer — position() is ANSI and both
+    * engines return 1-based (0 for a miss never happens on hex). */
+  private def hex48(col: String): String =
+    (1 to 12).map { k =>
+      s"(position(substring(md5($col), $k, 1) IN '0123456789abcdef') - 1)" +
+        s" * cast(${1L << (4 * (12 - k))} as bigint)"
+    }.mkString("(", " + ", ")")
+
+  /** ROW-CONTENT RENDERING for the checksum — every column through a
+    * type-stable string form (decimal cents, ISO date) so both engines
+    * render identical bytes. */
+  private val auditRowSql =
+    "concat_ws('|', cast(o_orderkey as string), cast(o_custkey as string)," +
+      " cast(cast(o_totalprice as decimal(14,2)) as string)," +
+      " cast(cast(o_orderdate as date) as string), o_orderstatus)"
+  private val auditRowDuck =
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR)," +
+      " CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR)," +
+      " CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderstatus)"
+
+  private val ChecksumMod = 2305843009213693951L // 2^61 - 1
+
+  /** ORDER-INDEPENDENT TABLE CHECKSUM — the cross-environment
+    * reconciliation fingerprint: per order priority, the row count and
+    * the sum (mod 2⁶¹−1) of a 48-bit md5-derived digest of each row's
+    * canonical rendering. Two environments (a migration's source and
+    * target, yesterday's snapshot and today's replay) compare k small
+    * (group, n, checksum) rows instead of joining 10¹² rows —
+    * `q_audit_reconciliation` diffs values; this certifies byte-level
+    * row identity, commutatively, so partitioning/order differences
+    * between environments cannot matter.
+    *
+    * Scale: ONE scan, md5 + the hex fold are per-row codegen'd
+    * expressions, the agg is map-side combined to |priorities| rows;
+    * 48-bit addends through decimal(38,0) keep the sum exact to 10²³
+    * rows before the final mod — no overflow lever needed at any SF.
+    */
+  private def auditChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderpriority",
+        expr(hex48(auditRowSql)).cast("decimal(38,0)").as("v"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum($"v") % ChecksumMod).cast("long").as("checksum"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private val auditChecksumOracle = s"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(${hex48(auditRowDuck)} AS HUGEINT)) % $ChecksumMod
+        AS BIGINT) AS checksum
+    FROM orders
+    GROUP BY 1
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
+  /** SPEARMAN RANK CORRELATION (quantity vs discount over lineitem) —
+    * the monotone-association screen run during profiling: ρ = Pearson
+    * over midranks, with EVERY rank moment exact. Both variables live
+    * on tiny generator domains (quantity 1..50, discount 0..10 cents),
+    * so ranks are functions of the VALUE: one (qty, disc) contingency
+    * agg (≤ 561 cells) + two margin rollups give doubled midranks
+    * 2r = 2·cum_below + cnt + 1 as exact integers; all six moments are
+    * Σ over cells of cnt·f(2rx, 2ry) through decimal(38,0) (4n⁴ < 10³⁸
+    * to beyond 10⁸ rows). The final ρ is emitted as ONE fixed
+    * left-to-right IEEE expression over the exact moments (the
+    * q_stat_anova scalar-double pattern — bit-deterministic without
+    * rounding), alongside the exact decimal-free n.
+    *
+    * Scale: the raw pass is one map-side-combined agg to the bounded
+    * cell table; everything after is arithmetic over ≤ 561 rows.
+    */
+  private def statSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Catalog.load(spark, sfDir, "lineitem")
+      .select($"l_quantity".cast("decimal(12,2)").cast("long").as("x"),
+        ($"l_discount".cast("decimal(12,2)") * 100).cast("long").as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("cnt"))
+    def margin(key: String) = {
+      val m = cells.groupBy(col(key)).agg(sum($"cnt").as("mn"))
+      val w = Window.orderBy(col(key).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.withColumn("cum", sum($"mn").over(w))
+        .select(col(key),
+          (lit(2L) * ($"cum" - $"mn") + $"mn" + 1L).as(s"r$key"))
+    }
+    val joined = cells
+      .join(margin("x"), Seq("x")).join(margin("y"), Seq("y"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    joined.agg(
+        sum($"cnt").as("n"),
+        sum(d($"cnt") * $"rx").as("sx"), sum(d($"cnt") * $"ry").as("sy"),
+        sum(d($"cnt") * $"rx" * $"ry").as("sxy"),
+        sum(d($"cnt") * $"rx" * $"rx").as("sxx"),
+        sum(d($"cnt") * $"ry" * $"ry").as("syy"))
+      .select($"n",
+        (d($"n") * $"sxy" - $"sx" * $"sy").cast("double").as("num"),
+        (d($"n") * $"sxx" - $"sx" * $"sx").cast("double").as("denx"),
+        (d($"n") * $"syy" - $"sy" * $"sy").cast("double").as("deny"))
+      .select($"n", $"num", $"denx", $"deny",
+        ($"num" / sqrt($"denx" * $"deny")).as("rho"))
+  }
+
+  private val statSpearmanOracle = """
+    WITH cells AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS x,
+        CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS y,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    mx AS (
+      SELECT x, 2 * (CAST(sum(mn) OVER (ORDER BY x ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - mn)
+          + mn + 1 AS rx
+      FROM (SELECT x, CAST(sum(cnt) AS BIGINT) AS mn FROM cells GROUP BY 1)),
+    my AS (
+      SELECT y, 2 * (CAST(sum(mn) OVER (ORDER BY y ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - mn)
+          + mn + 1 AS ry
+      FROM (SELECT y, CAST(sum(cnt) AS BIGINT) AS mn FROM cells GROUP BY 1)),
+    m AS (
+      SELECT CAST(sum(cnt) AS HUGEINT) AS n,
+        CAST(sum(CAST(cnt AS HUGEINT) * rx) AS HUGEINT) AS sx,
+        CAST(sum(CAST(cnt AS HUGEINT) * ry) AS HUGEINT) AS sy,
+        CAST(sum(CAST(cnt AS HUGEINT) * rx * ry) AS HUGEINT) AS sxy,
+        CAST(sum(CAST(cnt AS HUGEINT) * rx * rx) AS HUGEINT) AS sxx,
+        CAST(sum(CAST(cnt AS HUGEINT) * ry * ry) AS HUGEINT) AS syy
+      FROM cells JOIN mx USING (x) JOIN my USING (y))
+    SELECT CAST(n AS BIGINT) AS n,
+      CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+      CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+      CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+      CAST(n * sxy - sx * sy AS DOUBLE)
+        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+          * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+    FROM m"""
+
+  /** HERFINDAHL-HIRSCHMAN CONCENTRATION INDEX — per nation, how
+    * concentrated supplier revenue is: share_ppm = supplier cents ·10⁶
+    * div nation total (exact, non-negative), HHI = Σ share² div 10⁶
+    * (10⁴ ≈ a 1%-share-square unit · 100; monopoly → 10⁶). The screen
+    * a marketplace/risk pipeline runs per category; `q_stat_gini`
+    * measures inequality of the distribution, HHI measures dominance
+    * of the head. share·10⁶ is int64-safe while a nation's revenue
+    * stays under 9.2·10¹² cents (≈ $92 B), loudly guarded beyond.
+    *
+    * Scale: one map-side-combined (nation, supplier) cents agg; the
+    * share/HHI arithmetic runs over the supplier-count-bounded
+    * aggregate with a broadcast nation-total rollup.
+    */
+  private def statHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Catalog.load(spark, sfDir, "lineitem")
+      .join(Catalog.load(spark, sfDir, "supplier"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey".cast("long").as("nationkey"), $"s_suppkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(14,2)") * 100)
+        .cast("long")).as("cents"))
+    val tot = rev.groupBy($"nationkey")
+      .agg(sum($"cents").as("total"), count(lit(1)).as("n_suppliers"))
+    rev.join(broadcast(tot), Seq("nationkey"))
+      .select($"nationkey", $"n_suppliers", $"total",
+        when($"total" > 9200000000000L, raise_error(lit(
+          "graft q_stat_hhi: share*1e6 overflows int64 beyond 9.2e12 " +
+            "cents per nation; rescale to dollars")))
+          .otherwise(expr("cents * 1000000 div total")).as("share_ppm"))
+      .groupBy($"nationkey")
+      .agg(first($"n_suppliers").as("n_suppliers"),
+        first($"total").as("total_cents"),
+        expr("cast(sum(share_ppm * share_ppm) div 1000000 as bigint)")
+          .as("hhi_ppm"),
+        max($"share_ppm").as("top_share_ppm"))
+      .orderBy($"nationkey".asc_nulls_first)
+  }
+
+  private val statHhiOracle = """
+    WITH rev AS (
+      SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_suppkey,
+        CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+          AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT nationkey, CAST(sum(cents) AS BIGINT) AS total,
+        CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY 1),
+    shares AS (
+      SELECT r.nationkey, t.n_suppliers, t.total,
+        CASE WHEN t.total > 9200000000000 THEN error(
+          'graft q_stat_hhi: share*1e6 overflows int64 beyond 9.2e12 cents per nation; rescale to dollars')
+        ELSE r.cents * 1000000 // t.total END AS share_ppm
+      FROM rev r JOIN tot t USING (nationkey))
+    SELECT nationkey, CAST(min(n_suppliers) AS BIGINT) AS n_suppliers,
+      CAST(min(total) AS BIGINT) AS total_cents,
+      CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+      CAST(max(share_ppm) AS BIGINT) AS top_share_ppm
+    FROM shares
+    GROUP BY 1
+    ORDER BY nationkey ASC NULLS FIRST"""
+
+  /** VOCABULARY RICHNESS PROFILE (hapax / type-token) — per source:
+    * token count, type count, hapax legomena (types seen once), and the
+    * exact ppm type-token + hapax ratios. The corpus-health panel a
+    * curation run reads next to `q_text_quality`: template-generated or
+    * deduplicate-worthy sources show depressed TTR and hapax share,
+    * while OCR noise inflates both.
+    *
+    * Scale: one (source, token) map-side-combined agg (vocabulary-
+    * bounded), then a per-source rollup of counts — the corpus is
+    * touched once.
+    */
+  private def textHapax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "documents")
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"source", $"n_tokens", $"n_types", $"n_hapax",
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
+  private val textHapaxOracle = """
+    WITH cnt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM cnt GROUP BY 1)
+    SELECT source, n_tokens, n_types, n_hapax,
+      CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+      CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
+    FROM agg
+    ORDER BY source ASC NULLS FIRST"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_audit_checksum", auditChecksum, Some(auditChecksumOracle)),
+    Q("q_stat_spearman", statSpearman, Some(statSpearmanOracle)),
+    Q("q_stat_hhi", statHhi, Some(statHhiOracle)),
+    Q("q_text_hapax", textHapax, Some(textHapaxOracle)),
+  )
+}
