@@ -44,6 +44,7 @@ object SparkEntry {
     MvOps,
     EvalOps,
     AuditStats,
+    graft.sources.DsV2,
   )
 
   lazy val all: Vector[Q] = {
