@@ -251,7 +251,101 @@ object Scalars extends QueryPack {
     FROM u
     ORDER BY doc_id ASC NULLS FIRST"""
 
+  /** VARIANT TYPE SURFACE (round 13 batch 7; Spark 4's semi-structured
+    * column type): a nested JSON document per order — object + array —
+    * is parsed ONCE into a `variant` value (binary-encoded, typed
+    * navigation; vs `q_json_extract`'s per-path string re-parse of
+    * `get_json_object`) and fields come out through `variant_get` with
+    * target types. The graded shape is the semi-structured ingest path
+    * at 100 TB: parse on ingest, store the variant, navigate it typed —
+    * not N string re-parses per row. Oracle = DuckDB JSON navigation
+    * over the SAME constructed string, so the whole parse→navigate→agg
+    * chain is value-graded.
+    */
+  private def jsonVariant(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .select(concat(
+        lit("{\"o\":{\"key\":"), $"o_orderkey",
+        lit(",\"cents\":"),
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"),
+        lit("},\"tags\":[\""), $"o_orderstatus",
+        lit("\",\""), $"o_orderpriority", lit("\"]}")).as("js"))
+      .select(parse_json($"js").as("v"))
+      .select(
+        expr("variant_get(v, '$.tags[1]', 'string')").as("priority"),
+        expr("variant_get(v, '$.tags[0]', 'string')").as("status"),
+        expr("variant_get(v, '$.o.cents', 'bigint')").as("cents"))
+      .groupBy($"priority", $"status")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("total_cents"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+      .orderBy($"priority".asc_nulls_first, $"status".asc_nulls_first)
+  }
+
+  private val jsonVariantOracle = """
+    WITH j AS (
+      SELECT '{"o":{"key":' || o_orderkey || ',"cents":'
+        || CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        || '},"tags":["' || o_orderstatus || '","' || o_orderpriority
+        || '"]}' AS js
+      FROM orders)
+    SELECT json_extract_string(js, '$.tags[1]') AS priority,
+      json_extract_string(js, '$.tags[0]') AS status,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(json_extract_string(js, '$.o.cents') AS BIGINT))
+        AS BIGINT) AS total_cents,
+      CAST(min(CAST(json_extract_string(js, '$.o.cents') AS BIGINT))
+        AS BIGINT) AS min_cents,
+      CAST(max(CAST(json_extract_string(js, '$.o.cents') AS BIGINT))
+        AS BIGINT) AS max_cents
+    FROM j
+    GROUP BY 1, 2
+    ORDER BY priority ASC NULLS FIRST, status ASC NULLS FIRST"""
+
+  /** COLLATION SURFACE (round 13 batch 7; Spark 4 string collations):
+    * case-insensitive comparison as a COLUMN PROPERTY rather than a
+    * lower() rewrite — distinct counts, equality, and counting under
+    * `UTF8_LCASE` over a deterministically mixed-cased segment column
+    * (even custkeys upper, odd lower). The engine-property difference
+    * matters at scale: a collated comparison keeps the ORIGINAL bytes
+    * (no derived column to materialize) and hashes/compares via the
+    * collation key. Output is collation-free scalars (counts), so the
+    * oracle mirrors with lower() — the classic rewrite the feature
+    * replaces.
+    */
+  private def strCollation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "customer")
+      .select($"c_custkey",
+        when(pmod($"c_custkey", lit(2)) === 0, upper($"c_mktsegment"))
+          .otherwise(lower($"c_mktsegment")).as("seg"))
+      .agg(
+        countDistinct($"seg").as("n_raw_distinct"),
+        countDistinct(expr("collate(seg, 'UTF8_LCASE')"))
+          .as("n_ci_distinct"),
+        sum(when(expr("collate(seg, 'UTF8_LCASE')") ===
+          lit("building"), 1L).otherwise(0L)).as("n_building"),
+        sum(when($"seg" === "BUILDING", 1L).otherwise(0L))
+          .as("n_building_upper"))
+  }
+
+  private val strCollationOracle = """
+    WITH m AS (
+      SELECT c_custkey,
+        CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+             ELSE lower(c_mktsegment) END AS seg
+      FROM customer)
+    SELECT CAST(count(DISTINCT seg) AS BIGINT) AS n_raw_distinct,
+      CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci_distinct,
+      CAST(sum(CASE WHEN lower(seg) = 'building' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_building,
+      CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_building_upper
+    FROM m"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_json_variant", jsonVariant, Some(jsonVariantOracle)),
+    Q("q_str_collation", strCollation, Some(strCollationOracle)),
     Q("q_str_url", strUrl, Some(strUrlOracle)),
     Q("q_str_funcs", strFuncs, Some("""
       SELECT c_custkey,
