@@ -45,6 +45,7 @@ object SparkEntry {
     EvalOps,
     AuditStats,
     graft.sources.DsV2,
+    LakeOps,
   )
 
   lazy val all: Vector[Q] = {

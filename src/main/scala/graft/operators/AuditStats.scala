@@ -263,8 +263,80 @@ object AuditStats extends QueryPack {
     FROM agg
     ORDER BY source ASC NULLS FIRST"""
 
+  /** ONE-PASS CORRELATION MATRIX — all 6 Pearson pairs over lineitem's
+    * four numeric columns (quantity units, price cents, discount cents,
+    * tax cents) from ONE aggregation of 15 exact moments; the matrix
+    * form of `q_stat_corr` (one pair) the profiling stage actually
+    * wants. Per pair: exact integer num/denx/deny (decimal(38,0)
+    * combination — n·Σxy − ΣxΣy stays under 10³⁸ beyond 10⁸ rows) and
+    * ρ as ONE fixed-association IEEE expression (the q_stat_spearman
+    * output contract).
+    *
+    * Scale: the corpus is touched ONCE — a single map-side-combined
+    * 15-aggregate pass; the 6-row matrix is a stack over the 1-row
+    * moment frame. Never 6 scans, never a shuffle per pair.
+    */
+  private def statCorrMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "lineitem").select(
+      $"l_quantity".cast("decimal(12,2)").cast("long").as("q"),
+      ($"l_extendedprice".cast("decimal(14,2)") * 100).cast("long").as("p"),
+      ($"l_discount".cast("decimal(12,2)") * 100).cast("long").as("d"),
+      ($"l_tax".cast("decimal(12,2)") * 100).cast("long").as("t"))
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cols = Seq("q", "p", "d", "t")
+    val moments = base.agg(
+      count(lit(1)).as("n"),
+      cols.flatMap(x => Seq(sum(dd(col(x))).as(s"s_$x"),
+        sum(dd(col(x)) * col(x)).as(s"s_${x}_$x"))) ++
+        cols.combinations(2).map { case Seq(x, y) =>
+          sum(dd(col(x)) * col(y)).as(s"s_${x}_$y") }: _*)
+    val pairExprs = cols.combinations(2).map { case Seq(x, y) =>
+      s"'${x}_$y', cast(n * s_${x}_$y - s_$x * s_$y as double), " +
+        s"cast(n * s_${x}_$x - s_$x * s_$x as double), " +
+        s"cast(n * s_${y}_$y - s_$y * s_$y as double)"
+    }.mkString(", ")
+    moments
+      .selectExpr(s"stack(6, $pairExprs) as (pair, num, denx, deny)")
+      .select($"pair", $"num", $"denx", $"deny",
+        ($"num" / sqrt($"denx" * $"deny")).as("corr"))
+      .orderBy($"pair".asc_nulls_first)
+  }
+
+  private val statCorrMatrixOracle = {
+    val cols = Seq("q", "p", "d", "t")
+    val pairSelects = cols.combinations(2).map { case Seq(x, y) =>
+      s"""SELECT '${x}_$y' AS pair,
+        CAST(n * s_${x}_$y - s_$x * s_$y AS DOUBLE) AS num,
+        CAST(n * s_${x}_$x - s_$x * s_$x AS DOUBLE) AS denx,
+        CAST(n * s_${y}_$y - s_$y * s_$y AS DOUBLE) AS deny,
+        CAST(n * s_${x}_$y - s_$x * s_$y AS DOUBLE)
+          / sqrt(CAST(n * s_${x}_$x - s_$x * s_$x AS DOUBLE)
+            * CAST(n * s_${y}_$y - s_$y * s_$y AS DOUBLE)) AS corr
+      FROM m"""
+    }.mkString(" UNION ALL ")
+    val sums = cols.flatMap(x => Seq(
+      s"CAST(sum(CAST($x AS HUGEINT)) AS HUGEINT) AS s_$x",
+      s"CAST(sum(CAST($x AS HUGEINT) * $x) AS HUGEINT) AS s_${x}_$x")) ++
+      cols.combinations(2).map { case Seq(x, y) =>
+        s"CAST(sum(CAST($x AS HUGEINT) * $y) AS HUGEINT) AS s_${x}_$y" }
+    s"""
+    WITH base AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS q,
+        CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS p,
+        CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS d,
+        CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS t
+      FROM lineitem),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, ${sums.mkString(", ")}
+      FROM base)
+    SELECT * FROM ($pairSelects)
+    ORDER BY pair ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_audit_checksum", auditChecksum, Some(auditChecksumOracle)),
+    Q("q_stat_corr_matrix", statCorrMatrix, Some(statCorrMatrixOracle)),
     Q("q_stat_spearman", statSpearman, Some(statSpearmanOracle)),
     Q("q_stat_hhi", statHhi, Some(statHhiOracle)),
     Q("q_text_hapax", textHapax, Some(textHapaxOracle)),

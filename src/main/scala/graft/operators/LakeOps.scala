@@ -1,0 +1,120 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, Q, QueryPack}
+
+/** SURVEY.md §2.A — LAKEHOUSE COMMIT LOG / TIME TRAVEL (round 13
+  * batch 8): the table-format read path under every modern lake table
+  * (Delta/Iceberg-shaped, re-expressed minimally): a table IS an ordered
+  * log of file-level add/remove actions; snapshot N is the live file set
+  * after replaying actions ≤ N, and time travel is replaying to an older
+  * N. The scratch table holds three deterministic orders slices across
+  * three commits — v1 adds file A, v2 appends file B, v3 REWRITES A into
+  * the smaller C (the delete/compact move) — and the graded query reads
+  * ALL THREE snapshots, reporting per version the row count, exact key
+  * sum and cents total. The oracle recomputes each snapshot's predicate
+  * directly over `orders`, so log replay + multi-file read is
+  * value-graded end-to-end (a wrong live-set reconstruction cannot
+  * hash-match).
+  *
+  * Scale posture: actions are METADATA — the log is O(commits) JSON
+  * lines read driver-side (exactly where every lakehouse keeps catalog
+  * state), never a data scan; a snapshot read plans only the live
+  * files' scans (here a union of parquet dirs — at 100 TB the same
+  * replay prunes thousands of dead files before planning). Data files
+  * are written ONCE per (application, sfDir) via the §A
+  * materialize-once contract; the timed pass measures the snapshot
+  * READS.
+  */
+object LakeOps extends QueryPack {
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the three-commit scratch table once per (app, sfDir). */
+  private def lakeDir(spark: SparkSession, sfDir: String): String =
+    built.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_").toString
+        val orders = Catalog.load(spark, sfDir, "orders")
+        val k = pmod($"o_orderkey", lit(10))
+        orders.filter(k < 3).write.parquet(s"$base/fileA")
+        orders.filter(k >= 3 && k < 6).write.parquet(s"$base/fileB")
+        orders.filter(k < 3 && $"o_orderstatus" === "F")
+          .write.parquet(s"$base/fileC")
+        val log = Seq(
+          """{"v":1,"op":"add","path":"fileA"}""",
+          """{"v":2,"op":"add","path":"fileB"}""",
+          """{"v":3,"op":"remove","path":"fileA"}""",
+          """{"v":3,"op":"add","path":"fileC"}""")
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  /** Replay the commit log to version `v` → live file paths. The log is
+    * catalog-state-sized and read driver-side by design. */
+  private def liveFiles(base: String, v: Int): Seq[String] = {
+    val lines = new String(
+      Files.readAllBytes(Paths.get(base, "_log.json")),
+      StandardCharsets.UTF_8).split("\n").toSeq
+    val acts = lines.map { l =>
+      val ver = """"v":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt
+      val op = """"op":"(\w+)"""".r.findFirstMatchIn(l).get.group(1)
+      val path = """"path":"(\w+)"""".r.findFirstMatchIn(l).get.group(1)
+      (ver, op, path)
+    }.filter(_._1 <= v)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    acts.foreach {
+      case (_, "add", p)    => live += p
+      case (_, "remove", p) => live -= p
+      case _                => ()
+    }
+    live.toSeq.map(p => s"$base/$p")
+  }
+
+  private def lakeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = lakeDir(spark, sfDir)
+    (1 to 3).map { v =>
+      spark.read.parquet(liveFiles(base, v): _*)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"),
+          sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+            .as("total_cents"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"key_sum",
+          $"total_cents")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeTimeTravelOracle = """
+    SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderkey % 10 < 3
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        AS BIGINT)
+    FROM orders WHERE o_orderkey % 10 < 6
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        AS BIGINT)
+    FROM orders
+    WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+       OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+    ORDER BY version ASC NULLS FIRST"""
+
+  override val queries: Vector[Q] = Vector(
+    Q("q_lake_time_travel", lakeTimeTravel, Some(lakeTimeTravelOracle)),
+  )
+}
