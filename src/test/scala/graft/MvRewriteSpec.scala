@@ -47,4 +47,38 @@ class MvRewriteSpec extends SparkTestBase {
     val flagship = SparkEntry.queries("q_agg_pricing_summary")(spark, sf0001)
     assert(scansFact(flagship))
   }
+
+  test("month-DERIVED grouping keys are not served the plain month column") {
+    // Round-12 advisory case: expressions that merely CONTAIN month(...)
+    // and reference only l_shipdate — (year*12+month)::long, (month%2)::long
+    // — must NOT match the rollup's mon key; a containment check would
+    // silently serve them wrong groups. The structural matcher requires
+    // exactly cast(month(l_shipdate) as long).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    SparkEntry.queries("q_mv_rewrite")(spark, sf0001).count() // register
+    val fact = Catalog.load(spark, sf0001, "lineitem")
+    for (key <- Seq(
+        (year($"l_shipdate") * 12 + month($"l_shipdate")).cast("long"),
+        (month($"l_shipdate") % 2).cast("long"))) {
+      val df = fact
+        .groupBy($"l_returnflag", key.as("mon"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"mon".asc_nulls_first)
+      assert(scansFact(df),
+        "derived-month key was rewritten off the fact scan:\n" +
+          df.queryExecution.optimizedPlan.toString.take(1500))
+      // Values must equal the same aggregation with the registry cleared.
+      val served = df.collect().toSeq
+      graft.plans.MvAggregateRewrite.clearForTest()
+      val raw = fact.groupBy($"l_returnflag", key.as("mon"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"mon".asc_nulls_first)
+        .collect().toSeq
+      assert(served == raw)
+      graft.operators.MvOps.clearForTest() // re-register for next loop
+      SparkEntry.queries("q_mv_rewrite")(spark, sf0001).count()
+    }
+    graft.operators.MvOps.clearForTest()
+  }
 }
