@@ -114,7 +114,65 @@ object LakeOps extends QueryPack {
        OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
     ORDER BY version ASC NULLS FIRST"""
 
+  /** CHANGE DATA FEED between consecutive snapshots (round 13 batch 9) —
+    * the incremental-read path downstream consumers run instead of
+    * re-scanning the table: for each commit v-1 → v, the log yields the
+    * files REMOVED and ADDED by that commit, and the NET row changes are
+    *   inserts = rows of added files whose key is absent from the removed
+    *             files (a rewrite that carries a row over is NOT a change),
+    *   deletes = rows of removed files whose key is absent from the added
+    *             files.
+    * On this log: v2 appends fileB (pure inserts), v3 rewrites A→C where C
+    * keeps only A's 'F' rows — so v3's CDF is zero inserts and exactly the
+    * non-F rows of A as deletes. The oracle recomputes both transitions
+    * from the base predicates, so the file-diff + key-anti-join netting is
+    * value-graded end-to-end (counting rewritten-but-unchanged rows as
+    * changes cannot hash-match).
+    *
+    * Scale posture: a CDF read scans ONLY the files the commit touched —
+    * never the table — and the netting is two anti-joins keyed on the
+    * table's key over those files alone (exactly how a format without
+    * row-level tracking must reconstruct row changes from a rewrite).
+    * Each side is commit-sized, so the join shuffles O(commit), not
+    * O(table); with AQE both sides of a small commit broadcast.
+    */
+  private def lakeCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = lakeDir(spark, sfDir)
+    def read(paths: Seq[String]): Option[DataFrame] =
+      if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    (2 to 3).map { v =>
+      val prev = liveFiles(base, v - 1).toSet
+      val cur = liveFiles(base, v).toSet
+      val added = read((cur -- prev).toSeq.sorted)
+      val removed = read((prev -- cur).toSeq.sorted)
+      def net(a: Option[DataFrame], b: Option[DataFrame]): Option[DataFrame] =
+        a.map(df => b.fold(df)(o =>
+          df.join(o.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")))
+      def sums(df: Option[DataFrame], n: String, s: String): DataFrame =
+        df.fold(spark.range(1).select(lit(0L).as(n), lit(0L).as(s)))(
+          _.agg(coalesce(count(lit(1)), lit(0L)).as(n),
+            coalesce(sum($"o_orderkey"), lit(0L)).cast("long").as(s)))
+      sums(net(added, removed), "n_inserted", "ins_key_sum")
+        .crossJoin(sums(net(removed, added), "n_deleted", "del_key_sum"))
+        .select(lit(v.toLong).as("version"), $"n_inserted", $"ins_key_sum",
+          $"n_deleted", $"del_key_sum")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeCdcOracle = """
+    SELECT CAST(2 AS BIGINT) AS version,
+      CAST(count(*) AS BIGINT) AS n_inserted,
+      CAST(sum(o_orderkey) AS BIGINT) AS ins_key_sum,
+      CAST(0 AS BIGINT) AS n_deleted, CAST(0 AS BIGINT) AS del_key_sum
+    FROM orders WHERE o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6
+    UNION ALL
+    SELECT 3, 0, 0, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey % 10 < 3 AND o_orderstatus <> 'F'
+    ORDER BY version ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_lake_time_travel", lakeTimeTravel, Some(lakeTimeTravelOracle)),
+    Q("q_lake_cdc", lakeCdc, Some(lakeCdcOracle)),
   )
 }

@@ -131,8 +131,65 @@ object MvOps extends QueryPack {
       .orderBy($"l_returnflag".asc_nulls_first, $"mon".asc_nulls_first)
   }
 
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE (round 13 batch 9) — the delta
+    * rule for a JOIN view under inserts on BOTH sides, the step up from
+    * [[mvIncremental]]'s single-table rollup: for view
+    * J = orders ⋈ customer (per-nation count + cents total),
+    * with ΔO = orders dated on/after [[IncCutoff]] and ΔC = customers
+    * whose custkey ≡ 0 (mod 10),
+    *
+    *   J_new = J_old ⊎ (ΔO ⋈ C_old) ⊎ (O_old ⋈ ΔC) ⊎ (ΔO ⋈ ΔC)
+    *
+    * where ⊎ is partial-state merge (sum of counts/sums per nation) —
+    * every cross term appears exactly once, the textbook bag-algebra
+    * delta. J_old is a checkpoint leaf (the stale view a refresh job
+    * maintains on disk); the three delta terms are the ONLY work:
+    * ΔO⋈C_old shuffles the order-delta against the dimension, the two
+    * ΔC terms broadcast the customer-delta (delta-sized by construction),
+    * and nothing recomputes O_old ⋈ C_old — refresh cost is
+    * O(Δ + |groups|) joins plus one O_old scan, never the old join. The
+    * oracle recomputes the view from the raw tables: identical results
+    * prove the four-term merge equals the full recompute.
+    */
+  private def mvJoinIncremental(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cents = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+    def part(df: DataFrame): DataFrame = df
+      .groupBy($"c_nationkey".cast("long").as("nation"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("cts"))
+    val orders = Catalog.load(spark, sfDir, "orders")
+    val customer = Catalog.load(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    val isNewC = pmod($"c_custkey", lit(10)) === 0
+    val oldO = orders.filter($"o_orderdate" < lit(IncCutoff).cast("date"))
+    val dO = orders.filter($"o_orderdate" >= lit(IncCutoff).cast("date"))
+    val oldC = customer.filter(!isNewC)
+    val dC = customer.filter(isNewC)
+    val jOld = GraphOps.memoEdgeLeaf(spark, sfDir, "mvStaleJoinView")(
+      part(oldO.join(oldC, $"o_custkey" === $"c_custkey")))
+    val deltas = Seq(
+      part(dO.join(oldC, $"o_custkey" === $"c_custkey")),
+      part(oldO.join(broadcast(dC), $"o_custkey" === $"c_custkey")),
+      part(dO.join(broadcast(dC), $"o_custkey" === $"c_custkey")))
+    (jOld +: deltas).reduce(_.unionByName(_))
+      .groupBy($"nation")
+      .agg(sum($"cnt").as("n_rows"), sum($"cts").cast("long").as("cents"))
+      .orderBy($"nation".asc_nulls_first)
+  }
+
+  private val mvJoinIncrementalOracle = """
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      count(*) AS n_rows,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        AS BIGINT) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    ORDER BY nation ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_mv_rewrite", mvRewrite, Some(mvRewriteOracle)),
     Q("q_mv_incremental", mvIncremental, Some(mvRewriteOracle)),
+    Q("q_mv_join_incremental", mvJoinIncremental, Some(mvJoinIncrementalOracle)),
   )
 }
