@@ -525,8 +525,78 @@ object Governance extends QueryPack {
     WHERE (cw + step - phase) // step - (cw - w + step - phase) // step >= 1
     ORDER BY o_orderkey ASC NULLS FIRST"""
 
+  /** T-CLOSENESS AUDIT (round 13 batch 10) — the third rung of the
+    * anonymity ladder after [[piiKanonymity]] (class size) and
+    * [[piiLdiversity]] (distinct sensitive values): how far each
+    * quasi-identifier class's SENSITIVE-ATTRIBUTE DISTRIBUTION sits from
+    * the table-wide distribution, as total-variation distance (the
+    * equal-ground-distance Earth-Mover's form of Li et al.'s t). QI
+    * classes = (nation, market segment); sensitive = order priority.
+    * Everything is exact integers: per class g and sensitive value s,
+    * |p_gs − q_s| = |c_gs·N − c_s·n_g| / (n_g·N), so
+    * tv_ppm = (Σ_s |c_gs·N − c_s·n_g| · 500000) div (n_g·N) — one
+    * integral division at the very end (the q_stat_hhi share pattern),
+    * products through decimal(38,0)/HUGEINT (c_gs·N ≤ N² needs >int64
+    * past SF~600). Missing (class, s) cells contribute c_s·n_g, made
+    * explicit by a bounded scaffold join (|classes|×|priorities| ≤ 625
+    * rows) — never a fact-sized fill.
+    *
+    * Scale: ONE map-side-combined pass over the joined fact builds the
+    * (class, s) cell counts; every later frame (class totals, global
+    * totals, scaffold, TV rollup) is bounded by the QI/sensitive domains.
+    * The audit costs a groupBy at any size.
+    */
+  private def piiTcloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cell = Catalog.load(spark, sfDir, "orders")
+      .join(Catalog.load(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".cast("long").as("nation"),
+        $"c_mktsegment".as("seg"), $"o_orderpriority".as("s"))
+      .groupBy($"nation", $"seg", $"s").agg(count(lit(1)).as("c_gs"))
+    val cls = cell.groupBy($"nation", $"seg").agg(sum($"c_gs").as("n_g"))
+    val glob = cell.groupBy($"s").agg(sum($"c_gs").as("c_s"))
+    val tot = glob.agg(sum($"c_s").as("n"))
+    cls.crossJoin(broadcast(glob))
+      .join(cell, Seq("nation", "seg", "s"), "left_outer")
+      .select($"nation", $"seg", $"n_g", $"c_s",
+        coalesce($"c_gs", lit(0L)).as("c_gs"))
+      .crossJoin(broadcast(tot))
+      .groupBy($"nation", $"seg", $"n_g", $"n")
+      .agg(sum(abs(dd($"c_gs") * $"n" - dd($"c_s") * $"n_g")).as("tv_num"))
+      .select($"nation", $"seg", $"n_g".as("class_size"),
+        expr("(tv_num * 500000) div (CAST(n_g AS DECIMAL(38,0)) * n)")
+          .as("tv_ppm"))
+      .orderBy($"tv_ppm".desc, $"nation".asc_nulls_first,
+        $"seg".asc_nulls_first)
+  }
+
+  private val piiTclosenessOracle = """
+    WITH cell AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS seg,
+        o_orderpriority AS s, CAST(count(*) AS HUGEINT) AS c_gs
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3),
+    cls AS (SELECT nation, seg, sum(c_gs) AS n_g FROM cell GROUP BY 1, 2),
+    gl AS (SELECT s, sum(c_gs) AS c_s FROM cell GROUP BY 1),
+    tot AS (SELECT sum(c_s) AS n FROM gl),
+    filled AS (
+      SELECT cls.nation, cls.seg, cls.n_g, gl.c_s,
+        COALESCE(cell.c_gs, 0) AS c_gs
+      FROM cls CROSS JOIN gl
+      LEFT JOIN cell ON cell.nation = cls.nation AND cell.seg = cls.seg
+        AND cell.s = gl.s)
+    SELECT nation, seg, CAST(n_g AS BIGINT) AS class_size,
+      CAST((sum(abs(c_gs * n - c_s * n_g)) * 500000) // (n_g * n)
+        AS BIGINT) AS tv_ppm
+    FROM filled CROSS JOIN tot
+    GROUP BY nation, seg, n_g, n
+    ORDER BY tv_ppm DESC, nation ASC NULLS FIRST, seg ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedOracle)),
+    Q("q_pii_tcloseness", piiTcloseness, Some(piiTclosenessOracle)),
     Q("q_quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiOracle)),
     Q("q_pii_kanonymity", piiKanonymity, Some(piiKanonymityOracle)),
     Q("q_pii_ldiversity", piiLdiversity, Some(piiLdiversityOracle)),
