@@ -836,7 +836,85 @@ object KMeansOps extends QueryPack {
     ORDER BY abs(p.proj) DESC, p.vec_id ASC
     LIMIT $ProjTopK"""
 
+  /** kNN MAJORITY-VOTE CLASSIFIER (round 13 batch 11) — the lazy-learner
+    * baseline beside the trained family ([[kmeansTrain]], naive Bayes,
+    * perceptron, trees): every 20th vector (vec_id ≡ 7 mod 20) is held out
+    * as a probe and classified by the majority label of its 5 nearest
+    * LABELED vectors under exact integer squared-L2 on the quantized
+    * embeddings (the [[kmQuant]] grid — sums bounded by 64·(4.4e6)² ≈
+    * 1.2e15, in int64). Both ranks are fully pinned: neighbor rank ties
+    * break by cand_id, vote ties by label — so the prediction is
+    * deterministic cross-engine. Output carries the true label and a 0/1
+    * correct flag, making the frame the confusion-matrix input.
+    *
+    * Scale: the probe set is a fixed 5% slice — broadcast-sized BY
+    * CONSTRUCTION (the [[simKnnBruteforce]] contract: corpus side never
+    * broadcast, scanned once); scoring is one corpus pass against the
+    * broadcast probes, the top-k window partitions by probe. At true
+    * 100-TB corpus scale the same query swaps the brute-force scorer for
+    * the IVF candidates ([[ivfTrainedProbe]]) with this frame unchanged.
+    */
+  private def mlKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val labels = Catalog.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label".cast("long").as("label"))
+    val quant = kmQuant(spark, sfDir).join(labels, Seq("vec_id"))
+    val isProbe = pmod($"vec_id", lit(20L)) === 7L
+    val probes = quant.filter(isProbe)
+      .select($"vec_id".as("probe_id"), $"e".as("pe"),
+        $"label".as("true_label"))
+    val train = quant.filter(!isProbe)
+      .select($"vec_id".as("cand_id"), $"e".as("ce"),
+        $"label".as("cand_label"))
+    val w = Window.partitionBy($"probe_id").orderBy($"d2".asc, $"cand_id".asc)
+    val vw = Window.partitionBy($"probe_id")
+      .orderBy($"votes".desc, $"cand_label".asc)
+    train.crossJoin(broadcast(probes))
+      .select($"probe_id", $"true_label", $"cand_id", $"cand_label",
+        sqDist($"ce", $"pe").as("d2"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .groupBy($"probe_id", $"true_label", $"cand_label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(vw)).filter($"vr" === 1)
+      .select($"probe_id", $"true_label", $"cand_label".as("pred_label"),
+        $"votes",
+        when($"cand_label" === $"true_label", 1L).otherwise(0L).as("correct"))
+      .orderBy($"probe_id".asc_nulls_first)
+  }
+
+  private val mlKnnClassifyOracle = """
+    WITH quant AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+        CAST(pos AS BIGINT) AS pos,
+        CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS e
+      FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+              unnest(embedding) AS v
+            FROM embeddings)),
+    p AS (SELECT * FROM quant WHERE vec_id % 20 = 7),
+    t AS (SELECT * FROM quant WHERE vec_id % 20 <> 7),
+    d AS (
+      SELECT p.vec_id AS probe_id, p.label AS true_label,
+        t.vec_id AS cand_id, t.label AS cand_label,
+        sum((p.e - t.e) * (p.e - t.e)) AS d2
+      FROM p JOIN t ON p.pos = t.pos
+      GROUP BY 1, 2, 3, 4),
+    top AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY d2 ASC, cand_id ASC) AS rk FROM d),
+    v AS (
+      SELECT probe_id, true_label, cand_label, count(*) AS votes
+      FROM top WHERE rk <= 5 GROUP BY 1, 2, 3),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+        ORDER BY votes DESC, cand_label ASC) AS vr FROM v)
+    SELECT probe_id, true_label, cand_label AS pred_label, votes,
+      CAST(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END AS BIGINT)
+        AS correct
+    FROM r WHERE vr = 1
+    ORDER BY probe_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_ml_knn_classify", mlKnnClassify, Some(mlKnnClassifyOracle)),
     Q("q_vec_covariance", vecCovariance, Some(vecCovarianceOracle)),
     Q("q_vec_project", vecProject, Some(vecProjectOracle)),
     Q("q_ml_kmeans_train", kmeansTrain, Some(kmeansTrainOracle)),
