@@ -334,7 +334,87 @@ object AuditStats extends QueryPack {
     ORDER BY pair ASC NULLS FIRST"""
   }
 
+  /** JOIN-KEY DISCOVERY PROFILE (round 13 batch 12) — the data-catalog
+    * pass that finds joinable columns across tables nobody documented:
+    * for every ORDERED pair of candidate key columns, the INCLUSION
+    * coefficient |dv(A) ∩ dv(B)| / |dv(A)| over distinct value sets — the
+    * score FK discovery ranks by (A ⊆ B at 10⁶ ppm ⇒ A is a foreign key
+    * into B; the symmetric pair of inclusions recovers Jaccard). Seven
+    * key-shaped columns across six tables; exact integer ppm via one
+    * integral division (non-negative dividends, the house `div` ↔ `//`
+    * contract).
+    *
+    * Scale: one DISTINCT per column (map-side combined, each a single
+    * shuffle on the value), ONE value-keyed equi self-join over the
+    * tagged union — candidate pairs emerge from shared values, never
+    * from an all-pairs column product — and a ≤|cols|² aggregate; the
+    * per-column cardinalities ride in on a broadcast 7-row frame. This
+    * is exactly the shape that scales to thousands of columns: value-
+    * keyed, df-cappable, never quadratic in rows.
+    */
+  private def profileJoinDiscovery(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq(
+      ("customer.c_custkey", "customer", "c_custkey"),
+      ("orders.o_custkey", "orders", "o_custkey"),
+      ("nation.n_nationkey", "nation", "n_nationkey"),
+      ("customer.c_nationkey", "customer", "c_nationkey"),
+      ("supplier.s_nationkey", "supplier", "s_nationkey"),
+      ("part.p_partkey", "part", "p_partkey"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"))
+    val dv = cols.map { case (tag, t, c) =>
+      Catalog.load(spark, sfDir, t)
+        .select(col(c).cast("long").as("v")).distinct()
+        .select(lit(tag).as("col_name"), $"v")
+    }.reduce(_.unionByName(_)).cache()
+    val counts = dv.groupBy($"col_name").agg(count(lit(1)).as("n_dv"))
+    dv.select($"col_name".as("col_a"), $"v")
+      .join(dv.select($"col_name".as("col_b"), $"v"), Seq("v"))
+      .filter($"col_a" =!= $"col_b")
+      .groupBy($"col_a", $"col_b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(counts.select($"col_name".as("col_a"),
+        $"n_dv".as("n_a"))), Seq("col_a"))
+      .join(broadcast(counts.select($"col_name".as("col_b"),
+        $"n_dv".as("n_b"))), Seq("col_b"))
+      .select($"col_a", $"col_b", $"n_a", $"n_b", $"n_common",
+        expr("n_common * 1000000 div n_a").as("incl_ppm"))
+      .orderBy($"incl_ppm".desc, $"col_a".asc_nulls_first,
+        $"col_b".asc_nulls_first)
+  }
+
+  private val profileJoinDiscoveryOracle = """
+    WITH dv AS (
+      SELECT 'customer.c_custkey' AS col_name,
+        CAST(c_custkey AS BIGINT) AS v FROM customer GROUP BY 2
+      UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT)
+        FROM orders GROUP BY 2
+      UNION ALL SELECT 'nation.n_nationkey', CAST(n_nationkey AS BIGINT)
+        FROM nation GROUP BY 2
+      UNION ALL SELECT 'customer.c_nationkey', CAST(c_nationkey AS BIGINT)
+        FROM customer GROUP BY 2
+      UNION ALL SELECT 'supplier.s_nationkey', CAST(s_nationkey AS BIGINT)
+        FROM supplier GROUP BY 2
+      UNION ALL SELECT 'part.p_partkey', CAST(p_partkey AS BIGINT)
+        FROM part GROUP BY 2
+      UNION ALL SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT)
+        FROM lineitem GROUP BY 2),
+    counts AS (SELECT col_name, count(*) AS n_dv FROM dv GROUP BY 1),
+    pairs AS (
+      SELECT a.col_name AS col_a, b.col_name AS col_b,
+        count(*) AS n_common
+      FROM dv a JOIN dv b ON a.v = b.v AND a.col_name <> b.col_name
+      GROUP BY 1, 2)
+    SELECT p.col_a, p.col_b, ca.n_dv AS n_a, cb.n_dv AS n_b, p.n_common,
+      CAST(p.n_common * 1000000 // ca.n_dv AS BIGINT) AS incl_ppm
+    FROM pairs p
+    JOIN counts ca ON ca.col_name = p.col_a
+    JOIN counts cb ON cb.col_name = p.col_b
+    ORDER BY incl_ppm DESC, col_a ASC NULLS FIRST, col_b ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_profile_join_discovery", profileJoinDiscovery,
+      Some(profileJoinDiscoveryOracle)),
     Q("q_audit_checksum", auditChecksum, Some(auditChecksumOracle)),
     Q("q_stat_corr_matrix", statCorrMatrix, Some(statCorrMatrixOracle)),
     Q("q_stat_spearman", statSpearman, Some(statSpearmanOracle)),

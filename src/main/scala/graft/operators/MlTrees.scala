@@ -413,7 +413,180 @@ object MlTrees extends QueryPack {
     FROM agg
     ORDER BY gain DESC, feature ASC"""
 
+  /** GRADIENT-BOOSTING ROUND (round 13 batch 12) — the sequential half of
+    * the GBDT story [[treeStump]] (split search) and [[treeDepth2]]
+    * (routing) open: TWO boosting rounds of regression stumps on squared
+    * loss, all-integer. Target y = order total in $1000 bins (domain
+    * ≤ ~550); f₀ = Σy div n; each round fits the stump maximizing the
+    * variance-reduction surrogate S_L² div n_L + S_R² div n_R over the
+    * residuals (squares through decimal(38,0) — S² ≈ 10²¹ at sf0.1
+    * overflows int64 — then ONE integral division back to int64, bounded
+    * by max|r|²·n), assigns each leaf the TRUNCATED mean
+    * sign(S)·(|S| div n) — symmetric truncation, because Spark `div`
+    * truncates toward zero while DuckDB `//` floors, and they agree only
+    * on non-negative dividends (the [[treeStump]] contract) — and updates
+    * residuals. Output = both rounds' chosen split, leaf values, and the
+    * post-round SSE (the training curve: SSE must fall).
+    *
+    * Scale: each round is the stump's ONE histogram pass (map-side
+    * combined, ≤52 groups) plus a 1-row broadcast routing join — cost is
+    * rounds × corpus, the GBDT contract; nothing driver-side.
+    */
+  private def mlBoostStump(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base0 = featureBase2(spark, sfDir).localCheckpoint(true)
+    val f0 = base0.agg(expr("sum(y) div count(1)").as("f0"))
+    var resid = base0.crossJoin(broadcast(f0))
+      .select($"f_month", $"f_nation", $"f_balbin", ($"y" - $"f0").as("r"))
+      .localCheckpoint(true)
+    val rounds = (1 to 2).map { k =>
+      val hist = resid
+        .select(explode(array(
+          struct(lit("month").as("feature"), $"f_month".as("bin")),
+          struct(lit("nation").as("feature"), $"f_nation".as("bin")),
+          struct(lit("balbin").as("feature"), $"f_balbin".as("bin")))).as("x"),
+          $"r")
+        .groupBy($"x.feature".as("feature"), $"x.bin".as("bin"))
+        .agg(count(lit(1)).as("n"), sum($"r").as("s"))
+      val wf = Window.partitionBy($"feature")
+      val wc = wf.orderBy($"bin".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val best = hist
+        .withColumn("nl", sum($"n").over(wc))
+        .withColumn("sl", sum($"s").over(wc))
+        .withColumn("tn", sum($"n").over(wf))
+        .withColumn("ts", sum($"s").over(wf))
+        .filter($"nl" < $"tn")
+        .select($"feature", $"bin".as("thr"), $"nl", $"sl",
+          ($"tn" - $"nl").as("nr"), ($"ts" - $"sl").as("sr"))
+        .withColumn("score",
+          expr("""CAST(sl AS DECIMAL(38,0)) * sl div nl
+                  + CAST(sr AS DECIMAL(38,0)) * sr div nr"""))
+        .withColumn("rn", row_number().over(Window.partitionBy()
+          .orderBy($"score".desc, $"feature".asc, $"thr".asc)))
+        .filter($"rn" === 1)
+        .select($"feature", $"thr", $"nl", $"sl", $"nr", $"sr", $"score",
+          expr("""case when sl >= 0 then sl div nl
+                  else -((-sl) div nl) end""").as("vl"),
+          expr("""case when sr >= 0 then sr div nr
+                  else -((-sr) div nr) end""").as("vr"))
+        .localCheckpoint(true)
+      resid = resid.crossJoin(broadcast(
+          best.select($"feature".as("bf"), $"thr".as("bt"),
+            $"vl".as("bvl"), $"vr".as("bvr"))))
+        .select($"f_month", $"f_nation", $"f_balbin",
+          ($"r" - when(when($"bf" === "month", $"f_month")
+            .when($"bf" === "nation", $"f_nation")
+            .otherwise($"f_balbin") <= $"bt", $"bvl").otherwise($"bvr"))
+            .as("r"))
+        .localCheckpoint(true)
+      val sse = resid.agg(
+        expr("CAST(sum(CAST(r AS DECIMAL(38,0)) * r) AS BIGINT)")
+          .as("sse_after"))
+      best.crossJoin(broadcast(sse))
+        .select(lit(k.toLong).as("round"), $"feature", $"thr",
+          $"nl", $"sl", $"nr", $"sr", $"vl", $"vr", $"sse_after")
+    }
+    rounds.reduce(_.unionByName(_)).orderBy($"round".asc_nulls_first)
+  }
+
+  private val mlBoostStumpOracle = {
+    // One boosting round over the residual CTE `src`: histogram →
+    // cumulative split candidates → argmax → leaf values.
+    def roundSql(src: String, tag: String): String = s"""
+    hist$tag AS (
+      SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(r) AS BIGINT) AS s
+      FROM (
+        SELECT 'month' AS feature, f_month AS bin, r FROM $src
+        UNION ALL SELECT 'nation', f_nation, r FROM $src
+        UNION ALL SELECT 'balbin', f_balbin, r FROM $src)
+      GROUP BY 1, 2),
+    cand$tag AS (
+      SELECT feature, bin AS thr, nl, sl, tn - nl AS nr, ts - sl AS sr,
+        CAST(CAST(sl AS HUGEINT) * sl // nl
+          + CAST(ts - sl AS HUGEINT) * (ts - sl) // (tn - nl) AS BIGINT)
+          AS score
+      FROM (
+        SELECT feature, bin,
+          CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS nl,
+          CAST(sum(s) OVER (PARTITION BY feature ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sl,
+          CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS tn,
+          CAST(sum(s) OVER (PARTITION BY feature) AS BIGINT) AS ts
+        FROM hist$tag)
+      WHERE nl < tn),
+    best$tag AS (
+      SELECT feature, thr, nl, sl, nr, sr, score,
+        CASE WHEN sl >= 0 THEN sl // nl ELSE -((-sl) // nl) END AS vl,
+        CASE WHEN sr >= 0 THEN sr // nr ELSE -((-sr) // nr) END AS vr
+      FROM cand$tag
+      ORDER BY score DESC, feature ASC, thr ASC LIMIT 1)"""
+    s"""
+    WITH base0 AS (
+      SELECT f_month, f_nation, f_balbin,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+          // 100000 AS y
+      FROM (${featureBase2Sql}) fb),
+    r1src AS (
+      SELECT f_month, f_nation, f_balbin,
+        y - (SELECT CAST(sum(y) AS BIGINT) // count(*) FROM base0) AS r
+      FROM base0),
+    ${roundSql("r1src", "1")},
+    r2src AS (
+      SELECT f_month, f_nation, f_balbin,
+        r - (CASE WHEN (CASE b.feature WHEN 'month' THEN f_month
+                        WHEN 'nation' THEN f_nation
+                        ELSE f_balbin END) <= b.thr
+             THEN b.vl ELSE b.vr END) AS r
+      FROM r1src CROSS JOIN best1 b),
+    ${roundSql("r2src", "2")},
+    r3src AS (
+      SELECT r - (CASE WHEN (CASE b.feature WHEN 'month' THEN f_month
+                             WHEN 'nation' THEN f_nation
+                             ELSE f_balbin END) <= b.thr
+                  THEN b.vl ELSE b.vr END) AS r
+      FROM r2src CROSS JOIN best2 b)
+    SELECT CAST(1 AS BIGINT) AS round, feature, thr, nl, sl, nr, sr, vl, vr,
+      (SELECT CAST(sum(CAST(r AS HUGEINT) * r) AS BIGINT) FROM r2src)
+        AS sse_after
+    FROM best1
+    UNION ALL
+    SELECT 2, feature, thr, nl, sl, nr, sr, vl, vr,
+      (SELECT CAST(sum(CAST(r AS HUGEINT) * r) AS BIGINT) FROM r3src)
+    FROM best2
+    ORDER BY round ASC NULLS FIRST"""
+  }
+
+  /** [[featureBase]] plus the regression target: order total in $1000
+    * bins (y = cents div 100000, domain ≤ ~550 — keeps every residual
+    * moment int64-expressible after one decimal square). */
+  private def featureBase2(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir)("orders")
+      .join(table(spark, sfDir)("customer"),
+        $"o_custkey" === $"c_custkey")
+      .select(
+        month($"o_orderdate").cast("long").as("f_month"),
+        $"c_nationkey".cast("long").as("f_nation"),
+        expr("(cast(c_acctbal * 100 as long) + 100000) div 75000")
+          .as("f_balbin"),
+        expr("""cast(cast(o_totalprice as decimal(14,2)) * 100 as long)
+                div 100000""").as("y"))
+  }
+
+  private def featureBase2Sql = """
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS f_month,
+        CAST(c_nationkey AS BIGINT) AS f_nation,
+        (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 75000 AS f_balbin,
+        o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_ml_boost_stump", mlBoostStump, Some(mlBoostStumpOracle)),
     Q("q_ml_tree_stump", treeStump, Some(treeStumpOracle)),
     Q("q_ml_tree_depth2", treeDepth2, Some(treeDepth2Oracle)),
     Q("q_ml_perceptron", perceptron, Some(perceptronOracle)),

@@ -884,7 +884,7 @@ object Streams extends QueryPack {
     GROUP BY n.n_name
     ORDER BY n.n_name ASC NULLS FIRST"""
 
-  /** The ELEVENTH graded real-streaming run (round 13 batch 11):
+  /** The TWELFTH graded real-streaming run (round 13 batch 11):
     * STREAMING INGESTION INTO A LAKE TABLE — each micro-batch lands as an
     * ATOMIC commit in the [[graft.operators.LakeOps]] log shape (write the
     * batch's rows to a fresh data dir, then append ONE add action to the
