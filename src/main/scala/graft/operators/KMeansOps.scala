@@ -913,8 +913,77 @@ object KMeansOps extends QueryPack {
     FROM r WHERE vr = 1
     ORDER BY probe_id ASC NULLS FIRST"""
 
+  /** PER-CLASS CLASSIFICATION REPORT (round 13 batch 13) — precision and
+    * recall per label over the [[mlKnnClassify]] predictions: the eval
+    * frame every model comparison reads (beside the threshold-free
+    * `q_eval_auc` and the retrieval-side `q_eval_mrr`). For each label c:
+    * n_true (support), n_pred, n_correct (diagonal of the confusion
+    * matrix), precision/recall in exact ppm with a −1 sentinel where the
+    * denominator is empty (DuckDB `// 0` raises where Spark yields null —
+    * the sentinel keeps both engines on one text). Classes come from a
+    * full-outer merge of the true-side and pred-side rollups, so a label
+    * that is never predicted (or never true) still reports.
+    *
+    * Scale: everything downstream of the classifier is label-bounded
+    * (≤ |classes| rows); the classifier pass itself is the one corpus
+    * scan.
+    */
+  private def mlClassReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val preds = mlKnnClassify(spark, sfDir)
+    val t = preds.groupBy($"true_label".as("label"))
+      .agg(count(lit(1)).as("n_true"), sum($"correct").as("n_correct"))
+    val p = preds.groupBy($"pred_label".as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    t.join(p, Seq("label"), "full_outer")
+      .select($"label",
+        coalesce($"n_true", lit(0L)).as("n_true"),
+        coalesce($"n_pred", lit(0L)).as("n_pred"),
+        coalesce($"n_correct", lit(0L)).as("n_correct"))
+      .select($"label", $"n_true", $"n_pred", $"n_correct",
+        when($"n_pred" === 0L, lit(-1L))
+          .otherwise(expr("n_correct * 1000000 div n_pred"))
+          .as("precision_ppm"),
+        when($"n_true" === 0L, lit(-1L))
+          .otherwise(expr("n_correct * 1000000 div n_true"))
+          .as("recall_ppm"))
+      .orderBy($"label".asc_nulls_first)
+  }
+
+  private val mlClassReportOracle = {
+    // The knn chain verbatim, then the label-bounded report.
+    val cut = mlKnnClassifyOracle
+      .indexOf("SELECT probe_id, true_label, cand_label AS pred_label")
+    require(cut > 0, "knn oracle final select not found")
+    val knnCtes = mlKnnClassifyOracle.take(cut).trim
+    s"""$knnCtes,
+    preds AS (
+      SELECT probe_id, true_label, cand_label AS pred_label,
+        CASE WHEN cand_label = true_label THEN 1 ELSE 0 END AS correct
+      FROM r WHERE vr = 1),
+    t2 AS (
+      SELECT true_label AS label, count(*) AS n_true,
+        CAST(sum(correct) AS BIGINT) AS n_correct
+      FROM preds GROUP BY 1),
+    p2 AS (SELECT pred_label AS label, count(*) AS n_pred
+           FROM preds GROUP BY 1)
+    SELECT COALESCE(t2.label, p2.label) AS label,
+      COALESCE(n_true, 0) AS n_true,
+      COALESCE(n_pred, 0) AS n_pred,
+      COALESCE(n_correct, 0) AS n_correct,
+      CAST(CASE WHEN COALESCE(n_pred, 0) = 0 THEN -1
+        ELSE COALESCE(n_correct, 0) * 1000000 // n_pred END AS BIGINT)
+        AS precision_ppm,
+      CAST(CASE WHEN COALESCE(n_true, 0) = 0 THEN -1
+        ELSE COALESCE(n_correct, 0) * 1000000 // n_true END AS BIGINT)
+        AS recall_ppm
+    FROM t2 FULL OUTER JOIN p2 ON t2.label = p2.label
+    ORDER BY label ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_ml_knn_classify", mlKnnClassify, Some(mlKnnClassifyOracle)),
+    Q("q_ml_class_report", mlClassReport, Some(mlClassReportOracle)),
     Q("q_vec_covariance", vecCovariance, Some(vecCovarianceOracle)),
     Q("q_vec_project", vecProject, Some(vecProjectOracle)),
     Q("q_ml_kmeans_train", kmeansTrain, Some(kmeansTrainOracle)),

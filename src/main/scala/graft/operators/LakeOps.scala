@@ -48,11 +48,19 @@ object LakeOps extends QueryPack {
         orders.filter(k >= 3 && k < 6).write.parquet(s"$base/fileB")
         orders.filter(k < 3 && $"o_orderstatus" === "F")
           .write.parquet(s"$base/fileC")
+        // v4 COMPACTS B and C into D. The compactor reads ONLY the live
+        // data files (never the source table) — the file-level rewrite a
+        // real table service runs; row content is untouched by contract.
+        spark.read.parquet(s"$base/fileB", s"$base/fileC")
+          .write.parquet(s"$base/fileD")
         val log = Seq(
           """{"v":1,"op":"add","path":"fileA"}""",
           """{"v":2,"op":"add","path":"fileB"}""",
           """{"v":3,"op":"remove","path":"fileA"}""",
-          """{"v":3,"op":"add","path":"fileC"}""")
+          """{"v":3,"op":"add","path":"fileC"}""",
+          """{"v":4,"op":"remove","path":"fileB"}""",
+          """{"v":4,"op":"remove","path":"fileC"}""",
+          """{"v":4,"op":"add","path":"fileD"}""")
         Files.write(Paths.get(base, "_log.json"),
           log.mkString("\n").getBytes(StandardCharsets.UTF_8))
         base
@@ -171,8 +179,48 @@ object LakeOps extends QueryPack {
     FROM orders WHERE o_orderkey % 10 < 3 AND o_orderstatus <> 'F'
     ORDER BY version ASC NULLS FIRST"""
 
+  /** COMPACTION COMMIT (round 13 batch 13) — the table-service move every
+    * lakehouse runs nightly: commit v4 rewrites the two live small files
+    * (B, C) into one (D) as a pure METADATA swap (remove, remove, add in
+    * ONE commit) whose invariant is that the DATA is untouched — readers
+    * at v3 and v4 must see byte-identical rows while the file count
+    * drops 2 → 1. The graded query reads BOTH snapshots (file count from
+    * the log replay, row count + exact key sum from the data) and the
+    * oracle states the invariant directly: the same predicate rows twice,
+    * with only n_files differing. The compactor itself read ONLY the live
+    * data files, never the source table — at 100 TB compaction cost
+    * scales with the small-file set it collapses, not the table.
+    */
+  private def lakeCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = lakeDir(spark, sfDir)
+    (3 to 4).map { v =>
+      val files = liveFiles(base, v)
+      spark.read.parquet(files: _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"))
+        .select(lit(v.toLong).as("version"),
+          lit(files.size.toLong).as("n_files"), $"n_rows", $"key_sum")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeCompactOracle = """
+    SELECT CAST(3 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+       OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+    UNION ALL
+    SELECT 4, 1, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders
+    WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+       OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+    ORDER BY version ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_lake_time_travel", lakeTimeTravel, Some(lakeTimeTravelOracle)),
     Q("q_lake_cdc", lakeCdc, Some(lakeCdcOracle)),
+    Q("q_lake_compact", lakeCompact, Some(lakeCompactOracle)),
   )
 }
