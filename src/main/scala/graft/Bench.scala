@@ -75,7 +75,8 @@ object Bench {
         // Round-13 batch 9: q_mv_join_incremental warms the stale
         // join-view leaf (the timed pass measures the delta-rule refresh,
         // the declared steady state); q_lake_cdc shares the lake scratch.
-        "q_mv_join_incremental", "q_lake_cdc", "q_lake_compact"))
+        "q_mv_join_incremental", "q_lake_cdc", "q_lake_compact",
+        "q_lake_merge"))
       .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.
