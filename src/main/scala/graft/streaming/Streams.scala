@@ -958,7 +958,73 @@ object Streams extends QueryPack {
     GROUP BY event_type
     ORDER BY event_type ASC NULLS FIRST"""
 
+  /** The THIRTEENTH graded real-streaming run (round 13 batch 15): the
+    * Spark-4 `transformWithState` ARBITRARY-STATE API (the successor of
+    * flatMapGroupsWithState graded by `q_stream_transform_state`) on the
+    * RocksDB state-store provider it requires — a typed
+    * [[TwsCountProcessor]] keeps one ValueState[(count, max ts micros)]
+    * per user and emits the running pair every batch. Both components are
+    * MONOTONE in batch order, so the merge-on-read (max per user over the
+    * foreachBatch-landed emissions) equals the batch aggregate under ANY
+    * micro-batch split — the [[foreachBatchSink]] argmax contract carried
+    * to the new API. The provider conf is scoped to a `newSession` clone,
+    * never the shared session.
+    */
+  private def streamTws(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_tws_src_")
+    linkEventsInto(srcDir, sfDir)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_tws_ck_")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_tws_out_")
+    val physical = s2.read.parquet(s"$sfDir/events.parquet").schema
+    val tsNorm = physical("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => expr("cast(ts as timestamp)")
+    }
+    val q = s2.readStream.schema(physical).parquet(srcDir.toString)
+      .select(col("user_id").cast("long").as("_1"),
+        unix_micros(tsNorm).as("_2"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TwsCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_events", "max_ts_us")
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val merged = spark.read.parquet(outDir.toString)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("max_ts_us")).as("max_ts_us"))
+      .orderBy(col("user_id").asc_nulls_first)
+      .localCheckpoint(true)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    rmTree(outDir)
+    merged
+  }
+
+  private val streamTwsSql = """
+    SELECT user_id, count(*) AS n_events,
+      CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_stream_tws", streamTws, Some(streamTwsSql)),
     Q("q_stream_lake_sink", streamLakeSink, Some(streamLakeSinkSql)),
     Q("q_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
@@ -1028,4 +1094,38 @@ object Streams extends QueryPack {
       GROUP BY v.view_id, v.user_id, v.view_ts
       ORDER BY v.view_id ASC NULLS FIRST""")),
   )
+}
+
+/** Typed processor for [[Streams]]' `q_stream_tws`: one
+  * (count, max ts micros) ValueState per user on the new Spark-4
+  * `transformWithState` API; emits the running pair every batch. Both
+  * components are monotone in batch order, so max-per-user over the
+  * landed emissions equals the final state under any micro-batch split.
+  */
+private[streaming] class TwsCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("agg",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Long)],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    val (c0, m0) = if (st.exists()) st.get() else (0L, Long.MinValue)
+    var c = c0
+    var m = m0
+    rows.foreach { r => c += 1; if (r._2 > m) m = r._2 }
+    st.update((c, m))
+    Iterator.single((key, c, m))
+  }
 }
