@@ -575,7 +575,47 @@ object RelationalExtras extends QueryPack {
     ORDER BY score DESC, key_a ASC NULLS FIRST, key_b ASC NULLS FIRST
     LIMIT 25"""
 
+  /** JARO-WINKLER CANDIDATE RANKING (round 13 batch 16) — the fuzzy
+    * name-match scorer beside [[erBlocking]]'s edit-distance screen:
+    * the same (brand, type) blocked pair frame ranked by the native
+    * [[graft.plans.JaroWinkler]] codegen expression (prefix-weighted,
+    * transposition-tolerant — the right similarity for product/person
+    * names, which Spark lacks natively). Scores round to 4 decimals
+    * BEFORE ranking (the q_math_funcs rule: last-ulp association
+    * differences between engines cannot flip a rank), ties pinned by the
+    * pair keys; DuckDB's `jaro_winkler_similarity` is the oracle, so the
+    * expression's semantics — match window, half-transpositions, 0.7
+    * boost threshold, 4-char prefix cap — are value-graded end-to-end.
+    *
+    * Scale: candidates come from the bounded blocking join (never
+    * all-pairs); the scorer is one whole-stage-codegen'd scan expression.
+    */
+  private def erJaroWinkler(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val p = Catalog.load(spark, sfDir, "part")
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type")
+    p.as("a").join(p.as("b"), Seq("p_brand", "p_type"))
+      .filter($"a.p_partkey" < $"b.p_partkey")
+      .select($"p_brand", $"p_type",
+        $"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
+        $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+        round(expr("graft_jaro_winkler(a.p_name, b.p_name)"), 4).as("jw"))
+      .orderBy($"jw".desc, $"key_a".asc_nulls_first, $"key_b".asc_nulls_first)
+      .limit(25)
+  }
+
+  private val erJaroWinklerOracle = """
+    SELECT a.p_brand, a.p_type, a.p_partkey AS key_a, b.p_partkey AS key_b,
+      a.p_name AS name_a, b.p_name AS name_b,
+      round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    ORDER BY jw DESC, key_a ASC NULLS FIRST, key_b ASC NULLS FIRST
+    LIMIT 25"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_er_jaro_winkler", erJaroWinkler, Some(erJaroWinklerOracle)),
     Q("q_er_blocking", erBlocking, Some(erBlockingOracle)),
     Q("q_er_sorted_neighborhood", erSortedNeighborhood,
       Some(erSortedNeighborhoodOracle)),

@@ -220,6 +220,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BitmapAndCard].getName,
         "graft_bitmap_and_card"),
       (children: Seq[Expression]) => BitmapAndCard(children(0), children(1))))
+    // Fuzzy name matching for entity resolution (JaroWinkler.scala) —
+    // prefix-weighted, transposition-tolerant similarity Spark lacks;
+    // semantics pinned against DuckDB's jaro_winkler_similarity.
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
     // Optimizer surface: banded edit-distance predicates (length guard +
     // threshold DP) — see LevenshteinPruning's equivalence proof.
     ext.injectOptimizerRule(_ => LevenshteinPruning)
