@@ -280,6 +280,90 @@ object Joins extends QueryPack {
       .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
   }
 
+  /** FEATURE-STORE MULTI-TABLE POINT-IN-TIME JOIN (round 13 batch 17) —
+    * the enrichment shape a training pipeline runs at scale: ONE probe
+    * spine (user × 3 training cut dates) picks, per feature table, the
+    * latest value known AT the cut — no feature from the future (leakage),
+    * no stale join key. Two CHAINED [[graft.plans.AsOfJoin]] merge execs,
+    * BOTH outer: backward as-of against the events stream, then backward
+    * as-of against orders (o_orderdate as the validity time) — entities
+    * with no history on a side keep NULL features, the feature-store
+    * contract (the spine is the full customer population, never just the
+    * event-active slice). Each as-of is the custom co-sorted streaming
+    * merge: candidates are never materialized, state is one row per
+    * (key, probe).
+    *
+    * Scale: k feature tables cost k merge passes over co-partitioned
+    * sorts — never a k-way candidate blow-up; the spine rides through
+    * unchanged, which is exactly how a feature store serves thousands of
+    * features without re-keying the world.
+    */
+  private def joinPitMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    // The spine is the full CUSTOMER population (not just event-active
+    // users) — the feature-store contract: every entity gets a row per
+    // cut, features NULL where nothing is known yet. Both arms outer.
+    val probes = Catalog.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("user_id"))
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-08").cast("timestamp"),
+        lit("2024-01-15").cast("timestamp"),
+        lit("2024-01-22").cast("timestamp"))))
+    val step1 = graft.plans.AsOfJoin.asof(probes, e,
+        leftKey = "user_id", leftTime = "probe_ts",
+        rightKey = "user_id", rightTime = "ts", rightTie = "event_id",
+        outer = true)
+      .toDF("user_id", "probe_ts", "r_user", "last_event_id", "e_ts",
+        "last_value")
+      .select($"user_id", $"probe_ts", $"last_event_id", $"last_value")
+    val o = Catalog.load(spark, sfDir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("timestamp").as("o_ts"),
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+          .as("cents"))
+    graft.plans.AsOfJoin.asof(step1, o,
+        leftKey = "user_id", leftTime = "probe_ts",
+        rightKey = "o_custkey", rightTime = "o_ts", rightTie = "o_orderkey",
+        outer = true)
+      .toDF("user_id", "probe_ts", "last_event_id", "last_value",
+        "o_custkey", "last_order_key", "o_ts", "last_order_cents")
+      .select($"user_id", $"probe_ts", $"last_event_id", $"last_value",
+        $"last_order_key", $"last_order_cents")
+      .orderBy($"user_id".asc_nulls_first, $"probe_ts".asc_nulls_first)
+  }
+
+  private val joinPitMultiOracle = """
+    WITH probes AS (
+      SELECT c_custkey AS user_id, p.probe_ts
+      FROM customer, (VALUES (TIMESTAMP '2024-01-08'),
+                             (TIMESTAMP '2024-01-15'),
+                             (TIMESTAMP '2024-01-22')) p(probe_ts)),
+    e1 AS (
+      SELECT pr.user_id, pr.probe_ts, e.event_id, e.value,
+        row_number() OVER (PARTITION BY pr.user_id, pr.probe_ts
+                           ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM probes pr JOIN events e
+        ON e.user_id = pr.user_id AND e.ts <= pr.probe_ts),
+    o1 AS (
+      SELECT pr.user_id, pr.probe_ts, o.o_orderkey,
+        CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+        row_number() OVER (PARTITION BY pr.user_id, pr.probe_ts
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM probes pr JOIN orders o
+        ON o.o_custkey = pr.user_id
+       AND CAST(o.o_orderdate AS TIMESTAMP) <= pr.probe_ts)
+    SELECT p.user_id, p.probe_ts,
+      e.event_id AS last_event_id, e.value AS last_value,
+      o.o_orderkey AS last_order_key, o.cents AS last_order_cents
+    FROM probes p
+    LEFT JOIN (SELECT * FROM e1 WHERE rn = 1) e
+      ON e.user_id = p.user_id AND e.probe_ts = p.probe_ts
+    LEFT JOIN (SELECT * FROM o1 WHERE rn = 1) o
+      ON o.user_id = p.user_id AND o.probe_ts = p.probe_ts
+    ORDER BY p.user_id ASC NULLS FIRST, p.probe_ts ASC NULLS FIRST"""
+
   /** FORWARD as-of join (added round 11 — completes the direction set:
     * backward / forward / nearest / outer): each probe picks the EARLIEST
     * event AT OR AFTER it (ties → lowest event_id) — the "next reading
@@ -919,6 +1003,7 @@ object Joins extends QueryPack {
       ORDER BY user_id ASC NULLS FIRST, probe_ts ASC NULLS FIRST""")),
     Q("q_join_asof", joinAsof, Some(asofOracle)),
     Q("q_join_asof_merge", joinAsofMerge, Some(asofOracle)),
+    Q("q_join_pit_multi", joinPitMulti, Some(joinPitMultiOracle)),
     Q("q_join_asof_forward", joinAsofForward, Some(joinAsofForwardOracle)),
     Q("q_join_asof_tolerance", joinAsofTolerance,
       Some(joinAsofToleranceOracle)),

@@ -871,7 +871,10 @@ object KMeansOps extends QueryPack {
       .orderBy($"votes".desc, $"cand_label".asc)
     train.crossJoin(broadcast(probes))
       .select($"probe_id", $"true_label", $"cand_id", $"cand_label",
-        sqDist($"ce", $"pe").as("d2"))
+        // Fused codegen distance (graft.plans.SqDistLong) — integer-exact
+        // equal to the composed zip_with/aggregate fold, ~4x faster on
+        // this |train|x|probes| scoring pass.
+        expr("graft_sqdist_long(ce, pe)").as("d2"))
       .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
       .groupBy($"probe_id", $"true_label", $"cand_label")
       .agg(count(lit(1)).as("votes"))

@@ -220,6 +220,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BitmapAndCard].getName,
         "graft_bitmap_and_card"),
       (children: Seq[Expression]) => BitmapAndCard(children(0), children(1))))
+    // Quantized squared-L2 distance as one fused codegen loop
+    // (SqDistLong.scala) — the nearest-neighbor hot path beside
+    // graft_dot_long; integer-exact, same values as the composed fold.
+    ext.injectFunction((
+      FunctionIdentifier("graft_sqdist_long"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist_long"),
+      (children: Seq[Expression]) => SqDistLong(children(0), children(1))))
     // Fuzzy name matching for entity resolution (JaroWinkler.scala) —
     // prefix-weighted, transposition-tolerant similarity Spark lacks;
     // semantics pinned against DuckDB's jaro_winkler_similarity.
