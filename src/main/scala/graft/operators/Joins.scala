@@ -364,6 +364,64 @@ object Joins extends QueryPack {
       ON o.user_id = p.user_id AND o.probe_ts = p.probe_ts
     ORDER BY p.user_id ASC NULLS FIRST, p.probe_ts ASC NULLS FIRST"""
 
+  /** JOIN CARDINALITY WITHOUT THE JOIN (round 13 batch 18) — the
+    * estimator every cost-based planner runs before committing to a join
+    * order: |A ⋈_k B| = Σ_k cnt_A(k)·cnt_B(k), computed from the two
+    * per-key count aggregates JOINED ON THE KEY — two map-side-combined
+    * group-bys plus a count-frame join, never the data join itself. The
+    * graded output carries BOTH the prediction and the actually-executed
+    * join's count for two shapes (the lineitem partkey SELF-join — the
+    * Σc² skew diagnostic — and orders ⋈ lineitem on orderkey); the hash
+    * grade pins prediction = actual, the identity that makes per-key
+    * histograms sufficient statistics for equi-join sizing. At 100 TB
+    * the count frames are |distinct keys| rows where the join is |output|
+    * rows — this is why planners carry histograms, demonstrated rather
+    * than asserted.
+    */
+  private def joinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Catalog.load(spark, sfDir, "lineitem")
+    val o = Catalog.load(spark, sfDir, "orders")
+    val cntPart = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+    val selfPred = cntPart
+      .agg(sum($"c" * $"c").cast("long").as("predicted"))
+    val selfActual = li.select($"l_partkey".as("k")).as("a")
+      .join(li.select($"l_partkey".as("k")).as("b"), Seq("k"))
+      .agg(count(lit(1)).as("actual"))
+    val cntLo = li.groupBy($"l_orderkey").agg(count(lit(1)).as("cl"))
+    val cntOo = o.groupBy($"o_orderkey").agg(count(lit(1)).as("co"))
+    val olPred = cntLo
+      .join(cntOo, $"l_orderkey" === $"o_orderkey")
+      .agg(sum($"cl" * $"co").cast("long").as("predicted"))
+    val olActual = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("actual"))
+    selfPred.crossJoin(selfActual)
+      .select(lit("lineitem_self_partkey").as("join_shape"),
+        $"predicted", $"actual")
+      .unionByName(olPred.crossJoin(olActual)
+        .select(lit("orders_lineitem_orderkey").as("join_shape"),
+          $"predicted", $"actual"))
+      .orderBy($"join_shape".asc_nulls_first)
+  }
+
+  private val joinCardinalityOracle = """
+    SELECT 'lineitem_self_partkey' AS join_shape,
+      (SELECT CAST(sum(c * c) AS BIGINT)
+       FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+        AS predicted,
+      (SELECT count(*) FROM lineitem a JOIN lineitem b
+        ON a.l_partkey = b.l_partkey) AS actual
+    UNION ALL
+    SELECT 'orders_lineitem_orderkey',
+      (SELECT CAST(sum(cl * co) AS BIGINT)
+       FROM (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem
+             GROUP BY 1) l
+       JOIN (SELECT o_orderkey AS k, count(*) AS co FROM orders
+             GROUP BY 1) o ON l.k = o.k),
+      (SELECT count(*) FROM lineitem JOIN orders
+        ON l_orderkey = o_orderkey)
+    ORDER BY join_shape ASC NULLS FIRST"""
+
   /** FORWARD as-of join (added round 11 — completes the direction set:
     * backward / forward / nearest / outer): each probe picks the EARLIEST
     * event AT OR AFTER it (ties → lowest event_id) — the "next reading
@@ -1004,6 +1062,7 @@ object Joins extends QueryPack {
     Q("q_join_asof", joinAsof, Some(asofOracle)),
     Q("q_join_asof_merge", joinAsofMerge, Some(asofOracle)),
     Q("q_join_pit_multi", joinPitMulti, Some(joinPitMultiOracle)),
+    Q("q_join_cardinality", joinCardinality, Some(joinCardinalityOracle)),
     Q("q_join_asof_forward", joinAsofForward, Some(joinAsofForwardOracle)),
     Q("q_join_asof_tolerance", joinAsofTolerance,
       Some(joinAsofToleranceOracle)),

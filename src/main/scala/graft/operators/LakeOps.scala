@@ -325,6 +325,13 @@ object LakeOps extends QueryPack {
     FROM merged GROUP BY 1
     ORDER BY o_orderstatus ASC NULLS FIRST"""
 
+  /** Spec hook: live file paths at a version of the time-travel table —
+    * the vacuum view (on-disk minus live = deletable orphans) is asserted
+    * in Round13RSpec. */
+  private[graft] def timeTravelLiveFiles(spark: SparkSession, sfDir: String,
+                                         v: Int): Seq[String] =
+    liveFiles(lakeDir(spark, sfDir), v)
+
   /** Spec hook: the live file paths at a version of the MERGE table. */
   private[graft] def mergeLiveFiles(spark: SparkSession, sfDir: String,
                                     v: Int): Seq[String] =

@@ -84,6 +84,44 @@ object LlmExtras extends QueryPack {
       FROM s ORDER BY doc_id ASC NULLS FIRST"""
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX (round 13 batch 18) — the eval frame
+    * for [[langid]]'s stopword-score classifier against the corpus's
+    * labeled `lang` column: per (labeled, predicted) cell the document
+    * count plus each cell's share of its labeled class in exact ppm —
+    * the per-class recall diagonal a curation pipeline watches before
+    * trusting the classifier to route documents. Reuses the classifier
+    * frame verbatim (one definition, the qualityScore sharing rule), so
+    * the eval can never drift from what q_text_langid grades.
+    *
+    * Scale: the classifier is scan-side arithmetic; the matrix is one
+    * map-side-combined agg bounded by |langs|² cells.
+    */
+  private def langidEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cells = langid(spark, sfDir)
+      .groupBy($"labeled_lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy($"labeled_lang")
+      .agg(sum($"n_docs").as("n_labeled"))
+    cells.join(broadcast(totals), Seq("labeled_lang"))
+      .select($"labeled_lang", $"predicted", $"n_docs", $"n_labeled",
+        expr("n_docs * 1000000 div n_labeled").as("share_ppm"))
+      .orderBy($"labeled_lang".asc_nulls_first, $"predicted".asc_nulls_first)
+  }
+
+  private val langidEvalSql = s"""
+    WITH pred AS ($langidSql),
+    cells AS (
+      SELECT labeled_lang, predicted, count(*) AS n_docs
+      FROM pred GROUP BY 1, 2),
+    totals AS (
+      SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_labeled
+      FROM cells GROUP BY 1)
+    SELECT c.labeled_lang, c.predicted, c.n_docs, t.n_labeled,
+      CAST(c.n_docs * 1000000 // t.n_labeled AS BIGINT) AS share_ppm
+    FROM cells c JOIN totals t ON c.labeled_lang = t.labeled_lang
+    ORDER BY c.labeled_lang ASC NULLS FIRST, predicted ASC NULLS FIRST"""
+
   /** The composite quality score of q_text_quality, shared with the
     * corpus-curation pack (q_corpus_quality_bins sorts the corpus by it) —
     * one definition so the gate and the binning can never drift.
@@ -1364,6 +1402,7 @@ object LlmExtras extends QueryPack {
     Q("q_vec_stats", vecStats, Some(vecStatsSql)),
     Q("q_text_token_bpe", tokenBpe, Some(tokenBpeSql)),
     Q("q_text_langid", langid, Some(langidSql)),
+    Q("q_text_langid_eval", langidEval, Some(langidEvalSql)),
     Q("q_text_quality", quality, Some(qualitySql)),
     Q("q_text_fingerprint", fingerprint, Some(fingerprintSql)),
     Q("q_text_chunk", textChunk, Some(textChunkSql)),

@@ -392,7 +392,45 @@ object Scans extends QueryPack {
       .orderBy($"o_year".asc_nulls_first)
   }
 
+  /** MULTILINE CSV ingest (round 13 batch 18) — quoted fields with
+    * EMBEDDED NEWLINES, the classic CSV landmine (naive line-split
+    * readers shred the record): the scratch feed writes part rows whose
+    * note field is "p_name\np_type" (a real record-internal newline),
+    * quoted on write; the read declares `multiLine=true` and the graded
+    * audit proves every record survived intact — row count, exact key
+    * sum, and the total note length, which a shredded parse cannot
+    * reproduce. Oracle recomputes all three from the part table directly.
+    * Scale note: multiLine disables input-split parallelism per file
+    * (records may cross split boundaries), which is exactly why the
+    * scratch writes MANY files (one per task) — parallelism returns at
+    * the file grain, the production mitigation.
+    */
+  private def csvMultiline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = materializeOnce("part_mlcsv", sfDir) { d =>
+      Catalog.load(spark, sfDir, "part")
+        .select($"p_partkey",
+          concat($"p_name", lit("\n"), $"p_type").as("note"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").csv(d)
+    }
+    spark.read
+      .schema("p_partkey LONG, note STRING")
+      .option("header", "true").option("multiLine", "true")
+      .csv(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"p_partkey").cast("long").as("key_sum"),
+        sum(length($"note")).cast("long").as("note_len"))
+  }
+
+  private val csvMultilineOracle = """
+    SELECT count(*) AS n_rows,
+      CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+      CAST(sum(length(p_name) + 1 + length(p_type)) AS BIGINT) AS note_len
+    FROM part"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_source_csv_multiline", csvMultiline, Some(csvMultilineOracle)),
     Q("q_source_binaryfile", binaryFileSource, Some(binaryFileSourceOracle)),
     Q("q_scan_partition_pruning_dynamic", scanDpp, Some(s"""
       WITH y AS (
