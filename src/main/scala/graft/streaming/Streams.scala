@@ -1023,8 +1023,79 @@ object Streams extends QueryPack {
     GROUP BY user_id
     ORDER BY user_id ASC NULLS FIRST"""
 
+  /** The FOURTEENTH graded real-streaming run (round 13 batch 19):
+    * EVENT-TIME TIMERS on the transformWithState API — the inactivity
+    * horizon every session/abandonment pipeline needs: each user's
+    * processor re-registers a timer at (ms-floored max event time +
+    * 30 min) as batches arrive, and when the WATERMARK passes the horizon
+    * the expired-timer callback emits the user's final count exactly once.
+    * With AvailableNow the run ends on a no-data micro-batch that fires
+    * the remaining expired timers against the end-of-stream watermark
+    * (max event time, ms-floored, minus the 1 s delay) — so the fired set
+    * is a pure function of the data: users whose horizon the final
+    * watermark passed (Spark fires timers with expiry <= watermark —
+    * NON-strict, pinned by a spec with a crafted equality case). The oracle
+    * reproduces the rule declaratively; users still inside their horizon
+    * at end-of-stream are NOT emitted, exactly like the custom
+    * sessionizer's final-session trimming.
+    */
+  private def streamTwsTimer(spark: SparkSession, sfDir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_twt_src_")
+    linkEventsInto(srcDir, sfDir)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_twt_ck_")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_twt_out_")
+    val physical = s2.read.parquet(s"$sfDir/events.parquet").schema
+    val tsNorm = physical("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => expr("cast(ts as timestamp)")
+    }
+    val q = s2.readStream.schema(physical).parquet(srcDir.toString)
+      .select(col("user_id").cast("long").as("user_id"),
+        tsNorm.as("ts"))
+      .withWatermark("ts", "1 second")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new TwsTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "n_events", "expiry_ms")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val merged = spark.read.parquet(outDir.toString)
+      .orderBy(col("user_id").asc_nulls_first)
+      .localCheckpoint(true)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    rmTree(outDir)
+    merged
+  }
+
+  private val streamTwsTimerSql = """
+    WITH u AS (
+      SELECT user_id, count(*) AS n_events,
+        epoch_ms(max(ts)) + 1800000 AS expiry_ms
+      FROM events GROUP BY user_id),
+    wm AS (SELECT epoch_ms(max(ts)) - 1000 AS w FROM events)
+    SELECT user_id, n_events, expiry_ms
+    FROM u, wm WHERE expiry_ms <= w
+    ORDER BY user_id ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_stream_tws", streamTws, Some(streamTwsSql)),
+    Q("q_stream_tws_timer", streamTwsTimer, Some(streamTwsTimerSql)),
     Q("q_stream_lake_sink", streamLakeSink, Some(streamLakeSinkSql)),
     Q("q_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
@@ -1127,5 +1198,56 @@ private[streaming] class TwsCountProcessor
     rows.foreach { r => c += 1; if (r._2 > m) m = r._2 }
     st.update((c, m))
     Iterator.single((key, c, m))
+  }
+}
+
+/** Timer processor for [[Streams]]' `q_stream_tws_timer`: per user, one
+  * (count, max ts ms, registered expiry) state; every batch re-registers
+  * the inactivity timer at max-event-time + 30 min, and the expired-timer
+  * callback emits the final count exactly once when the watermark passes
+  * the horizon. Timestamps go through `Timestamp.getTime` (ms floor), the
+  * custom-sessionizer precedent, so the horizon arithmetic is the same
+  * integers in the oracle.
+  */
+private[streaming] class TwsTimerProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), (Long, Long, Long)] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("s",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    val (c0, m0, e0) =
+      if (st.exists()) st.get() else (0L, Long.MinValue, Long.MinValue)
+    var c = c0
+    var m = m0
+    rows.foreach { r => c += 1; val t = r._2.getTime; if (t > m) m = t }
+    val expiry = m + 1800000L
+    if (e0 != expiry) {
+      if (e0 != Long.MinValue) getHandle.deleteTimer(e0)
+      getHandle.registerTimer(expiry)
+    }
+    st.update((c, m, expiry))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long, tv: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long)] = {
+    val (c, _, _) = st.get()
+    Iterator.single((key, c, info.getExpiryTimeInMs))
   }
 }
