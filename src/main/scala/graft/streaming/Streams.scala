@@ -1093,9 +1093,128 @@ object Streams extends QueryPack {
     FROM u, wm WHERE expiry_ms <= w
     ORDER BY user_id ASC NULLS FIRST"""
 
+  /** Shared scaffold for the Update-mode transformWithState runs: a
+    * RocksDB-scoped session clone, the staged events stream normalized to
+    * (user_id, ts, event_type, event_id), foreachBatch parquet landing,
+    * and the caller's monotone merge over the landed emissions. */
+  private def runTwsLanding(spark: SparkSession, sfDir: String, tag: String)(
+      pipe: (SparkSession, DataFrame) => DataFrame)(
+      merge: DataFrame => DataFrame): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val srcDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src_")
+    linkEventsInto(srcDir, sfDir)
+    val ckDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ck_")
+    val outDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_out_")
+    val physical = s2.read.parquet(s"$sfDir/events.parquet").schema
+    val tsNorm = physical("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => expr("cast(ts as timestamp)")
+    }
+    // One file per micro-batch: free on the single-file fixtures, but a
+    // multi-file source dir (the multi-batch spec's synthetic feed) then
+    // exercises REAL cross-batch state folding instead of one big batch.
+    val src = s2.readStream.schema(physical)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .select(col("user_id").cast("long").as("user_id"), tsNorm.as("ts"),
+        col("event_type"), col("event_id").cast("long").as("event_id"))
+    val q = pipe(s2, src)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val merged = merge(spark.read.parquet(outDir.toString))
+      .localCheckpoint(true)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    rmTree(outDir)
+    merged
+  }
+
+  /** The FIFTEENTH graded real-streaming run (round 13 batch 20):
+    * LISTSTATE on transformWithState — a bounded top-k kept IN list state
+    * (the "recent items per user" shape): each batch folds new events
+    * into the stored top-3 by (ts, event_id) descending and re-puts the
+    * trimmed list — state is O(k) per user forever, never the history.
+    * Emissions carry the running event count (monotone in batch order),
+    * so merge-on-read keeps each user's latest emission; under any
+    * micro-batch split the final list equals the batch top-3 because
+    * top-k folding is associative.
+    */
+  private def streamTwsList(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runTwsLanding(spark, sfDir, "twl") { (s2, src) =>
+      import s2.implicits._
+      src.select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TwsTopNProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n_events", "top_ids")
+    } { landed =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("n_events").desc)
+      landed.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("n_events"), col("top_ids"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }
+  }
+
+  private val streamTwsListSql = """
+    SELECT user_id, count(*) AS n_events,
+      (list(event_id ORDER BY ts DESC, event_id DESC))[1:3] AS top_ids
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id ASC NULLS FIRST"""
+
+  /** The SIXTEENTH graded real-streaming run (round 13 batch 20):
+    * MAPSTATE on transformWithState — per-user per-event-type counters
+    * kept in map state (the profile-counter shape: one state row per
+    * user, one map entry per type — never a (user × type) key explosion
+    * in the store's key space). Each batch increments touched entries and
+    * emits the user's full map; per-(user, type) counts are monotone, so
+    * merge-on-read keeps the max — the batch aggregate under any split.
+    */
+  private def streamTwsMap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runTwsLanding(spark, sfDir, "twm") { (s2, src) =>
+      import s2.implicits._
+      src.select($"user_id", $"event_type")
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new TwsTypeCountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "event_type", "n_events")
+    } { landed =>
+      landed.groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n_events")).as("n_events"))
+        .orderBy(col("user_id").asc_nulls_first,
+          col("event_type").asc_nulls_first)
+    }
+  }
+
+  private val streamTwsMapSql = """
+    SELECT user_id, event_type, count(*) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_stream_tws", streamTws, Some(streamTwsSql)),
     Q("q_stream_tws_timer", streamTwsTimer, Some(streamTwsTimerSql)),
+    Q("q_stream_tws_list", streamTwsList, Some(streamTwsListSql)),
+    Q("q_stream_tws_map", streamTwsMap, Some(streamTwsMapSql)),
     Q("q_stream_lake_sink", streamLakeSink, Some(streamLakeSinkSql)),
     Q("q_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
@@ -1249,5 +1368,74 @@ private[streaming] class TwsTimerProcessor
       : Iterator[(Long, Long, Long)] = {
     val (c, _, _) = st.get()
     Iterator.single((key, c, info.getExpiryTimeInMs))
+  }
+}
+
+/** ListState processor for `q_stream_tws_list`: bounded top-3 of
+  * (ts micros, event_id) per user folded batch-by-batch — O(k) state,
+  * associative fold, emissions tagged with the monotone running count.
+  */
+private[streaming] class TwsTopNProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long, Array[Long])] {
+  @transient private var top:
+    org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+  @transient private var n:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    top = getHandle.getListState[(Long, Long)]("top",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Long, Long)],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Array[Long])] = {
+    val incoming = rows.map(r => (r._2, r._3)).toArray
+    val merged = (top.get().toArray ++ incoming)
+      .sortBy(t => (-t._1, -t._2)).take(3)
+    top.put(merged)
+    val total = (if (n.exists()) n.get() else 0L) + incoming.length
+    n.update(total)
+    Iterator.single((key, total, merged.map(_._2)))
+  }
+}
+
+/** MapState processor for `q_stream_tws_map`: per-user per-event-type
+  * counters in one map-typed state row; each batch increments touched
+  * entries and emits the full (monotone) map.
+  */
+private[streaming] class TwsTypeCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, String, Long)] {
+  @transient private var m:
+    org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    m = getHandle.getMapState[String, Long]("m",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, String)],
+      tv: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, String, Long)] = {
+    rows.foreach { r =>
+      val prev = if (m.containsKey(r._2)) m.getValue(r._2) else 0L
+      m.updateValue(r._2, prev + 1L)
+    }
+    m.iterator().map(kv => (key, kv._1, kv._2)).toArray.iterator
   }
 }
