@@ -49,10 +49,10 @@ class Round13TSpec extends SparkTestBase {
       val all = batches.flatten
       val gotList = SparkEntry.queries("q_stream_tws_list")(spark, dir.toString)
         .collect().map(r => r.getLong(0) ->
-          ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+          ((r.getLong(1), r.getString(2)))).toMap
       val wantList = all.groupBy(_._3).map { case (u, es) =>
         u -> ((es.size.toLong,
-          es.sortBy(e => (-e._2, -e._1)).take(3).map(_._1).toList))
+          es.sortBy(e => (-e._2, -e._1)).take(3).map(_._1).mkString(",")))
       }
       assert(gotList == wantList)
       val gotMap = SparkEntry.queries("q_stream_tws_map")(spark, dir.toString)
