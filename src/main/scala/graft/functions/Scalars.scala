@@ -343,7 +343,72 @@ object Scalars extends QueryPack {
         AS n_building_upper
     FROM m"""
 
+  /** ANSI-SAFE ERROR HANDLING (round 13 batch 22) — the `try_` family a
+    * landing pipeline runs instead of letting one bad row kill the job:
+    * try_divide (NULL on zero divisor), try_to_timestamp (NULL on a
+    * malformed literal), try_element_at (NULL past the end), and
+    * try_add's overflow guard on a deliberately saturating branch — each
+    * exercised per-row over orders with a deterministic bad-row rule,
+    * audited as null counts + the surviving aggregate. Doubles round to
+    * 4dp per row before the decimal sum (the q_math_funcs rule); the
+    * oracle states each guard as an explicit CASE, so the `try_`
+    * semantics are value-graded. Per-row scan arithmetic, one
+    * map-side-combined audit — no shuffle before the 1-row result.
+    */
+  private def sqlTryFunctions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderkey",
+        expr("""try_divide(cast(o_orderkey as double),
+                 cast(o_orderkey % 7 as double))""").as("d"),
+        expr("""try_to_timestamp(CASE WHEN o_orderkey % 3 = 0
+                 THEN 'not-a-date' ELSE '2024-01-01 00:00:00' END)""")
+          .as("ts"),
+        // index 1..4 of a 2-element array: 3 and 4 are past the end
+        // (NULL under try); index 0 would be INVALID_INDEX_OF_ZERO,
+        // which try_element_at deliberately does NOT catch.
+        expr("""try_element_at(array(o_orderkey, o_orderkey * 2),
+                 cast(1 + o_orderkey % 4 as int))""").as("el"),
+        expr("""try_add(CASE WHEN o_orderkey % 5 = 0
+                 THEN 9223372036854775807 ELSE o_orderkey END,
+                 1 + o_orderkey % 5)""").as("ad"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"d".isNull, 1L).otherwise(0L)).as("n_div_null"),
+        dsum(round($"d", 4)).as("sum_div"),
+        sum(when($"ts".isNull, 1L).otherwise(0L)).as("n_ts_null"),
+        sum(when($"el".isNull, 1L).otherwise(0L)).as("n_el_null"),
+        sum($"el").cast("long").as("sum_el"),
+        sum(when($"ad".isNull, 1L).otherwise(0L)).as("n_add_null"))
+  }
+
+  private val sqlTryFunctionsOracle = s"""
+    WITH t AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN NULL
+             ELSE CAST(o_orderkey AS DOUBLE) / (o_orderkey % 7) END AS d,
+        TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-date'
+                      ELSE '2024-01-01 00:00:00' END AS TIMESTAMP) AS ts,
+        CASE WHEN o_orderkey % 4 IN (0, 1)
+             THEN (CASE o_orderkey % 4 WHEN 0 THEN o_orderkey
+                   ELSE o_orderkey * 2 END) END AS el,
+        CASE WHEN o_orderkey % 5 = 0 THEN NULL
+             ELSE o_orderkey + 1 + o_orderkey % 5 END AS ad
+      FROM orders)
+    SELECT count(*) AS n_rows,
+      CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_div_null,
+      ${graft.Oracle.dsum("round(d, 4)")} AS sum_div,
+      CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ts_null,
+      CAST(sum(CASE WHEN el IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_el_null,
+      CAST(sum(el) AS BIGINT) AS sum_el,
+      CAST(sum(CASE WHEN ad IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_add_null
+    FROM t"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sql_try_functions", sqlTryFunctions, Some(sqlTryFunctionsOracle)),
     Q("q_json_variant", jsonVariant, Some(jsonVariantOracle)),
     Q("q_str_collation", strCollation, Some(strCollationOracle)),
     Q("q_str_url", strUrl, Some(strUrlOracle)),
