@@ -703,6 +703,46 @@ object Aggregations extends QueryPack {
     * map-side-combined pass. All outputs integers/booleans; nothing can
     * drift.
     */
+  /** ARGMAX / ARGMIN aggregates (round 13 batch 23) — the `max_by` /
+    * `min_by` function surface itself (the [[aggBool]] packing trick
+    * already PROVES the semantics; this grades the built-in the user
+    * would actually reach for): per order priority, the order KEY whose
+    * price is extreme. max_by's ties are engine-arbitrary, so the
+    * ordering value is the SAME unique composite both sides use
+    * (cents·2³³ + orderkey — orderkey < 2³³ guarded by the aggBool
+    * contract): deterministic winner, one map-side-combined pass, and
+    * DuckDB's `arg_max`/`arg_min` (which reject struct orderings in 1.0)
+    * take the identical BIGINT.
+    */
+  private def aggArgmax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pack = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long") *
+      lit(8589934592L) + $"o_orderkey"
+    Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", pack.as("ord"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("max_by(o_orderkey, ord)").as("top_key"),
+        expr("min_by(o_orderkey, ord)").as("bottom_key"),
+        expr("(max(ord) div 8589934592)").as("top_cents"),
+        expr("(min(ord) div 8589934592)").as("bottom_cents"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private val aggArgmaxOracle = """
+    WITH t AS (
+      SELECT o_orderpriority, o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+          * 8589934592 + o_orderkey AS ord
+      FROM orders)
+    SELECT o_orderpriority, count(*) AS n_rows,
+      arg_max(o_orderkey, ord) AS top_key,
+      arg_min(o_orderkey, ord) AS bottom_key,
+      CAST(max(ord) // 8589934592 AS BIGINT) AS top_cents,
+      CAST(min(ord) // 8589934592 AS BIGINT) AS bottom_cents
+    FROM t GROUP BY 1
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
   private def aggBool(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val pack = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long") *
@@ -1010,6 +1050,7 @@ object Aggregations extends QueryPack {
       ORDER BY revenue DESC, o_orderdate ASC NULLS FIRST, l_orderkey ASC NULLS FIRST
       LIMIT 10""")),
     Q("q_agg_bool", aggBool, Some(aggBoolOracle)),
+    Q("q_agg_argmax", aggArgmax, Some(aggArgmaxOracle)),
     Q("q_agg_mode", aggMode, Some("""
       WITH c AS (
         SELECT l_returnflag, l_quantity, count(*) AS n
