@@ -1280,7 +1280,89 @@ object Streams extends QueryPack {
     merged
   }
 
+  /** The EIGHTEENTH graded real-streaming run (round 13 batch 24):
+    * STREAMING MATERIALIZED-VIEW REFRESH — the pipeline that keeps the
+    * monthly rollup [[graft.operators.MvOps]] serves CONTINUOUSLY fresh:
+    * the fact table arrives as a stream (the first non-events streaming
+    * source on the board), an update-mode stateful aggregation maintains
+    * the (returnflag, linestatus, month) partial states, and every
+    * micro-batch lands its UPDATED partials with the batch id — the
+    * foreachBatch merge-sink shape. The read side keeps each key's
+    * latest version (cumulative partials are monotone in batch id) and
+    * re-aggregates to the served rollup; equality with the full-recompute
+    * oracle (shared with q_mv_rewrite) proves the streamed refresh equals
+    * the batch build under ANY micro-batch split. At 100 TB this is the
+    * continuous-refresh alternative to q_mv_incremental's nightly delta:
+    * state is |groups| rows, each batch lands only changed keys.
+    */
+  private def streamMvRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_mvr_src_")
+    // Stage the lineitem fixture like the events streams stage theirs.
+    val fixture = java.nio.file.Path.of(sfDir, "lineitem.parquet")
+    if (java.nio.file.Files.isDirectory(fixture)) {
+      val ls = java.nio.file.Files.list(fixture)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.createSymbolicLink(
+            srcDir.resolve(f.getFileName), f))
+      } finally ls.close()
+    } else {
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("lineitem.parquet"), fixture)
+    }
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_mvr_ck_")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mvr_out_")
+    val physical = spark.read.parquet(s"$sfDir/lineitem.parquet").schema
+    val sdNorm = physical("l_shipdate").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(l_shipdate div 1000)")
+      case _ => expr("cast(l_shipdate as timestamp)")
+    }
+    val q = spark.readStream.schema(physical).parquet(srcDir.toString)
+      .select($"l_returnflag", $"l_linestatus",
+        month(sdNorm).cast("long").as("mon"),
+        $"l_quantity".cast("long").as("qty"))
+      .groupBy($"l_returnflag", $"l_linestatus", $"mon")
+      .agg(count(lit(1)).as("cnt"), sum($"qty").as("sqty"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"),
+      col("mon")).orderBy(col("batch_id").desc)
+    val served = spark.read.parquet(outDir.toString)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("l_returnflag"), col("mon"))
+      .agg(sum(col("cnt")).as("n_rows"), sum(col("sqty")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("mon").asc_nulls_first)
+      .localCheckpoint(true)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    rmTree(outDir)
+    served
+  }
+
+  private val streamMvRefreshSql = """
+    SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS mon,
+      count(*) AS n_rows,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY l_returnflag ASC NULLS FIRST, mon ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_stream_mv_refresh", streamMvRefresh, Some(streamMvRefreshSql)),
     Q("q_stream_tws", streamTws, Some(streamTwsSql)),
     Q("q_stream_tws_timer", streamTwsTimer, Some(streamTwsTimerSql)),
     Q("q_stream_tws_list", streamTwsList, Some(streamTwsListSql)),
