@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -709,15 +709,34 @@ object Aggregations extends QueryPack {
     * would actually reach for): per order priority, the order KEY whose
     * price is extreme. max_by's ties are engine-arbitrary, so the
     * ordering value is the SAME unique composite both sides use
-    * (cents·2³³ + orderkey — orderkey < 2³³ guarded by the aggBool
-    * contract): deterministic winner, one map-side-combined pass, and
+    * (cents·2³³ + orderkey — orderkey < 2³³ and cents < 2²⁹ enforced by
+    * runtime raise_error guards in [[argmaxPack]], so an out-of-domain
+    * key fails loudly instead of wrapping where DuckDB would error):
+    * deterministic winner, one map-side-combined pass, and
     * DuckDB's `arg_max`/`arg_min` (which reject struct orderings in 1.0)
     * take the identical BIGINT.
     */
+  /** Composite argmax ordering key with RUNTIME domain guards (the
+    * q_agg_trimmed_mean raise_error pattern): cents in [0, 2^29) and
+    * orderkey in [0, 2^33) keep cents·2^33 + orderkey < 2^62 — outside
+    * the domain Spark would silently wrap where DuckDB errors, so the
+    * pack fails loudly instead of diverging cross-engine. */
+  private def argmaxPack: Column = {
+    val cents = (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long")
+    val kGuard = when(col("o_orderkey") >= (1L << 33) || col("o_orderkey") < 0L,
+      raise_error(lit(
+        "graft argmax pack: orderkey outside [0, 2^33) — widen the composite encoding")))
+      .otherwise(col("o_orderkey"))
+    val cGuard = when(cents >= (1L << 29) || cents < 0L,
+      raise_error(lit(
+        "graft argmax pack: cents outside [0, 2^29) — composite key would overflow int64")))
+      .otherwise(cents)
+    cGuard * lit(8589934592L) + kGuard
+  }
+
   private def aggArgmax(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pack = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long") *
-      lit(8589934592L) + $"o_orderkey"
+    val pack = argmaxPack
     Catalog.load(spark, sfDir, "orders")
       .select($"o_orderpriority", $"o_orderkey", pack.as("ord"))
       .groupBy($"o_orderpriority")
@@ -745,8 +764,7 @@ object Aggregations extends QueryPack {
 
   private def aggBool(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pack = ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long") *
-      lit(8589934592L) + $"o_orderkey"
+    val pack = argmaxPack
     Catalog.load(spark, sfDir, "orders")
       .groupBy($"o_orderpriority")
       .agg(

@@ -41,7 +41,7 @@ object MlTrees extends QueryPack {
       .select(
         month($"o_orderdate").cast("long").as("f_month"),
         $"c_nationkey".cast("long").as("f_nation"),
-        expr("(cast(c_acctbal * 100 as long) + 100000) div 75000")
+        expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) + 100000) div 75000")
           .as("f_balbin"),
         when($"o_totalprice" > 150000, 1L).otherwise(0L).as("pos"))
   }
@@ -49,7 +49,7 @@ object MlTrees extends QueryPack {
   private val featureBaseSql = """
       SELECT CAST(month(o_orderdate) AS BIGINT) AS f_month,
         CAST(c_nationkey AS BIGINT) AS f_nation,
-        (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 75000 AS f_balbin,
+        (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 75000 AS f_balbin,
         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pos
       FROM orders JOIN customer ON o_custkey = c_custkey"""
 
@@ -572,7 +572,7 @@ object MlTrees extends QueryPack {
       .select(
         month($"o_orderdate").cast("long").as("f_month"),
         $"c_nationkey".cast("long").as("f_nation"),
-        expr("(cast(c_acctbal * 100 as long) + 100000) div 75000")
+        expr("(cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint) + 100000) div 75000")
           .as("f_balbin"),
         expr("""cast(cast(o_totalprice as decimal(14,2)) * 100 as long)
                 div 100000""").as("y"))
@@ -581,7 +581,7 @@ object MlTrees extends QueryPack {
   private def featureBase2Sql = """
       SELECT CAST(month(o_orderdate) AS BIGINT) AS f_month,
         CAST(c_nationkey AS BIGINT) AS f_nation,
-        (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 75000 AS f_balbin,
+        (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 100000) // 75000 AS f_balbin,
         o_totalprice
       FROM orders JOIN customer ON o_custkey = c_custkey"""
 

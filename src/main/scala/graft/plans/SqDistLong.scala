@@ -24,7 +24,9 @@ case class SqDistLong(left: Expression, right: Expression)
     case ArrayType(_, cn) => cn
     case _ => false
   })
-  override def nullable: Boolean = super.nullable || elemNullable
+  // Always nullable: a length mismatch yields NULL regardless of the
+  // children's nullability (matching the composed null-padded fold).
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -42,7 +44,11 @@ case class SqDistLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Ragged inputs: the composed zip_with/aggregate form null-pads the
+    // shorter array and the fold yields NULL — a truncated partial distance
+    // here would be a plausible WRONG value, so mismatch returns NULL too.
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val checkNulls = elemNullable
     var acc = 0L
     var i = 0
@@ -58,7 +64,8 @@ case class SqDistLong(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       long ${ev.value}_acc = 0L;
-      int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+      int ${ev.value}_n = $a.numElements();
+      if ($b.numElements() != ${ev.value}_n) { ${ev.isNull} = true; ${ev.value}_n = 0; }
       for (int ${ev.value}_i = 0; ${ev.value}_i < ${ev.value}_n; ${ev.value}_i++) {
         ${if (elemNullable)
           s"if ($a.isNullAt(${ev.value}_i) || $b.isNullAt(${ev.value}_i)) { ${ev.isNull} = true; break; }"

@@ -1074,7 +1074,23 @@ object Streams extends QueryPack {
       .option("checkpointLocation", ckDir.toString)
       .start()
     q.awaitTermination()
-    val merged = spark.read.parquet(outDir.toString)
+    // Split-invariant landed-row merge: per user, the final horizon is the
+    // max expiry over ALL landed rows (markers n_events = -1 and fires);
+    // the user is in the output iff a FIRE landed at exactly that horizon
+    // (i.e. the final watermark passed the final inactivity horizon), and
+    // its count is that fire's count — the full accumulated count, because
+    // state is never cleared. Stale mid-stream fires (expiry < final
+    // horizon) drop out; at-least-once foreachBatch replays dedup via the
+    // per-(user, expiry) max.
+    val landed = spark.read.parquet(outDir.toString)
+    val horizon = landed.groupBy(col("user_id"))
+      .agg(max(col("expiry_ms")).as("h"))
+    val merged = landed
+      .join(horizon, "user_id")
+      .filter(col("expiry_ms") === col("h") && col("n_events") >= 1L)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("expiry_ms")).as("expiry_ms"))
       .orderBy(col("user_id").asc_nulls_first)
       .localCheckpoint(true)
     rmTree(srcDir)
@@ -1475,9 +1491,15 @@ private[streaming] class TwsCountProcessor
 
 /** Timer processor for [[Streams]]' `q_stream_tws_timer`: per user, one
   * (count, max ts ms, registered expiry) state; every batch re-registers
-  * the inactivity timer at max-event-time + 30 min, and the expired-timer
-  * callback emits the final count exactly once when the watermark passes
-  * the horizon. Timestamps go through `Timestamp.getTime` (ms floor), the
+  * the inactivity timer at max-event-time + 30 min AND emits a horizon
+  * MARKER row (n_events = -1, new expiry), and the expired-timer callback
+  * emits the accumulated count tagged with the fired expiry. State is
+  * never cleared, so a user who fires mid-stream and then receives more
+  * events fires again later with the FULL count; the caller's merge keeps
+  * only the fire at the user's max landed horizon, making the graded
+  * output split-invariant (round-14 ADVICE fix — previously exactly-once
+  * held only when the fixture landed in a single micro-batch).
+  * Timestamps go through `Timestamp.getTime` (ms floor), the
   * custom-sessionizer precedent, so the horizon arithmetic is the same
   * integers in the oracle.
   */
@@ -1512,7 +1534,15 @@ private[streaming] class TwsTimerProcessor
       getHandle.registerTimer(expiry)
     }
     st.update((c, m, expiry))
-    Iterator.empty
+    // Horizon MARKER (n_events = -1): records that this user's inactivity
+    // horizon moved to `expiry`. The merge keeps only FIRED rows whose
+    // expiry equals the user's max landed horizon — so a mid-stream fire
+    // that later events supersede is discarded, and a user whose final
+    // horizon the end-of-stream watermark never passed is excluded even
+    // though an earlier partial fire landed. That makes the run
+    // split-invariant: the output is a pure function of the data, not of
+    // how AvailableNow happened to slice the files into micro-batches.
+    Iterator.single((key, -1L, expiry))
   }
 
   override def handleExpiredTimer(
