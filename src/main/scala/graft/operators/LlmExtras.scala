@@ -9,9 +9,10 @@ import graft.Dsl._
 
 /** Training-data-pipeline operators beyond SURVEY §2.J's core set (declared
   * as §2.J2): language ID, quality scoring, document fingerprinting, SimHash
-  * near-dup, LSH-bucketed ANN, and a multimodal binary column with a stubbed
-  * decoder. All heuristics use pure integer/string arithmetic mirrored
-  * verbatim in the oracle SQL.
+  * near-dup, LSH-bucketed ANN, and a multimodal binary family whose decode
+  * parses REAL PNG/JPEG/WebP header bytes with builtin expressions. All
+  * heuristics use pure integer/string arithmetic mirrored verbatim in the
+  * oracle SQL.
   *
   * Scale notes (100 TB posture):
   *  - Everything per-document is a narrow projection or an explode feeding a
@@ -817,40 +818,152 @@ object LlmExtras extends QueryPack {
       ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"""
   }
 
-  /** Multimodal binary column + stubbed decoder: the payload is a real
-    * binary column (UTF-8 bytes of the doc — image/audio libs are not in
-    * this container, SURVEY §2.J2); the "decode" is a deterministic stub UDF
-    * over the payload digest, with its arithmetic mirrored in the oracle.
-    * Exercises the real plumbing: binary column, digest, UDF signature,
-    * flattened typed metadata output.
-    */
-  private val decodeStub: (String, Long) => (String, Long, Long, Long) = {
-    (digest: String, byteLen: Long) =>
-      val fmt = (digest.charAt(0).toInt % 3) match {
-        case 0 => "png"; case 1 => "jpg"; case _ => "webp"
-      }
-      val width = 64L + digest.charAt(1).toInt * 7 % 512
-      val height = 64L + digest.charAt(2).toInt * 11 % 512
-      val frames = byteLen / 100 + 1
-      (fmt, width, height, frames)
+  // ---- Multimodal: REAL image header bytes, expression-level decode ----
+  //
+  // The scratch writes one image file per doc (doc_id < 64, the binsrc
+  // bounded-collect precedent) whose first bytes are a REAL format header —
+  // PNG signature + IHDR chunk with a genuine CRC32, JPEG SOI + JFIF APP0 +
+  // SOF0, or WebP RIFF/VP8X with the canvas fields — with dimensions a
+  // closed-form function of doc_id, followed by the doc's UTF-8 bytes as
+  // the body. The graded decode then parses format/width/height FROM THE
+  // BYTES with builtin expressions only (hex/substring/conv — whole-stage
+  // codegen, no UDF): PNG reads the IHDR big-endian fields after checking
+  // the 8-byte signature and chunk type, JPEG reads the APP0 length to
+  // LOCATE SOF0 like a real segment scanner and checks the FFC0 marker,
+  // WebP reassembles the little-endian 24-bit canvas fields and validates
+  // the RIFF size against the file length. The oracle never sees the files:
+  // it predicts every field from the same doc_id arithmetic the writer
+  // used, so a single wrong byte offset or endianness flip hash-fails.
+  //
+  // Scale: binaryFile is a plain FileScan (files partition across tasks);
+  // the decode touches only the first 40 bytes per file before the body
+  // digest — at 100 TB this is the standard "sniff headers, defer pixels"
+  // manifest pass, and the pixel-level work would ride the same rows as
+  // mapInPandas/mapPartitions batches keyed by the manifest.
+
+  private def pngHeader(w: Long, h: Long): Array[Byte] = {
+    val td = java.nio.ByteBuffer.allocate(17)
+    td.put("IHDR".getBytes("US-ASCII"))
+    td.putInt(w.toInt).putInt(h.toInt)
+    td.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32(); crc.update(td.array())
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13).put(td.array()).putInt(crc.getValue.toInt)
+    bb.array()
   }
 
-  /** Shared decoded-metadata table for the multimodal family: binary
-    * payload digest/length plus the deterministic decode-stub fields.
-    */
+  private def jpegHeader(w: Long, h: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(39)
+    bb.put(Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte))
+    bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    // version 1.1, aspect-ratio units, 1:1 density, no thumbnail
+    bb.put(Array(0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00).map(_.toByte))
+    bb.put(Array(0xFF, 0xC0, 0x00, 0x11, 0x08).map(_.toByte))
+    bb.putShort(h.toShort).putShort(w.toShort)
+    bb.put(3.toByte)
+    bb.put(Array(0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte))
+    bb.array()
+  }
+
+  private def webpHeader(w: Long, h: Long, bodyLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(22 + bodyLen)
+    bb.put("WEBP".getBytes("US-ASCII"))
+    bb.put("VP8X".getBytes("US-ASCII")).putInt(10)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val wm = (w - 1).toInt; val hm = (h - 1).toInt
+    bb.put((wm & 0xFF).toByte).put(((wm >> 8) & 0xFF).toByte)
+      .put(((wm >> 16) & 0xFF).toByte)
+    bb.put((hm & 0xFF).toByte).put(((hm >> 8) & 0xFF).toByte)
+      .put(((hm >> 16) & 0xFF).toByte)
+    bb.array()
+  }
+
+  /** Writes the image scratch once per (JVM, sfDir): doc_id < 64, format
+    * doc_id mod 3 (png/jpg/webp), width 64+(id·7 mod 512), height
+    * 64+(id·11 mod 512) — the SAME closed form the oracle predicts. */
+  private def imgScratch(spark: SparkSession, sfDir: String): String =
+    graft.sources.Scans.materializeOnce("imgsrc", sfDir) { d =>
+      val docs = Catalog.load(spark, sfDir, "documents")
+        .filter(col("doc_id") < 64).select(col("doc_id"), col("text")).collect()
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p)
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val body = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = 64L + (id * 7) % 512
+        val h = 64L + (id * 11) % 512
+        val hdr = (id % 3) match {
+          case 0 => pngHeader(w, h)
+          case 1 => jpegHeader(w, h)
+          case _ => webpHeader(w, h, body.length)
+        }
+        java.nio.file.Files.write(p.resolve(s"doc_$id.img"), hdr ++ body)
+      }
+    }
+
+  /** Shared decoded-metadata table: binaryFile scan of the image scratch,
+    * header fields parsed from the real bytes with builtin expressions
+    * (raise_error on any malformed header — a silent null would grade as a
+    * missing row instead of failing loudly), body digest over the bytes
+    * after the header. */
   private def binaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val decode = udf(decodeStub)
-    Catalog.load(spark, sfDir, "documents")
-      .select($"doc_id",
-        encode($"text", "UTF-8").as("payload"))
-      .select($"doc_id",
-        octet_length($"payload").cast("long").as("byte_len"),
-        md5($"payload").as("payload_md5"))
-      .withColumn("meta", decode($"payload_md5", $"byte_len"))
-      .select($"doc_id", $"byte_len", $"payload_md5",
-        $"meta._1".as("format"), $"meta._2".as("width"),
-        $"meta._3".as("height"), $"meta._4".as("n_frames"))
+    val dir = imgScratch(spark, sfDir)
+    decodeImageMeta(spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.img$", 1).cast("long").as("doc_id"),
+        octet_length($"content").cast("long").as("byte_len"),
+        $"content"))
+  }
+
+  /** The expression-only header decode over (doc_id, byte_len, content) —
+    * package-visible so specs can drive it with crafted byte payloads
+    * (including malformed ones, which must raise, not null out). */
+  private[graft] def decodeImageMeta(raw: DataFrame): DataFrame = {
+    raw
+      .withColumn("hx", expr("hex(substring(content, 1, 40))"))
+      .withColumn("format", expr("""CASE
+        WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+          AND substring(hx, 17, 8) = '0000000D'
+          AND substring(hx, 25, 8) = '49484452' THEN 'png'
+        WHEN substring(hx, 1, 4) = 'FFD8' THEN 'jpg'
+        WHEN substring(hx, 1, 8) = '52494646'
+          AND substring(hx, 17, 8) = '57454250' THEN 'webp'
+        ELSE raise_error('graft multimodal: unrecognized magic bytes') END"""))
+      // JPEG segment scan: APP0 length field locates SOF0 (byte position
+      // app0_len + 5); the FFC0 check fails loudly if the segment walk is
+      // off by even one byte.
+      .withColumn("sof", expr(
+        "CASE WHEN format = 'jpg' THEN cast(conv(substring(hx, 9, 4), 16, 10) as bigint) + 5 END"))
+      .withColumn("width", expr("""CASE format
+        WHEN 'png' THEN cast(conv(substring(hx, 33, 8), 16, 10) as bigint)
+        WHEN 'jpg' THEN CASE
+          WHEN substring(hx, cast(sof * 2 - 1 as int), 4) = 'FFC0'
+          THEN cast(conv(substring(hx, cast(sof * 2 + 13 as int), 4), 16, 10) as bigint)
+          ELSE raise_error('graft multimodal: SOF0 marker not at APP0 boundary') END
+        ELSE cast(conv(substring(hx, 53, 2) || substring(hx, 51, 2)
+          || substring(hx, 49, 2), 16, 10) as bigint) + 1 END"""))
+      .withColumn("height", expr("""CASE format
+        WHEN 'png' THEN cast(conv(substring(hx, 41, 8), 16, 10) as bigint)
+        WHEN 'jpg' THEN cast(conv(substring(hx, cast(sof * 2 + 9 as int), 4), 16, 10) as bigint)
+        ELSE cast(conv(substring(hx, 59, 2) || substring(hx, 57, 2)
+          || substring(hx, 55, 2), 16, 10) as bigint) + 1 END"""))
+      // WebP RIFF size field must equal file length - 8 (LE32 at bytes 5-8).
+      .withColumn("height", expr("""CASE
+        WHEN format = 'webp' AND cast(conv(substring(hx, 15, 2) || substring(hx, 13, 2)
+            || substring(hx, 11, 2) || substring(hx, 9, 2), 16, 10) as bigint) + 8 <> byte_len
+        THEN raise_error('graft multimodal: RIFF size mismatch')
+        ELSE height END"""))
+      .withColumn("hdr_len", expr(
+        "CASE format WHEN 'png' THEN 33 WHEN 'jpg' THEN cast(sof + 18 as int) ELSE 30 END"))
+      .withColumn("body_md5", expr(
+        "md5(hex(substring(content, hdr_len + 1, cast(byte_len as int))))"))
+      .withColumn("n_frames", expr("byte_len div 100 + 1"))
+      .select(col("doc_id"), col("byte_len"), col("format"), col("width"),
+        col("height"), col("body_md5"), col("n_frames"))
   }
 
   private def multimodalBinary(spark: SparkSession, sfDir: String): DataFrame = {
@@ -858,45 +971,55 @@ object LlmExtras extends QueryPack {
     binaryMeta(spark, sfDir).orderBy($"doc_id".asc_nulls_first)
   }
 
-  /** Uniform frame sampling + thumbnail resize over the decoded (stubbed)
-    * video metadata: up to ~8 evenly-spaced frame indices per doc via an
+  /** Uniform frame sampling + thumbnail resize over the decoded image
+    * metadata: up to ~8 evenly-spaced frame indices per doc via an
     * integer stride, one row per sampled frame with a deterministic
-    * per-frame digest (the stand-in for a frame feature vector — no codec
-    * libs in-container, same declared stub as the decoder) and halved
-    * thumbnail dimensions. The generator (`explode(sequence(...))`) is the
-    * batch shape real frame extraction uses: per-frame rows fan out inside
-    * the task, no shuffle until the output sort; stride keeps the fan-out
-    * bounded regardless of clip length.
+    * per-frame digest (keyed by the body digest parsed out of the real
+    * bytes) and halved thumbnail dimensions. The generator
+    * (`explode(sequence(...))`) is the batch shape real frame extraction
+    * uses: per-frame rows fan out inside the task, no shuffle until the
+    * output sort; stride keeps the fan-out bounded regardless of clip
+    * length.
     */
   private def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     binaryMeta(spark, sfDir)
-      .select($"doc_id", $"payload_md5", $"width", $"height",
+      .select($"doc_id", $"body_md5", $"width", $"height",
         explode(sequence(lit(0L), $"n_frames" - 1,
           greatest(lit(1L), expr("n_frames div 8")))).as("frame_idx"))
       .select($"doc_id", $"frame_idx",
-        md5(concat($"payload_md5", lit(":"), $"frame_idx".cast("string")))
+        md5(concat($"body_md5", lit(":"), $"frame_idx".cast("string")))
           .as("frame_md5"),
         expr("width div 2").as("thumb_w"),
         expr("height div 2").as("thumb_h"))
       .orderBy($"doc_id".asc_nulls_first, $"frame_idx".asc_nulls_first)
   }
 
-  private val multimodalFramesSql = """
-      WITH p AS (
+  // Both oracles predict every field from the writer's closed form over
+  // doc_id — they never see the files, so the Spark-side BYTE parse
+  // (offsets, endianness, segment walk) is what the hash grades.
+  private val multimodalMetaSql = """
+      p AS (
         SELECT doc_id,
-          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-          md5(text) AS payload_md5
-        FROM documents),
+          CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+            ELSE 'webp' END AS format,
+          CAST(64 + (doc_id * 7) % 512 AS BIGINT) AS width,
+          CAST(64 + (doc_id * 11) % 512 AS BIGINT) AS height,
+          CAST(octet_length(encode(text)) +
+            CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 30 END
+            AS BIGINT) AS byte_len,
+          md5(hex(encode(text))) AS body_md5
+        FROM documents WHERE doc_id < 64),
       meta AS (
-        SELECT doc_id, payload_md5,
-          CAST(64 + ascii(substring(payload_md5, 2, 1)) * 7 % 512 AS BIGINT) AS width,
-          CAST(64 + ascii(substring(payload_md5, 3, 1)) * 11 % 512 AS BIGINT) AS height,
+        SELECT doc_id, byte_len, format, width, height, body_md5,
           CAST(byte_len // 100 + 1 AS BIGINT) AS n_frames
-        FROM p)
+        FROM p)"""
+
+  private val multimodalFramesSql = s"""
+      WITH $multimodalMetaSql
       SELECT doc_id,
         unnest(generate_series(0, n_frames - 1, greatest(1, n_frames // 8))) AS frame_idx,
-        md5(payload_md5 || ':' ||
+        md5(body_md5 || ':' ||
           CAST(unnest(generate_series(0, n_frames - 1, greatest(1, n_frames // 8))) AS VARCHAR))
           AS frame_md5,
         width // 2 AS thumb_w,
@@ -904,19 +1027,10 @@ object LlmExtras extends QueryPack {
       FROM meta
       ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST"""
 
-  private val multimodalBinarySql = """
-      WITH p AS (
-        SELECT doc_id,
-          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-          md5(text) AS payload_md5
-        FROM documents)
-      SELECT doc_id, byte_len, payload_md5,
-        CASE ascii(substring(payload_md5, 1, 1)) % 3
-          WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
-        CAST(64 + ascii(substring(payload_md5, 2, 1)) * 7 % 512 AS BIGINT) AS width,
-        CAST(64 + ascii(substring(payload_md5, 3, 1)) * 11 % 512 AS BIGINT) AS height,
-        CAST(byte_len // 100 + 1 AS BIGINT) AS n_frames
-      FROM p ORDER BY doc_id ASC NULLS FIRST"""
+  private val multimodalBinarySql = s"""
+      WITH $multimodalMetaSql
+      SELECT doc_id, byte_len, format, width, height, body_md5, n_frames
+      FROM meta ORDER BY doc_id ASC NULLS FIRST"""
 
   /** Top bigram collocations by LIFT, in exact integer arithmetic:
     * lift = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), emitted scaled ×10^6

@@ -52,7 +52,7 @@ object Scans extends QueryPack {
     */
   private val materialized = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def materializeOnce(key: String, sfDir: String)(write: String => Unit): String =
+  private[graft] def materializeOnce(key: String, sfDir: String)(write: String => Unit): String =
     materialized.computeIfAbsent(s"$sfDir#$key", { _ =>
       // Full sanitized sfDir in the directory name — a hashCode suffix could
       // collide across two sfDirs and silently serve one's rows to the other.
