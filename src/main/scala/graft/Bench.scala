@@ -77,6 +77,9 @@ object Bench {
         // the declared steady state); q_lake_cdc shares the lake scratch.
         "q_mv_join_incremental", "q_lake_cdc", "q_lake_compact",
         "q_lake_merge",
+        // Round-14: q_lake_vacuum owns a separate scratch (build + vacuum
+        // happen once); dv/schema_evolution share the main lake scratch.
+        "q_lake_vacuum", "q_multimodal_binary",
         // Round-14: first-use parse_json/variant_get codegen (graded 37.6 s
         // in r13 vs 1.1 s steady) and the DistributedRank sampling path
         // (q_agg_trimmed_mean graded 12.0 s vs ~2.5 s steady) are one-time

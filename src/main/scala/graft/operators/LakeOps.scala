@@ -53,6 +53,20 @@ object LakeOps extends QueryPack {
         // real table service runs; row content is untouched by contract.
         spark.read.parquet(s"$base/fileB", s"$base/fileC")
           .write.parquet(s"$base/fileD")
+        // v5 is a MERGE-ON-READ DELETE: a deletion vector (the deleted-key
+        // file dv1) lands AGAINST fileD without rewriting it — the DV is
+        // built by scanning only the target file for the delete predicate
+        // (k%10 = 4), exactly the Delta DV / Iceberg positional-delete
+        // write path. fileD's bytes are untouched (spec-asserted).
+        spark.read.parquet(s"$base/fileD")
+          .filter(pmod($"o_orderkey", lit(10)) === 4)
+          .select($"o_orderkey").write.parquet(s"$base/dv1")
+        // v6 is a SCHEMA-EVOLUTION commit: fileF adds the o_channel column
+        // (a deterministic function of the key) on a fresh slice; older
+        // files keep the base 6-column schema and reconcile by name at read.
+        orders.filter(k >= 6 && k < 8)
+          .withColumn("o_channel", pmod(expr("o_orderkey div 10"), lit(2)))
+          .write.parquet(s"$base/fileF")
         val log = Seq(
           """{"v":1,"op":"add","path":"fileA"}""",
           """{"v":2,"op":"add","path":"fileB"}""",
@@ -60,15 +74,21 @@ object LakeOps extends QueryPack {
           """{"v":3,"op":"add","path":"fileC"}""",
           """{"v":4,"op":"remove","path":"fileB"}""",
           """{"v":4,"op":"remove","path":"fileC"}""",
-          """{"v":4,"op":"add","path":"fileD"}""")
+          """{"v":4,"op":"add","path":"fileD"}""",
+          """{"v":5,"op":"dv","path":"fileD","dv":"dv1"}""",
+          """{"v":6,"op":"add","path":"fileF"}""")
         Files.write(Paths.get(base, "_log.json"),
           log.mkString("\n").getBytes(StandardCharsets.UTF_8))
         base
       })
 
-  /** Replay the commit log to version `v` → live file paths. The log is
-    * catalog-state-sized and read driver-side by design. */
-  private def liveFiles(base: String, v: Int): Seq[String] = {
+  /** Replay the commit log to version `v` → live data files plus the
+    * deletion vectors registered against each (merge-on-read state). The
+    * log is catalog-state-sized and read driver-side by design. Removing
+    * a data file drops its DVs with it (a rewrite materializes the mask,
+    * so the new file starts clean). */
+  private def liveState(base: String, v: Int)
+      : (Seq[String], Map[String, Seq[String]]) = {
     val lines = new String(
       Files.readAllBytes(Paths.get(base, "_log.json")),
       StandardCharsets.UTF_8).split("\n").toSeq
@@ -76,15 +96,43 @@ object LakeOps extends QueryPack {
       val ver = """"v":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt
       val op = """"op":"(\w+)"""".r.findFirstMatchIn(l).get.group(1)
       val path = """"path":"(\w+)"""".r.findFirstMatchIn(l).get.group(1)
-      (ver, op, path)
+      val dv = """"dv":"(\w+)"""".r.findFirstMatchIn(l).map(_.group(1))
+      (ver, op, path, dv)
     }.filter(_._1 <= v)
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val dvs = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[String]]
     acts.foreach {
-      case (_, "add", p)    => live += p
-      case (_, "remove", p) => live -= p
-      case _                => ()
+      case (_, "add", p, _)    => live += p
+      case (_, "remove", p, _) => live -= p; dvs -= p
+      case (_, "dv", p, Some(d)) =>
+        dvs(p) = dvs.getOrElse(p, Vector.empty) :+ d
+      case _ => ()
     }
-    live.toSeq.map(p => s"$base/$p")
+    (live.toSeq, dvs.toMap)
+  }
+
+  /** Replay the commit log to version `v` → live file paths. */
+  private def liveFiles(base: String, v: Int): Seq[String] =
+    liveState(base, v)._1.map(p => s"$base/$p")
+
+  /** SNAPSHOT READ with merge-on-read DV masking and by-name schema
+    * reconciliation: each live file is scanned, anti-joined against its
+    * own deletion vectors (per-file, key-equi — the mask shuffles
+    * O(file ∪ dv), and with AQE a small DV broadcasts), and the per-file
+    * frames union BY NAME so files written under an older schema
+    * null-fill columns later commits added. The snapshot's schema is
+    * exactly the union of its live files' schemas — an old version read
+    * never sees a column added after it. */
+  private def readSnapshot(spark: SparkSession, base: String, v: Int)
+      : DataFrame = {
+    val (files, dvs) = liveState(base, v)
+    files.map { f =>
+      val df = spark.read.parquet(s"$base/$f")
+      dvs.getOrElse(f, Nil).foldLeft(df)((d, dv) =>
+        d.join(spark.read.parquet(s"$base/$dv"), Seq("o_orderkey"),
+          "left_anti"))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   private def lakeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
@@ -325,6 +373,206 @@ object LakeOps extends QueryPack {
     FROM merged GROUP BY 1
     ORDER BY o_orderstatus ASC NULLS FIRST"""
 
+  /** MERGE-ON-READ DELETION VECTORS (round 14; VERDICT r13 task 3) — the
+    * read-side delete every Delta/Iceberg deployment uses when rewriting
+    * a large file for a few deleted rows is too expensive: commit v5
+    * registers dv1 (the deleted-key file, k%10 = 4) AGAINST fileD without
+    * touching D's bytes; a snapshot read at v5 scans D and anti-joins its
+    * DV. The graded query reads v4 (pre-delete) and v5 (masked) and the
+    * oracle recomputes both predicates over orders — so the per-file mask
+    * application is value-graded (masking the wrong file, or not masking,
+    * cannot hash-match). Reading v4 AFTER the DV landed must still see
+    * the unmasked rows: DVs are versioned metadata, not data mutation.
+    *
+    * Scale posture: the DV write scanned only the target file; the masked
+    * read shuffles O(file ∪ dv) per masked file and a small DV broadcasts
+    * under AQE — at 100 TB this is why row-level deletes cost |dv|, not a
+    * |file| rewrite, until compaction folds the mask in.
+    */
+  private def lakeDv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = lakeDir(spark, sfDir)
+    (4 to 5).map { v =>
+      readSnapshot(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"),
+          sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+            .as("total_cents"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"key_sum",
+          $"total_cents")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeDvOracle = """
+    SELECT CAST(4 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        AS BIGINT) AS total_cents
+    FROM orders
+    WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+       OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+    UNION ALL
+    SELECT 5, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT),
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 10 IN (3, 5)
+       OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+    ORDER BY version ASC NULLS FIRST"""
+
+  /** SCHEMA EVOLUTION THROUGH THE COMMIT LOG (round 14; VERDICT r13 task
+    * 4) — commit v6 adds fileF carrying a NEW column (o_channel, a
+    * deterministic function of the key) the earlier files lack. Reads
+    * reconcile BY NAME per snapshot: the snapshot's schema is the union
+    * of its live files' schemas, so v4/v5 reads keep the base 6-column shape
+    * (n_cols grades that an old snapshot never sees a later column) and
+    * the v6 head read null-fills o_channel for pre-evolution files while
+    * still applying v5's deletion vector. The oracle recomputes all three
+    * snapshots (rows, keys, column count, channel sum) from orders.
+    */
+  private def lakeSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = lakeDir(spark, sfDir)
+    (4 to 6).map { v =>
+      val snap = readSnapshot(spark, base, v)
+      val channelSum =
+        if (snap.columns.contains("o_channel"))
+          coalesce(sum($"o_channel"), lit(0L)).cast("long")
+        else lit(0L)
+      snap.agg(
+          count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"),
+          channelSum.as("channel_sum"))
+        .select(lit(v.toLong).as("version"),
+          lit(snap.schema.size.toLong).as("n_cols"),
+          $"n_rows", $"key_sum", $"channel_sum")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeSchemaEvolutionOracle = """
+    WITH d AS (
+      SELECT o_orderkey FROM orders
+      WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+         OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')),
+    masked AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 10 IN (3, 5)
+         OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')),
+    f AS (
+      SELECT o_orderkey, (o_orderkey // 10) % 2 AS o_channel
+      FROM orders WHERE o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8)
+    SELECT CAST(4 AS BIGINT) AS version, CAST(6 AS BIGINT) AS n_cols,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      CAST(0 AS BIGINT) AS channel_sum
+    FROM d
+    UNION ALL
+    SELECT 5, 6, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT), 0
+    FROM masked
+    UNION ALL
+    SELECT 6, 7,
+      (SELECT count(*) FROM masked) + (SELECT count(*) FROM f),
+      (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM masked)
+        + (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM f),
+      (SELECT CAST(sum(o_channel) AS BIGINT) FROM f)
+    ORDER BY version ASC NULLS FIRST"""
+
+  /** VACUUM WITH A RETENTION HORIZON (round 14; VERDICT r13 task 3) — the
+    * nightly dead-file removal: on its OWN three-commit table (so the
+    * shared time-travel log keeps every version readable), vacuum at
+    * horizon v3 computes on-disk data files minus the union of live sets
+    * over retained versions (≥ 3) and PHYSICALLY deletes the rest (fileA,
+    * dead since the v3 rewrite), recording each deletion as a `vacuum`
+    * log action. Post-vacuum the graded query proves both halves of the
+    * contract: the retained snapshot's rows are byte-identical (the v3
+    * read re-aggregates against the orders predicate) and pre-horizon
+    * travel REFUSES (versions whose live set references a vacuumed file —
+    * the summary row counts them plus the deletions from the log).
+    *
+    * Scale posture: vacuum is pure catalog arithmetic (log replay over
+    * O(commits) entries + an O(files) listing — the standard manifest
+    * pattern) and the deletes are file-system metadata ops; no data scan.
+    */
+  private val vacuumBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def vacuumDir(spark: SparkSession, sfDir: String): String =
+    vacuumBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_vac_").toString
+        val orders = Catalog.load(spark, sfDir, "orders")
+        val k = pmod($"o_orderkey", lit(10))
+        orders.filter(k < 3).write.parquet(s"$base/fileA")
+        orders.filter(k >= 3 && k < 6).write.parquet(s"$base/fileB")
+        orders.filter(k < 3 && $"o_orderstatus" === "F")
+          .write.parquet(s"$base/fileC")
+        val log = Seq(
+          """{"v":1,"op":"add","path":"fileA"}""",
+          """{"v":2,"op":"add","path":"fileB"}""",
+          """{"v":3,"op":"remove","path":"fileA"}""",
+          """{"v":3,"op":"add","path":"fileC"}""")
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        // VACUUM at horizon 3: delete on-disk data files no retained
+        // version (v >= 3) references, then log the physical deletions.
+        val retained = (3 to 3).flatMap(v => liveState(base, v)._1).toSet
+        val onDisk = new java.io.File(base).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("file"))
+          .map(_.getName).toSeq.sorted
+        val dead = onDisk.filterNot(retained)
+        dead.foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(base, d))
+        }
+        val vacLog = dead.map(d => s"""{"v":4,"op":"vacuum","path":"$d"}""")
+        Files.write(Paths.get(base, "_log.json"),
+          (log ++ vacLog).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  private def lakeVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = vacuumDir(spark, sfDir)
+    val nVacuumed = new String(
+      Files.readAllBytes(Paths.get(base, "_log.json")),
+      StandardCharsets.UTF_8).split("\n").count(_.contains("\"vacuum\""))
+    val refused = (1 to 3).count(v =>
+      liveFiles(base, v).exists(p => !Files.exists(Paths.get(p))))
+    val v3files = liveFiles(base, 3)
+    spark.read.parquet(v3files: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").cast("long").as("key_sum"))
+      .select(lit(3L).as("version"), lit(v3files.size.toLong).as("n_files"),
+        $"n_rows", $"key_sum")
+      .unionByName(spark.range(1).select(
+        lit(0L).as("version"), lit(nVacuumed.toLong).as("n_files"),
+        lit(refused.toLong).as("n_rows"), lit(0L).as("key_sum")))
+      .orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeVacuumOracle = """
+    SELECT CAST(0 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
+      CAST(2 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS key_sum
+    UNION ALL
+    SELECT 3, 2, CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders
+    WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+       OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+    ORDER BY version ASC NULLS FIRST"""
+
+  /** Spec hook: the vacuum table's base dir (post-vacuum). */
+  private[graft] def vacuumBase(spark: SparkSession, sfDir: String): String =
+    vacuumDir(spark, sfDir)
+
+  /** Spec hook: snapshot read of the time-travel table (DV + schema
+    * reconciliation applied). */
+  private[graft] def snapshotAt(spark: SparkSession, sfDir: String,
+                                v: Int): DataFrame =
+    readSnapshot(spark, lakeDir(spark, sfDir), v)
+
   /** Spec hook: live file paths at a version of the time-travel table —
     * the vacuum view (on-disk minus live = deletable orphans) is asserted
     * in Round13RSpec. */
@@ -342,5 +590,9 @@ object LakeOps extends QueryPack {
     Q("q_lake_cdc", lakeCdc, Some(lakeCdcOracle)),
     Q("q_lake_compact", lakeCompact, Some(lakeCompactOracle)),
     Q("q_lake_merge", lakeMerge, Some(lakeMergeOracle)),
+    Q("q_lake_dv", lakeDv, Some(lakeDvOracle)),
+    Q("q_lake_schema_evolution", lakeSchemaEvolution,
+      Some(lakeSchemaEvolutionOracle)),
+    Q("q_lake_vacuum", lakeVacuum, Some(lakeVacuumOracle)),
   )
 }
