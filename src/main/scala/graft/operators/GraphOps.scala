@@ -1020,23 +1020,29 @@ object GraphOps extends QueryPack {
     ORDER BY custkey ASC NULLS FIRST"""
   }
 
-  /** K-core decomposition at k=3 (added round 10) — iterative peeling:
-    * repeatedly remove nodes of degree < k until fixpoint; what remains is
-    * the 3-core, the dense backbone community detection and spam-graph
-    * pruning start from. The k-core is UNIQUE regardless of peel order, so
-    * the result is deterministic; capability-only in the oracle sense
-    * because iterative deletion is non-monotone (a recursive CTE cannot
-    * express it) — the spec pins the output against an exact in-memory
-    * peeling of the same edges.
+  /** K-core decomposition at k=3 (added round 10; ORACLE-CHECKED since
+    * round 14, r13 VERDICT task 5) — iterative peeling: repeatedly remove
+    * nodes of degree < k until fixpoint; what remains is the 3-core, the
+    * dense backbone community detection and spam-graph pruning start
+    * from. The k-core is UNIQUE regardless of peel order, so the result
+    * is deterministic. Iterative deletion is non-monotone (a plain
+    * recursive CTE cannot express it), but the SYNCHRONIZED peel is a
+    * bounded iteration: the oracle unrolls [[KcoreUnroll]] rounds as
+    * chained CTEs (extra rounds past convergence are identity — the peel
+    * converges in ≤ 8 rounds at every graded SF, probed round 14), and
+    * the Spark loop raises loudly if a graph ever needs more rounds than
+    * the oracle models, instead of silently diverging. The in-memory peel
+    * spec (Round10BSpec) still pins the semantics independently.
     *
     * Loop shape mirrors [[propagateMinLabels]]: per round ONE degree
     * aggregation and one broadcast anti-join of the edge list against the
     * (small by construction — it only holds the nodes peeled THIS round)
     * victim set, with eager localCheckpoint leaves so per-round plans stay
     * constant-size and the driver only ever sees one Long (the victim
-    * count). Rounds are bounded by the peeling depth (≤ |V| worst case,
-    * tiny on real graphs); a too-deep graph fails loudly at [[MaxRounds]].
+    * count).
     */
+  private val KcoreUnroll = 12
+
   private def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val K = 3L
@@ -1045,7 +1051,9 @@ object GraphOps extends QueryPack {
     var done = false
     while (!done) {
       round += 1
-      require(round <= MaxRounds, s"k-core did not converge in $MaxRounds rounds")
+      require(round <= KcoreUnroll + 1,
+        s"k-core peel needs more than $KcoreUnroll rounds — widen KcoreUnroll " +
+          "and the unrolled oracle together")
       val victims = g.groupBy($"u").agg(count(lit(1)).as("deg"))
         .filter($"deg" < K).select($"u")
       if (victims.isEmpty) done = true
@@ -1058,6 +1066,32 @@ object GraphOps extends QueryPack {
     }
     g.groupBy($"u".as("custkey")).agg(count(lit(1)).as("core_degree"))
       .orderBy($"custkey".asc_nulls_first)
+  }
+
+  /** Synchronized-peel oracle: KcoreUnroll chained rounds, each removing
+    * every node of current degree < 3 from both edge endpoints — identity
+    * once converged, so any unroll ≥ the true peel depth is exact. */
+  private val kcoreOracle: String = {
+    // AS MATERIALIZED: each round references the previous three times
+    // (scan + two NOT IN probes) — inlined, the chain would re-expand the
+    // base scan 3^rounds times and exhaust file handles.
+    val rounds = (1 to KcoreUnroll).map { i =>
+      s"""vic$i AS MATERIALIZED (
+      SELECT u FROM und${i - 1} GROUP BY u HAVING count(*) < 3),
+    und$i AS MATERIALIZED (
+      SELECT u, v FROM und${i - 1}
+      WHERE u NOT IN (SELECT u FROM vic$i)
+        AND v NOT IN (SELECT u FROM vic$i))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $coPurchaseEdgesCtes,
+    und0 AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b, a FROM edges),
+    $rounds
+    SELECT u AS custkey, count(*) AS core_degree
+    FROM und$KcoreUnroll GROUP BY u
+    ORDER BY custkey ASC NULLS FIRST"""
   }
 
   /** Golden-record survivorship over the near-dup clusters (added round 10
@@ -1654,7 +1688,7 @@ object GraphOps extends QueryPack {
     Q("q_graph_clustering_coeff", graphClusteringCoeff,
       Some(graphClusteringCoeffOracle)),
     Q("q_er_golden", erGolden, Some(erGoldenOracle)),
-    Q("q_graph_kcore", graphKcore, None),
+    Q("q_graph_kcore", graphKcore, Some(kcoreOracle)),
     Q("q_graph_mst", graphMst, None),
     Q("q_graph_components", components, Some(componentsOracle)),
     Q("q_graph_components_twostar", componentsTwoStar, Some(componentsOracle)),
