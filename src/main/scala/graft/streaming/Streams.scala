@@ -415,12 +415,20 @@ object Streams extends QueryPack {
     val ckDir = java.nio.file.Files.createTempDirectory("graft_rs_ck_")
     val outDir = java.nio.file.Files.createTempDirectory("graft_rs_out_")
     val stage = midpointStage(spark, sfDir)
+    // State-store count = shuffle partitions, and EVERY micro-batch in
+    // BOTH lifecycles commits every store's delta to the checkpoint — at
+    // (windows × types) state volume, 32 stores are pure commit overhead
+    // (measured ~2× the whole query). 4 stores fit the state; the count is
+    // pinned into the checkpoint at run 1, so recovery stays consistent.
+    // At real scale this is the same sizing decision, just upward.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
     val ev = Catalog.load(spark, sfDir, "events")
       .select($"event_id", $"user_id", $"event_type", $"value", $"ts")
     def landPhase(tag: String): Unit =
       landStaged(stage, tag, srcDir, tag, 0L)
     def runOnce(): Unit = {
-      val q = spark.readStream.schema(ev.schema).parquet(srcDir.toString)
+      val q = s2.readStream.schema(ev.schema).parquet(srcDir.toString)
         .withWatermark("ts", "1 second")
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
