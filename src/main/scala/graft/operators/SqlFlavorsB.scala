@@ -444,7 +444,149 @@ object SqlFlavorsB extends QueryPack {
     WHERE s_suppkey IN (SELECT l_suppkey FROM rq, tot WHERE qty * ns > t)
     ORDER BY s_suppkey ASC NULLS FIRST"""
 
+  /** TPC-DS Q67 flavor (added round 14; r13 VERDICT task 7) — the
+    * grouping-set-heavy shape TPC-H lacks: sales cents rolled up through a
+    * FIVE-level hierarchy (type → brand → year → quarter → month) in ONE
+    * ROLLUP pass, then ranked WITHIN the top level (top-10 rollup rows per
+    * p_type across all hierarchy depths — grand-total, brand and month
+    * rows compete in one ranking, gid recording each row's level). Money
+    * stays integer cents (decimal(12,2)·100 · integral quantity) so the
+    * rank ordering cannot float-drift; the rank tiebreak chain
+    * (cents desc, gid, brand, yr, qtr, mon) is total.
+    *
+    * Scale: ONE fact pass — rollup is a single shuffle with map-side
+    * partial aggregation (Expand feeds 6 grouping sets into one exchange);
+    * the rank window partitions by p_type (bounded groups), never global.
+    */
+  private def sqlTpcdsQ67Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val sales = t("lineitem")
+      .join(broadcast(t("part").select($"p_partkey", $"p_type", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_type", $"p_brand",
+        year($"l_shipdate").cast("long").as("yr"),
+        quarter($"l_shipdate").cast("long").as("qtr"),
+        month($"l_shipdate").cast("long").as("mon"),
+        (($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long")
+          * $"l_quantity".cast("long")).as("cents"))
+    val rolled = sales.rollup($"p_type", $"p_brand", $"yr", $"qtr", $"mon")
+      .agg(grouping_id().cast("long").as("gid"),
+        sum($"cents").as("sumsales_cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"p_type")
+      .orderBy($"sumsales_cents".desc, $"gid".asc, $"p_brand".asc_nulls_first,
+        $"yr".asc_nulls_first, $"qtr".asc_nulls_first, $"mon".asc_nulls_first)
+    rolled.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 10)
+      .select($"p_type", $"p_brand", $"yr", $"qtr", $"mon", $"gid",
+        $"sumsales_cents", $"rk")
+      .orderBy($"p_type".asc_nulls_first, $"rk".asc)
+  }
+
+  private val sqlTpcdsQ67FlavorOracle = """
+    WITH sales AS (
+      SELECT p_type, p_brand,
+        CAST(year(l_shipdate) AS BIGINT) AS yr,
+        CAST(quarter(l_shipdate) AS BIGINT) AS qtr,
+        CAST(month(l_shipdate) AS BIGINT) AS mon,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          * CAST(l_quantity AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    rolled AS (
+      SELECT p_type, p_brand, yr, qtr, mon,
+        CAST(grouping(p_type, p_brand, yr, qtr, mon) AS BIGINT) AS gid,
+        CAST(sum(cents) AS BIGINT) AS sumsales_cents
+      FROM sales GROUP BY ROLLUP(p_type, p_brand, yr, qtr, mon)),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY p_type
+        ORDER BY sumsales_cents DESC, gid ASC, p_brand ASC NULLS FIRST,
+          yr ASC NULLS FIRST, qtr ASC NULLS FIRST, mon ASC NULLS FIRST)
+        AS BIGINT) AS rk
+      FROM rolled)
+    SELECT p_type, p_brand, yr, qtr, mon, gid, sumsales_cents, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY p_type ASC NULLS FIRST, rk ASC"""
+
+  /** TPC-DS Q51 flavor (added round 14; r13 VERDICT task 7) — the
+    * window-over-union shape: two channels' monthly revenue (URGENT vs
+    * HIGH order priorities standing in for web vs store), each with its
+    * OWN cumulative window, FULL OUTER joined on month, then a second
+    * carry-forward window (running max of a monotone cumulative = last
+    * known value) fills the months where one channel is silent; the
+    * output keeps the months where the web channel's running total leads
+    * the store channel's. Integer cents end-to-end; a leading NULL run
+    * (channel not started) compares UNKNOWN and drops — identical
+    * three-valued logic both engines.
+    *
+    * Scale: two channel aggregates (one fact pass each, map-side
+    * combined), and the windows ride a months-bounded frame (output
+    * cardinality = calendar months, never fact rows) — the global window
+    * is O(months) regardless of fact size.
+    */
+  private def sqlTpcdsQ51Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    def chan(prio: String): DataFrame =
+      t("orders").filter($"o_orderpriority" === prio)
+        .groupBy(date_trunc("month", $"o_orderdate").as("mon"))
+        .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+          .as("cents"))
+    val cumw = org.apache.spark.sql.expressions.Window
+      .orderBy($"mon".asc_nulls_first)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val web = chan("1-URGENT")
+      .select($"mon", sum($"cents").over(cumw).cast("long").as("cum_web"))
+    val store = chan("2-HIGH")
+      .select($"mon".as("mon_s"),
+        sum($"cents").over(cumw).cast("long").as("cum_store"))
+    web.join(store, $"mon" === $"mon_s", "full_outer")
+      .select(coalesce($"mon", $"mon_s").as("mon"), $"cum_web", $"cum_store")
+      .select($"mon",
+        max($"cum_web").over(cumw).cast("long").as("web_run"),
+        max($"cum_store").over(cumw).cast("long").as("store_run"))
+      .filter($"web_run" > $"store_run")
+      .orderBy($"mon".asc_nulls_first)
+  }
+
+  private val sqlTpcdsQ51FlavorOracle = """
+    WITH web AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+          AS BIGINT) AS cents
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+    store AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+          AS BIGINT) AS cents
+      FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1),
+    webc AS (
+      SELECT mon, CAST(sum(cents) OVER (ORDER BY mon ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_web FROM web),
+    storec AS (
+      SELECT mon, CAST(sum(cents) OVER (ORDER BY mon ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_store FROM store),
+    j AS (
+      SELECT coalesce(w.mon, s.mon) AS mon, cum_web, cum_store
+      FROM webc w FULL OUTER JOIN storec s ON w.mon = s.mon),
+    runs AS (
+      SELECT mon,
+        CAST(max(cum_web) OVER (ORDER BY mon ASC NULLS FIRST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS web_run,
+        CAST(max(cum_store) OVER (ORDER BY mon ASC NULLS FIRST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS store_run
+      FROM j)
+    SELECT mon, web_run, store_run FROM runs
+    WHERE web_run > store_run
+    ORDER BY mon ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sql_tpcds_q67_flavor", sqlTpcdsQ67Flavor, Some(sqlTpcdsQ67FlavorOracle)),
+    Q("q_sql_tpcds_q51_flavor", sqlTpcdsQ51Flavor, Some(sqlTpcdsQ51FlavorOracle)),
     Q("q_sql_tpch_q20_flavor", sqlTpchQ20Flavor, Some(sqlTpchQ20FlavorOracle)),
     Q("q_sql_tpch_q7_flavor", sqlTpchQ7Flavor, Some(sqlTpchQ7FlavorOracle)),
     Q("q_sql_tpch_q9_flavor", sqlTpchQ9Flavor, Some(sqlTpchQ9FlavorOracle)),
