@@ -162,21 +162,20 @@ object Layout {
       .collect().map(_.getLong(0)).toSeq.sorted
   }
 
-  /** One zone-map manifest entry: a data file and its min/max shipdate. */
-  case class ZoneStat(file: String, mn: java.sql.Timestamp,
-                      mx: java.sql.Timestamp)
-
   private val materializedZm =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[ZoneStat]]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** ZONE-MAP layout (added round 12 batch 8): lineitem rewritten once per
+  /** ZONE-MAP layout (added round 12 batch 8; manifest made distributed
+    * round 14, r13 VERDICT note 4): lineitem rewritten once per
     * (JVM, sfDir) range-clustered by `l_shipdate` into 16 files (each a
     * contiguous shipdate slice), and the FILE-LEVEL min/max manifest every
     * lakehouse keeps (Delta per-file stats, Iceberg manifests) built in
     * the SAME job — one `input_file_name()` grouping pass at write time,
-    * collected to |files| driver rows. Returns the manifest.
+    * landed as a parquet TABLE beside the data (never collected whole:
+    * at 100 TB a manifest is millions of rows, driver-resident only in
+    * its pruned form). Returns the manifest table's path.
     */
-  def zonemapLineitem(spark: SparkSession, sfDir: String): Seq[ZoneStat] =
+  def zonemapManifestPath(spark: SparkSession, sfDir: String): String =
     materializedZm.computeIfAbsent(sfDir, { _ =>
       import org.apache.spark.sql.functions._
       val dest = s"$scratch/li_zm_${sfDir.replaceAll("[^A-Za-z0-9.-]", "_")}"
@@ -187,25 +186,32 @@ object Layout {
       spark.read.parquet(dest)
         .groupBy(input_file_name().as("file"))
         .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
-        .collect().map(r => ZoneStat(r.getString(0), r.getTimestamp(1),
-          r.getTimestamp(2))).toSeq.sortBy(_.file)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${dest}__manifest")
+      s"${dest}__manifest"
     })
 
+  /** The zone-map manifest as a DataFrame (file, mn, mx). */
+  def zonemapManifest(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.read.parquet(zonemapManifestPath(spark, sfDir))
+
   /** The zone-map PRUNE step: file paths whose [min, max] overlaps
-    * [lo, hi] — pure manifest arithmetic, no data file opens (at 100 TB
-    * this is the manifest scan every lakehouse query plans with).
+    * [lo, hi] — a DISTRIBUTED filter over the manifest table; only the
+    * SURVIVING paths reach the driver (bounded by what the planner must
+    * enumerate to build the scan anyway — the MergeBound discipline the
+    * graph ops use). No data file opens: at 100 TB this is the manifest
+    * scan every lakehouse query plans with.
     */
   def zonemapFilesFor(spark: SparkSession, sfDir: String,
                       lo: String, hi: String): Seq[String] = {
-    // UTC-pinned boundaries (the session tz): Timestamp.valueOf would
-    // interpret the literal in the JVM default zone instead.
-    def utc(d: String) = java.sql.Timestamp.from(
-      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC)
-        .toInstant)
-    val l = utc(lo)
-    val h = utc(hi)
-    zonemapLineitem(spark, sfDir)
-      .filter(s => !s.mx.before(l) && !s.mn.after(h)).map(_.file)
+    import org.apache.spark.sql.functions._
+    zonemapManifest(spark, sfDir)
+      // UTC literal comparison in the session tz (both bounds dates).
+      .filter(col("mx") >= to_timestamp(lit(lo)) &&
+        col("mn") <= to_timestamp(lit(hi)))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
   }
 
   private val materializedZ =

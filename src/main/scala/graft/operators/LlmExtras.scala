@@ -919,6 +919,10 @@ object LlmExtras extends QueryPack {
         $"content"))
   }
 
+  /** Spec hook: the image scratch directory (real header bytes). */
+  private[graft] def imageScratchDir(spark: SparkSession, sfDir: String): String =
+    imgScratch(spark, sfDir)
+
   /** The expression-only header decode over (doc_id, byte_len, content) —
     * package-visible so specs can drive it with crafted byte payloads
     * (including malformed ones, which must raise, not null out). */
@@ -970,6 +974,103 @@ object LlmExtras extends QueryPack {
     import spark.implicits._
     binaryMeta(spark, sfDir).orderBy($"doc_id".asc_nulls_first)
   }
+
+  /** Canonical 44-byte PCM WAV header (RIFF/WAVE + 'fmt ' + 'data'):
+    * real little-endian fields a header-sniffing audio pipeline reads. */
+  private def wavHeader(channels: Int, rate: Int, dataLen: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1.toShort).putShort(channels.toShort)
+    bb.putInt(rate).putInt(rate * blockAlign)
+    bb.putShort(blockAlign.toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** WAV scratch: doc_id < 48, channels 1 + id%2, sample rate
+    * 8000·(1 + id%5), 16-bit PCM, the doc's UTF-8 bytes as the data
+    * chunk — the same closed form the oracle predicts. */
+  private def wavScratch(spark: SparkSession, sfDir: String): String =
+    graft.sources.Scans.materializeOnce("wavsrc", sfDir) { d =>
+      val docs = Catalog.load(spark, sfDir, "documents")
+        .filter(col("doc_id") < 48).select(col("doc_id"), col("text")).collect()
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p)
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val body = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val hdr = wavHeader(1 + (id % 2).toInt, 8000 * (1 + (id % 5).toInt),
+          body.length)
+        java.nio.file.Files.write(p.resolve(s"doc_$id.wav"), hdr ++ body)
+      }
+    }
+
+  /** MULTIMODAL AUDIO (round 14) — the WAV twin of the image decode: a
+    * binaryFile scan of real RIFF/WAVE headers, every field parsed from
+    * the little-endian bytes with builtin expressions (channels, sample
+    * rate, bits, data-chunk size), then the derived audio facts a
+    * training pipeline keys on: sample count (data div blockAlign) and
+    * integer duration in ms. RIFF size and chunk magics are validated
+    * with raise_error — a malformed header fails loudly. The oracle
+    * predicts every field from the writer's closed form over doc_id, so
+    * the byte offsets and endianness are what the hash grades.
+    */
+  private def multimodalWav(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = wavScratch(spark, sfDir)
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.wav$", 1).cast("long").as("doc_id"),
+        octet_length($"content").cast("long").as("byte_len"),
+        $"content")
+      .withColumn("hx", expr("hex(substring(content, 1, 44))"))
+      .withColumn("ok", expr("""CASE
+        WHEN substring(hx, 1, 8) = '52494646'
+         AND substring(hx, 17, 8) = '57415645'
+         AND substring(hx, 25, 8) = '666D7420'
+         AND substring(hx, 73, 8) = '64617461' THEN true
+        ELSE raise_error('graft wav: RIFF/WAVE/fmt/data magic mismatch') END"""))
+      .withColumn("riff_size", expr(
+        """cast(conv(substring(hx, 15, 2) || substring(hx, 13, 2)
+          || substring(hx, 11, 2) || substring(hx, 9, 2), 16, 10) as bigint)"""))
+      .withColumn("ok2", expr("""CASE
+        WHEN riff_size + 8 <> byte_len
+        THEN raise_error('graft wav: RIFF size disagrees with file length')
+        ELSE ok END"""))
+      .withColumn("channels", expr(
+        "cast(conv(substring(hx, 47, 2) || substring(hx, 45, 2), 16, 10) as bigint)"))
+      .withColumn("sample_rate", expr(
+        """cast(conv(substring(hx, 55, 2) || substring(hx, 53, 2)
+          || substring(hx, 51, 2) || substring(hx, 49, 2), 16, 10) as bigint)"""))
+      .withColumn("bits", expr(
+        "cast(conv(substring(hx, 71, 2) || substring(hx, 69, 2), 16, 10) as bigint)"))
+      .withColumn("data_bytes", expr(
+        """cast(conv(substring(hx, 87, 2) || substring(hx, 85, 2)
+          || substring(hx, 83, 2) || substring(hx, 81, 2), 16, 10) as bigint)"""))
+      .withColumn("block_align", $"channels" * 2)
+      .select($"doc_id", $"channels", $"sample_rate", $"bits", $"data_bytes",
+        expr("data_bytes div block_align").as("n_samples"),
+        expr("(data_bytes * 1000) div (sample_rate * block_align)")
+          .as("duration_ms"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val multimodalWavSql = """
+    WITH w AS (
+      SELECT doc_id,
+        CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS sample_rate,
+        CAST(16 AS BIGINT) AS bits,
+        CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
+      FROM documents WHERE doc_id < 48)
+    SELECT doc_id, channels, sample_rate, bits, data_bytes,
+      data_bytes // (channels * 2) AS n_samples,
+      (data_bytes * 1000) // (sample_rate * channels * 2) AS duration_ms
+    FROM w ORDER BY doc_id ASC NULLS FIRST"""
 
   /** Uniform frame sampling + thumbnail resize over the decoded image
     * metadata: up to ~8 evenly-spaced frame indices per doc via an
@@ -1527,6 +1628,7 @@ object LlmExtras extends QueryPack {
     Q("q_sim_ann_ivf_serve", simIvfAnnServe, Some(simIvfSql(10L, 20L))),
     Q("q_sim_ann_recall_eval", simAnnRecallEval, Some(simAnnRecallEvalSql)),
     Q("q_multimodal_binary", multimodalBinary, Some(multimodalBinarySql)),
+    Q("q_multimodal_wav", multimodalWav, Some(multimodalWavSql)),
     Q("q_multimodal_frames", multimodalFrames, Some(multimodalFramesSql)),
     Q("q_text_collocations", collocations, Some(collocationsSql)),
     Q("q_text_ngram_lm", ngramLm, Some(ngramLmSql)),

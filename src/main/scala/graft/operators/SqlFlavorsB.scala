@@ -584,7 +584,86 @@ object SqlFlavorsB extends QueryPack {
     WHERE web_run > store_run
     ORDER BY mon ASC NULLS FIRST"""
 
+  /** TPC-DS Q88 flavor (added round 14) — the scan-sharing shape: the
+    * original runs EIGHT separate scans (one per half-hour band) that any
+    * sane engine should fuse; the flavor states the fused form directly —
+    * ONE lineitem pass with eight conditional counts (quantity band ×
+    * discount gate), a single global aggregate row. At 100 TB this is the
+    * difference between 8 fact scans and 1; the conditional counts ride
+    * map-side partial aggregation to a 1-row result.
+    */
+  private def sqlTpcdsQ88Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val bands = (0 until 8).map { i =>
+      val lo = 1 + i * 6
+      val hi = lo + 6
+      expr(s"count_if(l_quantity >= $lo AND l_quantity < $hi " +
+        s"AND l_discount >= 0.05)").as(s"h${lo}_$hi")
+    }
+    t("lineitem").agg(bands.head, bands.tail: _*)
+      .orderBy(col("h1_7").asc)
+  }
+
+  private val sqlTpcdsQ88FlavorOracle = {
+    val cols = (0 until 8).map { i =>
+      val lo = 1 + i * 6
+      val hi = lo + 6
+      s"""CAST(count(*) FILTER (WHERE l_quantity >= $lo AND l_quantity < $hi
+        AND l_discount >= 0.05) AS BIGINT) AS h${lo}_$hi"""
+    }.mkString(",\n      ")
+    s"""
+    SELECT $cols
+    FROM lineitem
+    ORDER BY h1_7 ASC"""
+  }
+
+  /** TPC-DS Q97 flavor (added round 14) — the channel-overlap audit: the
+    * distinct customer sets of two order channels (URGENT vs HIGH
+    * priorities as web vs store) FULL OUTER joined on customer, counted
+    * into web-only / store-only / both. One row, three counts — the shape
+    * every cross-channel retention dashboard runs. Scale: two distinct
+    * aggregations (map-side partial dedup) and one key-equi full outer
+    * join — O(customers) shuffle, never O(orders).
+    */
+  private def sqlTpcdsQ97Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    def chan(prio: String, name: String): DataFrame =
+      t("orders").filter($"o_orderpriority" === prio)
+        .select($"o_custkey".as(name)).distinct()
+    chan("1-URGENT", "web_k").join(chan("2-HIGH", "store_k"),
+        $"web_k" === $"store_k", "full_outer")
+      .agg(
+        expr("count_if(web_k IS NOT NULL AND store_k IS NULL)").as("web_only"),
+        expr("count_if(web_k IS NULL AND store_k IS NOT NULL)").as("store_only"),
+        expr("count_if(web_k IS NOT NULL AND store_k IS NOT NULL)").as("both_ch"))
+      .orderBy($"web_only".asc)
+  }
+
+  private val sqlTpcdsQ97FlavorOracle = """
+    WITH web AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    store AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '2-HIGH'),
+    j AS (
+      SELECT web.k AS web_k, store.k AS store_k
+      FROM web FULL OUTER JOIN store ON web.k = store.k)
+    SELECT
+      CAST(count(*) FILTER (WHERE web_k IS NOT NULL AND store_k IS NULL)
+        AS BIGINT) AS web_only,
+      CAST(count(*) FILTER (WHERE web_k IS NULL AND store_k IS NOT NULL)
+        AS BIGINT) AS store_only,
+      CAST(count(*) FILTER (WHERE web_k IS NOT NULL AND store_k IS NOT NULL)
+        AS BIGINT) AS both_ch
+    FROM j
+    ORDER BY web_only ASC"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sql_tpcds_q88_flavor", sqlTpcdsQ88Flavor, Some(sqlTpcdsQ88FlavorOracle)),
+    Q("q_sql_tpcds_q97_flavor", sqlTpcdsQ97Flavor, Some(sqlTpcdsQ97FlavorOracle)),
     Q("q_sql_tpcds_q67_flavor", sqlTpcdsQ67Flavor, Some(sqlTpcdsQ67FlavorOracle)),
     Q("q_sql_tpcds_q51_flavor", sqlTpcdsQ51Flavor, Some(sqlTpcdsQ51FlavorOracle)),
     Q("q_sql_tpch_q20_flavor", sqlTpchQ20Flavor, Some(sqlTpchQ20FlavorOracle)),

@@ -43,14 +43,19 @@ class Round13RSpec extends SparkTestBase {
     }
   }
 
-  test("vacuum view: orphan files = on-disk dirs minus the live set") {
-    // The LakeOps scratch after q_lake_compact: live(4) = {fileD}; the
-    // dirs A, B, C (+ the log) remain on disk as vacuum candidates —
-    // exactly what a retention-windowed VACUUM would delete.
+  test("vacuum view: orphan files = on-disk dirs minus the head live set") {
+    // The LakeOps scratch at HEAD (v6, since round 14): live = {fileD,
+    // fileF} plus the registered DV dv1; the dirs A, B, C (+ the log)
+    // remain on disk as vacuum candidates — exactly what a
+    // retention-windowed VACUUM would delete (and q_lake_vacuum executes
+    // on its own table).
     SparkEntry.queries("q_lake_compact")(spark, sf0001).collect()
-    val live = graft.operators.LakeOps.timeTravelLiveFiles(spark, sf0001, 4)
+    val live4 = graft.operators.LakeOps.timeTravelLiveFiles(spark, sf0001, 4)
       .map(p => java.nio.file.Path.of(p).getFileName.toString).toSet
-    assert(live == Set("fileD"))
+    assert(live4 == Set("fileD"))
+    val head = graft.operators.LakeOps.timeTravelLiveFiles(spark, sf0001, 6)
+      .map(p => java.nio.file.Path.of(p).getFileName.toString).toSet
+    assert(head == Set("fileD", "fileF"))
     val base = java.nio.file.Path.of(
       graft.operators.LakeOps.timeTravelLiveFiles(spark, sf0001, 4).head)
       .getParent
@@ -62,6 +67,8 @@ class Round13RSpec extends SparkTestBase {
           .map(_.getFileName.toString).toSet
       } finally ls.close()
     }
-    assert(onDisk -- live == Set("fileA", "fileB", "fileC"))
+    // dv1 is not a data file but is referenced by v5+ snapshots — a vacuum
+    // must keep it alongside the files it masks.
+    assert(onDisk -- head -- Set("dv1") == Set("fileA", "fileB", "fileC"))
   }
 }

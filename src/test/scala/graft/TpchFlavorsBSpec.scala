@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
 class TpchFlavorsBSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("pack registration: 9 queries, all with oracles") {
+  test("pack registration: 13 queries, all with oracles") {
     assert(operators.SqlFlavorsB.queries.map(_.id).toSet == Set(
       "q_sql_tpch_q7_flavor", "q_sql_tpch_q9_flavor", "q_sql_tpch_q11_flavor",
       "q_sql_tpch_q13_flavor", "q_sql_tpch_q15_flavor",
       "q_sql_tpch_q16_flavor", "q_sql_tpch_q18_flavor",
-      "q_sql_tpch_q20_flavor", "q_sql_tpch_q21_flavor"))
+      "q_sql_tpch_q20_flavor", "q_sql_tpch_q21_flavor",
+      "q_sql_tpcds_q67_flavor", "q_sql_tpcds_q51_flavor",
+      "q_sql_tpcds_q88_flavor", "q_sql_tpcds_q97_flavor"))
     assert(operators.SqlFlavorsB.queries.forall(_.oracle.isDefined))
   }
 
