@@ -96,4 +96,55 @@ class TpchFlavorsBSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == want)
   }
+
+  test("tpcds q67: per-type ranks are 1..k<=10 and ordered by cents") {
+    val rows = SparkEntry.queries("q_sql_tpcds_q67_flavor")(spark, sf0001)
+      .select($"p_type", $"rk", $"sumsales_cents")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (tpe, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to g.length).toSeq,
+        s"$tpe: ranks not consecutive")
+      assert(g.length <= 10)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq,
+        s"$tpe: rank order disagrees with cents order")
+    }
+    // The grand-total row (all group cols aggregated) competes too.
+    assert(rows.exists(_._1.isEmpty))
+  }
+
+  test("tpcds q51: running totals are non-decreasing and web leads on every row") {
+    val rows = SparkEntry.queries("q_sql_tpcds_q51_flavor")(spark, sf0001)
+      .select($"mon", $"web_run", $"store_run")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, w, s) => assert(w > s) }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+  }
+
+  test("tpcds q88: band counts reconcile with direct filters") {
+    val row = SparkEntry.queries("q_sql_tpcds_q88_flavor")(spark, sf0001).head()
+    val li = Catalog.load(spark, sf0001, "lineitem")
+    (0 until 8).foreach { i =>
+      val lo = 1 + i * 6
+      val want = li.filter($"l_quantity" >= lo && $"l_quantity" < (lo + 6) &&
+        $"l_discount" >= 0.05).count()
+      assert(row.getLong(i) == want, s"band $lo mismatch")
+    }
+  }
+
+  test("tpcds q97: overlap partition sums to each channel's distinct keys") {
+    val row = SparkEntry.queries("q_sql_tpcds_q97_flavor")(spark, sf0001).head()
+    val (webOnly, storeOnly, both) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    val o = Catalog.load(spark, sf0001, "orders")
+    val web = o.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct().count()
+    val store = o.filter($"o_orderpriority" === "2-HIGH")
+      .select($"o_custkey").distinct().count()
+    assert(webOnly + both == web)
+    assert(storeOnly + both == store)
+    assert(both > 0)
+  }
 }
