@@ -76,7 +76,16 @@ object LakeOps extends QueryPack {
           """{"v":4,"op":"remove","path":"fileC"}""",
           """{"v":4,"op":"add","path":"fileD"}""",
           """{"v":5,"op":"dv","path":"fileD","dv":"dv1"}""",
-          """{"v":6,"op":"add","path":"fileF"}""")
+          """{"v":6,"op":"add","path":"fileF"}""",
+          // v7 RESTOREs the table to v3: one metadata commit that removes
+          // the current live files and re-adds v3's live set (both still
+          // on disk — no vacuum ran here). Removing D drops its DV with
+          // it, so the restored state is v3's, unmasked — the Delta
+          // RESTORE contract: an append-only log, never history rewrite.
+          """{"v":7,"op":"remove","path":"fileD"}""",
+          """{"v":7,"op":"remove","path":"fileF"}""",
+          """{"v":7,"op":"add","path":"fileB"}""",
+          """{"v":7,"op":"add","path":"fileC"}""")
         Files.write(Paths.get(base, "_log.json"),
           log.mkString("\n").getBytes(StandardCharsets.UTF_8))
         base
@@ -563,6 +572,132 @@ object LakeOps extends QueryPack {
        OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
     ORDER BY version ASC NULLS FIRST"""
 
+  /** TABLE RESTORE (round 14) — point-in-time rollback as ONE metadata
+    * commit: v7 removes the current live files and re-adds v3's live set
+    * (all still on disk), never rewriting history — reads at v4..v6 keep
+    * answering exactly as before (the graded v6 row pins it, DV mask
+    * included). The graded query reads v3, v6 and v7: the restore is
+    * correct iff v7's aggregates EQUAL v3's while v6's differ — the
+    * oracle states precisely that (same predicate for v3/v7).
+    * Scale: restore is O(live files) log arithmetic, zero data movement —
+    * the Delta RESTORE / Iceberg rollback-to-snapshot contract.
+    */
+  private def lakeRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = lakeDir(spark, sfDir)
+    Seq(3, 6, 7).map { v =>
+      val files = liveState(base, v)._1
+      readSnapshot(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"))
+        .select(lit(v.toLong).as("version"),
+          lit(files.size.toLong).as("n_files"), $"n_rows", $"key_sum")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeRestoreOracle = """
+    WITH v3 AS (
+      SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+      WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+         OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')),
+    v6 AS (
+      SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+      WHERE o_orderkey % 10 IN (3, 5)
+         OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+         OR (o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8))
+    SELECT CAST(3 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
+      n_rows, key_sum FROM v3
+    UNION ALL
+    SELECT 6, 2, n_rows, key_sum FROM v6
+    UNION ALL
+    SELECT 7, 2, n_rows, key_sum FROM v3
+    ORDER BY version ASC NULLS FIRST"""
+
+  /** SHALLOW CLONE (round 14) — the zero-copy table fork every lakehouse
+    * offers (Delta SHALLOW CLONE): the clone is a NEW table whose log is
+    * the source's log truncated at the clone version plus a `_source`
+    * pointer; NO data file is copied (spec-asserted: the clone dir holds
+    * only metadata). The clone is then INDEPENDENT: the source advancing
+    * to v5/v6/v7 never changes the clone's reads. Graded three ways: the
+    * clone's head equals the source AT THE CLONE POINT (v4), the source
+    * at v6 (DV mask + schema commit) answers DIFFERENTLY, and the source
+    * head (v7, post-restore) matches the clone again — the full
+    * fork-diverge-rollback story in one hash.
+    */
+  private val cloneBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cloneDir(spark: SparkSession, sfDir: String): String =
+    cloneBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        val src = lakeDir(spark, sfDir)
+        val base = Files.createTempDirectory("graft_lake_clone_").toString
+        val srcLog = new String(
+          Files.readAllBytes(Paths.get(src, "_log.json")),
+          StandardCharsets.UTF_8).split("\n").toSeq
+        val truncated = srcLog.filter { l =>
+          """"v":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt <= 4
+        }
+        Files.write(Paths.get(base, "_log.json"),
+          truncated.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        Files.write(Paths.get(base, "_source"),
+          src.getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  /** Snapshot read of a shallow clone: log replay against the clone's
+    * log, data files resolved through the `_source` pointer. */
+  private def readCloneHead(spark: SparkSession, base: String): DataFrame = {
+    val src = new String(Files.readAllBytes(Paths.get(base, "_source")),
+      StandardCharsets.UTF_8)
+    val (files, dvs) = liveState(base, Int.MaxValue)
+    files.map { f =>
+      val df = spark.read.parquet(s"$src/$f")
+      dvs.getOrElse(f, Nil).foldLeft(df)((d, dv) =>
+        d.join(spark.read.parquet(s"$src/$dv"), Seq("o_orderkey"),
+          "left_anti"))
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  private def lakeClone(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val srcBase = lakeDir(spark, sfDir)
+    val clone = cloneDir(spark, sfDir)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"))
+        .select(lit(tag).as("table_ref"), $"n_rows", $"key_sum")
+    agg(readCloneHead(spark, clone), "clone_head")
+      .unionByName(agg(readSnapshot(spark, srcBase, 6), "source_v6"))
+      .unionByName(agg(readSnapshot(spark, srcBase, 7), "source_head"))
+      .orderBy($"table_ref".asc_nulls_first)
+  }
+
+  private val lakeCloneOracle = """
+    WITH base AS (
+      SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+      WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+         OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')),
+    diverged AS (
+      SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+      WHERE o_orderkey % 10 IN (3, 5)
+         OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+         OR (o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8))
+    SELECT 'clone_head' AS table_ref, n_rows, key_sum FROM base
+    UNION ALL
+    SELECT 'source_head', n_rows, key_sum FROM base
+    UNION ALL
+    SELECT 'source_v6', n_rows, key_sum FROM diverged
+    ORDER BY table_ref ASC NULLS FIRST"""
+
+  /** Spec hook: the clone table's base dir. */
+  private[graft] def cloneBase(spark: SparkSession, sfDir: String): String =
+    cloneDir(spark, sfDir)
+
   /** Spec hook: the vacuum table's base dir (post-vacuum). */
   private[graft] def vacuumBase(spark: SparkSession, sfDir: String): String =
     vacuumDir(spark, sfDir)
@@ -594,5 +729,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_schema_evolution", lakeSchemaEvolution,
       Some(lakeSchemaEvolutionOracle)),
     Q("q_lake_vacuum", lakeVacuum, Some(lakeVacuumOracle)),
+    Q("q_lake_restore", lakeRestore, Some(lakeRestoreOracle)),
+    Q("q_lake_clone", lakeClone, Some(lakeCloneOracle)),
   )
 }

@@ -46,6 +46,27 @@ class Round14BSpec extends SparkTestBase {
     assert(byNull.getOrElse(false, 0L) > 0L)
   }
 
+  test("shallow clone is zero-copy: the clone dir holds only metadata") {
+    SparkEntry.queries("q_lake_clone")(spark, sf0001).count()
+    val base = operators.LakeOps.cloneBase(spark, sf0001)
+    val entries = new java.io.File(base).listFiles().map(_.getName).sorted.toSeq
+    assert(entries === Seq("_log.json", "_source"),
+      s"clone dir must hold only the log and the source pointer: $entries")
+  }
+
+  test("restore is append-only: v4-v6 reads are unchanged after v7") {
+    // The restore commit must not rewrite history — the pre-restore
+    // versions keep answering exactly as before it landed.
+    val n4 = operators.LakeOps.snapshotAt(spark, sf0001, 4).count()
+    val n6 = operators.LakeOps.snapshotAt(spark, sf0001, 6).count()
+    val n7 = operators.LakeOps.snapshotAt(spark, sf0001, 7).count()
+    val n3 = spark.read.parquet(
+      operators.LakeOps.timeTravelLiveFiles(spark, sf0001, 3): _*).count()
+    assert(n7 === n3, "restore must reproduce the target version's rows")
+    assert(n4 === n3, "v4 compaction preserved rows")
+    assert(n6 !== n4, "v6 (DV mask + fileF) must diverge from the clone point")
+  }
+
   test("vacuum removes exactly the dead file and pre-horizon travel refuses") {
     SparkEntry.queries("q_lake_vacuum")(spark, sf0001).count()
     val base = operators.LakeOps.vacuumBase(spark, sf0001)
