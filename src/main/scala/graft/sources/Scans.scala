@@ -77,6 +77,52 @@ object Scans extends QueryPack {
     * tasks like any other source, pruning/filters on path/length apply;
     * content stays off-heap columnar until the digest projection.
     */
+  /** PARQUET COMPRESSION-CODEC MATRIX (round 14) — the storage knob every
+    * 100 TB deployment tunes: the same orders slice written under snappy
+    * (the scan-speed default), zstd (the capacity choice) and gzip (the
+    * legacy interop), then read back and aggregated per codec. The graded
+    * contract is codec-transparency: identical rows from every codec
+    * (three identical aggregate rows keyed by codec name — a decode bug in
+    * any path breaks its row); the spec additionally asserts the on-disk
+    * byte sizes genuinely DIFFER, so the writes demonstrably exercised
+    * three distinct codecs rather than one default. Scratch written once
+    * per (JVM, sfDir); the timed pass measures the three decode paths.
+    */
+  private def parquetCodecs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = codecScratch(spark, sfDir)
+    Seq("gzip", "snappy", "zstd").map { c =>
+      spark.read.parquet(s"$dir/$c")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"),
+          sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+            .as("total_cents"))
+        .select(lit(c).as("codec"), $"n_rows", $"key_sum", $"total_cents")
+    }.reduce(_.unionByName(_)).orderBy($"codec".asc_nulls_first)
+  }
+
+  /** Spec hook + scratch: the codec matrix directory. */
+  private[graft] def codecScratch(spark: SparkSession, sfDir: String): String =
+    materializeOnce("codecsrc", sfDir) { d =>
+      import spark.implicits._
+      val src = graft.Catalog.load(spark, sfDir, "orders")
+        .filter(pmod($"o_orderkey", lit(10)) === 1)
+      Seq("snappy", "zstd", "gzip").foreach { c =>
+        src.coalesce(1).write.option("compression", c).parquet(s"$d/$c")
+      }
+    }
+
+  private val parquetCodecsOracle = """
+    WITH s AS (
+      SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+          AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderkey % 10 = 1)
+    SELECT 'gzip' AS codec, n_rows, key_sum, total_cents FROM s
+    UNION ALL SELECT 'snappy', n_rows, key_sum, total_cents FROM s
+    UNION ALL SELECT 'zstd', n_rows, key_sum, total_cents FROM s
+    ORDER BY codec ASC NULLS FIRST"""
+
   private def binaryFileSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = materializeOnce("binsrc", sfDir) { d =>
@@ -432,6 +478,7 @@ object Scans extends QueryPack {
   override val queries: Vector[Q] = Vector(
     Q("q_source_csv_multiline", csvMultiline, Some(csvMultilineOracle)),
     Q("q_source_binaryfile", binaryFileSource, Some(binaryFileSourceOracle)),
+    Q("q_source_parquet_codecs", parquetCodecs, Some(parquetCodecsOracle)),
     Q("q_scan_partition_pruning_dynamic", scanDpp, Some(s"""
       WITH y AS (
         SELECT DISTINCT year(l_shipdate) AS ship_year FROM lineitem

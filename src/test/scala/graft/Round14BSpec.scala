@@ -46,6 +46,20 @@ class Round14BSpec extends SparkTestBase {
     assert(byNull.getOrElse(false, 0L) > 0L)
   }
 
+  test("codec matrix: three genuinely distinct codecs, identical rows") {
+    SparkEntry.queries("q_source_parquet_codecs")(spark, sf0001).count()
+    val dir = sources.Scans.codecScratch(spark, sf0001)
+    def bytes(c: String): Long =
+      new java.io.File(s"$dir/$c").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val sizes = Seq("snappy", "zstd", "gzip").map(c => c -> bytes(c))
+    assert(sizes.map(_._2).distinct.size == 3,
+      s"codec outputs must differ in size, got $sizes")
+    // zstd and gzip both out-compress snappy on this slice.
+    val m = sizes.toMap
+    assert(m("zstd") < m("snappy") && m("gzip") < m("snappy"), s"$sizes")
+  }
+
   test("shallow clone is zero-copy: the clone dir holds only metadata") {
     SparkEntry.queries("q_lake_clone")(spark, sf0001).count()
     val base = operators.LakeOps.cloneBase(spark, sf0001)
