@@ -694,6 +694,66 @@ object LakeOps extends QueryPack {
     SELECT 'source_v6', n_rows, key_sum FROM diverged
     ORDER BY table_ref ASC NULLS FIRST"""
 
+  /** PARTITION-SPEC EVOLUTION (round 14) — the Iceberg capability of
+    * changing a table's partitioning WITHOUT rewriting old data: commit
+    * v1 lands a slice hive-partitioned by o_orderstatus (the original
+    * spec), commit v2 lands the rest partitioned by o_year (the evolved
+    * spec); a head read reconciles both layouts by name (old-spec rows
+    * null-fill the new spec's partition column) and answers over the
+    * whole table. The graded per-status aggregates count the rows living
+    * under the NEW spec separately, so mixing up either layout's rows
+    * breaks the hash. Scale: each slice keeps ITS OWN pruning axis —
+    * status-filtered queries prune v1 dirs, year-filtered queries prune
+    * v2 dirs — and evolution is metadata-only, the reason Iceberg tables
+    * never rewrite history to repartition.
+    */
+  private val partBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def partDir(spark: SparkSession, sfDir: String): String =
+    partBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_pe_").toString
+        val orders = Catalog.load(spark, sfDir, "orders")
+        val k = pmod($"o_orderkey", lit(10))
+        orders.filter(k < 5)
+          .write.partitionBy("o_orderstatus").parquet(s"$base/fileP1")
+        orders.filter(k >= 5)
+          .withColumn("o_year", year($"o_orderdate"))
+          .write.partitionBy("o_year").parquet(s"$base/fileP2")
+        val log = Seq(
+          """{"v":1,"op":"add","path":"fileP1"}""",
+          """{"v":2,"op":"add","path":"fileP2"}""")
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  private def lakePartitionEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = partDir(spark, sfDir)
+    readSnapshot(spark, base, 2)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"o_year").as("n_newspec"),
+        sum($"o_orderkey").cast("long").as("key_sum"))
+      .orderBy($"o_orderstatus".asc_nulls_first)
+  }
+
+  private val lakePartitionEvolutionOracle = """
+    SELECT o_orderstatus, count(*) AS n_rows,
+      CAST(count(CASE WHEN o_orderkey % 10 >= 5 THEN 1 END) AS BIGINT)
+        AS n_newspec,
+      CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus
+    ORDER BY o_orderstatus ASC NULLS FIRST"""
+
+  /** Spec hook: the partition-evolution table's base dir. */
+  private[graft] def partitionEvolutionBase(spark: SparkSession,
+                                            sfDir: String): String =
+    partDir(spark, sfDir)
+
   /** Spec hook: the clone table's base dir. */
   private[graft] def cloneBase(spark: SparkSession, sfDir: String): String =
     cloneDir(spark, sfDir)
@@ -731,5 +791,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_vacuum", lakeVacuum, Some(lakeVacuumOracle)),
     Q("q_lake_restore", lakeRestore, Some(lakeRestoreOracle)),
     Q("q_lake_clone", lakeClone, Some(lakeCloneOracle)),
+    Q("q_lake_partition_evolution", lakePartitionEvolution,
+      Some(lakePartitionEvolutionOracle)),
   )
 }

@@ -46,6 +46,25 @@ class Round14BSpec extends SparkTestBase {
     assert(byNull.getOrElse(false, 0L) > 0L)
   }
 
+  test("partition evolution: each slice keeps its own hive layout on disk") {
+    SparkEntry.queries("q_lake_partition_evolution")(spark, sf0001).count()
+    val base = operators.LakeOps.partitionEvolutionBase(spark, sf0001)
+    def dirs(p: String): Seq[String] =
+      new java.io.File(s"$base/$p").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs("fileP1").forall(_.startsWith("o_orderstatus=")))
+    assert(dirs("fileP1").nonEmpty)
+    assert(dirs("fileP2").forall(_.startsWith("o_year=")))
+    assert(dirs("fileP2").nonEmpty)
+    // Pruning on the evolved axis: a year filter plans only that year's
+    // directory of the new-spec slice.
+    val one = spark.read.parquet(s"$base/fileP2")
+      .filter(col("o_year") === 1995)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(one.nonEmpty && one.forall(_.contains("o_year=1995")))
+  }
+
   test("codec matrix: three genuinely distinct codecs, identical rows") {
     SparkEntry.queries("q_source_parquet_codecs")(spark, sf0001).count()
     val dir = sources.Scans.codecScratch(spark, sf0001)
