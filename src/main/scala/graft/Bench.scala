@@ -78,8 +78,11 @@ object Bench {
         "q_mv_join_incremental", "q_lake_cdc", "q_lake_compact",
         "q_lake_merge",
         // Round-14: q_lake_vacuum owns a separate scratch (build + vacuum
-        // happen once); dv/schema_evolution share the main lake scratch.
-        "q_lake_vacuum", "q_multimodal_binary",
+        // happen once); dv/schema_evolution/restore share the main lake
+        // scratch; clone and partition-evolution own their scratches;
+        // q_multimodal_binary/_wav own the image/wav file scratches.
+        "q_lake_vacuum", "q_lake_clone", "q_lake_partition_evolution",
+        "q_multimodal_binary", "q_multimodal_wav",
         // Round-14: first-use parse_json/variant_get codegen (graded 37.6 s
         // in r13 vs 1.1 s steady) and the DistributedRank sampling path
         // (q_agg_trimmed_mean graded 12.0 s vs ~2.5 s steady) are one-time

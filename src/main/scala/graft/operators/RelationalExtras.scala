@@ -614,7 +614,47 @@ object RelationalExtras extends QueryPack {
     ORDER BY jw DESC, key_a ASC NULLS FIRST, key_b ASC NULLS FIRST
     LIMIT 25"""
 
+  /** JOIN-STRATEGY HINT MATRIX (round 14) — the planner control surface a
+    * user reaches for when statistics mislead: the SAME orders⋈customer
+    * aggregate under BROADCAST, MERGE and SHUFFLE_HASH hints, one output
+    * row per strategy. The graded contract is strategy-transparency
+    * (three identical aggregate rows — a hint may change the PLAN, never
+    * the rows); the spec asserts each hint really planned its operator
+    * (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin), so the hints
+    * are demonstrably honored rather than ignored. At 100 TB hints are
+    * the escape hatch when a 10 GB "small" side must NOT broadcast, or a
+    * skew-free equi-join should skip the sort.
+    */
+  private[graft] def hintedJoin(spark: SparkSession, sfDir: String,
+                                hint: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .join(Catalog.load(spark, sfDir, "customer")
+        .select($"c_custkey", $"c_mktsegment").hint(hint),
+        $"o_custkey" === $"c_custkey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").cast("long").as("key_sum"))
+  }
+
+  private def joinHintMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq("broadcast", "merge", "shuffle_hash").map { h =>
+      hintedJoin(spark, sfDir, h)
+        .select(lit(h).as("strategy"), col("n_rows"), col("key_sum"))
+    }.reduce(_.unionByName(_)).orderBy($"strategy".asc_nulls_first)
+  }
+
+  private val joinHintMatrixOracle = """
+    WITH j AS (
+      SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    SELECT 'broadcast' AS strategy, n_rows, key_sum FROM j
+    UNION ALL SELECT 'merge', n_rows, key_sum FROM j
+    UNION ALL SELECT 'shuffle_hash', n_rows, key_sum FROM j
+    ORDER BY strategy ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_join_hint_matrix", joinHintMatrix, Some(joinHintMatrixOracle)),
     Q("q_er_jaro_winkler", erJaroWinkler, Some(erJaroWinklerOracle)),
     Q("q_er_blocking", erBlocking, Some(erBlockingOracle)),
     Q("q_er_sorted_neighborhood", erSortedNeighborhood,

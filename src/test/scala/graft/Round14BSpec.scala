@@ -46,6 +46,15 @@ class Round14BSpec extends SparkTestBase {
     assert(byNull.getOrElse(false, 0L) > 0L)
   }
 
+  test("join hints are honored: each strategy plans its own operator") {
+    def planOf(h: String): String =
+      operators.RelationalExtras.hintedJoin(spark, sf0001, h)
+        .queryExecution.executedPlan.toString
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
   test("partition evolution: each slice keeps its own hive layout on disk") {
     SparkEntry.queries("q_lake_partition_evolution")(spark, sf0001).count()
     val base = operators.LakeOps.partitionEvolutionBase(spark, sf0001)
