@@ -86,13 +86,13 @@ class RelationalExtrasSpec extends SparkTestBase {
     assert(rate > 0.05 && rate < 0.15, s"rate $rate out of band")
   }
 
-  test("pack registration: 13 queries, all with oracles") {
+  test("pack registration: 14 queries, all with oracles") {
     assert(RelationalExtras.queries.map(_.id).toSet == Set(
       "q_join_bucketed", "q_join_cbo_reorder", "q_subquery_suite",
       "q_win_distribution", "q_sample_hash", "q_skyline_pareto",
       "q_er_blocking", "q_er_score", "q_er_sorted_neighborhood",
       "q_er_jaro_winkler", "q_join_lateral_topk", "q_sql_recursive_cte",
-      "q_join_null_aware_anti"))
+      "q_join_null_aware_anti", "q_join_hint_matrix"))
     assert(RelationalExtras.queries.forall(_.oracle.isDefined))
   }
 
