@@ -749,6 +749,100 @@ object LakeOps extends QueryPack {
     FROM orders GROUP BY o_orderstatus
     ORDER BY o_orderstatus ASC NULLS FIRST"""
 
+  /** OPTIMISTIC CONCURRENCY COMMITS (round 14) — the writer protocol
+    * every multi-writer lakehouse runs: a commit names the version it
+    * EXPECTS to succeed; if another writer landed first the attempt is
+    * REJECTED, and the writer re-reads the head, validates its change
+    * still applies (append-only commits are disjoint by construction) and
+    * retries at the new version. The scratch replays the classic race:
+    * writers A and B both read head v1; A commits v2 cleanly; B's v2
+    * attempt is rejected (audited as a `conflict` log line), B rebases
+    * and lands v3. Graded: the head read contains all three slices
+    * exactly once plus the protocol counters (head version, committed
+    * attempts, rejected attempts) — a lost update or a double-append
+    * breaks the hash. Scale: the check is one compare on catalog state
+    * (how Delta's mutual-exclusion on log files behaves), never a data
+    * scan; retry cost is re-validation, not re-write.
+    */
+  private val occBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Attempt a commit at `expected + 1`; append entries and return true
+    * iff the current head version still equals `expected`. */
+  private def tryCommit(base: String, expected: Int,
+                        entries: Seq[String]): Boolean = {
+    val logPath = Paths.get(base, "_log.json")
+    val lines = new String(Files.readAllBytes(logPath),
+      StandardCharsets.UTF_8).split("\n").toSeq
+    val head = lines.map(l =>
+      """"v":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt).max
+    if (head != expected) false
+    else {
+      Files.write(logPath,
+        (lines ++ entries).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      true
+    }
+  }
+
+  private def occDir(spark: SparkSession, sfDir: String): String =
+    occBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_occ_").toString
+        val orders = Catalog.load(spark, sfDir, "orders")
+        val k = pmod($"o_orderkey", lit(10))
+        orders.filter(k < 2).write.parquet(s"$base/fileBase")
+        Files.write(Paths.get(base, "_log.json"),
+          """{"v":1,"op":"add","path":"fileBase"}"""
+            .getBytes(StandardCharsets.UTF_8))
+        // Both writers read the SAME head (v1) and stage their files.
+        orders.filter(k >= 2 && k < 4).write.parquet(s"$base/fileA")
+        orders.filter(k >= 4 && k < 6).write.parquet(s"$base/fileB")
+        val readByA = 1
+        val readByB = 1
+        // Writer A lands first.
+        require(tryCommit(base, readByA,
+          Seq(s"""{"v":${readByA + 1},"op":"add","path":"fileA"}""")),
+          "writer A must commit cleanly at v2")
+        // Writer B's attempt against its STALE snapshot must be rejected.
+        val bFirst = tryCommit(base, readByB,
+          Seq(s"""{"v":${readByB + 1},"op":"add","path":"fileB"}"""))
+        require(!bFirst, "writer B's stale commit must be rejected")
+        // B re-reads the head, validates (append-only ⇒ disjoint) and
+        // retries; the conflict is audited in the log.
+        require(tryCommit(base, readByA + 1, Seq(
+          s"""{"v":${readByA + 2},"op":"conflict","path":"fileB"}""",
+          s"""{"v":${readByA + 2},"op":"add","path":"fileB"}""")),
+          "writer B's rebased commit must land at v3")
+        base
+      })
+
+  private def lakeOcc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = occDir(spark, sfDir)
+    val log = new String(Files.readAllBytes(Paths.get(base, "_log.json")),
+      StandardCharsets.UTF_8).split("\n").toSeq
+    val head = log.map(l =>
+      """"v":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt).max
+    val rejected = log.count(_.contains("\"conflict\""))
+    spark.read.parquet(liveFiles(base, head): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").cast("long").as("key_sum"))
+      .select(lit(head.toLong).as("head_version"),
+        lit(rejected.toLong).as("n_rejected"), $"n_rows", $"key_sum")
+      .orderBy($"head_version".asc_nulls_first)
+  }
+
+  private val lakeOccOracle = """
+    SELECT CAST(3 AS BIGINT) AS head_version, CAST(1 AS BIGINT) AS n_rejected,
+      count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 10 < 6
+    ORDER BY head_version ASC NULLS FIRST"""
+
+  /** Spec hook: the OCC table's base dir. */
+  private[graft] def occBase(spark: SparkSession, sfDir: String): String =
+    occDir(spark, sfDir)
+
   /** Spec hook: the partition-evolution table's base dir. */
   private[graft] def partitionEvolutionBase(spark: SparkSession,
                                             sfDir: String): String =
@@ -793,5 +887,6 @@ object LakeOps extends QueryPack {
     Q("q_lake_clone", lakeClone, Some(lakeCloneOracle)),
     Q("q_lake_partition_evolution", lakePartitionEvolution,
       Some(lakePartitionEvolutionOracle)),
+    Q("q_lake_occ", lakeOcc, Some(lakeOccOracle)),
   )
 }

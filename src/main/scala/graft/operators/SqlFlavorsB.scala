@@ -661,7 +661,66 @@ object SqlFlavorsB extends QueryPack {
     FROM j
     ORDER BY web_only ASC"""
 
+  /** TPC-DS Q36 flavor (added round 14) — rank WITHIN THE ROLLUP PARENT,
+    * the shape q67 does not cover (q67 ranks ACROSS depths): profit cents
+    * rolled up through (type, brand), each row ranked only among its
+    * SIBLINGS — leaf rows against the other brands of their type,
+    * type-total rows against the other types, the grand total alone —
+    * via a window partitioned by (lochierarchy, parent key). Grades
+    * grouping() used as a window PARTITION key, the q36 signature. All
+    * integer cents; sibling rank tiebreak chain is total.
+    *
+    * Scale: one fact pass through the rollup Expand; the sibling windows
+    * partition by (depth, parent) — bounded groups, never global.
+    */
+  private def sqlTpcdsQ36Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val sales = t("lineitem")
+      .join(broadcast(t("part").select($"p_partkey", $"p_type", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_type", $"p_brand",
+        (($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long")
+          * $"l_quantity".cast("long")).as("cents"))
+    val rolled = sales.rollup($"p_type", $"p_brand")
+      .agg(sum($"cents").as("cents"),
+        (grouping($"p_type") + grouping($"p_brand")).cast("long")
+          .as("lochierarchy"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lochierarchy",
+        when($"lochierarchy" === 0, $"p_type"))
+      .orderBy($"cents".desc, $"p_type".asc_nulls_first,
+        $"p_brand".asc_nulls_first)
+    rolled
+      .withColumn("rank_within_parent", rank().over(w).cast("long"))
+      .select($"p_type", $"p_brand", $"lochierarchy", $"cents",
+        $"rank_within_parent")
+      .orderBy($"lochierarchy".desc, $"p_type".asc_nulls_first,
+        $"p_brand".asc_nulls_first)
+  }
+
+  private val sqlTpcdsQ36FlavorOracle = """
+    WITH sales AS (
+      SELECT p_type, p_brand,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          * CAST(l_quantity AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    rolled AS (
+      SELECT p_type, p_brand, CAST(sum(cents) AS BIGINT) AS cents,
+        CAST(grouping(p_type) + grouping(p_brand) AS BIGINT) AS lochierarchy
+      FROM sales GROUP BY ROLLUP(p_type, p_brand))
+    SELECT p_type, p_brand, lochierarchy, cents,
+      CAST(rank() OVER (
+        PARTITION BY lochierarchy,
+          CASE WHEN lochierarchy = 0 THEN p_type END
+        ORDER BY cents DESC, p_type ASC NULLS FIRST,
+          p_brand ASC NULLS FIRST) AS BIGINT) AS rank_within_parent
+    FROM rolled
+    ORDER BY lochierarchy DESC, p_type ASC NULLS FIRST,
+      p_brand ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sql_tpcds_q36_flavor", sqlTpcdsQ36Flavor, Some(sqlTpcdsQ36FlavorOracle)),
     Q("q_sql_tpcds_q88_flavor", sqlTpcdsQ88Flavor, Some(sqlTpcdsQ88FlavorOracle)),
     Q("q_sql_tpcds_q97_flavor", sqlTpcdsQ97Flavor, Some(sqlTpcdsQ97FlavorOracle)),
     Q("q_sql_tpcds_q67_flavor", sqlTpcdsQ67Flavor, Some(sqlTpcdsQ67FlavorOracle)),

@@ -46,6 +46,18 @@ class Round14BSpec extends SparkTestBase {
     assert(byNull.getOrElse(false, 0L) > 0L)
   }
 
+  test("occ: the conflict is audited and both writers' files are live once") {
+    SparkEntry.queries("q_lake_occ")(spark, sf0001).count()
+    val base = operators.LakeOps.occBase(spark, sf0001)
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "_log.json")), "UTF-8")
+    assert(log.contains(""""op":"conflict""""), "rejected attempt must be audited")
+    val adds = """"op":"add","path":"(\w+)"""".r
+      .findAllMatchIn(log).map(_.group(1)).toSeq
+    assert(adds.sorted == Seq("fileA", "fileB", "fileBase"),
+      s"each file must land exactly once, got $adds")
+  }
+
   test("join hints are honored: each strategy plans its own operator") {
     def planOf(h: String): String =
       operators.RelationalExtras.hintedJoin(spark, sf0001, h)

@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
 class TpchFlavorsBSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("pack registration: 13 queries, all with oracles") {
+  test("pack registration: 14 queries, all with oracles") {
     assert(operators.SqlFlavorsB.queries.map(_.id).toSet == Set(
       "q_sql_tpch_q7_flavor", "q_sql_tpch_q9_flavor", "q_sql_tpch_q11_flavor",
       "q_sql_tpch_q13_flavor", "q_sql_tpch_q15_flavor",
       "q_sql_tpch_q16_flavor", "q_sql_tpch_q18_flavor",
       "q_sql_tpch_q20_flavor", "q_sql_tpch_q21_flavor",
       "q_sql_tpcds_q67_flavor", "q_sql_tpcds_q51_flavor",
-      "q_sql_tpcds_q88_flavor", "q_sql_tpcds_q97_flavor"))
+      "q_sql_tpcds_q88_flavor", "q_sql_tpcds_q97_flavor",
+      "q_sql_tpcds_q36_flavor"))
     assert(operators.SqlFlavorsB.queries.forall(_.oracle.isDefined))
   }
 
@@ -132,6 +133,22 @@ class TpchFlavorsBSpec extends SparkTestBase {
         $"l_discount" >= 0.05).count()
       assert(row.getLong(i) == want, s"band $lo mismatch")
     }
+  }
+
+  test("tpcds q36: sibling ranks are dense within each parent") {
+    val rows = SparkEntry.queries("q_sql_tpcds_q36_flavor")(spark, sf0001)
+      .select($"p_type", $"lochierarchy", $"rank_within_parent")
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    // Leaves rank within their type; type totals rank among all types;
+    // the grand total is rank 1 alone.
+    rows.groupBy(t => (t._2, if (t._2 == 0L) t._1 else None)).foreach {
+      case (parent, g) =>
+        val ranks = g.map(_._3).sorted.toSeq
+        assert(ranks == (1L to g.length).toSeq,
+          s"parent $parent: ranks $ranks not dense")
+    }
+    assert(rows.count(_._2 == 2L) == 1)
   }
 
   test("tpcds q97: overlap partition sums to each channel's distinct keys") {
