@@ -1022,41 +1022,51 @@ object LlmExtras extends QueryPack {
   private def multimodalWav(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = wavScratch(spark, sfDir)
-    spark.read.format("binaryFile").load(dir)
+    decodeWavMeta(spark.read.format("binaryFile").load(dir)
       .select(
         regexp_extract($"path", "doc_(\\d+)\\.wav$", 1).cast("long").as("doc_id"),
         octet_length($"content").cast("long").as("byte_len"),
-        $"content")
+        $"content"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  /** The expression-only WAV decode over (doc_id, byte_len, content).
+    * The guards are FOLDED INTO LIVE COLUMNS (the image decode's WebP
+    * pattern): channels carries the magic check, data_bytes carries the
+    * RIFF-size check — a guard in a column no select references would be
+    * pruned by Catalyst and could never fire (round-14 review finding).
+    * Package-visible so specs can drive it with malformed payloads. */
+  private[graft] def decodeWavMeta(raw: DataFrame): DataFrame = {
+    raw
       .withColumn("hx", expr("hex(substring(content, 1, 44))"))
-      .withColumn("ok", expr("""CASE
+      .withColumn("channels", expr("""CASE
         WHEN substring(hx, 1, 8) = '52494646'
          AND substring(hx, 17, 8) = '57415645'
          AND substring(hx, 25, 8) = '666D7420'
-         AND substring(hx, 73, 8) = '64617461' THEN true
+         AND substring(hx, 73, 8) = '64617461'
+        THEN cast(conv(substring(hx, 47, 2) || substring(hx, 45, 2), 16, 10)
+          as bigint)
         ELSE raise_error('graft wav: RIFF/WAVE/fmt/data magic mismatch') END"""))
       .withColumn("riff_size", expr(
         """cast(conv(substring(hx, 15, 2) || substring(hx, 13, 2)
           || substring(hx, 11, 2) || substring(hx, 9, 2), 16, 10) as bigint)"""))
-      .withColumn("ok2", expr("""CASE
-        WHEN riff_size + 8 <> byte_len
-        THEN raise_error('graft wav: RIFF size disagrees with file length')
-        ELSE ok END"""))
-      .withColumn("channels", expr(
-        "cast(conv(substring(hx, 47, 2) || substring(hx, 45, 2), 16, 10) as bigint)"))
       .withColumn("sample_rate", expr(
         """cast(conv(substring(hx, 55, 2) || substring(hx, 53, 2)
           || substring(hx, 51, 2) || substring(hx, 49, 2), 16, 10) as bigint)"""))
       .withColumn("bits", expr(
         "cast(conv(substring(hx, 71, 2) || substring(hx, 69, 2), 16, 10) as bigint)"))
-      .withColumn("data_bytes", expr(
-        """cast(conv(substring(hx, 87, 2) || substring(hx, 85, 2)
-          || substring(hx, 83, 2) || substring(hx, 81, 2), 16, 10) as bigint)"""))
-      .withColumn("block_align", $"channels" * 2)
-      .select($"doc_id", $"channels", $"sample_rate", $"bits", $"data_bytes",
+      .withColumn("data_bytes", expr("""CASE
+        WHEN riff_size + 8 <> byte_len
+        THEN raise_error('graft wav: RIFF size disagrees with file length')
+        ELSE cast(conv(substring(hx, 87, 2) || substring(hx, 85, 2)
+          || substring(hx, 83, 2) || substring(hx, 81, 2), 16, 10) as bigint)
+        END"""))
+      .withColumn("block_align", col("channels") * 2)
+      .select(col("doc_id"), col("channels"), col("sample_rate"), col("bits"),
+        col("data_bytes"),
         expr("data_bytes div block_align").as("n_samples"),
         expr("(data_bytes * 1000) div (sample_rate * block_align)")
           .as("duration_ms"))
-      .orderBy($"doc_id".asc_nulls_first)
   }
 
   private val multimodalWavSql = """

@@ -103,6 +103,56 @@ class Round14ASpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("RIFF size")))
   }
 
+  private def wav(channels: Int, rate: Int, dataLen: Int): Array[Byte] = {
+    // Independent writer, from the RIFF/WAVE spec.
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  private def decodeWav(payloads: Seq[(Long, Array[Byte])]) =
+    operators.LlmExtras.decodeWavMeta(
+      payloads.toDF("doc_id", "content")
+        .withColumn("byte_len", octet_length($"content").cast("long")))
+
+  test("wav decode reads the little-endian fields from the actual bytes") {
+    val body = Array.fill(4410)(7.toByte)
+    val rows = decodeWav(Seq((1L, wav(2, 44100, body.length) ++ body)))
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("channels") === 2L)
+    assert(r.getAs[Long]("sample_rate") === 44100L)
+    assert(r.getAs[Long]("bits") === 16L)
+    assert(r.getAs[Long]("data_bytes") === 4410L)
+    assert(r.getAs[Long]("n_samples") === 4410L / 4)
+    assert(r.getAs[Long]("duration_ms") === 4410L * 1000 / (44100 * 4))
+  }
+
+  test("wav magic-byte mismatch raises (guard lives in a selected column)") {
+    val broken = wav(1, 8000, 8)
+    broken(8) = 'X'.toByte // corrupt 'WAVE'
+    val e = intercept[Exception] {
+      decodeWav(Seq((1L, broken ++ Array.fill(8)(0.toByte)))).collect()
+    }
+    assert(e.getMessage.contains("magic mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("magic mismatch")))
+  }
+
+  test("wav RIFF size disagreement raises") {
+    val broken = wav(1, 8000, 99) ++ Array.fill(8)(0.toByte) // claims 99
+    val e = intercept[Exception] { decodeWav(Seq((1L, broken))).collect() }
+    assert(e.getMessage.contains("RIFF size") ||
+      Option(e.getCause).exists(_.getMessage.contains("RIFF size")))
+  }
+
   test("scratch PNG files carry a valid IHDR CRC32") {
     // Drive the graded query once so the scratch exists, then re-verify a
     // real file's CRC independently of both the writer and the decode.
