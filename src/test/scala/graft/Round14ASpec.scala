@@ -156,18 +156,14 @@ class Round14ASpec extends SparkTestBase {
   test("scratch PNG files carry a valid IHDR CRC32") {
     // Drive the graded query once so the scratch exists, then re-verify a
     // real file's CRC independently of both the writer and the decode.
+    // The scratch is resolved through the deterministic package hook (this
+    // session's own dir), NOT a shared-tmpdir glob that stale or
+    // concurrent JVMs' scratch dirs could pollute (round-15 ADVICE fix).
     SparkEntry.queries("q_multimodal_binary")(spark, sf0001).count()
-    val dirs = java.nio.file.Files.list(
-      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-      .filter(p => p.getFileName.toString.startsWith("graft_scratch_"))
-      .toArray.map(_.toString)
-    val pngs = dirs.flatMap { d =>
-      val imgs = new java.io.File(d).listFiles(
-        (f: java.io.File) => f.getName.startsWith("imgsrc_"))
-      if (imgs == null) Array.empty[java.io.File]
-      else imgs.flatMap(_.listFiles((f: java.io.File) =>
-        f.getName == "doc_0.img" || f.getName == "doc_3.img"))
-    }
+    val dir = new java.io.File(
+      graft.operators.LlmExtras.imageScratchDir(spark, sf0001))
+    val pngs = dir.listFiles((f: java.io.File) =>
+      f.getName == "doc_0.img" || f.getName == "doc_3.img")
     assert(pngs.nonEmpty, "image scratch should contain PNG docs (id % 3 == 0)")
     pngs.foreach { f =>
       val b = java.nio.file.Files.readAllBytes(f.toPath)

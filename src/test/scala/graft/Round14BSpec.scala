@@ -34,6 +34,21 @@ class Round14BSpec extends SparkTestBase {
     assert(n4 === n5 + masked)
   }
 
+  test("every DV-masked data file holds at most one row per key") {
+    // The key-equi anti-join mask equals positional-DV semantics ONLY
+    // under per-file key uniqueness (readSnapshot's stated contract,
+    // round-15 ADVICE); pin it on the actual masked file.
+    SparkEntry.queries("q_lake_dv")(spark, sf0001).count()
+    val d5 = operators.LakeOps.timeTravelLiveFiles(spark, sf0001, 5)
+    val masked = d5.filter(_.endsWith("fileD"))
+    assert(masked.nonEmpty, "the fixture must mask fileD at v5")
+    masked.foreach { f =>
+      val dup = spark.read.parquet(f).groupBy($"o_orderkey")
+        .count().filter($"count" > 1).count()
+      assert(dup === 0L, s"masked file $f must have unique keys")
+    }
+  }
+
   test("older snapshots never see the evolved column; head reconciles") {
     val s5 = operators.LakeOps.snapshotAt(spark, sf0001, 5)
     val s6 = operators.LakeOps.snapshotAt(spark, sf0001, 6)
