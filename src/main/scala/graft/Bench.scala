@@ -83,6 +83,11 @@ object Bench {
         // q_multimodal_binary/_wav own the image/wav file scratches.
         "q_lake_vacuum", "q_lake_clone", "q_lake_partition_evolution",
         "q_lake_occ", "q_multimodal_binary", "q_multimodal_wav",
+        // Round-15: the checkpoint table's scratch (8 range slices +
+        // compaction + DV + checkpoints) is written once per (app, sfDir);
+        // the timed pass measures checkpoint-resolved reads. q_lake_zonemap
+        // shares the scratch.
+        "q_lake_checkpoint",
         // Round-14: first-use parse_json/variant_get codegen (graded 37.6 s
         // in r13 vs 1.1 s steady) and the DistributedRank sampling path
         // (q_agg_trimmed_mean graded 12.0 s vs ~2.5 s steady) are one-time
