@@ -103,6 +103,10 @@ object Bench {
     // per (JVM, sfDir) — the timed runs then measure the streaming
     // lifecycles, not the harness split.
     warm("midpoint_stage")(graft.streaming.Streams.warmStageSplit(spark, sfDir))
+    // The lake CDF staging (round 15): per-commit change files are written
+    // once per (app, sfDir); q_stream_lake_cdf's timed pass then measures
+    // the incremental consumer lifecycle, the declared steady state.
+    warm("lake_cdf_stage")(graft.operators.LakeOps.cdfStageDir(spark, sfDir): Unit)
     var failed = List.empty[String]
     // Declaration order (SparkEntry.all), not the HashMap view: map order
     // changed whenever a key was added, silently re-assigning shared cold

@@ -1441,6 +1441,97 @@ object Streams extends QueryPack {
     GROUP BY 1, 2
     ORDER BY l_returnflag ASC NULLS FIRST, mon ASC NULLS FIRST"""
 
+  /** The TWENTY-FOURTH graded real-streaming run (round 15; VERDICT r14
+    * task 3): an INCREMENTAL CHANGE-DATA-FEED READ of the lake commit log
+    * — the consumer half of the lake story (q_stream_lake_sink streams
+    * INTO a commit log; q_lake_cdc diffs it in batch; this run SUBSCRIBES
+    * to it): [[graft.operators.LakeOps.cdfStageDir]] surfaces each
+    * commit's net row changes as one mtime-ordered file, and a
+    * maxFilesPerTrigger=1 readStream replays the feed ONE COMMIT PER
+    * MICRO-BATCH through a stateful running aggregation — per order
+    * priority the net row count and net key sum (inserts add, deletes
+    * subtract), total change-row count, and the last version touching the
+    * priority. Folding the complete feed from v1 reconstructs EXACTLY the
+    * head snapshot's state (the CDF consumer contract: a downstream
+    * materialization that applies every change equals the table), and
+    * every graded aggregate is batching-invariant (sums/counts/max over
+    * signed rows), so the oracle can state the per-version change sets
+    * declaratively over orders and remain exact under any file split.
+    * Update-mode foreachBatch lands each batch's updated groups keyed by
+    * batch id; the merge takes each priority's latest landed row — the
+    * foreachBatchSink idempotent-merge pattern.
+    *
+    * Scale: the consumer reads O(changes-per-commit) rows per batch and
+    * keeps |priorities| state rows — a 100 TB table's CDF subscriber
+    * costs the change volume, never the table. */
+  private def streamLakeCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stage = graft.operators.LakeOps.cdfStageDir(spark, sfDir)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_lcdf_ck_")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lcdf_out_")
+    val schema = spark.read.parquet(stage).schema
+    // |priorities| = 5 state rows; 4 stores (the r14 sizing rationale),
+    // pinned on an isolated newSession clone.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .groupBy($"o_orderpriority")
+      .agg(sum($"delta").as("n_rows_net"),
+        sum($"delta" * $"o_orderkey").as("key_sum_net"),
+        count(lit(1)).as("n_changes"),
+        max($"ver").as("last_version"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("batch_id").desc)
+    val merged = spark.read.parquet(outDir.toString)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select($"o_orderpriority", $"n_rows_net".cast("long").as("n_rows_net"),
+        $"key_sum_net".cast("long").as("key_sum_net"),
+        $"n_changes", $"last_version")
+      .orderBy($"o_orderpriority".asc_nulls_first)
+      .localCheckpoint(true)
+    rmTree(ckDir)
+    rmTree(outDir)
+    merged
+  }
+
+  /** The per-version change sets stated declaratively over orders (v1 add
+    * A, v2 add B, v3 rewrite A→C, v4 compaction = zero net changes, v5 DV
+    * delete, v6 add F, v7 restore = re-insert the DV'd keys + delete F),
+    * folded exactly like the consumer folds the feed. */
+  private val streamLakeCdfSql = """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS p, o_orderstatus AS s,
+        o_orderkey % 10 AS r
+      FROM orders),
+    chg AS (
+      SELECT k, p, 1 AS delta, 1 AS ver FROM base WHERE r < 3
+      UNION ALL SELECT k, p, 1, 2 FROM base WHERE r >= 3 AND r < 6
+      UNION ALL SELECT k, p, -1, 3 FROM base WHERE r < 3 AND s <> 'F'
+      UNION ALL SELECT k, p, -1, 5 FROM base WHERE r = 4
+      UNION ALL SELECT k, p, 1, 6 FROM base WHERE r >= 6 AND r < 8
+      UNION ALL SELECT k, p, 1, 7 FROM base WHERE r = 4
+      UNION ALL SELECT k, p, -1, 7 FROM base WHERE r >= 6 AND r < 8)
+    SELECT p AS o_orderpriority,
+      CAST(sum(delta) AS BIGINT) AS n_rows_net,
+      CAST(sum(delta * k) AS BIGINT) AS key_sum_net,
+      CAST(count(*) AS BIGINT) AS n_changes,
+      CAST(max(ver) AS BIGINT) AS last_version
+    FROM chg GROUP BY p
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_stream_mv_refresh", streamMvRefresh, Some(streamMvRefreshSql)),
     Q("q_stream_tws", streamTws, Some(streamTwsSql)),
@@ -1449,6 +1540,7 @@ object Streams extends QueryPack {
     Q("q_stream_tws_map", streamTwsMap, Some(streamTwsMapSql)),
     Q("q_stream_tws_restart", streamTwsRestart, Some(streamTwsSql)),
     Q("q_stream_lake_sink", streamLakeSink, Some(streamLakeSinkSql)),
+    Q("q_stream_lake_cdf", streamLakeCdf, Some(streamLakeCdfSql)),
     Q("q_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
     Q("q_stream_foreach_sink", foreachBatchSink, Some(foreachBatchSinkSql)),
