@@ -719,7 +719,203 @@ object SqlFlavorsB extends QueryPack {
     ORDER BY lochierarchy DESC, p_type ASC NULLS FIRST,
       p_brand ASC NULLS FIRST"""
 
+  /** TPC-DS Q14 flavor (added round 15; r14 VERDICT task 4) — the
+    * CROSS-CHANNEL INTERSECT: the original computes the items sold in ALL
+    * THREE channels as a 3-way INTERSECT of per-channel item scans, then
+    * aggregates sales restricted to those "cross items". The flavor keeps
+    * the semantics but states the plan a sane engine should reach: the
+    * INTERSECT (which Spark would plan as two chained left-semi joins,
+    * each re-scanning the fact) is FUSED into ONE fact pass — per part,
+    * three channel-presence flags as map-side conditional max()es plus
+    * the channel-1 sales that the final aggregate needs, so candidate
+    * generation and the sales aggregate ride the same shuffle. Channels =
+    * the three top order priorities; graded output = per brand the
+    * cross-part count and their exact URGENT-channel cents.
+    *
+    * Scale: one lineitem⋈orders fact shuffle (key-equi, unavoidable), one
+    * part-keyed agg, one broadcast dim join — vs the textbook plan's
+    * three fact scans + two semi-join shuffles. A spec pins the single
+    * fact pass (exactly one lineitem scan in the physical plan).
+    */
+  private def sqlTpcdsQ14Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val li = t("lineitem").select($"l_orderkey", $"l_partkey",
+        ($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      .join(t("orders").select($"o_orderkey", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+    val flags = li.groupBy($"l_partkey").agg(
+      max(when($"o_orderpriority" === "1-URGENT", 1).otherwise(0)).as("c1"),
+      max(when($"o_orderpriority" === "2-HIGH", 1).otherwise(0)).as("c2"),
+      max(when($"o_orderpriority" === "3-MEDIUM", 1).otherwise(0)).as("c3"),
+      sum(when($"o_orderpriority" === "1-URGENT", $"cents")
+        .otherwise(0L)).as("urgent_cents"))
+    flags.filter($"c1" === 1 && $"c2" === 1 && $"c3" === 1)
+      .join(broadcast(t("part").select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_cross_parts"),
+        sum($"urgent_cents").cast("long").as("urgent_cents"))
+      .orderBy($"p_brand".asc_nulls_first)
+  }
+
+  private val sqlTpcdsQ14FlavorOracle = """
+    WITH li AS (
+      SELECT l_partkey AS k, o_orderpriority AS p,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    flags AS (
+      SELECT k,
+        max(CASE WHEN p = '1-URGENT' THEN 1 ELSE 0 END) AS c1,
+        max(CASE WHEN p = '2-HIGH' THEN 1 ELSE 0 END) AS c2,
+        max(CASE WHEN p = '3-MEDIUM' THEN 1 ELSE 0 END) AS c3,
+        sum(CASE WHEN p = '1-URGENT' THEN cents ELSE 0 END) AS urgent_cents
+      FROM li GROUP BY k)
+    SELECT p_brand, count(*) AS n_cross_parts,
+      CAST(sum(urgent_cents) AS BIGINT) AS urgent_cents
+    FROM flags JOIN part ON k = p_partkey
+    WHERE c1 = 1 AND c2 = 1 AND c3 = 1
+    GROUP BY p_brand
+    ORDER BY p_brand ASC NULLS FIRST"""
+
+  /** TPC-DS Q86 flavor (added round 15; r14 VERDICT task 4) — ROLLUP
+    * SHARE-OF-PARENT: the original rolls web sales up a 2-level hierarchy
+    * and reports each row against its PARENT total. The flavor rolls
+    * orders cents through (priority, status) in ONE Expand pass, then
+    * computes each row's share of its parent in exact basis points
+    * (cents·10⁴ div parent_cents — integer-exact both engines; bp not ppm
+    * so the multiply stays far inside int64 headroom at any graded SF)
+    * plus the q86 sibling rank. Parents resolve WITHOUT re-deriving the
+    * rollup (a naive self-join re-ran the fact pass per parent level —
+    * three Expands; the spec pins exactly one): a rollup-of-sums row's
+    * parent total is the SUM OF ITS SIBLINGS, so two window sums over the
+    * |groups|-sized rolled frame compute every parent in place — leaf
+    * rows sum their priority partition, subtotal rows sum the subtotal
+    * level, the grand total is its own parent (share 10000).
+    */
+  private def sqlTpcdsQ86Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val rolled = t("orders")
+      .select($"o_orderpriority", $"o_orderstatus",
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+          .as("cents"))
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(sum($"cents").as("cents"),
+        (grouping($"o_orderpriority") + grouping($"o_orderstatus"))
+          .cast("long").as("lochierarchy"))
+    val wSib = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lochierarchy",
+        when($"lochierarchy" === 0, $"o_orderpriority"))
+    val wLevel = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lochierarchy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lochierarchy",
+        when($"lochierarchy" === 0, $"o_orderpriority"))
+      .orderBy($"cents".desc, $"o_orderpriority".asc_nulls_first,
+        $"o_orderstatus".asc_nulls_first)
+    rolled
+      .withColumn("parent",
+        when($"lochierarchy" === 0, sum($"cents").over(wSib))
+          .when($"lochierarchy" === 1, sum($"cents").over(wLevel))
+          .otherwise($"cents"))
+      .withColumn("share_bp", expr("cents * 10000L div parent"))
+      .withColumn("rank_within_parent", rank().over(w).cast("long"))
+      .select($"o_orderpriority", $"o_orderstatus", $"lochierarchy",
+        $"cents", $"share_bp", $"rank_within_parent")
+      .orderBy($"lochierarchy".desc, $"o_orderpriority".asc_nulls_first,
+        $"o_orderstatus".asc_nulls_first)
+  }
+
+  private val sqlTpcdsQ86FlavorOracle = """
+    WITH rolled AS (
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+          AS BIGINT) AS cents,
+        CAST(grouping(o_orderpriority) + grouping(o_orderstatus) AS BIGINT)
+          AS lochierarchy
+      FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)),
+    withp AS (
+      SELECT o_orderpriority, o_orderstatus, lochierarchy, cents,
+        CASE
+          WHEN lochierarchy = 0 THEN sum(cents) OVER (
+            PARTITION BY lochierarchy, o_orderpriority)
+          WHEN lochierarchy = 1 THEN sum(cents) OVER (
+            PARTITION BY lochierarchy)
+          ELSE cents END AS parent
+      FROM rolled)
+    SELECT o_orderpriority, o_orderstatus, lochierarchy, cents,
+      CAST(cents * 10000 // parent AS BIGINT) AS share_bp,
+      CAST(rank() OVER (
+        PARTITION BY lochierarchy,
+          CASE WHEN lochierarchy = 0 THEN o_orderpriority END
+        ORDER BY cents DESC, o_orderpriority ASC NULLS FIRST,
+          o_orderstatus ASC NULLS FIRST) AS BIGINT)
+        AS rank_within_parent
+    FROM withp
+    ORDER BY lochierarchy DESC, o_orderpriority ASC NULLS FIRST,
+      o_orderstatus ASC NULLS FIRST"""
+
+  /** TPC-DS Q89 flavor (added round 15; r14 VERDICT task 4) — the
+    * CATEGORY MOVING WINDOW: the original compares each (category, brand,
+    * store) month's sales against a window average and keeps the months
+    * that deviate. The flavor builds the per-(priority, yyyymm) cents
+    * series (one fact pass to |priorities × months| rows), runs a BOUNDED
+    * centered 3-month moving sum (ROWS BETWEEN 1 PRECEDING AND 1
+    * FOLLOWING — the frame is rows-bounded, so window state never grows
+    * with history) and keeps months deviating from the moving average by
+    * more than 10%, stated in exact integer arithmetic
+    * (10·|3·cents − mov| > mov ⟺ |cents − mov/3| > 0.1·mov/3) so the
+    * cross-engine filter cannot drift on a division boundary.
+    *
+    * Scale: the window partitions by priority over months — a bounded,
+    * monthly-resolution frame; the fact pass reduces to the monthly grid
+    * before any window state exists.
+    */
+  private def sqlTpcdsQ89Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val monthly = t("orders")
+      .groupBy($"o_orderpriority",
+        (year($"o_orderdate") * 100 + month($"o_orderdate")).cast("long")
+          .as("ym"))
+      .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority").orderBy($"ym".asc)
+      .rowsBetween(-1, 1)
+    monthly
+      .withColumn("mov_cents", sum($"cents").over(w))
+      .filter(abs($"cents" * 3 - $"mov_cents") * 10 > $"mov_cents")
+      .select($"o_orderpriority", $"ym", $"cents".cast("long").as("cents"),
+        $"mov_cents".cast("long").as("mov_cents"))
+      .orderBy($"o_orderpriority".asc_nulls_first, $"ym".asc_nulls_first)
+  }
+
+  private val sqlTpcdsQ89FlavorOracle = """
+    WITH monthly AS (
+      SELECT o_orderpriority,
+        CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+          AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    mov AS (
+      SELECT o_orderpriority, ym, cents,
+        CAST(sum(cents) OVER (PARTITION BY o_orderpriority
+          ORDER BY ym ASC ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+          AS BIGINT) AS mov_cents
+      FROM monthly)
+    SELECT o_orderpriority, ym, cents, mov_cents
+    FROM mov
+    WHERE abs(cents * 3 - mov_cents) * 10 > mov_cents
+    ORDER BY o_orderpriority ASC NULLS FIRST, ym ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sql_tpcds_q14_flavor", sqlTpcdsQ14Flavor, Some(sqlTpcdsQ14FlavorOracle)),
+    Q("q_sql_tpcds_q86_flavor", sqlTpcdsQ86Flavor, Some(sqlTpcdsQ86FlavorOracle)),
+    Q("q_sql_tpcds_q89_flavor", sqlTpcdsQ89Flavor, Some(sqlTpcdsQ89FlavorOracle)),
     Q("q_sql_tpcds_q36_flavor", sqlTpcdsQ36Flavor, Some(sqlTpcdsQ36FlavorOracle)),
     Q("q_sql_tpcds_q88_flavor", sqlTpcdsQ88Flavor, Some(sqlTpcdsQ88FlavorOracle)),
     Q("q_sql_tpcds_q97_flavor", sqlTpcdsQ97Flavor, Some(sqlTpcdsQ97FlavorOracle)),

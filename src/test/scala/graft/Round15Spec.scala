@@ -80,6 +80,31 @@ class Round15Spec extends SparkTestBase {
       s"head must use ckpt v10 + 2 tail actions, got ckpt v$cv + $tailN")
   }
 
+  // ---- TPC-DS batch-3 plan shapes (VERDICT r14 task 4) ----
+
+  test("q14 flavor: the 3-channel intersect is one fused fact pass") {
+    val plan = SparkEntry.queries("q_sql_tpcds_q14_flavor")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("l_partkey"))
+    assert(scans === 1,
+      s"the textbook 3-scan INTERSECT must fuse to ONE lineitem scan, got $scans")
+  }
+
+  test("q86 flavor: the rollup runs through a single Expand") {
+    val plan = SparkEntry.queries("q_sql_tpcds_q86_flavor")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size === 1,
+      "exactly one Expand node (one fact pass through the rollup)")
+  }
+
+  test("q89 flavor: the moving window runs a rows-bounded frame") {
+    val plan = SparkEntry.queries("q_sql_tpcds_q89_flavor")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("specifiedwindowframe(RowFrame, -1, 1)"),
+      "the centered 3-month frame must be rows-bounded, not unbounded")
+  }
+
   // ---- zone-map file skipping (VERDICT r14 task 6) ----
 
   test("zone pruning plans fewer files and returns identical rows") {
