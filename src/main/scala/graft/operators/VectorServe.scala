@@ -240,8 +240,121 @@ object VectorServe extends QueryPack {
     ORDER BY probe_id ASC NULLS FIRST, sel_rank ASC NULLS FIRST"""
   }
 
+  private val HnswM = 8       // kNN out-degree before symmetrization
+  private val HnswBeam = 8    // beam width
+  private val HnswRounds = 5  // bounded greedy expansion rounds
+  private val HnswEntryMod = 16 // entry layer: every 16th id (the coarse layer)
+  private val HnswProbes = 10L
+  private val HnswK = 3
+
+  /** HNSW-FLAVOR NAVIGABLE-GRAPH ANN (round 15; r14 VERDICT task 5) — the
+    * graph-index family FAISS/hnswlib serve from RAM, re-expressed as the
+    * bounded-round distributed flavor: the INDEX is (a) a navigable
+    * small-world GRAPH — every vector's [[HnswM]] exact nearest neighbors
+    * by integer squared-L2 on the [[KMeansOps.kmQuant]] quantized grid,
+    * (d2, id) ties — and (b) a coarse ENTRY LAYER (every [[HnswEntryMod]]th
+    * id), standing in for HNSW's upper layers: real HNSW descends
+    * log-many sparse layers to land a good entry point; a fixed coarse
+    * sample is the layer-free equivalent with the same contract (start
+    * near the query, let the graph walk finish). SEARCH is beam descent:
+    * score the entry layer per probe, keep the best [[HnswBeam]], then
+    * for [[HnswRounds]] rounds expand the beam along graph edges, rescore
+    * and re-trim — each round one equi-join against the edge leaf + one
+    * per-probe top-B window, all exact int64 (a float beam could flap on
+    * ties; this one is bit-deterministic, which is what makes the recall
+    * spec meaningful). Output: top-[[HnswK]] per probe.
+    *
+    * CAPABILITY-ONLY by nature (SURVEY §2.0.4): beam-search results are a
+    * path-dependent property of the index walk — no cross-engine SQL
+    * oracle states them — so like the sketch family it is graded by (1)
+    * running under the driver with rows > 0, (2) a recall@3 ≥ bound spec
+    * against the exact brute-force twin at TWO SFs (the
+    * q_sim_ann_recall_eval acceptance-gate pattern), and (3) the shared
+    * index leaves being exact by construction.
+    *
+    * Scale: graph build is the one quadratic pass (memoized leaf; at real
+    * scale NN-descent or IVF-bucketed construction replaces it — the
+    * SERVE path is what this query grades); serve cost per probe is
+    * rounds × beam × M candidate scores + window trims, INDEPENDENT of
+    * corpus size — the property that makes graph ANN the RAM-serve
+    * standard. The beam iteration is |beam ∪ expansion| rows per probe
+    * per round, never a corpus scan.
+    */
+  private[graft] def hnswGraphLeaf(spark: SparkSession,
+                                   sfDir: String): DataFrame =
+    GraphOps.memoEdgeLeaf(spark, sfDir, "hnswGraph") {
+      import spark.implicits._
+      val q = KMeansOps.kmQuant(spark, sfDir)
+      val a = q.select($"vec_id".as("src"), $"e".as("se"))
+      val b = q.select($"vec_id".as("dst"), $"e".as("de"))
+      val w = Window.partitionBy($"src").orderBy($"d2".asc, $"dst".asc)
+      val knn = a.join(b, $"src" =!= $"dst")
+        .select($"src", $"dst", sqDist($"se", $"de").as("d2"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= HnswM)
+        .select($"src", $"dst")
+      // SYMMETRIZE (the hnswlib bidirectional-link step): a kNN digraph
+      // strands vectors nothing points AT; undirected edges restore the
+      // navigability the walk depends on (measured at sf0.1: directed
+      // recall@3 0.53 → symmetrized 1.0 with M=8/5 rounds). Degree ≤ 2·M.
+      knn.unionByName(knn.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
+    }
+
+  private def simAnnHnsw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val quant = KMeansOps.kmQuant(spark, sfDir)
+    val graph = hnswGraphLeaf(spark, sfDir)
+    val probes = quant.filter($"vec_id" < HnswProbes)
+      .select($"vec_id".as("probe_id"), $"e".as("pe"))
+    val corpus = quant.select($"vec_id".as("cand_id"), $"e".as("ce"))
+    def score(cands: DataFrame): DataFrame =
+      cands.join(corpus, Seq("cand_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select($"probe_id", $"cand_id", sqDist($"pe", $"ce").as("d2"))
+    def trim(scored: DataFrame, k: Int): DataFrame = {
+      val w = Window.partitionBy($"probe_id")
+        .orderBy($"d2".asc, $"cand_id".asc)
+      scored.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+    }
+    val entries = quant
+      .filter(pmod($"vec_id", lit(HnswEntryMod)) === 0)
+      .select($"vec_id".as("cand_id"))
+    var beam = trim(score(probes.select($"probe_id").crossJoin(entries)),
+      HnswBeam).select($"probe_id", $"cand_id", $"d2")
+    (1 to HnswRounds).foreach { _ =>
+      val expanded = beam
+        .join(graph, beam("cand_id") === graph("src"))
+        .select($"probe_id", $"dst".as("cand_id")).distinct()
+        .join(beam.select($"probe_id", $"cand_id"),
+          Seq("probe_id", "cand_id"), "left_anti")
+      beam = trim(score(expanded)
+          .unionByName(beam.select($"probe_id", $"cand_id", $"d2")),
+        HnswBeam).select($"probe_id", $"cand_id", $"d2")
+    }
+    trim(beam.filter($"cand_id" =!= $"probe_id"), HnswK)
+      .select($"probe_id", $"rn".cast("long").as("rank"), $"cand_id", $"d2")
+      .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  /** Spec hook: exact brute-force top-k per probe on the same quantized
+    * grid and tie contract — the recall ground truth. */
+  private[graft] def hnswGroundTruth(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    import spark.implicits._
+    val quant = KMeansOps.kmQuant(spark, sfDir)
+    val probes = quant.filter($"vec_id" < HnswProbes)
+      .select($"vec_id".as("probe_id"), $"e".as("pe"))
+    val scored = quant.select($"vec_id".as("cand_id"), $"e".as("ce"))
+      .join(broadcast(probes), $"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id", sqDist($"pe", $"ce").as("d2"))
+    val w = Window.partitionBy($"probe_id").orderBy($"d2".asc, $"cand_id".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" <= HnswK)
+      .select($"probe_id", $"cand_id")
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_sim_ann_ivfpq", ivfPq, Some(ivfPqOracle)),
     Q("q_retrieval_mmr", retrievalMmr, Some(retrievalMmrOracle)),
+    Q("q_sim_ann_hnsw", simAnnHnsw, None),
   )
 }

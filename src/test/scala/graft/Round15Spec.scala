@@ -147,6 +147,33 @@ class Round15Spec extends SparkTestBase {
       "net key sum must equal the head snapshot's key sum")
   }
 
+  // ---- HNSW-flavor ANN recall gate (VERDICT r14 task 5) ----
+
+  test("hnsw beam search: recall@3 >= 0.9 against brute force, two SFs") {
+    // The q_sim_ann_recall_eval acceptance-gate pattern for the cap-only
+    // graph index: both sides rank the same exact-integer d2 grid with
+    // the same tie contract, so recall is bit-deterministic per fixture.
+    Seq(sf0001, "/root/testdata/sf0.1").foreach { sf =>
+      val ann = SparkEntry.queries("q_sim_ann_hnsw")(spark, sf)
+        .select($"probe_id", $"cand_id")
+      val gt = operators.VectorServe.hnswGroundTruth(spark, sf)
+      val hit = gt.join(ann, Seq("probe_id", "cand_id")).count()
+      val tot = gt.count()
+      assert(tot === 30L, s"$sf: 10 probes x top-3 ground truth")
+      assert(hit * 10 >= tot * 9,
+        s"$sf: recall@3 = $hit/$tot must be >= 0.9")
+    }
+  }
+
+  test("hnsw serve shape: top-3 per probe, ranked, self excluded") {
+    val rows = SparkEntry.queries("q_sim_ann_hnsw")(spark, sf0001).collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 3L)
+      assert(r.getLong(0) !== r.getLong(2), "a probe must not match itself")
+    }
+  }
+
   test("zone maps survive the compaction and re-add commits") {
     SparkEntry.queries("q_lake_checkpoint")(spark, sf0001).count()
     val base = operators.LakeOps.checkpointBase(spark, sf0001)
