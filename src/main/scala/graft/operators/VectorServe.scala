@@ -319,8 +319,16 @@ object VectorServe extends QueryPack {
     val entries = quant
       .filter(pmod($"vec_id", lit(HnswEntryMod)) === 0)
       .select($"vec_id".as("cand_id"))
+    // Each round's beam is MATERIALIZED (eager localCheckpoint of
+    // |probes|·beam rows — bounded by construction): the loop references
+    // the beam twice per round (expansion join + union), so a lazy plan
+    // would double per round and re-execute round 0 2^rounds times
+    // (measured: 27 s lazy → sub-second materialized). This is the
+    // declared serve shape — a real graph index holds its frontier, it
+    // does not replay the walk.
     var beam = trim(score(probes.select($"probe_id").crossJoin(entries)),
       HnswBeam).select($"probe_id", $"cand_id", $"d2")
+      .localCheckpoint(true)
     (1 to HnswRounds).foreach { _ =>
       val expanded = beam
         .join(graph, beam("cand_id") === graph("src"))
@@ -330,6 +338,7 @@ object VectorServe extends QueryPack {
       beam = trim(score(expanded)
           .unionByName(beam.select($"probe_id", $"cand_id", $"d2")),
         HnswBeam).select($"probe_id", $"cand_id", $"d2")
+        .localCheckpoint(true)
     }
     trim(beam.filter($"cand_id" =!= $"probe_id"), HnswK)
       .select($"probe_id", $"rn".cast("long").as("rank"), $"cand_id", $"d2")
