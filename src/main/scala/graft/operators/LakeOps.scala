@@ -1197,6 +1197,116 @@ object LakeOps extends QueryPack {
         stage.toString
       })
 
+  /** CLUSTERING COMMIT (round 15 extension) — the OPTIMIZE / CLUSTER BY
+    * table service every lakehouse runs to make its zone maps BITE: a
+    * table ingested in arrival order (here: four HASH slices of orders,
+    * v1..v4 — every file's key range spans the whole table, so zone maps
+    * overlap completely and a selective read must plan ALL files) is
+    * rewritten by ONE metadata commit (v5) into four KEY-RANGE files
+    * whose zones are disjoint. The graded query runs the SAME zone-pruned
+    * selective read against v4 (pre-cluster: 4 of 4 files planned) and v5
+    * (post-cluster: 1 of 4), reporting per version both file counts and
+    * the exact aggregates — which must be IDENTICAL across versions
+    * (clustering is a layout move, never a data change; differing
+    * aggregates or wrong planned counts break the hash).
+    *
+    * Scale posture: this is the reason zone maps alone are not enough at
+    * 100 TB — stats on arrival-ordered files prune nothing; the nightly
+    * cluster pass converts ingest layout into skippable layout, and its
+    * cost is the rewrite of the files it touches (here: the live set),
+    * amortized across every selective read after it. The commit itself is
+    * metadata (4 removes + 4 zone-carrying adds).
+    */
+  private val clusterBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def clusterDir(spark: SparkSession, sfDir: String): String =
+    clusterBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_cl_").toString
+        val orders = Catalog.load(spark, sfDir, "orders")
+        val maxk = orders.agg(max($"o_orderkey")).first().getLong(0)
+        val m = maxk + 1
+        Files.write(Paths.get(base, "_meta_maxkey"),
+          maxk.toString.getBytes(StandardCharsets.UTF_8))
+        val hashSlice = pmod($"o_orderkey", lit(4))
+        val range = expr(s"o_orderkey * 4 div $m")
+        // Arrival-order ingest: hash slices — zones span the whole table.
+        val hz = orders.groupBy(hashSlice.as("b"))
+          .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+          .toMap
+        (0 to 3).foreach(i =>
+          orders.filter(hashSlice === i).write.parquet(s"$base/ingest_$i"))
+        // The cluster rewrite reads ONLY the live files, never the source.
+        val live = spark.read.parquet((0 to 3).map(i => s"$base/ingest_$i"): _*)
+        val rz = live.groupBy(range.as("b"))
+          .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+          .toMap
+        (0 to 3).foreach(i =>
+          live.filter(range === i).write.parquet(s"$base/clustered_$i"))
+        val log =
+          (0 to 3).map(i => addLine(i + 1, s"ingest_$i",
+            hz(i.toLong)._1, hz(i.toLong)._2)) ++
+          (0 to 3).map(i => s"""{"v":5,"op":"remove","path":"ingest_$i"}""") ++
+          (0 to 3).map(i => addLine(5, s"clustered_$i",
+            rz(i.toLong)._1, rz(i.toLong)._2))
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  /** Zone-pruned selective read of the cluster table at version `v`:
+    * plan only the files whose [min, max] can contain keys ≤ hi. */
+  private def clusterPrunedRead(spark: SparkSession, base: String, v: Int,
+                                hi: Long): (DataFrame, Int, Int) = {
+    import spark.implicits._
+    val st = fullState(base, v)
+    val planned = st.live.filter(p => st.zones.get(p).forall(_._1 <= hi))
+    (readState(spark, base, planned, st.dvs).filter($"o_orderkey" <= hi),
+      st.live.size, planned.size)
+  }
+
+  private def lakeCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = clusterDir(spark, sfDir)
+    val maxk = new String(
+      Files.readAllBytes(Paths.get(base, "_meta_maxkey")),
+      StandardCharsets.UTF_8).toLong
+    val hi = (maxk + 1 - 1) / 4 // bucket-0 upper bound: k*4 < m  ⟺  k <= hi
+    Seq(4, 5).map { v =>
+      val (df, nLive, nPlanned) = clusterPrunedRead(spark, base, v, hi)
+      df.agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"))
+        .select(lit(v.toLong).as("version"),
+          lit(nLive.toLong).as("n_files_live"),
+          lit(nPlanned.toLong).as("n_files_planned"), $"n_rows", $"key_sum")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeClusterOracle = """
+    WITH mk AS (SELECT max(o_orderkey) + 1 AS m FROM orders),
+    sel AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders, mk WHERE o_orderkey <= (m - 1) // 4)
+    SELECT CAST(4 AS BIGINT) AS version, CAST(4 AS BIGINT) AS n_files_live,
+      CAST(4 AS BIGINT) AS n_files_planned, n_rows, key_sum FROM sel
+    UNION ALL
+    SELECT 5, 4, 1, n_rows, key_sum FROM sel
+    ORDER BY version ASC NULLS FIRST"""
+
+  /** Spec hook: the cluster table's base dir. */
+  private[graft] def clusterBase(spark: SparkSession, sfDir: String): String =
+    clusterDir(spark, sfDir)
+
+  /** Spec hook: zones of the cluster table's live files at `v`. */
+  private[graft] def clusterZonesAt(spark: SparkSession, sfDir: String,
+      v: Int): Map[String, (Long, Long)] =
+    fullState(clusterDir(spark, sfDir), v).zones
+
   /** Spec hook: the checkpoint table's base dir. */
   private[graft] def checkpointBase(spark: SparkSession, sfDir: String): String =
     ckptDir(spark, sfDir)
@@ -1281,5 +1391,6 @@ object LakeOps extends QueryPack {
     Q("q_lake_occ", lakeOcc, Some(lakeOccOracle)),
     Q("q_lake_checkpoint", lakeCheckpoint, Some(lakeCheckpointOracle)),
     Q("q_lake_zonemap", lakeZonemap, Some(lakeZonemapOracle)),
+    Q("q_lake_cluster", lakeCluster, Some(lakeClusterOracle)),
   )
 }

@@ -174,6 +174,35 @@ class Round15Spec extends SparkTestBase {
     }
   }
 
+  // ---- clustering commit (round-15 extension) ----
+
+  test("clustering turns overlapping zones into disjoint ones") {
+    SparkEntry.queries("q_lake_cluster")(spark, sf0001).count()
+    val pre = operators.LakeOps.clusterZonesAt(spark, sf0001, 4).values.toSeq
+    val post = operators.LakeOps.clusterZonesAt(spark, sf0001, 5).values.toSeq
+    assert(pre.size === 4 && post.size === 4)
+    // Pre-cluster (hash slices): every pair of zones overlaps.
+    for (a <- pre; b <- pre)
+      assert(a._1 <= b._2 && b._1 <= a._2, "hash-slice zones must overlap")
+    // Post-cluster (range files): zones are pairwise disjoint.
+    val sorted = post.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1,
+        s"clustered zones must be disjoint: $a vs $b")
+      case _ => ()
+    }
+  }
+
+  test("clustering preserves data: unpruned reads match across versions") {
+    val rows = SparkEntry.queries("q_lake_cluster")(spark, sf0001).collect()
+    val (v4, v5) = (rows(0), rows(1))
+    assert(v4.getLong(2) === 4L && v5.getLong(2) === 1L,
+      "pre-cluster must plan 4 files, post-cluster 1")
+    assert(v4.getLong(3) === v5.getLong(3) &&
+      v4.getLong(4) === v5.getLong(4),
+      "the selective read's aggregates must be identical across the commit")
+  }
+
   test("zone maps survive the compaction and re-add commits") {
     SparkEntry.queries("q_lake_checkpoint")(spark, sf0001).count()
     val base = operators.LakeOps.checkpointBase(spark, sf0001)
