@@ -912,7 +912,140 @@ object SqlFlavorsB extends QueryPack {
     WHERE abs(cents * 3 - mov_cents) * 10 > mov_cents
     ORDER BY o_orderpriority ASC NULLS FIRST, ym ASC NULLS FIRST"""
 
+  /** TPC-DS Q23 flavor (added round 15) — the benchmark's heaviest shape:
+    * FREQUENT ITEMS ∩ BEST CUSTOMERS gating a cross-channel aggregate.
+    * Channels map to order status: 'F' is the store history, 'O' the
+    * online channel being measured. Frequent parts = ≥ 10 store-channel
+    * lineitems; best customers = customers whose store-channel cents
+    * exceed the GLOBAL per-customer average, stated WITHOUT division as
+    * the integer cross-multiply cust_cents · n_custs > total_cents (a
+    * div/floor asymmetry cannot exist where there is no division). The
+    * graded aggregate sums the online-channel lineitems of best customers
+    * buying frequent parts, per order priority.
+    *
+    * Scale: two store-channel passes reduce to a part list and a customer
+    * list (each map-side-combined); both gate the online pass as
+    * BROADCAST semi-joins, and the global threshold is a 1-row broadcast
+    * riding the customer aggregate — no fact-fact shuffle beyond the
+    * lineitem⋈orders key join each pass needs anyway.
+    */
+  private def sqlTpcdsQ23Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val li = t("lineitem").select($"l_orderkey", $"l_partkey",
+      ($"l_extendedprice".cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    val ord = t("orders").select($"o_orderkey", $"o_custkey",
+      $"o_orderstatus", $"o_orderpriority")
+    val store = li.join(ord.filter($"o_orderstatus" === "F"),
+      $"l_orderkey" === $"o_orderkey")
+    val freqParts = store.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n")).filter($"n" >= 10)
+      .select($"l_partkey".as("fp"))
+    val custCents = store.groupBy($"o_custkey")
+      .agg(sum($"cents").as("cust_cents"))
+    val pool = custCents.agg(count(lit(1)).as("n_custs"),
+      sum($"cust_cents").as("total_cents"))
+    val best = custCents.crossJoin(broadcast(pool))
+      .filter($"cust_cents" * $"n_custs" > $"total_cents")
+      .select($"o_custkey".as("bc"))
+    li.join(ord.filter($"o_orderstatus" === "O"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(freqParts), $"l_partkey" === $"fp", "left_semi")
+      .join(broadcast(best), $"o_custkey" === $"bc", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"cents").cast("long").as("cents"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+  }
+
+  private val sqlTpcdsQ23FlavorOracle = """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          AS cents
+      FROM lineitem),
+    store AS (
+      SELECT li.*, o_custkey FROM li
+      JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'),
+    fp AS (
+      SELECT l_partkey FROM store GROUP BY l_partkey
+      HAVING count(*) >= 10),
+    cc AS (
+      SELECT o_custkey, sum(cents) AS cust_cents FROM store GROUP BY 1),
+    pool AS (
+      SELECT count(*) AS n_custs, sum(cust_cents) AS total_cents FROM cc),
+    best AS (
+      SELECT o_custkey FROM cc, pool
+      WHERE cust_cents * n_custs > total_cents)
+    SELECT o_orderpriority, count(*) AS n_rows,
+      CAST(sum(cents) AS BIGINT) AS cents
+    FROM li
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+      AND l_partkey IN (SELECT l_partkey FROM fp)
+      AND o_custkey IN (SELECT o_custkey FROM best)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
+  /** TPC-DS Q74 flavor (added round 15) — YEAR-OVER-YEAR CUSTOMER GROWTH:
+    * the original compares each customer's sales ratio across two years
+    * and channels. The flavor fuses both years into ONE fact pass (two
+    * conditional sums per customer — the q88/q14 scan-sharing move, vs
+    * the textbook per-year scans + self-join), keeps customers active in
+    * BOTH years whose 1996 cents strictly exceed 1995, and rolls the
+    * growers up per nation (broadcast dims) with their exact summed
+    * growth. Integer cents end to end; no division anywhere.
+    */
+  private def sqlTpcdsQ74Flavor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = table(spark, sfDir) _
+    val byCust = t("orders")
+      .filter(year($"o_orderdate").isin(1995, 1996))
+      .groupBy($"o_custkey")
+      .agg(
+        sum(when(year($"o_orderdate") === 1995,
+          ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+          .otherwise(0L)).as("c95"),
+        sum(when(year($"o_orderdate") === 1996,
+          ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+          .otherwise(0L)).as("c96"))
+      .filter($"c95" > 0 && $"c96" > $"c95")
+    byCust
+      .join(broadcast(t("customer")
+        .select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(t("nation").select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_growers"),
+        sum($"c96" - $"c95").cast("long").as("growth_cents"))
+      .orderBy($"n_name".asc_nulls_first)
+  }
+
+  private val sqlTpcdsQ74FlavorOracle = """
+    WITH byc AS (
+      SELECT o_custkey,
+        sum(CASE WHEN year(o_orderdate) = 1995 THEN
+          CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+          ELSE 0 END) AS c95,
+        sum(CASE WHEN year(o_orderdate) = 1996 THEN
+          CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+          ELSE 0 END) AS c96
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY o_custkey)
+    SELECT n_name, count(*) AS n_growers,
+      CAST(sum(c96 - c95) AS BIGINT) AS growth_cents
+    FROM byc
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c95 > 0 AND c96 > c95
+    GROUP BY n_name
+    ORDER BY n_name ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_sql_tpcds_q23_flavor", sqlTpcdsQ23Flavor, Some(sqlTpcdsQ23FlavorOracle)),
+    Q("q_sql_tpcds_q74_flavor", sqlTpcdsQ74Flavor, Some(sqlTpcdsQ74FlavorOracle)),
     Q("q_sql_tpcds_q14_flavor", sqlTpcdsQ14Flavor, Some(sqlTpcdsQ14FlavorOracle)),
     Q("q_sql_tpcds_q86_flavor", sqlTpcdsQ86Flavor, Some(sqlTpcdsQ86FlavorOracle)),
     Q("q_sql_tpcds_q89_flavor", sqlTpcdsQ89Flavor, Some(sqlTpcdsQ89FlavorOracle)),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 class TpchFlavorsBSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("pack registration: 17 queries, all with oracles") {
+  test("pack registration: 19 queries, all with oracles") {
     assert(operators.SqlFlavorsB.queries.map(_.id).toSet == Set(
       "q_sql_tpch_q7_flavor", "q_sql_tpch_q9_flavor", "q_sql_tpch_q11_flavor",
       "q_sql_tpch_q13_flavor", "q_sql_tpch_q15_flavor",
@@ -18,7 +18,8 @@ class TpchFlavorsBSpec extends SparkTestBase {
       "q_sql_tpcds_q67_flavor", "q_sql_tpcds_q51_flavor",
       "q_sql_tpcds_q88_flavor", "q_sql_tpcds_q97_flavor",
       "q_sql_tpcds_q36_flavor", "q_sql_tpcds_q14_flavor",
-      "q_sql_tpcds_q86_flavor", "q_sql_tpcds_q89_flavor"))
+      "q_sql_tpcds_q86_flavor", "q_sql_tpcds_q89_flavor",
+      "q_sql_tpcds_q23_flavor", "q_sql_tpcds_q74_flavor"))
     assert(operators.SqlFlavorsB.queries.forall(_.oracle.isDefined))
   }
 
