@@ -1532,6 +1532,97 @@ object Streams extends QueryPack {
     FROM chg GROUP BY p
     ORDER BY o_orderpriority ASC NULLS FIRST"""
 
+  /** The TWENTY-FIFTH graded real-streaming run (round 15): CDC APPLY —
+    * the downstream MATERIALIZATION that closes the change-feed loop
+    * (q_stream_lake_sink produces a log, q_stream_lake_cdf subscribes to
+    * it, THIS run applies the subscription into a keyed downstream
+    * table): each micro-batch (one commit of the
+    * [[graft.operators.LakeOps.cdfStageDir]] feed) upserts the
+    * materialized state COPY-ON-WRITE — state' = (state anti-join the
+    * batch's keys) ∪ the batch's inserts — with batch-id-keyed state dirs
+    * and a skip-if-present head pointer, so a foreachBatch RETRY can
+    * neither double-apply nor half-apply a commit (the q_stream_lake_sink
+    * exactly-once recipe). The apply contract: after the full feed the
+    * materialized table IS the head snapshot — graded per priority (count
+    * + key sum) against the oracle's head-state predicate, and a spec
+    * pins PER-VERSION parity (the state dir after batch k equals the
+    * time-traveled snapshot at commit k+1, every k).
+    *
+    * Scale: each apply touches O(state ∪ batch) rows — the downstream
+    * table's size, never the source table's history; at real scale the
+    * same shape lands as a MERGE INTO keyed on the feed's keys, and the
+    * COW rewrite amortizes exactly like q_lake_merge's file pruning. */
+  private def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stage = graft.operators.LakeOps.cdfStageDir(spark, sfDir)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cdca_ck_")
+    val matDir = java.nio.file.Files.createTempDirectory("graft_cdca_mat_")
+    val headPtr = matDir.resolve("_head")
+    val schema = spark.read.parquet(stage).schema
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sp = batch.sparkSession
+        val target = matDir.resolve(s"state_$id")
+        if (!java.nio.file.Files.exists(target)) {
+          val keys = batch.select(col("o_orderkey")).distinct()
+          val inserts = batch.filter(col("delta") === 1L)
+            .select(col("o_orderkey"), col("o_orderpriority"))
+          val cur =
+            if (java.nio.file.Files.exists(headPtr))
+              sp.read.parquet(matDir.resolve(new String(
+                java.nio.file.Files.readAllBytes(headPtr), "UTF-8"))
+                .toString)
+            else
+              inserts.filter(lit(false))
+          cur.join(keys, Seq("o_orderkey"), "left_anti")
+            .unionByName(inserts)
+            .write.parquet(target.toString)
+          java.nio.file.Files.write(headPtr,
+            s"state_$id".getBytes("UTF-8"))
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val head = new String(java.nio.file.Files.readAllBytes(headPtr), "UTF-8")
+    val out = spark.read.parquet(matDir.resolve(head).toString)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").cast("long").as("key_sum"))
+      .orderBy($"o_orderpriority".asc_nulls_first)
+      .localCheckpoint(true)
+    rmTree(ckDir)
+    // The materialized states stay on disk for the per-version parity
+    // spec (tmp-dir scratch, same lifecycle as the lake scratches).
+    cdcApplyMat.set(matDir.toString)
+    out
+  }
+
+  /** Head-snapshot state per priority: the v7 restore leaves exactly
+    * v3's live set (B ∪ C). */
+  private val streamCdcApplySql = """
+    SELECT o_orderpriority, count(*) AS n_rows,
+      CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+       OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority ASC NULLS FIRST"""
+
+  /** Spec hook: the materialized-state dir of the LAST cdc-apply run in
+    * this JVM (per-version parity assertions read state_<k>). */
+  private[graft] def lastCdcApplyMatDir: Option[String] =
+    Option(cdcApplyMat.get())
+  private val cdcApplyMat = new java.util.concurrent.atomic.AtomicReference[String]()
+
   override val queries: Vector[Q] = Vector(
     Q("q_stream_mv_refresh", streamMvRefresh, Some(streamMvRefreshSql)),
     Q("q_stream_tws", streamTws, Some(streamTwsSql)),
@@ -1541,6 +1632,7 @@ object Streams extends QueryPack {
     Q("q_stream_tws_restart", streamTwsRestart, Some(streamTwsSql)),
     Q("q_stream_lake_sink", streamLakeSink, Some(streamLakeSinkSql)),
     Q("q_stream_lake_cdf", streamLakeCdf, Some(streamLakeCdfSql)),
+    Q("q_stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     Q("q_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
     Q("q_stream_foreach_sink", foreachBatchSink, Some(foreachBatchSinkSql)),

@@ -174,6 +174,24 @@ class Round15Spec extends SparkTestBase {
     }
   }
 
+  // ---- CDC apply materialization (round-15 extension) ----
+
+  test("cdc apply: every intermediate state equals its snapshot") {
+    SparkEntry.queries("q_stream_cdc_apply")(spark, sf0001).count()
+    val mat = streaming.Streams.lastCdcApplyMatDir.get
+    // Batch k applied commit k+1 (batches are 0-indexed, commits 1-based);
+    // the materialized state after it must equal the time-traveled
+    // snapshot — key set and row count both.
+    (0 to 6).foreach { k =>
+      val state = spark.read.parquet(s"$mat/state_$k")
+      val snap = operators.LakeOps.snapshotAt(spark, sf0001, k + 1)
+      assert(state.count() === snap.count(), s"row count drift at batch $k")
+      val diff = state.select($"o_orderkey")
+        .exceptAll(snap.select($"o_orderkey")).count()
+      assert(diff === 0L, s"key-set drift at batch $k")
+    }
+  }
+
   // ---- clustering commit (round-15 extension) ----
 
   test("clustering turns overlapping zones into disjoint ones") {
