@@ -124,6 +124,32 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // Strict lake-log grammar (round 15): serialize→parse round-trips every
+  // field exactly, and any single-character corruption of the structural
+  // skeleton raises rather than silently dropping the action.
+  private val pathGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  property("lake action grammar round-trips") =
+    forAll(Gen.chooseNum(1, 9999), pathGen,
+      Gen.chooseNum(-100000L, 100000L), Gen.chooseNum(0L, 100000L)) {
+      (v, p, mn, span) =>
+        val line = s"""{"v":$v,"op":"add","path":"$p","min":$mn,"max":${mn + span}}"""
+        val a = graft.operators.LakeOps.parseAction(line)
+        a.v == v && a.path == p && a.op == "add" &&
+          a.minKey.contains(mn) && a.maxKey.contains(mn + span) &&
+          a.dv.isEmpty
+    }
+
+  property("corrupted lake actions raise") =
+    forAll(Gen.chooseNum(1, 999), pathGen, Gen.oneOf(
+      (l: String) => l.drop(1),               // lost opening brace
+      (l: String) => l.stripSuffix("}"),      // lost closing brace
+      (l: String) => l + "x",                 // trailing junk
+      (l: String) => l.replace("add", "frob") // unknown op
+    )) { (v, p, corrupt) =>
+      val line = corrupt(s"""{"v":$v,"op":"add","path":"$p"}""")
+      scala.util.Try(graft.operators.LakeOps.parseAction(line)).isFailure
+    }
+
   property("session count never exceeds event count") = forAll(rows) { xs =>
     val events = xs.zipWithIndex.map { case ((u, m), i) =>
       (i.toLong, u, new java.sql.Timestamp(1700000000000L + m * 60000L))
