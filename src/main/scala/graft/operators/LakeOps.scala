@@ -209,7 +209,10 @@ object LakeOps extends QueryPack {
 
   /** Scan + DV-mask + by-name-union a resolved live-file set — the shared
     * read kernel behind full-replay, checkpoint-replay and zone-pruned
-    * snapshot reads. */
+    * snapshot reads. An EMPTY file set (a predicate that prunes every
+    * zone, or an empty snapshot) reads as an empty single-key frame, not
+    * a crash — total by contract since pruning callers can legitimately
+    * plan zero files. */
   private def readState(spark: SparkSession, base: String,
                         files: Seq[String],
                         dvs: Map[String, Seq[String]]): DataFrame =
@@ -218,7 +221,11 @@ object LakeOps extends QueryPack {
       dvs.getOrElse(f, Nil).foldLeft(df)((d, dv) =>
         d.join(spark.read.parquet(s"$base/$dv"), Seq("o_orderkey"),
           "left_anti"))
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse {
+        import spark.implicits._
+        spark.range(0).select($"id".as("o_orderkey"))
+      }
 
   private def lakeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -928,11 +935,14 @@ object LakeOps extends QueryPack {
     * oracle recomputes each snapshot's predicate over orders, so a
     * checkpoint that snapshots the wrong state cannot hash-match.
     *
-    * Scale posture: replay cost per read is |tail| ≤ CKPT_EVERY actions +
-    * one bounded checkpoint read, independent of the table's commit
-    * count; the checkpoint write is O(live files) metadata. Build-time
-    * driver actions are constant-bounded (1-row max-key agg, an 8-row
-    * zone agg, two ≤64-row slice aggs).
+    * Scale posture: resolution cost per read is O(tail) END TO END —
+    * each checkpoint stores the byte offset of the first post-checkpoint
+    * log line, so the reader SEEKS past the prefix and reads+parses only
+    * the tail bytes (not merely replays the tail after a full-log parse);
+    * plus one bounded checkpoint read. Independent of the table's commit
+    * count in I/O, parse and replay. The checkpoint write is O(live
+    * files) metadata. Build-time driver actions are constant-bounded
+    * (1-row max-key agg, an 8-row zone agg, two ≤64-row slice aggs).
     */
   private val CKPT_EVERY = 5
 
@@ -943,7 +953,12 @@ object LakeOps extends QueryPack {
     s"""{"v":$v,"op":"add","path":"$p","min":$mn,"max":$mx}"""
 
   /** Materialize the replayed state at `v` as a checkpoint file of
-    * strict-grammar actions (zone-carrying adds + DV registrations). */
+    * strict-grammar actions (zone-carrying adds + DV registrations),
+    * plus a sibling `.off` file holding the BYTE OFFSET of the first log
+    * line after commit `v` — the tail-seek cursor that makes snapshot
+    * resolution O(tail) in I/O and parse, not just in replay (the log is
+    * version-ordered append-only, so the offset stays valid as commits
+    * land after it). */
   private def writeCheckpoint(base: String, v: Int): Unit = {
     val st = fullState(base, v)
     val lines = st.live.map { p =>
@@ -955,6 +970,40 @@ object LakeOps extends QueryPack {
       s"""{"v":$v,"op":"dv","path":"$p","dv":"$d"}"""))
     Files.write(Paths.get(base, s"_ckpt.v$v.json"),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val logLines = new String(
+      Files.readAllBytes(Paths.get(base, "_log.json")),
+      StandardCharsets.UTF_8).split("\n")
+    val prefix = logLines.takeWhile(l => parseAction(l).v <= v)
+    val off = prefix.map(_.getBytes(StandardCharsets.UTF_8).length.toLong)
+      .sum + prefix.length // + one separator newline per prefix line
+    Files.write(Paths.get(base, s"_ckpt.v$v.off"),
+      off.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Read and parse ONLY the log bytes after checkpoint `cv`'s offset
+    * cursor (O(tail)); falls back to a full parse when no cursor exists
+    * (cv = 0, or a checkpoint written before cursors existed). */
+  private def logTail(base: String, cv: Int): Seq[LakeAction] = {
+    val offPath = Paths.get(base, s"_ckpt.v$cv.off")
+    val logPath = Paths.get(base, "_log.json")
+    if (cv > 0 && Files.exists(offPath)) {
+      val off = new String(Files.readAllBytes(offPath),
+        StandardCharsets.UTF_8).toLong
+      val ch = java.nio.channels.FileChannel.open(logPath)
+      try {
+        val size = ch.size()
+        if (off >= size) Nil
+        else {
+          val buf = java.nio.ByteBuffer.allocate((size - off).toInt)
+          ch.position(off)
+          var n = 0
+          while (n >= 0 && buf.hasRemaining) n = ch.read(buf)
+          new String(buf.array(), 0, buf.position(),
+            StandardCharsets.UTF_8)
+            .split("\n").toSeq.filter(_.nonEmpty).map(parseAction)
+        }
+      } finally ch.close()
+    } else readActions(logPath).filter(_.v > cv)
   }
 
   private val ckptNameRe = """_ckpt\.v(\d+)\.json""".r
@@ -971,8 +1020,7 @@ object LakeOps extends QueryPack {
       if (cv == 0) emptyState
       else replayActions(emptyState,
         readActions(Paths.get(base, s"_ckpt.v$cv.json")))
-    val tail = readActions(Paths.get(base, "_log.json"))
-      .filter(a => a.v > cv && a.v <= v)
+    val tail = logTail(base, cv).filter(a => a.v > cv && a.v <= v)
     (replayActions(init, tail), cv, tail.size)
   }
 
@@ -1146,11 +1194,16 @@ object LakeOps extends QueryPack {
           val added = rows(addedF, cur.dvs)
           // Rows newly masked by DVs registered THIS commit on files that
           // stay live — the merge-on-read delete surfaced as CDF deletes.
+          // The new DVs semi-join the rows SURVIVING the previous
+          // version's masks (readState with prev.dvs), not the raw file:
+          // a key present in both an old and a new DV was already deleted
+          // by the old commit's feed and must not emit a second -1
+          // (round-15 self-review catch; one-DV fixtures cannot see it).
           val dvDeletes = cur.live.intersect(prev.live).flatMap { f =>
             val newDvs = cur.dvs.getOrElse(f, Nil)
               .diff(prev.dvs.getOrElse(f, Nil))
             if (newDvs.isEmpty) None
-            else Some(spark.read.parquet(s"$base/$f")
+            else Some(readState(spark, base, Seq(f), prev.dvs)
               .join(newDvs.map(d => spark.read.parquet(s"$base/$d"))
                 .reduce(_ unionByName _), Seq("o_orderkey"), "left_semi")
               .select($"o_orderkey", $"o_orderpriority"))

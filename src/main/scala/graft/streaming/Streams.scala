@@ -1569,20 +1569,30 @@ object Streams extends QueryPack {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val sp = batch.sparkSession
         val target = matDir.resolve(s"state_$id")
-        if (!java.nio.file.Files.exists(target)) {
+        // Idempotence keys on the COMMIT POINT (the head pointer), never
+        // on the data dir: a retry after a half-written state dir must
+        // REWRITE it (overwrite mode), and only the pointer update marks
+        // the batch applied — the q_stream_lake_sink recipe. Skipping on
+        // Files.exists(target) would count a half-written batch as done
+        // and silently drop its commit (round-15 self-review catch).
+        val lastApplied =
+          if (java.nio.file.Files.exists(headPtr))
+            new String(java.nio.file.Files.readAllBytes(headPtr), "UTF-8")
+              .stripPrefix("state_").toLong
+          else -1L
+        if (id > lastApplied) {
           val keys = batch.select(col("o_orderkey")).distinct()
           val inserts = batch.filter(col("delta") === 1L)
             .select(col("o_orderkey"), col("o_orderpriority"))
           val cur =
-            if (java.nio.file.Files.exists(headPtr))
-              sp.read.parquet(matDir.resolve(new String(
-                java.nio.file.Files.readAllBytes(headPtr), "UTF-8"))
-                .toString)
+            if (lastApplied >= 0L)
+              sp.read.parquet(
+                matDir.resolve(s"state_$lastApplied").toString)
             else
               inserts.filter(lit(false))
           cur.join(keys, Seq("o_orderkey"), "left_anti")
             .unionByName(inserts)
-            .write.parquet(target.toString)
+            .write.mode("overwrite").parquet(target.toString)
           java.nio.file.Files.write(headPtr,
             s"state_$id".getBytes("UTF-8"))
         }

@@ -52,7 +52,17 @@ class Round15Spec extends SparkTestBase {
       assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(base, s"_ckpt.v$v.json")),
         s"checkpoint _ckpt.v$v.json must exist")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(base, s"_ckpt.v$v.off")),
+        s"tail-seek cursor _ckpt.v$v.off must exist")
     }
+    // The cursors point strictly inside the log and advance with the
+    // checkpoint version — the O(tail) I/O contract.
+    def off(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, s"_ckpt.v$v.off")), "UTF-8").toLong
+    val logSize = java.nio.file.Files.size(
+      java.nio.file.Paths.get(base, "_log.json"))
+    assert(off(5) > 0L && off(5) < off(10) && off(10) < logSize)
   }
 
   test("checkpoint-replay equals full-replay at every version") {
@@ -153,7 +163,7 @@ class Round15Spec extends SparkTestBase {
     // The q_sim_ann_recall_eval acceptance-gate pattern for the cap-only
     // graph index: both sides rank the same exact-integer d2 grid with
     // the same tie contract, so recall is bit-deterministic per fixture.
-    Seq(sf0001, "/root/testdata/sf0.1").foreach { sf =>
+    Seq(sf0001, sf01).foreach { sf =>
       val ann = SparkEntry.queries("q_sim_ann_hnsw")(spark, sf)
         .select($"probe_id", $"cand_id")
       val gt = operators.VectorServe.hnswGroundTruth(spark, sf)

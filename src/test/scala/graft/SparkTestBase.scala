@@ -11,4 +11,5 @@ object SparkTestBase {
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   val sf0001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.1"
 }
