@@ -1616,6 +1616,76 @@ object Streams extends QueryPack {
     out
   }
 
+  /** The TWENTY-SIXTH graded real-streaming run (round 15): CDF CONSUMER
+    * RESTART — the operational guarantee a change-feed subscriber needs
+    * on top of q_stream_lake_cdf's semantics: the SAME stateful fold is
+    * killed after consuming commits 1..4 (run 1 terminates on
+    * AvailableNow — the "kill") and a second run resumes from the SHARED
+    * checkpoint after commits 5..7 land. Source-offset recovery must not
+    * re-consume the first four commits and state recovery must carry the
+    * running sums across the restart, so the merged final state equals
+    * the single-run twin's exactly — the two queries SHARE ONE ORACLE
+    * (the q_stream_tws_restart convention: identical declared output, one
+    * lifecycle vs kill-and-resume). Batch ids continue across the restart
+    * (checkpointed offsets), so the latest-row merge is unchanged.
+    *
+    * Scale: restart cost is checkpoint-read + the NEW commits only —
+    * the property that lets a 100 TB/day CDC subscriber be redeployed
+    * without replaying history. */
+  private def streamCdfRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stage = graft.operators.LakeOps.cdfStageDir(spark, sfDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cdfr_src_")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cdfr_ck_")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cdfr_out_")
+    val schema = spark.read.parquet(stage).schema
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    def land(vs: Range): Unit = vs.foreach { v =>
+      val dst = srcDir.resolve(s"cdf_v$v.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(stage, s"cdf_v$v.parquet"), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(v * 60000L))
+    }
+    def runOnce(): Unit = {
+      val q = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .groupBy($"o_orderpriority")
+        .agg(sum($"delta").as("n_rows_net"),
+          sum($"delta" * $"o_orderkey").as("key_sum_net"),
+          count(lit(1)).as("n_changes"),
+          max($"ver").as("last_version"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir.toString)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir.toString)
+        .start()
+      q.awaitTermination()
+    }
+    land(1 to 4)
+    runOnce() // run 1: first four commits; terminates = the "kill"
+    land(5 to 7)
+    runOnce() // run 2: resumes from the shared checkpoint
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("batch_id").desc)
+    val merged = spark.read.parquet(outDir.toString)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select($"o_orderpriority", $"n_rows_net".cast("long").as("n_rows_net"),
+        $"key_sum_net".cast("long").as("key_sum_net"),
+        $"n_changes", $"last_version")
+      .orderBy($"o_orderpriority".asc_nulls_first)
+      .localCheckpoint(true)
+    Seq(srcDir, ckDir, outDir).foreach(rmTree)
+    merged
+  }
+
   /** Head-snapshot state per priority: the v7 restore leaves exactly
     * v3's live set (B ∪ C). */
   private val streamCdcApplySql = """
@@ -1643,6 +1713,10 @@ object Streams extends QueryPack {
     Q("q_stream_lake_sink", streamLakeSink, Some(streamLakeSinkSql)),
     Q("q_stream_lake_cdf", streamLakeCdf, Some(streamLakeCdfSql)),
     Q("q_stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
+    // Kill-and-resume twin of q_stream_lake_cdf: identical declared
+    // output, so the two lifecycles share one oracle (the tws_restart
+    // convention).
+    Q("q_stream_cdf_restart", streamCdfRestart, Some(streamLakeCdfSql)),
     Q("q_stream_static_join", streamStaticJoin, Some(streamStaticJoinSql)),
     Q("q_stream_custom_session", customSession, Some(customSessionSql)),
     Q("q_stream_foreach_sink", foreachBatchSink, Some(foreachBatchSinkSql)),
