@@ -246,6 +246,8 @@ object VectorServe extends QueryPack {
   private val HnswEntryMod = 16 // entry layer: every 16th id (the coarse layer)
   private val HnswProbes = 10L
   private val HnswK = 3
+  private val HnswBuildCells = 4   // IVF seeding: bucket each vector into its 4 nearest cells
+  private val HnswDescentRounds = 3 // bounded NN-descent refinement passes
 
   /** HNSW-FLAVOR NAVIGABLE-GRAPH ANN (round 15; r14 VERDICT task 5) — the
     * graph-index family FAISS/hnswlib serve from RAM, re-expressed as the
@@ -272,9 +274,25 @@ object VectorServe extends QueryPack {
     * q_sim_ann_recall_eval acceptance-gate pattern), and (3) the shared
     * index leaves being exact by construction.
     *
-    * Scale: graph build is the one quadratic pass (memoized leaf; at real
-    * scale NN-descent or IVF-bucketed construction replaces it — the
-    * SERVE path is what this query grades); serve cost per probe is
+    * Scale (round 16 — the r15 VERDICT #1 fix): the graph BUILD is no
+    * longer a corpus×corpus pass. It is the IVF-seeded + NN-descent
+    * construction its r15 doc named as the real-scale form:
+    *  1. SEED — every vector buckets into its [[HnswBuildCells]] nearest
+    *    trained k-means cells (one broadcast score against the k-row
+    *    centroid leaf — linear in N), and candidate edges are pairs
+    *    SHARING a bucket: an equi-join on `cell`, cost Σ|cell|², bounded
+    *    by the max cell size, never N².
+    *  2. REFINE — [[HnswDescentRounds]] NN-descent passes (Dong et al.,
+    *    WWW'11): a neighbor of a neighbor is likely a neighbor, so each
+    *    round's candidates are the current UNDIRECTED edges plus their
+    *    2-hop expansion — ≤ (2M)² per vector, constant per round — scored
+    *    exactly and re-trimmed to top-[[HnswM]] per src. Cross-cell true
+    *    neighbors missed by seeding propagate in along shared neighbors.
+    * Every join in the build is an equi-join on cell or vec_id (centroid
+    * routing is JOIN-FREE: k-bounded literal scoring); Round16Spec asserts every
+    * executed build stage contains NO CartesianProduct and NO
+    * BroadcastNestedLoopJoin — the quadratic shape is structurally
+    * excluded, not just avoided on the fixture. Serve cost per probe is
     * rounds × beam × M candidate scores + window trims, INDEPENDENT of
     * corpus size — the property that makes graph ANN the RAM-serve
     * standard. The beam iteration is |beam ∪ expansion| rows per probe
@@ -283,22 +301,76 @@ object VectorServe extends QueryPack {
   private[graft] def hnswGraphLeaf(spark: SparkSession,
                                    sfDir: String): DataFrame =
     GraphOps.memoEdgeLeaf(spark, sfDir, "hnswGraph") {
-      import spark.implicits._
-      val q = KMeansOps.kmQuant(spark, sfDir)
+      hnswBuildPlan(spark, sfDir)
+    }
+
+  /** The un-memoized build plan (exposed so the plan-shape spec can check
+    * the EXECUTED join strategies; the leaf above only ever shows the
+    * checkpoint scan). Intermediate rounds eagerly localCheckpoint —
+    * the iterative-refinement lineage otherwise doubles per round. The
+    * `stage` hook IS that boundary: the spec swaps in a spy that records
+    * each pre-checkpoint frame, so every join the build ever executes is
+    * covered by some recorded stage's executedPlan (buckets/cand0 live
+    * inside stage 1's lineage; each descent round is its own stage; the
+    * symmetrize is the returned frame).
+    */
+  private[graft] def hnswBuildPlan(spark: SparkSession, sfDir: String,
+      stage: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    import spark.implicits._
+    val q = KMeansOps.kmQuant(spark, sfDir)
+    // Multi-assignment: top-HnswBuildCells cells per vector, with NO join
+    // for the routing at all — the k trained centroids are a k-bounded
+    // driver collect (the pcaDirection precedent, within the house
+    // driver-bound policy) scored as a k×Dim literal expression, then
+    // array_sort picks the nearest cells per row. One codegen'd corpus
+    // scan, zero shuffle; at 100 TB the centroid set is still k rows.
+    val cents = KMeansOps.kmCentroids(spark, sfDir)
+      .orderBy($"cell".asc).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cellScores = array(cents.map { case (cell, c) =>
+      val cCol = array(c.map(lit(_)): _*)
+      struct(sqDist($"e", cCol).as("d2"), lit(cell).as("cell"))
+    }: _*)
+    val buckets = q
+      .select($"vec_id",
+        explode(slice(array_sort(cellScores), 1, HnswBuildCells)).as("sc"))
+      .select($"sc.cell".as("cell"), $"vec_id")
+    // Seed candidates: pairs sharing a bucket — an equi-join on cell.
+    val cand0 = buckets
+      .join(buckets.select($"cell", $"vec_id".as("dst")), Seq("cell"))
+      .filter($"vec_id" =!= $"dst")
+      .select($"vec_id".as("src"), $"dst")
+      .distinct()
+    // Exact int64 scoring + top-M trim — the same grid and tie contract
+    // ((d2, dst) asc) the r15 exact build used, so the graph is
+    // bit-deterministic given its candidate sets.
+    def scoreTrim(cands: DataFrame): DataFrame = {
       val a = q.select($"vec_id".as("src"), $"e".as("se"))
       val b = q.select($"vec_id".as("dst"), $"e".as("de"))
       val w = Window.partitionBy($"src").orderBy($"d2".asc, $"dst".asc)
-      val knn = a.join(b, $"src" =!= $"dst")
+      cands.join(a, Seq("src")).join(b, Seq("dst"))
         .select($"src", $"dst", sqDist($"se", $"de").as("d2"))
         .withColumn("rn", row_number().over(w)).filter($"rn" <= HnswM)
         .select($"src", $"dst")
-      // SYMMETRIZE (the hnswlib bidirectional-link step): a kNN digraph
-      // strands vectors nothing points AT; undirected edges restore the
-      // navigability the walk depends on (measured at sf0.1: directed
-      // recall@3 0.53 → symmetrized 1.0 with M=8/5 rounds). Degree ≤ 2·M.
-      knn.unionByName(knn.select($"dst".as("src"), $"src".as("dst")))
-        .distinct()
     }
+    var knn = stage(scoreTrim(cand0))
+    for (_ <- 1 to HnswDescentRounds) {
+      val und = knn
+        .unionByName(knn.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
+      val hop2 = und.select($"src", $"dst".as("mid"))
+        .join(und.select($"src".as("mid"), $"dst"), Seq("mid"))
+        .filter($"src" =!= $"dst")
+        .select($"src", $"dst")
+      knn = stage(scoreTrim(und.unionByName(hop2).distinct()))
+    }
+    // SYMMETRIZE (the hnswlib bidirectional-link step): a kNN digraph
+    // strands vectors nothing points AT; undirected edges restore the
+    // navigability the walk depends on (measured at sf0.1: directed
+    // recall@3 0.53 → symmetrized 1.0 with M=8/5 rounds). Degree ≤ 2·M.
+    knn.unionByName(knn.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+  }
 
   private def simAnnHnsw(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
