@@ -923,23 +923,36 @@ object LlmExtras extends QueryPack {
   private[graft] def imageScratchDir(spark: SparkSession, sfDir: String): String =
     imgScratch(spark, sfDir)
 
+  /** Bounded JPEG segment walk (round 16, r15 VERDICT task 3): segments
+    * the walk may SKIP via their big-endian length field — APP0-APP15
+    * (JFIF/EXIF/ICC/Adobe), DQT, DHT, COM, DRI. Dimension-bearing stops
+    * are SOF0/SOF1/SOF2 (baseline, extended sequential, progressive — all
+    * share the (len, precision, height, width) payload layout). Anything
+    * else — including entropy data where a marker should be — raises. */
+  private val JpegSkippable: Seq[String] =
+    (0x0 to 0xF).map(i => f"FFE$i%X") ++ Seq("FFDB", "FFC4", "FFFE", "FFDD")
+  private val JpegSofMarkers = Seq("FFC0", "FFC1", "FFC2")
+  private val JpegWalkCap = 8
+  private val JpegSniffBytes = 4096
+
   /** The expression-only header decode over (doc_id, byte_len, content) —
     * package-visible so specs can drive it with crafted byte payloads
     * (including malformed ones, which must raise, not null out).
     *
-    * SUPPORTED JPEG LAYOUT (round-15 ADVICE: stated, not widened): the
-    * sniff window is the first 40 bytes and the segment walk follows ONE
-    * APP0 length field to the next marker, which must be SOF0 — i.e. the
-    * minimal JFIF layout `SOI · APP0(len ≤ 16) · SOF0` this engine's
-    * writer emits. A spec-valid JPEG with extra segments between APP0 and
-    * SOF0 (thumbnails, EXIF APP1, quant tables first) pushes SOF0 past the
-    * window and the decode raise_errors rather than misreading dimensions
-    * — fail-loud by design, the same contract as the malformed-byte specs.
-    * A general decoder is a bounded multi-segment skip loop over the same
-    * hex/conv builtins; it is out of scope while every graded source is
-    * the closed-form writer. */
+    * JPEG layout support (round 16 — the r15 VERDICT #3 widening): a
+    * GENERAL bounded segment walk replaces the single-APP0 fast path. The
+    * walk starts at the marker after SOI and, for up to [[JpegWalkCap]]
+    * segments, either stops at a dimension-bearing SOFn marker or skips a
+    * [[JpegSkippable]] segment by its length field — so spec-valid files
+    * with EXIF APP1, thumbnails, quant/Huffman tables or comments BEFORE
+    * the frame header now decode correctly. It still fails loudly, never
+    * misreads: an unexpected marker (or entropy bytes where a marker
+    * should be), a walk past the [[JpegSniffBytes]] sniff window, or no
+    * SOF within the cap all raise_error. The walk is [[JpegWalkCap]]
+    * unrolled constant-cost expression steps over one hex() of the
+    * bounded sniff prefix — still builtin-only, still codegen'd, no UDF. */
   private[graft] def decodeImageMeta(raw: DataFrame): DataFrame = {
-    raw
+    val sniffed = raw
       .withColumn("hx", expr("hex(substring(content, 1, 40))"))
       .withColumn("format", expr("""CASE
         WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
@@ -949,22 +962,46 @@ object LlmExtras extends QueryPack {
         WHEN substring(hx, 1, 8) = '52494646'
           AND substring(hx, 17, 8) = '57454250' THEN 'webp'
         ELSE raise_error('graft multimodal: unrecognized magic bytes') END"""))
-      // JPEG segment scan: APP0 length field locates SOF0 (byte position
-      // app0_len + 5); the FFC0 check fails loudly if the segment walk is
-      // off by even one byte.
-      .withColumn("sof", expr(
-        "CASE WHEN format = 'jpg' THEN cast(conv(substring(hx, 9, 4), 16, 10) as bigint) + 5 END"))
+      // JPEG walk state: jhx = the bounded hex window (jpg rows only),
+      // jp = 1-based byte index of the marker under inspection (first
+      // marker after SOI = byte 3), jsof = the SOFn position once found.
+      .withColumn("jhx", expr(
+        s"CASE WHEN format = 'jpg' THEN hex(substring(content, 1, $JpegSniffBytes)) END"))
+      .withColumn("jp", expr("CASE WHEN format = 'jpg' THEN cast(3 as bigint) END"))
+      .withColumn("jsof", expr("cast(null as bigint)"))
+    val sofIn = JpegSofMarkers.map("'" + _ + "'").mkString(", ")
+    val skipIn = JpegSkippable.map("'" + _ + "'").mkString(", ")
+    val walked = (1 to JpegWalkCap).foldLeft(sniffed) { (d, _) =>
+      d.withColumn("jm", expr(
+          "CASE WHEN format = 'jpg' AND jsof IS NULL THEN substring(jhx, cast(jp * 2 - 1 as int), 4) END"))
+        .withColumn("jsof", expr(
+          s"CASE WHEN jsof IS NOT NULL THEN jsof WHEN jm IN ($sofIn) THEN jp END"))
+        .withColumn("jp", expr(s"""CASE
+          WHEN format <> 'jpg' OR jsof IS NOT NULL THEN jp
+          WHEN jm IN ($skipIn)
+            THEN jp + 2 + cast(conv(substring(jhx, cast(jp * 2 + 3 as int), 4), 16, 10) as bigint)
+          ELSE raise_error(concat(
+            'graft multimodal: JPEG segment walk found neither SOF0 nor a ',
+            'skippable segment at byte ', cast(jp as string),
+            ' (marker "', coalesce(jm, ''), '")')) END"""))
+    }
+    walked
+      .withColumn("sof", expr(s"""CASE WHEN format = 'jpg' THEN
+        CASE WHEN jsof IS NULL
+          THEN raise_error('graft multimodal: no SOF0 within $JpegWalkCap JPEG segments')
+          ELSE jsof END END"""))
+      // SOFn payload: len at sof+2 (covers bytes sof+2 .. sof+1+len),
+      // precision sof+4, height sof+5..6, width sof+7..8.
+      .withColumn("soflen", expr(
+        "CASE WHEN format = 'jpg' THEN cast(conv(substring(jhx, cast(sof * 2 + 3 as int), 4), 16, 10) as bigint) END"))
       .withColumn("width", expr("""CASE format
         WHEN 'png' THEN cast(conv(substring(hx, 33, 8), 16, 10) as bigint)
-        WHEN 'jpg' THEN CASE
-          WHEN substring(hx, cast(sof * 2 - 1 as int), 4) = 'FFC0'
-          THEN cast(conv(substring(hx, cast(sof * 2 + 13 as int), 4), 16, 10) as bigint)
-          ELSE raise_error('graft multimodal: SOF0 marker not at APP0 boundary') END
+        WHEN 'jpg' THEN cast(conv(substring(jhx, cast(sof * 2 + 13 as int), 4), 16, 10) as bigint)
         ELSE cast(conv(substring(hx, 53, 2) || substring(hx, 51, 2)
           || substring(hx, 49, 2), 16, 10) as bigint) + 1 END"""))
       .withColumn("height", expr("""CASE format
         WHEN 'png' THEN cast(conv(substring(hx, 41, 8), 16, 10) as bigint)
-        WHEN 'jpg' THEN cast(conv(substring(hx, cast(sof * 2 + 9 as int), 4), 16, 10) as bigint)
+        WHEN 'jpg' THEN cast(conv(substring(jhx, cast(sof * 2 + 9 as int), 4), 16, 10) as bigint)
         ELSE cast(conv(substring(hx, 59, 2) || substring(hx, 57, 2)
           || substring(hx, 55, 2), 16, 10) as bigint) + 1 END"""))
       // WebP RIFF size field must equal file length - 8 (LE32 at bytes 5-8).
@@ -973,8 +1010,9 @@ object LlmExtras extends QueryPack {
             || substring(hx, 11, 2) || substring(hx, 9, 2), 16, 10) as bigint) + 8 <> byte_len
         THEN raise_error('graft multimodal: RIFF size mismatch')
         ELSE height END"""))
+      // The header ends with the SOF segment: marker (2) + its len bytes.
       .withColumn("hdr_len", expr(
-        "CASE format WHEN 'png' THEN 33 WHEN 'jpg' THEN cast(sof + 18 as int) ELSE 30 END"))
+        "CASE format WHEN 'png' THEN 33 WHEN 'jpg' THEN cast(sof + 1 + soflen as int) ELSE 30 END"))
       .withColumn("body_md5", expr(
         "md5(hex(substring(content, hdr_len + 1, cast(byte_len as int))))"))
       .withColumn("n_frames", expr("byte_len div 100 + 1"))
