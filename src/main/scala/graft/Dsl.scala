@@ -45,6 +45,26 @@ object Dsl {
 
   def table(spark: SparkSession, sfDir: String)(name: String): DataFrame =
     Catalog.load(spark, sfDir, name)
+
+  /** Spec hook: [[gatedBroadcast]]'s row ceiling. The default keeps any
+    * gated side well under executor/driver broadcast memory (a long-key
+    * semi side at 5M rows is tens of MB); Round16Spec drops it to 0 to
+    * prove the fallback really plans a shuffle join. */
+  @volatile private[graft] var gatedBroadcastMaxRows: Long = 5000000L
+
+  /** COUNT-GATED broadcast (round 16, r15 VERDICT task 5) for semi/anti
+    * sides whose size is DATA-DEPENDENT — filtered or aggregated fact
+    * derivatives like "customers above the global average": typically
+    * 1-5% of the dimension, but nothing bounds that at 100 TB, and an
+    * unconditional `broadcast()` hint is a driver OOM wearing a plan
+    * hint. The gate spends one cheap count action on the (already
+    * map-side-combined) derivative — the approxQuantile-action precedent
+    * — and either broadcasts, or hints `merge` so the consuming join
+    * PROVABLY plans a sort-merge shuffle instead of riding ambient size
+    * estimates. k-bounded sides (dims, 1-row aggregates, top-k results)
+    * keep their unconditional broadcast: their bound is structural. */
+  def gatedBroadcast(df: DataFrame): DataFrame =
+    if (df.count() <= gatedBroadcastMaxRows) broadcast(df) else df.hint("merge")
 }
 
 /** DuckDB-side twins of the Dsl helpers, for authoring `oracleSql`. */

@@ -375,8 +375,10 @@ object GraphOps extends QueryPack {
     val edges = und.filter($"u" < $"v").select($"u".as("a"), $"v".as("b"))
     val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
     val oriented = edges
-      .join(broadcast(deg.select($"node".as("a"), $"deg".as("deg_a"))), Seq("a"))
-      .join(broadcast(deg.select($"node".as("b"), $"deg".as("deg_b"))), Seq("b"))
+      // the degree table is |V|-sized — count-gated broadcast (falls
+      // back to a shuffle join on the edge key when the gate trips).
+      .join(graft.Dsl.gatedBroadcast(deg.select($"node".as("a"), $"deg".as("deg_a"))), Seq("a"))
+      .join(graft.Dsl.gatedBroadcast(deg.select($"node".as("b"), $"deg".as("deg_b"))), Seq("b"))
       .select(
         when($"deg_a" <= $"deg_b", $"a").otherwise($"b").as("src"),
         when($"deg_a" <= $"deg_b", $"b").otherwise($"a").as("dst"))

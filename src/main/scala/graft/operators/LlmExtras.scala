@@ -1482,7 +1482,8 @@ object LlmExtras extends QueryPack {
     val directed = inter.select($"doc_a".as("src"), $"doc_b".as("dst"), $"n_inter")
       .union(inter.select($"doc_b", $"doc_a", $"n_inter"))
     directed
-      .join(broadcast(sizes.select($"doc_id".as("src"), $"n")), Seq("src"))
+      // per-doc sizes are corpus-sized — count-gated, not assumed small.
+      .join(gatedBroadcast(sizes.select($"doc_id".as("src"), $"n")), Seq("src"))
       .select($"src", $"dst", $"n_inter",
         expr("n_inter * 1000000 div n").as("containment_ppm"))
       .filter($"containment_ppm" >= 500000L)

@@ -329,8 +329,11 @@ object Marketing extends QueryPack {
       .select($"part_a".as("ante"), $"part_b".as("cons"), $"support")
       .union(pairs.select($"part_b", $"part_a", $"support"))
     directed
-      .join(broadcast(itemCounts.select($"item".as("ante"), $"n_item".as("n_ante"))), Seq("ante"))
-      .join(broadcast(itemCounts.select($"item".as("cons"), $"n_item".as("n_cons"))), Seq("cons"))
+      // itemCounts is part-keyed off the fact — unbounded at scale, so
+      // count-gated (the 50-row `directed` side shuffles trivially when
+      // the gate trips).
+      .join(gatedBroadcast(itemCounts.select($"item".as("ante"), $"n_item".as("n_ante"))), Seq("ante"))
+      .join(gatedBroadcast(itemCounts.select($"item".as("cons"), $"n_item".as("n_cons"))), Seq("cons"))
       .select($"ante", $"cons", $"support",
         expr("support * 1000000 div n_ante").as("confidence_ppm"),
         expr(s"support * $nBaskets * 1000000 div (n_ante * n_cons)")

@@ -266,7 +266,8 @@ object Retrieval extends QueryPack {
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tfidf_s".desc, $"token".asc)
     tf.filter($"doc_id" < 50)
-      .join(broadcast(df_), Seq("token"))
+      // df_ is vocabulary-sized (grows with the corpus) — count-gated.
+      .join(gatedBroadcast(df_), Seq("token"))
       .crossJoin(broadcast(corpus))
       .withColumn("tfidf_s", expr(s"tf * ((n_docs * $S) div df)"))
       .withColumn("rank", row_number().over(w).cast("long"))

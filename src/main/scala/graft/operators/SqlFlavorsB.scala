@@ -925,9 +925,13 @@ object SqlFlavorsB extends QueryPack {
     *
     * Scale: two store-channel passes reduce to a part list and a customer
     * list (each map-side-combined); both gate the online pass as
-    * BROADCAST semi-joins, and the global threshold is a 1-row broadcast
-    * riding the customer aggregate — no fact-fact shuffle beyond the
-    * lineitem⋈orders key join each pass needs anyway.
+    * COUNT-GATED broadcast semi-joins ([[Dsl.gatedBroadcast]], round 16:
+    * their sizes are data-dependent fractions of part/customer — nothing
+    * bounds "frequent parts" or "above-average customers" at 100 TB, so
+    * each side broadcasts only if a cheap count clears the ceiling and
+    * otherwise hints a sort-merge shuffle semi). The global threshold is
+    * a 1-row broadcast riding the customer aggregate — no fact-fact
+    * shuffle beyond the lineitem⋈orders key join each pass needs anyway.
     */
   private def sqlTpcdsQ23Flavor(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -951,8 +955,8 @@ object SqlFlavorsB extends QueryPack {
       .select($"o_custkey".as("bc"))
     li.join(ord.filter($"o_orderstatus" === "O"),
         $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(freqParts), $"l_partkey" === $"fp", "left_semi")
-      .join(broadcast(best), $"o_custkey" === $"bc", "left_semi")
+      .join(gatedBroadcast(freqParts), $"l_partkey" === $"fp", "left_semi")
+      .join(gatedBroadcast(best), $"o_custkey" === $"bc", "left_semi")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_rows"),
         sum($"cents").cast("long").as("cents"))
