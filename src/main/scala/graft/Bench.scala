@@ -99,6 +99,11 @@ object Bench {
         // build) is memoized; the timed pass measures the beam-descent
         // serve.
         "q_sim_ann_hnsw",
+        // Round-16: the multi-zone grid (8 cell files) and the
+        // positional-DV table (duplicated slice + DV) are written once
+        // per (app, sfDir); the timed passes measure the pruned/masked
+        // reads, the declared steady states.
+        "q_lake_zonemap_multi", "q_lake_dv_positional",
         // Round-16 (r15 VERDICT task 2): q_agg_rfm's three ntile
         // when-chains (DistributedRank.ntileExactMulti) codegen on first
         // use — graded 8.39 s cold vs 1.07-1.60 s steady. Same hazard

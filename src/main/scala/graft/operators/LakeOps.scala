@@ -94,10 +94,15 @@ object LakeOps extends QueryPack {
   /** One parsed commit-log action. `minKey`/`maxKey` are the optional
     * per-file ZONE-MAP stats an `add` action may carry (round 15; VERDICT
     * r14 task 6) — the file-skipping statistics every lakehouse keeps in
-    * its manifest so selective reads prune files before planning. */
+    * its manifest so selective reads prune files before planning.
+    * `colZones` (round 16; r15 VERDICT task 6) is the MULTI-COLUMN
+    * generalization: an optional `"zones":{"col":[min,max],...}` field
+    * carrying per-COLUMN stats, so conjunctive predicates can prune on
+    * any statted column, not just the table key. */
   private[graft] final case class LakeAction(v: Int, op: String,
       path: String, dv: Option[String],
-      minKey: Option[Long], maxKey: Option[Long])
+      minKey: Option[Long], maxKey: Option[Long],
+      colZones: Map[String, (Long, Long)] = Map.empty)
 
   /** STRICT action grammar (round 15; VERDICT r14 task 7): every log line
     * must fully match one known action shape — a malformed or unknown
@@ -106,19 +111,31 @@ object LakeOps extends QueryPack {
     * undelete rows — corrupt catalog state must never read as a clean
     * table). Grammar: `{"v":N,"op":OP,"path":P[,"dv":D][,"min":M,"max":X]}`
     * with OP ∈ {add, remove, dv, vacuum, conflict}; `dv` is required on
-    * and exclusive to `dv` actions; zone stats are exclusive to `add`. */
+    * and exclusive to `dv` actions; zone stats (single-key `min`/`max`
+    * and the multi-column `zones` map) are exclusive to `add`. */
   private val actionRe =
     ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict)","path":"(\w+)"""" +
-      """(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?\}$""").r
+      """(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?""" +
+      """(?:,"zones":\{([^{}]*)\})?\}$""").r
+  private val zoneEntryRe = """"(\w+)":\[(-?\d+),(-?\d+)\]""".r
+  private val zonesInnerRe =
+    """"\w+":\[-?\d+,-?\d+\](?:,"\w+":\[-?\d+,-?\d+\])*""".r
 
   private[graft] def parseAction(line: String): LakeAction = line match {
-    case actionRe(v, op, path, dv, mn, mx) =>
+    case actionRe(v, op, path, dv, mn, mx, zs) =>
+      val cz = Option(zs).map { inner =>
+        if (!zonesInnerRe.pattern.matcher(inner).matches())
+          throw new IllegalArgumentException(
+            s"graft lake: malformed zones map in commit-log action: $line")
+        zoneEntryRe.findAllMatchIn(inner).map(m =>
+          m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
+      }.getOrElse(Map.empty[String, (Long, Long)])
       val a = LakeAction(v.toInt, op, path, Option(dv),
-        Option(mn).map(_.toLong), Option(mx).map(_.toLong))
+        Option(mn).map(_.toLong), Option(mx).map(_.toLong), cz)
       if ((a.op == "dv") != a.dv.isDefined)
         throw new IllegalArgumentException(
           s"graft lake: 'dv' field is required on and exclusive to dv actions: $line")
-      if (a.minKey.isDefined && a.op != "add")
+      if ((a.minKey.isDefined || a.colZones.nonEmpty) && a.op != "add")
         throw new IllegalArgumentException(
           s"graft lake: zone stats are only legal on add actions: $line")
       a
@@ -134,7 +151,8 @@ object LakeOps extends QueryPack {
   /** Replayed table state: live files in commit order, deletion vectors
     * per file, zone-map stats per file where the add carried them. */
   private[graft] final case class LakeState(live: Seq[String],
-      dvs: Map[String, Seq[String]], zones: Map[String, (Long, Long)])
+      dvs: Map[String, Seq[String]], zones: Map[String, (Long, Long)],
+      colZones: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   private val emptyState = LakeState(Nil, Map.empty, Map.empty)
 
@@ -152,18 +170,23 @@ object LakeOps extends QueryPack {
     val zones = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Long)]
     zones ++= start.zones
+    val colZones = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, (Long, Long)]]
+    colZones ++= start.colZones
     acts.foreach { a =>
       a.op match {
         case "add" =>
           live += a.path
           for (mn <- a.minKey; mx <- a.maxKey) zones(a.path) = (mn, mx)
-        case "remove" => live -= a.path; dvs -= a.path; zones -= a.path
+          if (a.colZones.nonEmpty) colZones(a.path) = a.colZones
+        case "remove" =>
+          live -= a.path; dvs -= a.path; zones -= a.path; colZones -= a.path
         case "dv" =>
           dvs(a.path) = dvs.getOrElse(a.path, Vector.empty) :+ a.dv.get
         case _ => () // vacuum / conflict: audit-only
       }
     }
-    LakeState(live.toSeq, dvs.toMap, zones.toMap)
+    LakeState(live.toSeq, dvs.toMap, zones.toMap, colZones.toMap)
   }
 
   /** Replay the commit log to version `v` → live data files plus the
@@ -192,15 +215,18 @@ object LakeOps extends QueryPack {
     * exactly the union of its live files' schemas — an old version read
     * never sees a column added after it.
     *
-    * UNIQUE-KEY CONTRACT (round-15 ADVICE: stated + spec-asserted): the
-    * DV mask is a KEY-equi anti-join, not a positional delete, so it
-    * deletes every row sharing a masked key. That equals the Delta/
-    * Iceberg positional-DV semantics iff each masked data file holds at
-    * most one row per o_orderkey — true by construction here (every file
-    * is a disjoint slice of `orders`, whose primary key is o_orderkey),
-    * and pinned by a per-masked-file uniqueness assertion in
-    * Round14BSpec. A table whose files may duplicate keys needs
-    * (file, row-ordinal) positional DVs instead. */
+    * DV DIALECTS (round 16 upgraded; r15 VERDICT task 7): a DV file
+    * carrying a `_pos` column is a POSITIONAL deletion vector — it masks
+    * by the row ordinal MATERIALIZED INTO the data file at write time
+    * (the Delta/Iceberg semantics; a recomputed ordinal like
+    * monotonically_increasing_id is not stable across reads, so the
+    * position must live in the file), and works with DUPLICATE keys in
+    * the data file (q_lake_dv_positional grades exactly that). A DV file
+    * without `_pos` keeps the round-14 KEY-equi contract: it deletes
+    * every row sharing a masked key, which equals positional semantics
+    * iff each masked file holds at most one row per o_orderkey — true
+    * for the orders-slice scratches and pinned by the per-masked-file
+    * uniqueness assertion in Round14BSpec. */
   private def readSnapshot(spark: SparkSession, base: String, v: Int)
       : DataFrame = {
     val st = fullState(base, v)
@@ -209,22 +235,38 @@ object LakeOps extends QueryPack {
 
   /** Scan + DV-mask + by-name-union a resolved live-file set — the shared
     * read kernel behind full-replay, checkpoint-replay and zone-pruned
-    * snapshot reads. An EMPTY file set (a predicate that prunes every
-    * zone, or an empty snapshot) reads as an empty single-key frame, not
-    * a crash — total by contract since pruning callers can legitimately
-    * plan zero files. */
+    * snapshot reads. Positional DV files (those carrying `_pos`) mask by
+    * row ordinal; key DV files mask by o_orderkey (see the dialect note
+    * on readSnapshot); the materialized `_pos` column never escapes the
+    * kernel. An EMPTY file set (a predicate that prunes every zone, or an
+    * empty snapshot) reads as an empty frame CARRYING THE SNAPSHOT SCHEMA
+    * derived from `schemaFiles` (round-16 ADVICE fix: pruning callers
+    * pass the full live set, so a caller selecting any snapshot column
+    * on an all-pruned read gets zero rows, never an unresolved-column
+    * error); only with no schema source at all does it degrade to the
+    * single-key frame. Total by contract either way. */
   private def readState(spark: SparkSession, base: String,
                         files: Seq[String],
-                        dvs: Map[String, Seq[String]]): DataFrame =
+                        dvs: Map[String, Seq[String]],
+                        schemaFiles: Seq[String] = Nil): DataFrame =
     files.map { f =>
       val df = spark.read.parquet(s"$base/$f")
-      dvs.getOrElse(f, Nil).foldLeft(df)((d, dv) =>
-        d.join(spark.read.parquet(s"$base/$dv"), Seq("o_orderkey"),
-          "left_anti"))
+      dvs.getOrElse(f, Nil).foldLeft(df) { (d, dv) =>
+        val dvDf = spark.read.parquet(s"$base/$dv")
+        if (dvDf.columns.contains("_pos"))
+          d.join(dvDf.select("_pos"), Seq("_pos"), "left_anti")
+        else d.join(dvDf, Seq("o_orderkey"), "left_anti")
+      }.drop("_pos")
     }.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse {
-        import spark.implicits._
-        spark.range(0).select($"id".as("o_orderkey"))
+        if (schemaFiles.nonEmpty)
+          schemaFiles.map(f => spark.read.parquet(s"$base/$f").limit(0))
+            .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+            .drop("_pos")
+        else {
+          import spark.implicits._
+          spark.range(0).select($"id".as("o_orderkey"))
+        }
       }
 
   private def lakeTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
@@ -959,12 +1001,21 @@ object LakeOps extends QueryPack {
     * resolution O(tail) in I/O and parse, not just in replay (the log is
     * version-ordered append-only, so the offset stays valid as commits
     * land after it). */
+  /** Render a column→(min,max) map as the optional `zones` action field
+    * (sorted by column for byte determinism); empty → no field. */
+  private def zonesField(cz: Map[String, (Long, Long)]): String =
+    if (cz.isEmpty) ""
+    else cz.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s""""$c":[$mn,$mx]""" }.mkString(""","zones":{""", ",", "}")
+
   private def writeCheckpoint(base: String, v: Int): Unit = {
     val st = fullState(base, v)
     val lines = st.live.map { p =>
+      val zf = zonesField(st.colZones.getOrElse(p, Map.empty))
       st.zones.get(p) match {
-        case Some((mn, mx)) => addLine(v, p, mn, mx)
-        case None           => s"""{"v":$v,"op":"add","path":"$p"}"""
+        case Some((mn, mx)) =>
+          s"""{"v":$v,"op":"add","path":"$p","min":$mn,"max":$mx$zf}"""
+        case None => s"""{"v":$v,"op":"add","path":"$p"$zf}"""
       }
     } ++ st.live.flatMap(p => st.dvs.getOrElse(p, Nil).map(d =>
       s"""{"v":$v,"op":"dv","path":"$p","dv":"$d"}"""))
@@ -994,6 +1045,15 @@ object LakeOps extends QueryPack {
         val size = ch.size()
         if (off >= size) Nil
         else {
+          // A tail past 2 GiB would overflow the Int buffer size below —
+          // fail loudly rather than throwing a bare negative-allocation
+          // error (a tail that long means the checkpoint cadence is
+          // broken anyway; the fix is more checkpoints, not a bigger
+          // buffer).
+          require(size - off <= Int.MaxValue.toLong,
+            s"graft lake: log tail of ${size - off} bytes exceeds the " +
+              "single-buffer bound — checkpoint cadence must keep tails " +
+              "bounded")
           val buf = java.nio.ByteBuffer.allocate((size - off).toInt)
           ch.position(off)
           var n = 0
@@ -1036,10 +1096,16 @@ object LakeOps extends QueryPack {
           maxk.toString.getBytes(StandardCharsets.UTF_8))
         val bkt = expr(s"o_orderkey * 8 div $m")
         // ONE aggregate job → 8 bounded (bucket, min, max) zone rows.
-        val zones = orders.groupBy(bkt.as("b"))
+        val zones0 = orders.groupBy(bkt.as("b"))
           .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"))
           .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
           .toMap
+        // Fail loudly on a sparse fixture rather than with a bare
+        // NoSuchElementException deep in log authoring (round-16 ADVICE).
+        def zones(b: Long): (Long, Long) = zones0.getOrElse(b,
+          throw new IllegalArgumentException(
+            s"graft lake: empty key-range zone bucket $b — the scratch " +
+              "builder assumes every bucket is populated"))
         (1 to 8).foreach(i =>
           orders.filter(bkt === (i - 1)).write.parquet(s"$base/file_$i"))
         // v9 COMPACTS files 1+2 → file_9 reading only the live files.
@@ -1131,7 +1197,7 @@ object LakeOps extends QueryPack {
     // A file lacking zone stats can never be pruned (plan it); with stats,
     // skip iff its whole key range sits above the upper bound.
     val planned = st.live.filter(p => st.zones.get(p).forall(_._1 <= hi))
-    readState(spark, base, planned, st.dvs)
+    readState(spark, base, planned, st.dvs, schemaFiles = st.live)
       .filter($"o_orderkey" <= hi)
       .agg(count(lit(1)).as("n_rows"),
         sum($"o_orderkey").cast("long").as("key_sum"))
@@ -1152,6 +1218,229 @@ object LakeOps extends QueryPack {
       AND ((o_orderkey * 8 // m < 2 AND o_orderkey % 5 <> 0)
         OR (o_orderkey * 8 // m = 2 AND o_orderstatus = 'F'))
     ORDER BY n_files_live ASC NULLS FIRST"""
+
+  /** MULTI-COLUMN ZONE MAPS (round 16; r15 VERDICT task 6) — add actions
+    * carry a `zones` column→(min,max) map beside the single-key min/max,
+    * and a CONJUNCTIVE predicate prunes a file when ANY statted column's
+    * zone cannot intersect its conjunct — per-column stats are how real
+    * manifests (Delta add-file stats, Iceberg manifest column bounds)
+    * skip files for predicates off the clustering key. The scratch grid:
+    * 8 files = 4 key-range buckets × 2 custkey halves, every add carrying
+    * both columns' exact bounds; the graded predicate (key in buckets
+    * 0-1 AND custkey in the upper half) plans 2 of 8 files. The oracle
+    * recomputes rows + both file counts from orders via the same
+    * closed-form bucket boundaries (truncating div on non-negative
+    * operands, engine-identical), so over- and under-pruning both break
+    * the hash; the pruned ≡ unpruned spec covers row identity.
+    * Scale: identical to single-key zone maps — O(live files × statted
+    * columns) catalog arithmetic, no scan. */
+  private val multiZoneBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def multiZoneDir(spark: SparkSession, sfDir: String): String =
+    multiZoneBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_mz_").toString
+        val orders = Catalog.load(spark, sfDir, "orders")
+        val mm = orders.agg(max($"o_orderkey"), max($"o_custkey")).first()
+        val m = mm.getLong(0) + 1
+        val mc = mm.getLong(1) + 1
+        Files.write(Paths.get(base, "_meta_max"),
+          s"${mm.getLong(0)},${mm.getLong(1)}"
+            .getBytes(StandardCharsets.UTF_8))
+        val bk = expr(s"o_orderkey * 4 div $m")
+        val ck = expr(s"o_custkey * 2 div $mc")
+        // ONE aggregate job → 8 bounded per-cell rows with BOTH bounds.
+        val cells = orders.groupBy(bk.as("b"), ck.as("c"))
+          .agg(min($"o_orderkey").as("kmn"), max($"o_orderkey").as("kmx"),
+            min($"o_custkey").as("cmn"), max($"o_custkey").as("cmx"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)),
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+          .toMap
+        def cell(b: Long, c: Long): (Long, Long, Long, Long) =
+          cells.getOrElse((b, c), throw new IllegalArgumentException(
+            s"graft lake: empty multi-zone grid cell ($b,$c) — the " +
+              "scratch builder assumes every cell is populated"))
+        val log = (for { b <- 0 to 3; c <- 0 to 1 } yield {
+          orders.filter(bk === b && ck === c)
+            .write.parquet(s"$base/file_${b}_$c")
+          val (kmn, kmx, cmn, cmx) = cell(b.toLong, c.toLong)
+          val v = b * 2 + c + 1
+          s"""{"v":$v,"op":"add","path":"file_${b}_$c","min":$kmn,"max":$kmx""" +
+            s""","zones":{"o_custkey":[$cmn,$cmx],"o_orderkey":[$kmn,$kmx]}}"""
+        }).toList
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  /** Conjunctive zone pruning: keep a file unless some statted conjunct
+    * column proves its range disjoint from the predicate interval. */
+  private def multiZonePlan(st: LakeState,
+      preds: Map[String, (Long, Long)]): Seq[String] =
+    st.live.filter { p =>
+      preds.forall { case (col0, (lo, hi)) =>
+        st.colZones.get(p).flatMap(_.get(col0)).forall {
+          case (mn, mx) => mx >= lo && mn <= hi
+        }
+      }
+    }
+
+  private def multiZoneBounds(base: String): (Long, Long) = {
+    val Array(maxk, maxc) = new String(
+      Files.readAllBytes(Paths.get(base, "_meta_max")),
+      StandardCharsets.UTF_8).split(",").map(_.toLong)
+    // key buckets 0-1: 4k <= 2(maxk+1)-1; cust bucket 1: 2c >= maxc+1.
+    ((2 * (maxk + 1) - 1) / 4, (maxc + 1 + 1) / 2)
+  }
+
+  private def lakeZonemapMulti(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = multiZoneDir(spark, sfDir)
+    val (hi, clo) = multiZoneBounds(base)
+    val st = fullState(base, 8)
+    val planned = multiZonePlan(st,
+      Map("o_orderkey" -> (Long.MinValue, hi),
+        "o_custkey" -> (clo, Long.MaxValue)))
+    readState(spark, base, planned, st.dvs, schemaFiles = st.live)
+      .filter($"o_orderkey" <= hi && $"o_custkey" >= clo)
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").cast("long").as("key_sum"))
+      .select(lit(st.live.size.toLong).as("n_files_live"),
+        lit(planned.size.toLong).as("n_files_planned"),
+        $"n_rows", $"key_sum")
+      .orderBy($"n_files_live".asc_nulls_first)
+  }
+
+  private val lakeZonemapMultiOracle = """
+    WITH mk AS (SELECT max(o_orderkey) + 1 AS m, max(o_custkey) + 1 AS mc
+                FROM orders)
+    SELECT CAST(8 AS BIGINT) AS n_files_live,
+      CAST(2 AS BIGINT) AS n_files_planned,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders, mk
+    WHERE o_orderkey <= (2 * m - 1) // 4 AND o_custkey >= (mc + 1) // 2
+    ORDER BY n_files_live ASC NULLS FIRST"""
+
+  /** Spec hooks for the multi-zone table: the unpruned filtered read, and
+    * the planned set under the graded conjunctive predicate. */
+  private[graft] def multiZoneUnpruned(spark: SparkSession,
+                                       sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = multiZoneDir(spark, sfDir)
+    val (hi, clo) = multiZoneBounds(base)
+    val st = fullState(base, 8)
+    readState(spark, base, st.live, st.dvs)
+      .filter($"o_orderkey" <= hi && $"o_custkey" >= clo)
+  }
+
+  private[graft] def multiZonePlannedFiles(spark: SparkSession,
+                                           sfDir: String): (Seq[String], Int) = {
+    val base = multiZoneDir(spark, sfDir)
+    val (hi, clo) = multiZoneBounds(base)
+    val st = fullState(base, 8)
+    (multiZonePlan(st, Map("o_orderkey" -> (Long.MinValue, hi),
+      "o_custkey" -> (clo, Long.MaxValue))), st.live.size)
+  }
+
+  /** POSITIONAL DELETION VECTORS (round 16; r15 VERDICT task 7) — the DV
+    * dialect that works with DUPLICATE KEYS in a data file, which the
+    * round-14 key-equi contract forbids: positions are STABLE because
+    * they are MATERIALIZED INTO the data file at write time as `_pos`
+    * (a recomputed monotonically_increasing_id would renumber with
+    * partitioning; the written column cannot), and the DV file lists
+    * `_pos` values, masked by an anti-join on position. The scratch
+    * writes an orders slice DUPLICATED (every key exactly twice, `_pos`
+    * = 2·key + copy), then one positional DV deleting the even-position
+    * copy of keys ≡ 0 (mod 3). The graded read at v1 (unmasked) and v2
+    * (masked) emits rows, DISTINCT keys and the key sum per version —
+    * n_keys is the dialect proof: positional masking keeps every key
+    * present (one copy survives), where a key-equi mask would have
+    * deleted both copies and changed the distinct count. The oracle
+    * recomputes all six numbers from orders.
+    * Scale: same merge-on-read economics as key DVs — O(file ∪ dv) per
+    * masked file, |dv| cost per delete until compaction folds it in. */
+  private val posDvBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def posDvDir(spark: SparkSession, sfDir: String): String =
+    posDvBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_pdv_").toString
+        val slice = Catalog.load(spark, sfDir, "orders")
+          .filter($"o_orderkey" % 100 < 7)
+          .select($"o_orderkey", $"o_orderstatus")
+        val posed = slice.withColumn("_pos", $"o_orderkey" * 2)
+          .unionAll(slice.withColumn("_pos", $"o_orderkey" * 2 + 1))
+        posed.write.parquet(s"$base/file_dup")
+        // The DV is built from the written file (the target-file-only
+        // contract q_lake_dv pinned), not from the source table.
+        spark.read.parquet(s"$base/file_dup")
+          .filter($"o_orderkey" % 3 === 0 && $"_pos" % 2 === 0)
+          .select($"_pos").write.parquet(s"$base/dv_pos")
+        val log = Seq(
+          """{"v":1,"op":"add","path":"file_dup"}""",
+          """{"v":2,"op":"dv","path":"file_dup","dv":"dv_pos"}""")
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  private def lakeDvPositional(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = posDvDir(spark, sfDir)
+    Seq(1, 2).map { v =>
+      readSnapshot(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct($"o_orderkey").as("n_keys"),
+          sum($"o_orderkey").cast("long").as("key_sum"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"n_keys",
+          $"key_sum")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeDvPositionalOracle = """
+    WITH s AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 < 7)
+    SELECT CAST(1 AS BIGINT) AS version,
+      CAST(2 * count(*) AS BIGINT) AS n_rows,
+      CAST(count(*) AS BIGINT) AS n_keys,
+      CAST(2 * sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM s
+    UNION ALL
+    SELECT 2,
+      CAST(2 * count(*)
+        - count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS BIGINT),
+      CAST(count(*) AS BIGINT),
+      CAST(2 * sum(o_orderkey)
+        - COALESCE(sum(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END), 0)
+        AS BIGINT)
+    FROM s
+    ORDER BY version ASC NULLS FIRST"""
+
+  /** Spec hook: an ALL-PRUNED read of the multi-zone table (impossible
+    * predicate interval) — must return zero rows under the full snapshot
+    * schema, the round-16 ADVICE totality fix. */
+  private[graft] def emptyPrunedRead(spark: SparkSession,
+                                     sfDir: String): DataFrame = {
+    val base = multiZoneDir(spark, sfDir)
+    val st = fullState(base, 8)
+    val planned = multiZonePlan(st, Map("o_custkey" -> (-2L, -1L)))
+    readState(spark, base, planned, st.dvs, schemaFiles = st.live)
+  }
+
+  /** Spec hooks for the positional-DV table. */
+  private[graft] def posDvBase(spark: SparkSession, sfDir: String): String =
+    posDvDir(spark, sfDir)
+
+  private[graft] def posDvSnapshot(spark: SparkSession, sfDir: String,
+                                   v: Int): DataFrame =
+    readSnapshot(spark, posDvDir(spark, sfDir), v)
 
   /** STREAMING CHANGE-DATA-FEED STAGING (round 15; VERDICT r14 task 3) —
     * the per-commit change files an incremental CDF *stream* reads: for
@@ -1286,18 +1575,24 @@ object LakeOps extends QueryPack {
         val hashSlice = pmod($"o_orderkey", lit(4))
         val range = expr(s"o_orderkey * 4 div $m")
         // Arrival-order ingest: hash slices — zones span the whole table.
-        val hz = orders.groupBy(hashSlice.as("b"))
+        val hz0 = orders.groupBy(hashSlice.as("b"))
           .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"))
           .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
           .toMap
+        def hz(b: Long): (Long, Long) = hz0.getOrElse(b,
+          throw new IllegalArgumentException(
+            s"graft lake: empty hash zone bucket $b"))
         (0 to 3).foreach(i =>
           orders.filter(hashSlice === i).write.parquet(s"$base/ingest_$i"))
         // The cluster rewrite reads ONLY the live files, never the source.
         val live = spark.read.parquet((0 to 3).map(i => s"$base/ingest_$i"): _*)
-        val rz = live.groupBy(range.as("b"))
+        val rz0 = live.groupBy(range.as("b"))
           .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"))
           .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
           .toMap
+        def rz(b: Long): (Long, Long) = rz0.getOrElse(b,
+          throw new IllegalArgumentException(
+            s"graft lake: empty key-range zone bucket $b"))
         (0 to 3).foreach(i =>
           live.filter(range === i).write.parquet(s"$base/clustered_$i"))
         val log =
@@ -1318,7 +1613,8 @@ object LakeOps extends QueryPack {
     import spark.implicits._
     val st = fullState(base, v)
     val planned = st.live.filter(p => st.zones.get(p).forall(_._1 <= hi))
-    (readState(spark, base, planned, st.dvs).filter($"o_orderkey" <= hi),
+    (readState(spark, base, planned, st.dvs, schemaFiles = st.live)
+      .filter($"o_orderkey" <= hi),
       st.live.size, planned.size)
   }
 
@@ -1444,6 +1740,8 @@ object LakeOps extends QueryPack {
     Q("q_lake_occ", lakeOcc, Some(lakeOccOracle)),
     Q("q_lake_checkpoint", lakeCheckpoint, Some(lakeCheckpointOracle)),
     Q("q_lake_zonemap", lakeZonemap, Some(lakeZonemapOracle)),
+    Q("q_lake_zonemap_multi", lakeZonemapMulti, Some(lakeZonemapMultiOracle)),
+    Q("q_lake_dv_positional", lakeDvPositional, Some(lakeDvPositionalOracle)),
     Q("q_lake_cluster", lakeCluster, Some(lakeClusterOracle)),
   )
 }
