@@ -412,7 +412,63 @@ object AuditStats extends QueryPack {
     JOIN counts cb ON cb.col_name = p.col_b
     ORDER BY incl_ppm DESC, col_a ASC NULLS FIRST, col_b ASC NULLS FIRST"""
 
+  private val KmvK = 256
+
+  /** KMV (k-minimum-values) DISTINCT-COUNT SKETCH (round 16) — the
+    * bottom-k sketch underlying the Theta family, graded EXACTLY: unlike
+    * the HLL/Theta cap-only entries (engine-specific hash), the hash here
+    * is the Knuth multiplicative mix in plain int64 arithmetic (the
+    * q_sample_hash precedent — a bijection mod 2³¹, engine-independent),
+    * so the k-th minimum, the estimate, and the hash itself are
+    * oracle-checkable to the bit. Estimator: with k minima over hashes
+    * uniform on [0, 2³¹), E[distinct] ≈ (k−1)·2³¹ / h_k; when the domain
+    * has fewer than k distinct hashes the sketch IS the exact count.
+    *
+    * Scale: this is the textbook mergeable sketch — per-partition
+    * bottom-k sets union-merge to the global bottom-k, which is exactly
+    * how Spark executes `orderBy(h).limit(k)` (TakeOrdered: partial
+    * top-k per partition, k·P rows to one merge, never a global sort);
+    * the distinct-on-hash upstream is map-side combined. One sketch
+    * answers distinct-count at any accuracy ∝ 1/√k with k·8 bytes of
+    * state — the 100-TB cardinality profiler.
+    */
+  private def statKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Catalog.load(spark, sfDir, "orders")
+    val h = pmod(($"o_custkey".bitwiseAND(2147483647L)) * lit(2654435761L),
+      lit(2147483648L))
+    val bottom = orders.select(h.as("h")).distinct()
+      .orderBy($"h".asc).limit(KmvK)
+    val sk = bottom.agg(count(lit(1)).as("k"), max($"h").as("kth_hash"))
+    val truth = orders.agg(countDistinct($"o_custkey").as("true_distinct"))
+    sk.crossJoin(truth).select(
+      $"k", $"kth_hash",
+      when($"k" < KmvK, $"k".cast("double"))
+        .otherwise(round(lit((KmvK - 1).toDouble) * lit(2147483648.0)
+          / $"kth_hash".cast("double"), 4))
+        .as("est_distinct"),
+      $"true_distinct")
+  }
+
+  private val statKmvDistinctOracle = s"""
+    WITH hs AS (
+      SELECT DISTINCT ((o_custkey & 2147483647) * 2654435761)
+                      % 2147483648 AS h
+      FROM orders),
+    bottom AS (SELECT h FROM hs ORDER BY h ASC LIMIT $KmvK),
+    sk AS (SELECT CAST(count(*) AS BIGINT) AS k, max(h) AS kth_hash
+           FROM bottom),
+    t AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS true_distinct
+          FROM orders)
+    SELECT k, kth_hash,
+      CASE WHEN k < $KmvK THEN CAST(k AS DOUBLE)
+           ELSE round(${(KmvK - 1).toDouble} * 2147483648.0
+                      / CAST(kth_hash AS DOUBLE), 4) END AS est_distinct,
+      true_distinct
+    FROM sk CROSS JOIN t"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_stat_kmv_distinct", statKmvDistinct, Some(statKmvDistinctOracle)),
     Q("q_profile_join_discovery", profileJoinDiscovery,
       Some(profileJoinDiscoveryOracle)),
     Q("q_audit_checksum", auditChecksum, Some(auditChecksumOracle)),

