@@ -353,7 +353,64 @@ object EvalOps extends QueryPack {
     ORDER BY cnt.c DESC, cnt.lang ASC, cnt.token ASC
     LIMIT $NbTopK"""
 
+  /** CALIBRATION / RELIABILITY BINS (round 16) — the companion metric to
+    * [[evalAuc]]'s ranking quality: AUC cannot see a systematically
+    * over-confident scorer, calibration can. The q_eval_auc score
+    * (acctbal cents) is rescaled to a [0,1] confidence via its fixed
+    * domain bounds (integer arithmetic), bucketed into 10 equal-width
+    * bins, and each bin reports mean predicted confidence vs observed
+    * positive rate — both as exact ppm integer quotients (non-negative
+    * dividends, Spark `div` ↔ DuckDB `//`), so the whole reliability
+    * table is integer-exact with zero float parity risk. |pred − actual|
+    * per bin is the ECE summand; a well-calibrated scorer pins the two
+    * ppm columns together.
+    *
+    * Scale: one map-side-combined aggregate keyed by the 10-value bin —
+    * the corpus is scanned once, the output is bounded at the bin count.
+    */
+  private def evalCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // score cents ∈ [-99999, 999999] (acctbal domain) → conf ∈ [0, 1099998]
+    // of 1099998; bin = conf*10 div 1099999 ∈ 0..9 (strict upper bound so
+    // the max lands in bin 9).
+    val base = Catalog.load(spark, sfDir, "orders")
+      .join(Catalog.load(spark, sfDir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select(
+        (($"c_acctbal".cast("decimal(12,2)") * 100).cast("long") + 99999L)
+          .as("conf"),
+        when($"o_totalprice" > 150000, 1L).otherwise(0L).as("pos"))
+    base.select(expr("conf * 10 div 1099999").as("bin"), $"conf", $"pos")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+        sum($"conf").as("sum_conf"))
+      .select($"bin", $"n", $"n_pos",
+        when($"n" > 8000000L, raise_error(lit(
+          "graft q_eval_calibration: sum_conf*1e6 overflows int64 beyond " +
+            "8M rows per bin; route the ppm quotient through decimal")))
+          .otherwise(expr("sum_conf * 1000000 div (n * 1099998)"))
+          .as("pred_ppm"),
+        expr("n_pos * 1000000 div n").as("actual_ppm"))
+      .orderBy($"bin".asc_nulls_first)
+  }
+
+  private val evalCalibrationOracle = """
+    WITH base AS (
+      SELECT CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               + 99999 AS conf,
+        CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pos
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    SELECT (conf * 10) // 1099999 AS bin,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(pos) AS BIGINT) AS n_pos,
+      CAST((sum(conf) * 1000000) // (count(*) * 1099998) AS BIGINT)
+        AS pred_ppm,
+      CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS actual_ppm
+    FROM base GROUP BY 1
+    ORDER BY bin ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_eval_calibration", evalCalibration, Some(evalCalibrationOracle)),
     Q("q_eval_auc", evalAuc, Some(evalAucOracle)),
     Q("q_eval_mrr", evalMrr, Some(evalMrrOracle)),
     Q("q_stat_regression_multi", statRegressionMulti,

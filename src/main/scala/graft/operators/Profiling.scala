@@ -435,6 +435,87 @@ object Profiling extends QueryPack {
     * shuffled, only counted. Counts stay exact longs; only the final
     * p·log2(p) fold is double, rounded 4dp on both engines.
     */
+  /** MUTUAL INFORMATION between categorical column pairs (round 16) — the
+    * dependence measure next to [[profileEntropy]]'s per-column
+    * information content: I(X;Y) = Σ p(x,y)·log2(p(x,y)/(p(x)p(y))),
+    * the profiler's screen for redundant columns (I ≈ min(H)) and for
+    * feature/target relevance (I ≈ 0 ⇒ the column cannot predict the
+    * target). Same determinism doctrine as entropy: joint and marginal
+    * counts stay exact longs off ONE map-side-combined (x, y) aggregate
+    * per pair (marginals are rollups of the joint — the corpus is scanned
+    * once per pair, never re-counted), and only the final |X|·|Y|-cell
+    * log2 fold is double, rounded 4dp on both engines.
+    *
+    * Scale: the only corpus-touching pass per pair is the joint count
+    * (bounded at |X|·|Y| output rows); marginal joins run on that bounded
+    * cell table via broadcast. Columns with unbounded domains take a
+    * bucketize/top-k front first (q_feat_bin_quantile / q_profile_freq).
+    */
+  private def statMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def pairMi(label: String, pairs: DataFrame): DataFrame = {
+      val joint = pairs.groupBy($"x", $"y").agg(count(lit(1)).as("nxy"))
+      val mx = joint.groupBy($"x").agg(sum($"nxy").as("nx"))
+      val my = joint.groupBy($"y").agg(sum($"nxy").as("ny"))
+      val tot = joint.agg(sum($"nxy").as("n"))
+      val p = $"nxy".cast("double") / $"n".cast("double")
+      val lift = ($"nxy".cast("double") * $"n".cast("double")) /
+        ($"nx".cast("double") * $"ny".cast("double"))
+      joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+        .crossJoin(broadcast(tot))
+        .agg(lit(label).as("pair"),
+          count(lit(1)).as("n_cells"),
+          sum($"nxy").as("n_rows"),
+          round(sum(p * log2(lift)), 4).as("mi_bits"))
+    }
+    val orders = Catalog.load(spark, sfDir, "orders")
+    // Two independently-generated pairs (the I ≈ 0 baseline the profiler
+    // screens against) plus the LEAKAGE PROBE: a bucketed feature that
+    // functionally encodes the label (price band vs the high-value flag
+    // cut inside band 3) — MI ≈ H(label), the signature of a feature that
+    // leaks its target, which is exactly what an MI screen exists to
+    // catch before training.
+    pairMi("orders.o_orderpriority|o_orderstatus",
+        orders.select($"o_orderpriority".as("x"), $"o_orderstatus".as("y")))
+      .unionAll(pairMi("customer.c_mktsegment|c_nationkey",
+        Catalog.load(spark, sfDir, "customer")
+          .select($"c_mktsegment".as("x"), $"c_nationkey".as("y"))))
+      .unionAll(pairMi("orders.price_band|high_value",
+        orders.select(
+          // exact cents (the q_eval_auc score route) div 5M = 50k bands —
+          // no double→int cast, whose truncate-vs-round semantics differ
+          // across engines
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " div 5000000").as("x"),
+          ($"o_totalprice" > 150000).cast("long").as("y"))))
+      .orderBy($"pair".asc_nulls_first)
+  }
+
+  private val statMutualInfoOracle = {
+    def pairSql(label: String, table: String, xe: String, ye: String) = s"""
+      SELECT '$label' AS pair,
+        CAST(count(*) AS BIGINT) AS n_cells,
+        CAST(sum(nxy) AS BIGINT) AS n_rows,
+        round(sum((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+          * log2((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+                 / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))), 4) AS mi_bits
+      FROM (
+        SELECT j.x, j.y, j.nxy,
+          sum(j.nxy) OVER (PARTITION BY j.x) AS nx,
+          sum(j.nxy) OVER (PARTITION BY j.y) AS ny,
+          sum(j.nxy) OVER () AS n
+        FROM (SELECT $xe AS x, $ye AS y, count(*) AS nxy
+              FROM $table GROUP BY 1, 2) j) c"""
+    s"""${pairSql("orders.o_orderpriority|o_orderstatus", "orders",
+        "o_orderpriority", "o_orderstatus")}
+    UNION ALL${pairSql("customer.c_mktsegment|c_nationkey", "customer",
+        "c_mktsegment", "c_nationkey")}
+    UNION ALL${pairSql("orders.price_band|high_value", "orders",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000000",
+        "CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END")}
+    ORDER BY pair ASC NULLS FIRST"""
+  }
+
   private def profileEntropy(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def colEntropy(table: String, column: String): DataFrame = {
@@ -1541,6 +1622,7 @@ object Profiling extends QueryPack {
     Q("q_profile_skew", profileSkew, Some(profileSkewOracle)),
     Q("q_stat_cuped", statCuped, Some(statCupedOracle)),
     Q("q_profile_entropy", profileEntropy, Some(profileEntropyOracle)),
+    Q("q_stat_mutual_info", statMutualInfo, Some(statMutualInfoOracle)),
     Q("q_stat_chisq", statChisq, Some(statChisqOracle)),
     Q("q_stat_ks_test", statKsTest, Some(statKsTestOracle)),
     Q("q_stat_ttest_welch", statTtestWelch, Some(statTtestWelchOracle)),

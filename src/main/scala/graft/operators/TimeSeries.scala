@@ -1295,7 +1295,151 @@ object TimeSeries extends QueryPack {
     FROM r WHERE cnt = 7
     ORDER BY day ASC NULLS FIRST"""
 
+  private val SaxSegments = 8
+
+  /** SAX — SYMBOLIC AGGREGATE APPROXIMATION (round 16): the classic
+    * time-series symbolization (Lin/Keogh): z-normalize the daily-revenue
+    * series against its own mean/std, PAA-compress into [[SaxSegments]]
+    * equal-width segments (segment mean of z-scores), and map each
+    * segment to a 4-letter alphabet by the N(0,1) quartile breakpoints
+    * ±0.6745 and 0 — the representation under SAX-indexed motif/anomaly
+    * search. Determinism: the series is the exact decimal daily sum; μ
+    * comes from the exact decimal total and σ from the exact decimal
+    * sum-of-squares (rev is 2-decimal so rev² is an exact 4-decimal
+    * rational), both cast to double once — so every z and PAA value is a
+    * fixed IEEE expression over identical inputs on both engines; the
+    * breakpoint CASE has measure-zero tie risk (continuous PAA values vs
+    * the irrational-ish .6745 grid) and the emitted PAA rounds at 4dp.
+    *
+    * Scale: the daily aggregation is the only corpus-touching pass
+    * (map-side-combined); positions/segments come from a row_number over
+    * the CALENDAR-BOUNDED daily table (~2.4k rows at any SF — the
+    * q_ts_acf ordered-window justification), and the PAA/letter fold is
+    * |segments| rows. Per-key symbolization at scale would partition the
+    * same windows by series key.
+    */
+  private def tsSax(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum($"o_totalprice".cast("decimal(18,6)"))
+        .cast("decimal(18,2)").as("rev"))
+    val w = Window.orderBy($"day".asc)
+    val pos = daily.withColumn("i", row_number().over(w).cast("long") - 1L)
+    val m = pos.agg(count(lit(1)).as("n"),
+      sum($"rev".cast("decimal(18,6)")).cast("double").as("sx"),
+      sum(($"rev" * $"rev").cast("decimal(38,6)")).cast("double").as("sxx"))
+    val seg = pos.crossJoin(broadcast(m))
+      .select(expr(s"i * $SaxSegments div n").as("segment"),
+        $"rev", $"n", $"sx", $"sxx")
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"rev".cast("decimal(18,6)")).cast("double").as("segsum"),
+        first($"n").as("n"), first($"sx").as("sx"), first($"sxx").as("sxx"))
+    val mu = $"sx" / $"n".cast("double")
+    val sigma = sqrt($"sxx" / $"n".cast("double") - mu * mu)
+    val paa = ($"segsum" / $"n_days".cast("double") - mu) / sigma
+    seg.select($"segment", $"n_days", round(paa, 4).as("paa_z"),
+        when(paa < -0.6745, "a").when(paa < 0.0, "b")
+          .when(paa < 0.6745, "c").otherwise("d").as("symbol"))
+      .orderBy($"segment".asc_nulls_first)
+  }
+
+  private val tsSaxOracle = s"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1),
+    pos AS (
+      SELECT rev, row_number() OVER (ORDER BY day ASC) - 1 AS i FROM daily),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(CAST(rev AS DECIMAL(28,4)) * rev AS DECIMAL(38,6)))
+             AS DOUBLE) AS sxx
+      FROM pos),
+    seg AS (
+      SELECT (i * $SaxSegments) // n AS segment,
+        CAST(count(*) AS BIGINT) AS n_days,
+        CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS segsum,
+        max(n) AS n, max(sx) AS sx, max(sxx) AS sxx
+      FROM pos CROSS JOIN m GROUP BY 1)
+    SELECT segment, n_days,
+      round((segsum / n_days - sx / n)
+            / sqrt(sxx / n - (sx / n) * (sx / n)), 4) AS paa_z,
+      CASE WHEN (segsum / n_days - sx / n)
+                / sqrt(sxx / n - (sx / n) * (sx / n)) < -0.6745 THEN 'a'
+           WHEN (segsum / n_days - sx / n)
+                / sqrt(sxx / n - (sx / n) * (sx / n)) < 0.0 THEN 'b'
+           WHEN (segsum / n_days - sx / n)
+                / sqrt(sxx / n - (sx / n) * (sx / n)) < 0.6745 THEN 'c'
+           ELSE 'd' END AS symbol
+    FROM seg ORDER BY segment ASC NULLS FIRST"""
+
+  /** V-SHAPE PATTERN MATCH (round 16) — the MATCH_RECOGNIZE-flavor
+    * sequence pattern over partitioned series: per supplier, count the
+    * days whose daily-revenue sequence forms a strict V (two falling then
+    * two rising steps centered on the day: v₋₂>v₋₁>v₀<v₊₁<v₊₂ — the
+    * local-minimum "dip-and-recover" motif), emit the top 20 suppliers.
+    * Pattern predicates compare EXACT DECIMAL daily sums (no float
+    * wobble can flip a strict inequality), and missing neighbors (series
+    * edges) fail the strict comparison with null semantics — exactly the
+    * SQL lag/lead behavior the oracle mirrors.
+    *
+    * Scale: MATCH_RECOGNIZE-style patterns with BOUNDED lookaround
+    * compile to lag/lead windows partitioned by the series key — one
+    * hash shuffle on supplier, per-key frames stream through Spark's
+    * window machinery, no self-join, no cross-day blowup; the top-20 is
+    * TakeOrdered. Unbounded-quantifier patterns (A+ B+) take the
+    * q_streak_islands gaps-and-islands form instead.
+    */
+  private def winPatternVshape(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "lineitem")
+      .groupBy($"l_suppkey",
+        date_trunc("day", $"l_shipdate").as("day"))
+      .agg(sum($"l_extendedprice".cast("decimal(18,6)"))
+        .cast("decimal(18,2)").as("rev"))
+    val w = Window.partitionBy($"l_suppkey").orderBy($"day".asc)
+    val v = daily
+      .withColumn("p2", lag($"rev", 2).over(w))
+      .withColumn("p1", lag($"rev", 1).over(w))
+      .withColumn("f1", lead($"rev", 1).over(w))
+      .withColumn("f2", lead($"rev", 2).over(w))
+    v.withColumn("is_v",
+        ($"p2" > $"p1" && $"p1" > $"rev" && $"rev" < $"f1" && $"f1" < $"f2")
+          .cast("long"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_days"),
+        coalesce(sum($"is_v"), lit(0L)).as("n_vshapes"))
+      .orderBy($"n_vshapes".desc, $"l_suppkey".asc_nulls_first)
+      .limit(20)
+  }
+
+  private val winPatternVshapeOracle = """
+    WITH daily AS (
+      SELECT l_suppkey, date_trunc('day', l_shipdate) AS day,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+             AS DECIMAL(18,2)) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    v AS (
+      SELECT l_suppkey,
+        CASE WHEN lag(rev, 2) OVER w > lag(rev, 1) OVER w
+              AND lag(rev, 1) OVER w > rev
+              AND rev < lead(rev, 1) OVER w
+              AND lead(rev, 1) OVER w < lead(rev, 2) OVER w
+             THEN 1 ELSE 0 END AS is_v
+      FROM daily
+      WINDOW w AS (PARTITION BY l_suppkey ORDER BY day ASC))
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_days,
+      CAST(sum(is_v) AS BIGINT) AS n_vshapes
+    FROM v GROUP BY 1
+    ORDER BY n_vshapes DESC, l_suppkey ASC NULLS FIRST
+    LIMIT 20"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_ts_sax", tsSax, Some(tsSaxOracle)),
+    Q("q_win_pattern_vshape", winPatternVshape, Some(winPatternVshapeOracle)),
     Q("q_ts_rolling_slope", tsRollingSlope, Some(tsRollingSlopeOracle)),
     Q("q_win_drawdown", winDrawdown, Some(winDrawdownOracle)),
     Q("q_win_rolling_distinct_sketch", rollingDistinctSketch, None),

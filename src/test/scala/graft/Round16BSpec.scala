@@ -92,6 +92,63 @@ class Round16BSpec extends SparkTestBase {
     assert(inversions > 0L, "token order must not equal key order")
   }
 
+  // ---- q_ts_sax -----------------------------------------------------------
+
+  test("sax: 8 segments, 4-letter alphabet, weighted z-mean ~ 0") {
+    val out = SparkEntry.queries("q_ts_sax")(spark, sf01).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L to 7L))
+    assert(out.forall(r => Set("a", "b", "c", "d")(r.getString(3))))
+    // PAA values are z-scores of segment means; their n_days-weighted mean
+    // is the global z-mean = 0 by construction (up to 4dp rounding x 8).
+    val wmean = out.map(r => r.getDouble(2) * r.getLong(1)).sum /
+      out.map(_.getLong(1)).sum
+    assert(math.abs(wmean) < 0.001, s"weighted PAA mean $wmean")
+  }
+
+  // ---- q_win_pattern_vshape -----------------------------------------------
+
+  test("vshape: counts bounded by days and emitted in total order") {
+    val out = SparkEntry.queries("q_win_pattern_vshape")(spark, sf01).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    val counts = out.map(_.getLong(2)).toSeq
+    assert(counts == counts.sorted.reverse, "must be count-descending")
+    assert(counts.head > 0L, "top supplier should have at least one V")
+  }
+
+  // ---- q_stat_mutual_info -------------------------------------------------
+
+  test("mutual info: non-negative, ~0 for independent pairs, high for leak") {
+    val out = SparkEntry.queries("q_stat_mutual_info")(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out.values.forall(_ >= -0.0001), s"MI must be >= 0: $out")
+    // The fixture dims are independently generated - the I ~ 0 baseline.
+    assert(out("customer.c_mktsegment|c_nationkey") < 0.05,
+      s"independent pair should carry ~0 bits: $out")
+    assert(out("orders.o_orderpriority|o_orderstatus") < 0.05,
+      s"independent pair should carry ~0 bits: $out")
+    // The price band functionally encodes the high-value label: the MI
+    // screen must flag the leaked feature with ~H(label) bits.
+    assert(out("orders.price_band|high_value") > 0.3,
+      s"leakage probe should carry ~H(label) bits: $out")
+  }
+
+  // ---- q_eval_calibration -------------------------------------------------
+
+  test("calibration: 10 bins partition the corpus, ppm in range") {
+    val out = SparkEntry.queries("q_eval_calibration")(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L to 9L))
+    val nOrders = Catalog.load(spark, sf0001, "orders").count()
+    assert(out.map(_.getLong(1)).sum == nOrders)
+    assert(out.forall { r =>
+      val (p, a) = (r.getLong(3), r.getLong(4))
+      p >= 0L && p <= 1000000L && a >= 0L && a <= 1000000L
+    })
+    // Predicted confidence must rise with the bin by construction.
+    val preds = out.map(_.getLong(3)).toSeq
+    assert(preds == preds.sorted, "pred_ppm must be bin-monotonic")
+  }
+
   // ---- q_stat_kmv_distinct ------------------------------------------------
 
   test("kmv: exact when domain < k (sf0.001)") {
