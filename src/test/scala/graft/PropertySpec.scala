@@ -139,6 +139,20 @@ object PropertySpec extends Properties("graft") {
           a.dv.isEmpty
     }
 
+  // Round 16: add actions may carry a row count (the stats-only field);
+  // it round-trips with the zone fields and stays add-exclusive.
+  property("add actions with row counts round-trip") =
+    forAll(Gen.chooseNum(1, 9999), pathGen,
+      Gen.chooseNum(-100000L, 100000L), Gen.chooseNum(0L, 100000L),
+      Gen.chooseNum(0L, 10000000L)) { (v, p, mn, span, rows) =>
+      val line = s"""{"v":$v,"op":"add","path":"$p","min":$mn,""" +
+        s""""max":${mn + span},"rows":$rows}"""
+      val a = graft.operators.LakeOps.parseAction(line)
+      a.rows.contains(rows) && a.minKey.contains(mn) &&
+        scala.util.Try(graft.operators.LakeOps.parseAction(
+          s"""{"v":$v,"op":"remove","path":"$p","rows":$rows}""")).isFailure
+    }
+
   property("corrupted lake actions raise") =
     forAll(Gen.chooseNum(1, 999), pathGen, Gen.oneOf(
       (l: String) => l.drop(1),               // lost opening brace

@@ -149,6 +149,49 @@ class Round16BSpec extends SparkTestBase {
     assert(preds == preds.sorted, "pred_ppm must be bin-monotonic")
   }
 
+  // ---- q_lake_stats_only --------------------------------------------------
+
+  test("lake stats-only: plan is metadata-only (LocalTableScan leaves)") {
+    val df = SparkEntry.queries("q_lake_stats_only")(spark, sf0001)
+    df.count() // let AQE finalize so the asserted plan is the executed one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected local rows:\n$plan")
+    assert(!plan.contains("FileScan"),
+      s"stats-only must not scan data files:\n$plan")
+  }
+
+  test("lake stats-only: catalog answer equals the scan answer") {
+    val out = SparkEntry.queries("q_lake_stats_only")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val o = Catalog.load(spark, sf0001, "orders")
+    val full = o.agg(count(lit(1)), min($"o_orderkey"), max($"o_orderkey"))
+      .head()
+    val part = o.filter($"o_orderkey" % 4 =!= 3)
+      .agg(count(lit(1)), min($"o_orderkey"), max($"o_orderkey")).head()
+    assert(out(4L) == ((full.getLong(0), full.getLong(1), full.getLong(2))))
+    assert(out(5L) == ((part.getLong(0), part.getLong(1), part.getLong(2))))
+  }
+
+  test("lake stats-only: refuses DV-masked and stats-free files") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stats_refuse_").toString
+    def write(lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(base, "_log.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    write(Seq(
+      """{"v":1,"op":"add","path":"fileA","min":0,"max":9,"rows":10}""",
+      """{"v":2,"op":"dv","path":"fileA","dv":"dv1"}"""))
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.LakeOps.statsOnly(base, 2))
+    assert(e1.getMessage.contains("deletion vectors"))
+    write(Seq("""{"v":1,"op":"add","path":"fileB"}"""))
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.LakeOps.statsOnly(base, 1))
+    assert(e2.getMessage.contains("without rows/zone stats"))
+  }
+
   // ---- q_stat_kmv_distinct ------------------------------------------------
 
   test("kmv: exact when domain < k (sf0.001)") {
