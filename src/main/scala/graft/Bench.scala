@@ -107,7 +107,8 @@ object Bench {
         // Round-16: the stats-table scratch (4 residue slices + log) is
         // written once per (app, sfDir); the timed pass then measures the
         // metadata-only catalog arithmetic, the declared steady state.
-        "q_lake_stats_only",
+        // q_lake_stats_pruned shares the multi-zone grid scratch.
+        "q_lake_stats_only", "q_lake_stats_pruned",
         // Round-16 (r15 VERDICT task 2): q_agg_rfm's three ntile
         // when-chains (DistributedRank.ntileExactMulti) codegen on first
         // use — graded 8.39 s cold vs 1.07-1.60 s steady. Same hazard

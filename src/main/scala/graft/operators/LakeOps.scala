@@ -1262,25 +1262,29 @@ object LakeOps extends QueryPack {
             .getBytes(StandardCharsets.UTF_8))
         val bk = expr(s"o_orderkey * 4 div $m")
         val ck = expr(s"o_custkey * 2 div $mc")
-        // ONE aggregate job → 8 bounded per-cell rows with BOTH bounds.
+        // ONE aggregate job → 8 bounded per-cell rows with BOTH bounds
+        // (+ the per-file row count the stats-only/hybrid reads consume).
         val cells = orders.groupBy(bk.as("b"), ck.as("c"))
           .agg(min($"o_orderkey").as("kmn"), max($"o_orderkey").as("kmx"),
-            min($"o_custkey").as("cmn"), max($"o_custkey").as("cmx"))
+            min($"o_custkey").as("cmn"), max($"o_custkey").as("cmx"),
+            count(lit(1)).as("n"))
           .collect()
           .map(r => ((r.getLong(0), r.getLong(1)),
-            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+              r.getLong(6))))
           .toMap
-        def cell(b: Long, c: Long): (Long, Long, Long, Long) =
+        def cell(b: Long, c: Long): (Long, Long, Long, Long, Long) =
           cells.getOrElse((b, c), throw new IllegalArgumentException(
             s"graft lake: empty multi-zone grid cell ($b,$c) — the " +
               "scratch builder assumes every cell is populated"))
         val log = (for { b <- 0 to 3; c <- 0 to 1 } yield {
           orders.filter(bk === b && ck === c)
             .write.parquet(s"$base/file_${b}_$c")
-          val (kmn, kmx, cmn, cmx) = cell(b.toLong, c.toLong)
+          val (kmn, kmx, cmn, cmx, n) = cell(b.toLong, c.toLong)
           val v = b * 2 + c + 1
           s"""{"v":$v,"op":"add","path":"file_${b}_$c","min":$kmn,"max":$kmx""" +
-            s""","zones":{"o_custkey":[$cmn,$cmx],"o_orderkey":[$kmn,$kmx]}}"""
+            s""","zones":{"o_custkey":[$cmn,$cmx],"o_orderkey":[$kmn,$kmx]}""" +
+            s""","rows":$n}"""
         }).toList
         Files.write(Paths.get(base, "_log.json"),
           log.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -1831,8 +1835,86 @@ object LakeOps extends QueryPack {
     FROM orders WHERE o_orderkey % 4 <> 3
     ORDER BY version ASC NULLS FIRST"""
 
+  /** Hybrid classification of live files against a key predicate
+    * [lo, hi]: (contained — catalog rows suffice; straddling — must be
+    * scanned with the residual predicate; disjoint — skipped). Spec hook.
+    */
+  private[graft] def statsPrunedSplit(st: LakeState, lo: Long, hi: Long)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val classified = st.live.map { p =>
+      val (mn, mx) = st.zones.getOrElse(p,
+        throw new IllegalArgumentException(
+          s"graft lake: hybrid stats read needs zone stats on $p"))
+      val cls =
+        if (mn >= lo && mx <= hi && st.rowCounts.contains(p)
+          && st.dvs.getOrElse(p, Nil).isEmpty) "meta"
+        else if (mx >= lo && mn <= hi) "scan"
+        else "skip"
+      (p, cls)
+    }
+    (classified.collect { case (p, "meta") => p },
+      classified.collect { case (p, "scan") => p },
+      classified.collect { case (p, "skip") => p })
+  }
+
+  /** HYBRID METADATA+SCAN COUNT (round 16) — `count(*) WHERE key <= X`
+    * answered the way a production lake planner does: files whose zone is
+    * FULLY INSIDE the predicate contribute their catalog row count (zero
+    * IO), files STRADDLING the boundary are scanned with the residual
+    * predicate, disjoint files are skipped outright. On the 8-file grid
+    * with X in bucket 1's range that is 2 meta + 2 scan + 4 skip —
+    * catalog arithmetic everywhere except the two boundary files, which
+    * is the whole point: at 100 TB the scan cost is O(boundary files),
+    * not O(table), and degrades gracefully to [[statsOnly]] (all meta)
+    * or a pruned scan (all scan) as predicates move. DV-masked or
+    * stats-free files are NEVER counted from catalog — the classifier
+    * demotes them to the scan set, so the hybrid stays exact where
+    * [[statsOnly]] must refuse.
+    */
+  private def lakeStatsPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = multiZoneDir(spark, sfDir)
+    val (hi, _) = statsPrunedX(base)
+    val st = fullState(base, 8)
+    val (meta, scan, skip) = statsPrunedSplit(st, Long.MinValue, hi)
+    val metaRows = meta.map(st.rowCounts).sum
+    val scanned = readState(spark, base, scan, st.dvs,
+        schemaFiles = st.live)
+      .filter($"o_orderkey" <= hi)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n"))
+    scanned.select(
+      lit(meta.size.toLong).as("n_files_meta"),
+      lit(scan.size.toLong).as("n_files_scan"),
+      lit(skip.size.toLong).as("n_files_skip"),
+      (lit(metaRows) + $"n").as("n_rows"))
+      .orderBy($"n_files_meta".asc_nulls_first)
+  }
+
+  /** Predicate cut 3m/8 — strictly inside key bucket 1's [m/4, m/2)
+    * range for any m ≥ 8, so bucket 0 is contained, bucket 1 straddles,
+    * buckets 2-3 are disjoint. */
+  private def statsPrunedX(base: String): (Long, Long) = {
+    val (maxk, _) = {
+      val Array(a, b) = new String(
+        Files.readAllBytes(Paths.get(base, "_meta_max")),
+        StandardCharsets.UTF_8).split(",").map(_.toLong)
+      (a, b)
+    }
+    ((3 * (maxk + 1)) / 8, maxk)
+  }
+
+  private val lakeStatsPrunedOracle = """
+    WITH mk AS (SELECT max(o_orderkey) + 1 AS m FROM orders)
+    SELECT CAST(2 AS BIGINT) AS n_files_meta,
+      CAST(2 AS BIGINT) AS n_files_scan,
+      CAST(4 AS BIGINT) AS n_files_skip,
+      CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders, mk WHERE o_orderkey <= (3 * m) // 8
+    ORDER BY n_files_meta ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_lake_stats_only", lakeStatsOnly, Some(lakeStatsOnlyOracle)),
+    Q("q_lake_stats_pruned", lakeStatsPruned, Some(lakeStatsPrunedOracle)),
     Q("q_lake_time_travel", lakeTimeTravel, Some(lakeTimeTravelOracle)),
     Q("q_lake_cdc", lakeCdc, Some(lakeCdcOracle)),
     Q("q_lake_compact", lakeCompact, Some(lakeCompactOracle)),

@@ -192,6 +192,32 @@ class Round16BSpec extends SparkTestBase {
     assert(e2.getMessage.contains("without rows/zone stats"))
   }
 
+  // ---- q_lake_stats_pruned ------------------------------------------------
+
+  test("lake stats-pruned: hybrid answer equals the full-scan answer") {
+    val out = SparkEntry.queries("q_lake_stats_pruned")(spark, sf0001).head()
+    assert(out.getLong(0) == 2L && out.getLong(1) == 2L
+      && out.getLong(2) == 4L, s"classification drifted: $out")
+    val o = Catalog.load(spark, sf0001, "orders")
+    val m = o.agg(max($"o_orderkey")).head().getLong(0) + 1L
+    val expected = o.filter($"o_orderkey" <= (3L * m) / 8L).count()
+    assert(out.getLong(3) == expected)
+  }
+
+  test("lake stats-pruned: DV-masked files demote to the scan set") {
+    import graft.operators.LakeOps.{LakeState, statsPrunedSplit}
+    val st = LakeState(
+      live = Seq("inA", "inDv", "inNoRows", "straddle", "out"),
+      dvs = Map("inDv" -> Seq("dv1")),
+      zones = Map("inA" -> (0L, 9L), "inDv" -> (0L, 9L),
+        "inNoRows" -> (0L, 9L), "straddle" -> (5L, 15L), "out" -> (20L, 30L)),
+      rowCounts = Map("inA" -> 10L, "inDv" -> 10L, "straddle" -> 11L))
+    val (meta, scan, skip) = statsPrunedSplit(st, 0L, 10L)
+    assert(meta == Seq("inA"), s"meta=$meta")
+    assert(scan.toSet == Set("inDv", "inNoRows", "straddle"), s"scan=$scan")
+    assert(skip == Seq("out"), s"skip=$skip")
+  }
+
   // ---- q_stat_kmv_distinct ------------------------------------------------
 
   test("kmv: exact when domain < k (sf0.001)") {
