@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -467,7 +467,81 @@ object AuditStats extends QueryPack {
       true_distinct
     FROM sk CROSS JOIN t"""
 
+  private val CmW = 65536
+  /** Four public odd mixers (Knuth + xxhash/murmur primes) — odd ⇒ each
+    * is a bijection mod 2³¹ before the width fold, and all are plain
+    * int64 arithmetic, engine-independent. */
+  private val CmMults =
+    Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+
+  /** COUNT-MIN FREQUENCY SKETCH (round 16) — the point-query frequency
+    * sketch, graded EXACTLY like [[statKmvDistinct]]: depth-4 ×
+    * width-[[CmW]] counters over engine-independent odd-multiplier
+    * hashes, estimate(k) = min over rows of counter[h_i(k)] — always an
+    * OVERCOUNT (collisions only add), never an undercount, which the
+    * emitted overcount column exhibits per probe and the spec pins as an
+    * invariant. The cap-only q_agg_sketch_freq twin keeps the
+    * engine-specific-hash variant; this one is hash-checked to the bit
+    * against DuckDB.
+    *
+    * Scale: the sketch IS one map-side-combined (row, bucket) aggregate
+    * bounded at d·w counters regardless of corpus size — mergeable by
+    * counter addition (the streaming/MapReduce frequency standard);
+    * probe lookups broadcast-join the bounded counter table.
+    */
+  private def aggSketchCm(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Catalog.load(spark, sfDir, "orders")
+    val rows = array(CmMults.zipWithIndex.map { case (m, i) =>
+      struct(lit(i).as("i"), lit(m).as("m"))
+    }: _*)
+    def bucket(key: Column, m: Column): Column =
+      pmod(pmod(key.bitwiseAND(2147483647L) * m, lit(2147483648L)), lit(CmW.toLong))
+    val counters = orders
+      .select($"o_custkey", explode(rows).as("r"))
+      .select($"r.i".as("i"), bucket($"o_custkey", $"r.m").as("b"))
+      .groupBy($"i", $"b").agg(count(lit(1)).as("cnt"))
+    val probes = orders.filter($"o_custkey" < 10)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("true_count"))
+    probes
+      .select($"o_custkey", $"true_count", explode(rows).as("r"))
+      .select($"o_custkey", $"true_count", $"r.i".as("i"),
+        bucket($"o_custkey", $"r.m").as("b"))
+      .join(broadcast(counters), Seq("i", "b"))
+      .groupBy($"o_custkey", $"true_count")
+      .agg(min($"cnt").as("cm_estimate"))
+      .select($"o_custkey", $"true_count", $"cm_estimate",
+        ($"cm_estimate" - $"true_count").as("overcount"))
+      .orderBy($"o_custkey".asc_nulls_first)
+  }
+
+  private val aggSketchCmOracle = {
+    val rows = CmMults.zipWithIndex.map { case (m, i) =>
+      s"SELECT $i AS i, CAST($m AS BIGINT) AS m"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH hs AS ($rows),
+    counters AS (
+      SELECT i, ((o_custkey & 2147483647) * m) % 2147483648 % $CmW AS b,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM orders CROSS JOIN hs GROUP BY 1, 2),
+    probes AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS true_count
+      FROM orders WHERE o_custkey < 10 GROUP BY 1),
+    est AS (
+      SELECT p.o_custkey, p.true_count, min(c.cnt) AS cm_estimate
+      FROM probes p CROSS JOIN hs
+      JOIN counters c
+        ON c.i = hs.i
+        AND c.b = ((p.o_custkey & 2147483647) * hs.m) % 2147483648 % $CmW
+      GROUP BY 1, 2)
+    SELECT o_custkey, true_count, cm_estimate,
+      cm_estimate - true_count AS overcount
+    FROM est ORDER BY o_custkey ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
+    Q("q_agg_sketch_cm", aggSketchCm, Some(aggSketchCmOracle)),
     Q("q_stat_kmv_distinct", statKmvDistinct, Some(statKmvDistinctOracle)),
     Q("q_profile_join_discovery", profileJoinDiscovery,
       Some(profileJoinDiscoveryOracle)),

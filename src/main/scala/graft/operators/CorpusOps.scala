@@ -888,7 +888,80 @@ object CorpusOps extends QueryPack {
     FROM per_doc p JOIN docs d USING (doc_id)
     ORDER BY p.doc_id ASC NULLS FIRST"""
 
+  private val ZipfK = 100
+
+  /** ZIPF-FIT CORPUS PROFILE (round 16) — the log-log OLS over the
+    * top-[[ZipfK]] token frequencies: natural text follows freq ∝
+    * rank^(−s) with s ≈ 1, so the fitted slope is the corpus-health
+    * scalar next to q_text_hapax's richness ratios (template-generated
+    * text flattens the head, s → 0; boilerplate repetition steepens it).
+    * Determinism: ranks use the (freq desc, token asc) total order; the
+    * per-row ln(rank)/ln(freq) are ROUNDED TO 4dp first (the
+    * q_math_funcs precedent — Math.log and libm disagree by ulps, which
+    * a 1e-4 grid absorbs), making x/y exact 4-decimal rationals whose
+    * OLS moments accumulate exactly through DECIMAL(18,8); the final
+    * slope/intercept are fixed IEEE expressions over identical inputs.
+    *
+    * Scale: the token count is one map-side-combined agg
+    * (vocabulary-bounded); the top-K head is TakeOrdered (per-partition
+    * top-K + K·P merge, no global sort); ranking and the OLS fold run
+    * over the K-row head only.
+    */
+  private def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Catalog.load(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"token".asc)
+      .limit(ZipfK)
+    val w = Window.orderBy($"cnt".desc, $"token".asc)
+    val xy = counts
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(
+        round(log($"r".cast("double")), 4).cast("decimal(18,8)").as("x"),
+        round(log($"cnt".cast("double")), 4).cast("decimal(18,8)").as("y"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum($"x").cast("double").as("sx"),
+      sum($"y").cast("double").as("sy"),
+      sum(($"x" * $"y").cast("decimal(28,16)")).cast("double").as("sxy"),
+      sum(($"x" * $"x").cast("decimal(28,16)")).cast("double").as("sxx"))
+    val n = $"n".cast("double")
+    val slope = (n * $"sxy" - $"sx" * $"sy") / (n * $"sxx" - $"sx" * $"sx")
+    m.select($"n".as("n_fit"), slope.as("zipf_slope"),
+      (($"sy" - slope * $"sx") / n).as("intercept"))
+  }
+
+  private val textZipfSql = s"""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY token
+      ORDER BY cnt DESC, token ASC
+      LIMIT $ZipfK),
+    xy AS (
+      SELECT
+        CAST(round(ln(CAST(row_number() OVER
+          (ORDER BY cnt DESC, token ASC) AS DOUBLE)), 4)
+          AS DECIMAL(18,8)) AS x,
+        CAST(round(ln(CAST(cnt AS DOUBLE)), 4) AS DECIMAL(18,8)) AS y
+      FROM counts),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+        CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+        CAST(CAST(sum(CAST(CAST(x AS DECIMAL(28,8)) * y AS DECIMAL(38,16)))
+             AS VARCHAR) AS DOUBLE) AS sxy,
+        CAST(CAST(sum(CAST(CAST(x AS DECIMAL(28,8)) * x AS DECIMAL(38,16)))
+             AS VARCHAR) AS DOUBLE) AS sxx
+      FROM xy)
+    SELECT n AS n_fit,
+      (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+      (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        AS intercept
+    FROM m"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_text_zipf", textZipf, Some(textZipfSql)),
     Q("q_dedup_span_removal", dedupSpanRemoval, Some(dedupSpanRemovalSql)),
     Q("q_pack_bins", packBins, Some(packBinsSql)),
     Q("q_text_dup_ngrams", textDupNgrams, Some(textDupNgramsSql)),

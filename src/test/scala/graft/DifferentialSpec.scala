@@ -32,6 +32,9 @@ class DifferentialSpec extends SparkTestBase {
     "q_sql_tpcds_q67_flavor",  // Expand + WindowGroupLimit pushdown
     "q_sql_tpcds_q86_flavor",  // rollup + sibling-window parents (r15)
     "q_lake_checkpoint",       // checkpoint-resolved multi-file reads (r15)
+    "q_pii_tokenize",          // bucketed global rank over the vault (r16)
+    "q_stat_kmv_distinct",     // TakeOrdered bottom-k merge (r16)
+    "q_sim_matryoshka",        // two-stage windowed funnel (r16)
   )
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {

@@ -218,6 +218,31 @@ class Round16BSpec extends SparkTestBase {
     assert(skip == Seq("out"), s"skip=$skip")
   }
 
+  // ---- q_text_zipf ----------------------------------------------------
+
+  test("zipf: slope is negative (frequencies fall with rank)") {
+    val r = SparkEntry.queries("q_text_zipf")(spark, sf01).head()
+    assert(r.getLong(0) > 10L, "need a non-trivial head to fit")
+    assert(r.getDouble(1) < 0.0, s"zipf slope must be negative: $r")
+    // intercept = ln(freq) extrapolated to rank 1 - must sit at or above
+    // the top frequency's ln for a falling fit.
+    assert(r.getDouble(2) > 0.0)
+  }
+
+  // ---- q_agg_sketch_cm ------------------------------------------------
+
+  test("count-min: estimates never undercount, exact when collision-free") {
+    val out = SparkEntry.queries("q_agg_sketch_cm")(spark, sf01).collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getLong(2) >= r.getLong(1)),
+      "CM must only overcount")
+    assert(out.forall(r => r.getLong(3) == r.getLong(2) - r.getLong(1)))
+    // With 10^3-10^4 distinct keys over 4x1024 counters most probes are
+    // collision-free; require at least half exact so a broken min/bucket
+    // fold (systematic inflation) cannot pass.
+    assert(out.count(r => r.getLong(3) == 0L) >= 5, s"too much overcount")
+  }
+
   // ---- q_stat_kmv_distinct ------------------------------------------------
 
   test("kmv: exact when domain < k (sf0.001)") {
