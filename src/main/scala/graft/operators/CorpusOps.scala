@@ -960,8 +960,107 @@ object CorpusOps extends QueryPack {
         AS intercept
     FROM m"""
 
+  /** URL CANONICALIZATION DEDUP (round 16) — the CommonCrawl-stage
+    * URL-identity rule: lowercase scheme/host, strip default ports and
+    * the trailing path slash, drop `utm_*` tracking params, SORT the
+    * surviving query params — then exact-dup on the canonical form. The
+    * fixture corpus carries no URLs, so each document synthesizes 1-3
+    * deterministically MESSY variants (uppercase scheme, `:443`,
+    * trailing slash, shuffled/utm-polluted query strings) that all
+    * canonicalize to one URL per document — the graded per-source
+    * rollup pins raw-vs-canonical counts and the collapse ratio, and
+    * n_canonical ≡ n_docs is the correctness signature (over-collapse
+    * merges documents, under-collapse leaves tracking dupes).
+    *
+    * Scale: canonicalization is pure per-row regex/array projection
+    * riding the scan (codegen'd builtins, no UDF); the dedup itself is
+    * the standard exact-dup hash agg on the canonical string — at
+    * 100 TB the canonical form is what you key the crawl-frontier and
+    * the dedup shuffle on, which is why it must be a deterministic
+    * per-row function and not a lookup.
+    */
+  private def dedupUrlCanonical(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source", $"lang")
+    val v0 = concat(lit("https://"), upper($"source"),
+      lit(".Example.COM:443/docs/"), $"doc_id",
+      lit("/?utm_source=feed&lang="), $"lang")
+    val v1 = concat(lit("HTTPS://"), $"source", lit(".example.com/docs/"),
+      $"doc_id", lit("?lang="), $"lang")
+    val v2 = concat(lit("https://"), $"source", lit(".example.com/docs/"),
+      $"doc_id", lit("/?lang="), $"lang", lit("&utm_campaign=x"))
+    val urls = base.select($"doc_id", $"source",
+        explode(filter(array(v0,
+          when($"doc_id" % 2 === 0, v1),
+          when($"doc_id" % 3 === 0, v2)), _.isNotNull)).as("url"))
+    val scheme = lower(regexp_extract($"url", "^([a-zA-Z]+)://", 1))
+    val host = lower(regexp_replace(
+      regexp_extract($"url", "^[a-zA-Z]+://([^/]+)", 1), ":(443|80)$", ""))
+    val path = regexp_replace(
+      regexp_extract($"url", "^[a-zA-Z]+://[^/]+([^?]*)", 1), "/$", "")
+    val params = array_sort(filter(split(
+        regexp_extract($"url", "\\?(.*)$", 1), "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    val canon = concat(scheme, lit("://"), host, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+    urls.withColumn("canon", canon)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct($"canon").as("n_canonical"),
+        countDistinct($"doc_id").as("n_docs"))
+      .select($"source", $"n_raw", $"n_canonical", $"n_docs",
+        expr("(n_raw - n_canonical) * 1000000 div n_raw").as("collapse_ppm"))
+      .orderBy($"source".asc_nulls_first)
+  }
+
+  private val dedupUrlCanonicalSql = """
+    WITH base AS (SELECT doc_id, source, lang FROM documents),
+    raw AS (
+      SELECT doc_id, source,
+        'https://' || upper(source) || '.Example.COM:443/docs/'
+          || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&lang=' || lang
+          AS url
+      FROM base
+      UNION ALL
+      SELECT doc_id, source,
+        'HTTPS://' || source || '.example.com/docs/'
+          || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+      FROM base WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, source,
+        'https://' || source || '.example.com/docs/'
+          || CAST(doc_id AS VARCHAR) || '/?lang=' || lang || '&utm_campaign=x'
+      FROM base WHERE doc_id % 3 = 0),
+    c AS (
+      SELECT doc_id, source,
+        lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) || '://'
+        || lower(regexp_replace(
+             regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1),
+             ':(443|80)$', ''))
+        || regexp_replace(
+             regexp_extract(url, '^[a-zA-Z]+://[^/]+([^?]*)', 1), '/$', '')
+        || CASE WHEN len(list_filter(string_split(
+                  regexp_extract(url, '\?(.*)$', 1), '&'),
+                  p -> p NOT LIKE 'utm_%' AND p <> '')) > 0
+           THEN '?' || array_to_string(list_sort(list_filter(string_split(
+                  regexp_extract(url, '\?(.*)$', 1), '&'),
+                  p -> p NOT LIKE 'utm_%' AND p <> '')), '&')
+           ELSE '' END AS canon
+      FROM raw)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+      CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST((count(*) - count(DISTINCT canon)) * 1000000 // count(*)
+        AS BIGINT) AS collapse_ppm
+    FROM c GROUP BY source
+    ORDER BY source ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_text_zipf", textZipf, Some(textZipfSql)),
+    Q("q_dedup_url_canonical", dedupUrlCanonical,
+      Some(dedupUrlCanonicalSql)),
     Q("q_dedup_span_removal", dedupSpanRemoval, Some(dedupSpanRemovalSql)),
     Q("q_pack_bins", packBins, Some(packBinsSql)),
     Q("q_text_dup_ngrams", textDupNgrams, Some(textDupNgramsSql)),

@@ -229,6 +229,20 @@ class Round16BSpec extends SparkTestBase {
     assert(r.getDouble(2) > 0.0)
   }
 
+  // ---- q_dedup_url_canonical --------------------------------------------
+
+  test("url canonical: variants collapse to exactly one URL per document") {
+    val out = SparkEntry.queries("q_dedup_url_canonical")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    // n_canonical == n_docs in every source: the canonicalizer neither
+    // merges distinct documents nor leaves tracking variants apart.
+    assert(out.forall(r => r.getLong(2) == r.getLong(3)),
+      s"canonical/doc drift: ${out.mkString(";")}")
+    // The messy-variant generator guarantees n_raw > n_docs somewhere.
+    assert(out.exists(r => r.getLong(1) > r.getLong(3)))
+  }
+
   // ---- q_agg_sketch_cm ------------------------------------------------
 
   test("count-min: estimates never undercount, exact when collision-free") {
