@@ -1000,6 +1000,91 @@ object GraphOps extends QueryPack {
       .orderBy($"custkey".asc_nulls_first)
   }
 
+  private val HitsIters = 3
+  private val HitsScale = 1000000000L // score 1.0 == 10^9
+
+  /** HITS HUBS & AUTHORITIES (round 16) — the directed-endorsement
+    * counterpart to [[pagerank]]: auth(v) = Σ_{u→v} hub(u), hub(u) =
+    * Σ_{u→v} auth(v), over the canonically ORIENTED co-purchase graph
+    * (each a<b edge directed low→high key — a deterministic DAG
+    * orientation, so hubs and authorities genuinely separate instead of
+    * mirroring each other as they would on a symmetric graph). Fixed
+    * [[HitsIters]] iterations in SCALED INTEGER arithmetic with an
+    * integral MAX-normalization after every half-round: k = max(s) div
+    * [[HitsScale]] + 1, s ← s div k — all `div` ↔ `//` mirrored, so the
+    * result is engine-exact (float HITS diverges across engines in
+    * summation order, and UN-normalized integer HITS overflows int64 at
+    * degree^(2·iters)). Int64-safe for degree ≤ ~10⁹ by construction:
+    * each half-round sums ≤ deg values each ≤ [[HitsScale]].
+    *
+    * Scale: the same shape as pagerank — unrolled join+aggregate rounds
+    * over the cached oriented edge table, each a hash shuffle on node
+    * id; the normalization is a 1-row broadcast aggregate per
+    * half-round (the scalar-subquery pattern).
+    */
+  private def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseUnd(spark, sfDir)
+      .filter($"u" < $"v").select($"u".as("src"), $"v".as("dst")).cache()
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst")).distinct().cache()
+    def normalize(df: DataFrame): DataFrame = {
+      // Integral `div`, never a double division + cast: a float quotient
+      // landing one ulp above an integer boundary would truncate to a
+      // different k than the oracle's `//`.
+      val k = df.agg(max($"s").as("mx"))
+        .select((expr(s"mx div $HitsScale") + 1L).as("k"))
+      df.crossJoin(broadcast(k)).select($"node", expr("s div k").as("s"))
+    }
+    var hub = nodes.select($"node", lit(HitsScale).as("s"))
+    var auth = hub
+    for (_ <- 1 to HitsIters) {
+      auth = normalize(edges
+        .join(hub.select($"node".as("src"), $"s".as("hs")), Seq("src"))
+        .groupBy($"dst".as("node")).agg(sum($"hs").as("s")))
+      hub = normalize(edges
+        .join(auth.select($"node".as("dst"), $"s".as("as")), Seq("dst"))
+        .groupBy($"src".as("node")).agg(sum($"as").as("s")))
+    }
+    nodes
+      .join(hub.select($"node", $"s".as("hub")), Seq("node"), "left")
+      .join(auth.select($"node", $"s".as("auth")), Seq("node"), "left")
+      .select($"node".as("custkey"),
+        coalesce($"hub", lit(0L)).as("hub"),
+        coalesce($"auth", lit(0L)).as("auth"))
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private val graphHitsOracle: String = {
+    val halfRounds = (1 to HitsIters).flatMap { i =>
+      Seq(
+        s"""a${i}r AS (
+      SELECT e.dst AS node, CAST(sum(h.s) AS BIGINT) AS s
+      FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+    a${i}k AS (SELECT (max(s) // $HitsScale) + 1 AS k FROM a${i}r),
+    a$i AS (SELECT node, CAST(s // k AS BIGINT) AS s FROM a${i}r, a${i}k)""",
+        s"""h${i}r AS (
+      SELECT e.src AS node, CAST(sum(a.s) AS BIGINT) AS s
+      FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+    h${i}k AS (SELECT (max(s) // $HitsScale) + 1 AS k FROM h${i}r),
+    h$i AS (SELECT node, CAST(s // k AS BIGINT) AS s FROM h${i}r, h${i}k)""")
+    }.mkString(",\n    ")
+    s"""
+    WITH $coPurchaseEdgesCtes,
+    e AS (SELECT a AS src, b AS dst FROM edges),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    h0 AS (SELECT node, CAST($HitsScale AS BIGINT) AS s FROM nodes),
+    $halfRounds
+    SELECT n.node AS custkey,
+      CAST(coalesce(h.s, 0) AS BIGINT) AS hub,
+      CAST(coalesce(a.s, 0) AS BIGINT) AS auth
+    FROM nodes n
+    LEFT JOIN h$HitsIters h ON h.node = n.node
+    LEFT JOIN a$HitsIters a ON a.node = n.node
+    ORDER BY custkey ASC NULLS FIRST"""
+  }
+
   private val pagerankOracle: String = {
     val base = PrScale * 15 / 100
     val iters = (1 to PrIters).map { k =>
@@ -1702,6 +1787,7 @@ object GraphOps extends QueryPack {
     Q("q_graph_bfs", graphBfs, Some(graphBfsOracle)),
     Q("q_graph_sssp", graphSssp, Some(graphSsspOracle)),
     Q("q_graph_pagerank", pagerank, Some(pagerankOracle)),
+    Q("q_graph_hits", graphHits, Some(graphHitsOracle)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
   )
 }

@@ -229,6 +229,23 @@ class Round16BSpec extends SparkTestBase {
     assert(r.getDouble(2) > 0.0)
   }
 
+  // ---- q_graph_hits -------------------------------------------------------
+
+  test("hits: orientation separates hubs from authorities") {
+    val out = SparkEntry.queries("q_graph_hits")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // The low->high orientation makes minimum-key nodes pure hubs (no
+    // in-edges => auth 0) and maximum-key nodes pure authorities.
+    val minNode = out.minBy(_.getLong(0))
+    val maxNode = out.maxBy(_.getLong(0))
+    assert(minNode.getLong(2) == 0L, s"min-key node must have auth 0: $minNode")
+    assert(maxNode.getLong(1) == 0L, s"max-key node must have hub 0: $maxNode")
+    // Normalization keeps every score in [0, ~Scale + slack].
+    assert(out.forall(r => r.getLong(1) >= 0L && r.getLong(2) >= 0L))
+    assert(out.exists(r => r.getLong(1) > 0L))
+    assert(out.exists(r => r.getLong(2) > 0L))
+  }
+
   // ---- q_dedup_url_canonical --------------------------------------------
 
   test("url canonical: variants collapse to exactly one URL per document") {
