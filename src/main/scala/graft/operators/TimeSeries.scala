@@ -479,7 +479,10 @@ object TimeSeries extends QueryPack {
     * pass over raw rows for the daily aggregate; everything after runs
     * over |days| rows, and the seasonal table (7 rows) broadcasts back.
     */
-  private def tsDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The classical-decomposition frame shared by [[tsDecompose]] and
+    * [[tsSeasonalStrength]]: per day, revenue / centered-7 trend / dow
+    * seasonal mean / residual. */
+  private def decomposed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val daily = Catalog.load(spark, sfDir, "orders")
       .groupBy(date_trunc("day", $"o_orderdate").as("day"))
@@ -500,7 +503,11 @@ object TimeSeries extends QueryPack {
     t.join(broadcast(seasonal), Seq("dow"), "left")
       .select($"day", $"revenue", $"trend", $"dow", $"seasonal",
         ($"detrended" - $"seasonal").as("residual"))
-      .orderBy($"day".asc_nulls_first)
+  }
+
+  private def tsDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    decomposed(spark, sfDir).orderBy($"day".asc_nulls_first)
   }
 
   private val tsDecomposeOracle = """
@@ -1437,8 +1444,104 @@ object TimeSeries extends QueryPack {
     ORDER BY n_vshapes DESC, l_suppkey ASC NULLS FIRST
     LIMIT 20"""
 
+  /** SEASONAL / TREND STRENGTH (round 16, the Hyndman `feasts` scalars)
+    * over the [[decomposed]] frame: F_trend = max(0, 1 − Var(R)/Var(T+R))
+    * with T+R = revenue − seasonal (deseasonalized), F_seas = max(0,
+    * 1 − Var(R)/Var(S+R)) with S+R = detrended — the two numbers a
+    * forecasting pipeline uses to pick model class (strength near 0 ⇒
+    * drop that component) and the monitoring scalar next to
+    * q_ts_decompose's full frame. Determinism: the component series are
+    * per-row IEEE expressions over identical inputs; variance moments
+    * route each value through DECIMAL(18,6) (the dsum rule — residuals
+    * are continuous sums/differences, not boundary-heavy, the r4
+    * precedent) and squares kept exact at DECIMAL(38,12), so Σ and Σ² are
+    * exact and order-free; the final ratios are fixed scalar IEEE
+    * expressions rounded at 4dp.
+    *
+    * Scale: everything after the daily aggregate runs on the
+    * calendar-bounded frame ([[tsDecompose]]'s argument); the strength
+    * fold is a 1-row aggregate.
+    */
+  private def tsSeasonalStrength(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d6 = (c: Column) => c.cast("decimal(18,6)")
+    val sq = (c: Column) => (d6(c) * d6(c)).cast("decimal(38,12)")
+    val m = decomposed(spark, sfDir)
+      .filter($"residual".isNotNull)
+      .select($"residual".as("r"),
+        ($"revenue" - $"seasonal").as("tr"),
+        // detrended = revenue − trend, recomputed as the same per-row
+        // IEEE expression the frame's residual was derived from (the
+        // frame itself only emits the residual).
+        ($"revenue" - $"trend").as("sr"))
+      .agg(count(lit(1)).as("n"),
+        sum(d6($"r")).cast("double").as("s_r"),
+        sum(sq($"r")).cast("double").as("ss_r"),
+        sum(d6($"tr")).cast("double").as("s_tr"),
+        sum(sq($"tr")).cast("double").as("ss_tr"),
+        sum(d6($"sr")).cast("double").as("s_sr"),
+        sum(sq($"sr")).cast("double").as("ss_sr"))
+    def v(s: Column, ss: Column): Column = {
+      val n = col("n").cast("double")
+      ss / n - (s / n) * (s / n)
+    }
+    m.select($"n",
+      round(greatest(lit(0.0),
+        lit(1.0) - v($"s_r", $"ss_r") / v($"s_tr", $"ss_tr")), 4)
+        .as("f_trend"),
+      round(greatest(lit(0.0),
+        lit(1.0) - v($"s_r", $"ss_r") / v($"s_sr", $"ss_sr")), 4)
+        .as("f_seasonal"))
+  }
+
+  private val tsSeasonalStrengthOracle = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev_d
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT day,
+        CAST(rev_d AS DOUBLE) AS revenue,
+        CASE WHEN count(*) OVER w = 7
+          THEN CAST(sum(rev_d) OVER w AS DOUBLE) / 7 END AS trend,
+        CAST(dayofweek(day) AS BIGINT) AS dow
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    t2 AS (SELECT *, revenue - trend AS detrended FROM t),
+    seas AS (
+      SELECT dow,
+        round(CAST(sum(CAST(detrended AS DECIMAL(18,6))) AS DOUBLE)
+          / count(detrended), 4) AS seasonal
+      FROM t2 WHERE detrended IS NOT NULL GROUP BY dow),
+    comp AS (
+      SELECT t2.detrended - s.seasonal AS r,
+        t2.revenue - s.seasonal AS tr,
+        t2.detrended AS sr
+      FROM t2 JOIN seas s USING (dow)
+      WHERE t2.detrended IS NOT NULL),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(CAST(sum(CAST(r AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s_r,
+        CAST(CAST(sum(CAST(CAST(r AS DECIMAL(28,6)) * CAST(r AS DECIMAL(18,6))
+          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS ss_r,
+        CAST(CAST(sum(CAST(tr AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s_tr,
+        CAST(CAST(sum(CAST(CAST(tr AS DECIMAL(28,6)) * CAST(tr AS DECIMAL(18,6))
+          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS ss_tr,
+        CAST(CAST(sum(CAST(sr AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s_sr,
+        CAST(CAST(sum(CAST(CAST(sr AS DECIMAL(28,6)) * CAST(sr AS DECIMAL(18,6))
+          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS ss_sr
+      FROM comp)
+    SELECT n,
+      round(greatest(0.0, 1.0 - (ss_r / n - (s_r / n) * (s_r / n))
+        / (ss_tr / n - (s_tr / n) * (s_tr / n))), 4) AS f_trend,
+      round(greatest(0.0, 1.0 - (ss_r / n - (s_r / n) * (s_r / n))
+        / (ss_sr / n - (s_sr / n) * (s_sr / n))), 4) AS f_seasonal
+    FROM m"""
+
   override val queries: Vector[Q] = Vector(
     Q("q_ts_sax", tsSax, Some(tsSaxOracle)),
+    Q("q_ts_seasonal_strength", tsSeasonalStrength,
+      Some(tsSeasonalStrengthOracle)),
     Q("q_win_pattern_vshape", winPatternVshape, Some(winPatternVshapeOracle)),
     Q("q_ts_rolling_slope", tsRollingSlope, Some(tsRollingSlopeOracle)),
     Q("q_win_drawdown", winDrawdown, Some(winDrawdownOracle)),

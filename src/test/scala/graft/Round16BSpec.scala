@@ -229,6 +229,19 @@ class Round16BSpec extends SparkTestBase {
     assert(r.getDouble(2) > 0.0)
   }
 
+  // ---- q_ts_seasonal_strength ---------------------------------------------
+
+  test("seasonal strength: scalars in [0,1], residual variance reduces both") {
+    val r = SparkEntry.queries("q_ts_seasonal_strength")(spark, sf01).head()
+    val (ft, fs) = (r.getDouble(1), r.getDouble(2))
+    assert(ft >= 0.0 && ft <= 1.0, s"f_trend out of range: $ft")
+    assert(fs >= 0.0 && fs <= 1.0, s"f_seasonal out of range: $fs")
+    // Removing a fitted component can only reduce variance on the data it
+    // was fitted to, so at least one strength must be strictly positive
+    // for a series with any structure at all.
+    assert(ft > 0.0 || fs > 0.0)
+  }
+
   // ---- q_graph_hits -------------------------------------------------------
 
   test("hits: orientation separates hubs from authorities") {
