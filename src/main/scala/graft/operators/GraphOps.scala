@@ -1029,12 +1029,19 @@ object GraphOps extends QueryPack {
     val nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst")).distinct().cache()
     def normalize(df: DataFrame): DataFrame = {
+      // MATERIALIZE the half-round before the normalizer aggregate (the
+      // HNSW-beam lesson): the k-branch and the next round's join would
+      // otherwise each re-execute the whole chain above this point —
+      // with 6 half-rounds that lazy re-execution is exponential
+      // (measured 62 s vs sub-second materialized at sf0.1). Each
+      // checkpoint is a bounded |nodes|-row job.
+      val cp = df.localCheckpoint(true)
       // Integral `div`, never a double division + cast: a float quotient
       // landing one ulp above an integer boundary would truncate to a
       // different k than the oracle's `//`.
-      val k = df.agg(max($"s").as("mx"))
+      val k = cp.agg(max($"s").as("mx"))
         .select((expr(s"mx div $HitsScale") + 1L).as("k"))
-      df.crossJoin(broadcast(k)).select($"node", expr("s div k").as("s"))
+      cp.crossJoin(broadcast(k)).select($"node", expr("s div k").as("s"))
     }
     var hub = nodes.select($"node", lit(HitsScale).as("s"))
     var auth = hub
