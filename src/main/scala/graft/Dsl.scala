@@ -64,16 +64,25 @@ object Dsl {
     * aggregates, top-k results) keep their unconditional broadcast:
     * their bound is structural.
     *
-    * The derivative is MATERIALIZED (eager localCheckpoint) before the
-    * count, so its subtree executes ONCE — the count then reads the
-    * checkpointed partitions and the consuming join builds from them,
-    * instead of re-executing the derivation for gate and build
-    * separately (measured on the Q23 flavor, whose two gated sides each
-    * hang off the store-sales join: 2.2→1.5 s steady at sf0.1). The
-    * materialization is the same bytes a shuffle join would spill for
-    * the build side anyway, so the fallback path pays nothing extra. */
+    * The derivative is MATERIALIZED (persist MEMORY_AND_DISK, forced by
+    * the gate's own count) before the size check, so its subtree
+    * executes ONCE — the count populates the cache and the consuming
+    * join builds from the cached partitions, instead of re-executing
+    * the derivation for gate and build separately (measured on the Q23
+    * flavor, whose two gated sides each hang off the store-sales join:
+    * 2.2→1.5 s steady at sf0.1). persist, NOT localCheckpoint (round-17
+    * ADVICE fix): persist keeps the LINEAGE, so on the merge-fallback
+    * path — the large-data regime the gate exists for — a lost executor
+    * recomputes its partitions instead of failing the job, and the
+    * blocks stay compatible with dynamic allocation and are LRU-evictable
+    * under memory pressure (localCheckpoint blocks are neither: lineage
+    * is truncated and the blocks live until GC). Remaining caveats, by
+    * design: the gate's count is a construction-time job (inherent to
+    * any data-dependent gate — inspecting a consuming plan triggers it),
+    * and the cache is not explicitly unpersisted (the helper returns the
+    * frame before the consuming join runs; blocks age out via LRU). */
   def gatedBroadcast(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
+    val cp = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (cp.count() <= gatedBroadcastMaxRows) broadcast(cp) else cp.hint("merge")
   }
 }

@@ -995,8 +995,13 @@ object CorpusOps extends QueryPack {
           when($"doc_id" % 2 === 0, v1),
           when($"doc_id" % 3 === 0, v2)), _.isNotNull)).as("url"))
     val scheme = lower(regexp_extract($"url", "^([a-zA-Z]+)://", 1))
-    val host = lower(regexp_replace(
-      regexp_extract($"url", "^[a-zA-Z]+://([^/]+)", 1), ":(443|80)$", ""))
+    // Default-port stripping is SCHEME-CONDITIONED (round-17 ADVICE fix):
+    // :80 is only http's default and :443 only https's — an unconditional
+    // strip would wrongly collapse http://host:443/x with http://host/x.
+    val hostRaw = lower(regexp_extract($"url", "^[a-zA-Z]+://([^/]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
     val path = regexp_replace(
       regexp_extract($"url", "^[a-zA-Z]+://[^/]+([^?]*)", 1), "/$", "")
     val params = array_sort(filter(split(
@@ -1036,9 +1041,12 @@ object CorpusOps extends QueryPack {
     c AS (
       SELECT doc_id, source,
         lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) || '://'
-        || lower(regexp_replace(
-             regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1),
-             ':(443|80)$', ''))
+        || CASE lower(regexp_extract(url, '^([a-zA-Z]+)://', 1))
+           WHEN 'http' THEN regexp_replace(lower(
+             regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)), ':80$', '')
+           WHEN 'https' THEN regexp_replace(lower(
+             regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)), ':443$', '')
+           ELSE lower(regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)) END
         || regexp_replace(
              regexp_extract(url, '^[a-zA-Z]+://[^/]+([^?]*)', 1), '/$', '')
         || CASE WHEN len(list_filter(string_split(

@@ -1024,10 +1024,16 @@ object GraphOps extends QueryPack {
     */
   private def graphHits(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val edges = coPurchaseUnd(spark, sfDir)
-      .filter($"u" < $"v").select($"u".as("src"), $"v".as("dst")).cache()
-    val nodes = edges.select($"src".as("node"))
-      .union(edges.select($"dst")).distinct().cache()
+    // memoEdgeLeaf, not per-invocation .cache() (round-17 ADVICE fix): the
+    // oriented edge/node projections are persistent graph leaves like
+    // coPurchaseUnd itself — the memo shares them across invocations and
+    // clearMemoForTest covers them, where a bare cache would leak blocks
+    // for the application lifetime.
+    val edges = memoEdgeLeaf(spark, sfDir, "hitsEdges")(
+      coPurchaseUnd(spark, sfDir)
+        .filter($"u" < $"v").select($"u".as("src"), $"v".as("dst")))
+    val nodes = memoEdgeLeaf(spark, sfDir, "hitsNodes")(
+      edges.select($"src".as("node")).union(edges.select($"dst")).distinct())
     def normalize(df: DataFrame): DataFrame = {
       // MATERIALIZE the half-round before the normalizer aggregate (the
       // HNSW-beam lesson): the k-branch and the next round's join would

@@ -240,7 +240,7 @@ object LakeOps extends QueryPack {
   private def readSnapshot(spark: SparkSession, base: String, v: Int)
       : DataFrame = {
     val st = fullState(base, v)
-    readState(spark, base, st.live, st.dvs)
+    readState(spark, base, st.live, st.dvs, schemaFiles = st.live)
   }
 
   /** Scan + DV-mask + by-name-union a resolved live-file set — the shared
@@ -785,7 +785,7 @@ object LakeOps extends QueryPack {
     val src = new String(Files.readAllBytes(Paths.get(base, "_source")),
       StandardCharsets.UTF_8)
     val (files, dvs) = liveState(base, Int.MaxValue)
-    readState(spark, src, files, dvs)
+    readState(spark, src, files, dvs, schemaFiles = files)
   }
 
   private def lakeClone(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1001,6 +1001,18 @@ object LakeOps extends QueryPack {
   private val ckptBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Zone lookup for the scratch builders' bucket→(min,max) maps — fails
+    * LOUDLY on an empty bucket instead of a bare NoSuchElementException
+    * deep in log authoring (r15 ADVICE #2; spec-fed with an empty map in
+    * Round17Spec). The builders assume every bucket is populated; a sparse
+    * fixture must surface as a descriptive error, never a silent KeyError. */
+  private[graft] def zoneOf(zones: Map[Long, (Long, Long)], b: Long,
+                            what: String): (Long, Long) =
+    zones.getOrElse(b,
+      throw new IllegalArgumentException(
+        s"graft lake: empty $what zone bucket $b — the scratch builder " +
+          "assumes every bucket is populated"))
+
   private def addLine(v: Int, p: String, mn: Long, mx: Long): String =
     s"""{"v":$v,"op":"add","path":"$p","min":$mn,"max":$mx}"""
 
@@ -1111,12 +1123,7 @@ object LakeOps extends QueryPack {
           .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"))
           .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
           .toMap
-        // Fail loudly on a sparse fixture rather than with a bare
-        // NoSuchElementException deep in log authoring (round-16 ADVICE).
-        def zones(b: Long): (Long, Long) = zones0.getOrElse(b,
-          throw new IllegalArgumentException(
-            s"graft lake: empty key-range zone bucket $b — the scratch " +
-              "builder assumes every bucket is populated"))
+        def zones(b: Long): (Long, Long) = zoneOf(zones0, b, "key-range")
         (1 to 8).foreach(i =>
           orders.filter(bkt === (i - 1)).write.parquet(s"$base/file_$i"))
         // v9 COMPACTS files 1+2 → file_9 reading only the live files.
@@ -1349,7 +1356,7 @@ object LakeOps extends QueryPack {
     val base = multiZoneDir(spark, sfDir)
     val (hi, clo) = multiZoneBounds(base)
     val st = fullState(base, 8)
-    readState(spark, base, st.live, st.dvs)
+    readState(spark, base, st.live, st.dvs, schemaFiles = st.live)
       .filter($"o_orderkey" <= hi && $"o_custkey" >= clo)
   }
 
@@ -1594,9 +1601,7 @@ object LakeOps extends QueryPack {
           .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"))
           .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
           .toMap
-        def hz(b: Long): (Long, Long) = hz0.getOrElse(b,
-          throw new IllegalArgumentException(
-            s"graft lake: empty hash zone bucket $b"))
+        def hz(b: Long): (Long, Long) = zoneOf(hz0, b, "hash")
         (0 to 3).foreach(i =>
           orders.filter(hashSlice === i).write.parquet(s"$base/ingest_$i"))
         // The cluster rewrite reads ONLY the live files, never the source.
@@ -1605,9 +1610,7 @@ object LakeOps extends QueryPack {
           .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"))
           .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
           .toMap
-        def rz(b: Long): (Long, Long) = rz0.getOrElse(b,
-          throw new IllegalArgumentException(
-            s"graft lake: empty key-range zone bucket $b"))
+        def rz(b: Long): (Long, Long) = zoneOf(rz0, b, "key-range")
         (0 to 3).foreach(i =>
           live.filter(range === i).write.parquet(s"$base/clustered_$i"))
         val log =

@@ -281,9 +281,11 @@ class Round16BSpec extends SparkTestBase {
     assert(out.forall(r => r.getLong(2) >= r.getLong(1)),
       "CM must only overcount")
     assert(out.forall(r => r.getLong(3) == r.getLong(2) - r.getLong(1)))
-    // With 10^3-10^4 distinct keys over 4x1024 counters most probes are
-    // collision-free; require at least half exact so a broken min/bucket
-    // fold (systematic inflation) cannot pass.
+    // With 10^3-10^4 distinct keys over 4x65536 counters, per-row collision
+    // probability is < 10^4/65536 ≈ 0.15 and the min over 4 independent
+    // rows makes an inflated probe ~0.15^4 ≈ 5e-4 likely — essentially all
+    // 10 probes should be exact; requiring at least half exact leaves slack
+    // while still failing on a broken min/bucket fold (systematic inflation).
     assert(out.count(r => r.getLong(3) == 0L) >= 5, s"too much overcount")
   }
 
