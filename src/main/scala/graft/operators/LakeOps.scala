@@ -111,12 +111,12 @@ object LakeOps extends QueryPack {
     * dropped `remove` would resurrect a dead file; a dropped `dv` would
     * undelete rows — corrupt catalog state must never read as a clean
     * table). Grammar: `{"v":N,"op":OP,"path":P[,"dv":D][,"min":M,"max":X]}`
-    * with OP ∈ {add, remove, dv, vacuum, conflict}; `dv` is required on
+    * with OP ∈ {add, remove, dv, vacuum, conflict, delta}; `dv` is required on
     * and exclusive to `dv` actions; zone stats (single-key `min`/`max`,
     * the multi-column `zones` map, and the `rows` count) are exclusive
     * to `add`. */
   private val actionRe =
-    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict)","path":"(\w+)"""" +
+    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta)","path":"(\w+)"""" +
       """(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"zones":\{([^{}]*)\})?(?:,"rows":(\d+))?\}$""").r
   private val zoneEntryRe = """"(\w+)":\[(-?\d+),(-?\d+)\]""".r
@@ -157,7 +157,8 @@ object LakeOps extends QueryPack {
   private[graft] final case class LakeState(live: Seq[String],
       dvs: Map[String, Seq[String]], zones: Map[String, (Long, Long)],
       colZones: Map[String, Map[String, (Long, Long)]] = Map.empty,
-      rowCounts: Map[String, Long] = Map.empty)
+      rowCounts: Map[String, Long] = Map.empty,
+      deltas: Seq[String] = Nil)
 
   private val emptyState = LakeState(Nil, Map.empty, Map.empty)
 
@@ -180,6 +181,11 @@ object LakeOps extends QueryPack {
     colZones ++= start.colZones
     val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     rowCounts ++= start.rowCounts
+    // Merge-on-read DELTA files (round 17) are ORDERED table-wide upsert
+    // layers: a later delta wins over an earlier one, and compaction
+    // retires a delta with a plain `remove` on its path.
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[String]
+    deltas ++= start.deltas
     acts.foreach { a =>
       a.op match {
         case "add" =>
@@ -190,13 +196,16 @@ object LakeOps extends QueryPack {
         case "remove" =>
           live -= a.path; dvs -= a.path; zones -= a.path; colZones -= a.path
           rowCounts -= a.path
+          deltas --= Seq(a.path)
         case "dv" =>
           dvs(a.path) = dvs.getOrElse(a.path, Vector.empty) :+ a.dv.get
+        case "delta" =>
+          deltas += a.path
         case _ => () // vacuum / conflict: audit-only
       }
     }
     LakeState(live.toSeq, dvs.toMap, zones.toMap, colZones.toMap,
-      rowCounts.toMap)
+      rowCounts.toMap, deltas.toSeq)
   }
 
   /** Replay the commit log to version `v` → live data files plus the
@@ -516,6 +525,148 @@ object LakeOps extends QueryPack {
       CAST(sum(c) AS BIGINT) AS cents_sum
     FROM merged GROUP BY 1
     ORDER BY o_orderstatus ASC NULLS FIRST"""
+
+  private val morBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** MERGE-ON-READ UPSERT scratch (round 17; r16 VERDICT task 1) — the
+    * other half of the write-dialect matrix next to [[mergeDir]]'s
+    * copy-on-write MERGE: the Hudi-MOR / Iceberg-v2 dialect where an
+    * upsert commit writes ONLY a small DELTA file of full row images and
+    * readers resolve base ∪ delta BY KEY at scan time, deferring the
+    * base-file rewrite to compaction. Same base slices and source batch
+    * as the COW scratch (keys ≡ 42 mod 100, cents halved), so
+    * MoR ≡ COW equivalence is graded directly.
+    *
+    * Commits: v1 adds fileB/fileC; v2 is the MoR MERGE — the writer
+    * computes row images (matched keys keep the BASE status, take the
+    * source cents; unmatched source rows insert as-is) by READING the
+    * base but WRITING only `delta1` (base files never rewritten —
+    * spec-asserted by path survival and unchanged bytes); v3 is the
+    * COMPACTION that folds the delta in: it reads the table through the
+    * same MoR kernel readers use and lands one compacted file, retiring
+    * base + delta in a single metadata commit (readers at v2 are
+    * untouched — the [[lakeCompact]] invariant).
+    *
+    * Scale posture: this is why streaming upserts into 100 TB tables are
+    * affordable — the merge commit costs |touched-file scan| + |batch
+    * write| with NO rewrite amplification; every read pays one keyed
+    * anti-join per outstanding delta (O(base ∪ delta) shuffle, a small
+    * delta broadcasts under AQE) until the nightly compactor amortizes
+    * the layer away. */
+  private def morDir(spark: SparkSession, sfDir: String): String =
+    morBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_mor_").toString
+        val rows = Catalog.load(spark, sfDir, "orders")
+          .select($"o_orderkey", $"o_orderstatus",
+            ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+              .as("cents"))
+        val k = pmod($"o_orderkey", lit(10))
+        rows.filter(k >= 3 && k < 6).write.parquet(s"$base/fileB")
+        rows.filter(k < 3 && $"o_orderstatus" === "F")
+          .write.parquet(s"$base/fileC")
+        val src = rows.filter(pmod($"o_orderkey", lit(100)) === 42)
+          .select($"o_orderkey", $"o_orderstatus",
+            expr("cents div 2").as("cents"))
+          .localCheckpoint(true)
+        // MoR MERGE WRITER: reads the base (to combine matched rows'
+        // untouched columns into full row images — the Hudi payload-
+        // combine step), writes ONLY the delta. Base files untouched.
+        val baseDf = spark.read.parquet(s"$base/fileB", s"$base/fileC")
+        val matched = baseDf
+          .join(broadcast(src.select($"o_orderkey",
+            $"cents".as("new_cents"))), Seq("o_orderkey"))
+          .select($"o_orderkey", $"o_orderstatus", $"new_cents".as("cents"))
+        val inserts = src.join(baseDf.select($"o_orderkey"),
+          Seq("o_orderkey"), "left_anti")
+        matched.unionByName(inserts).write.parquet(s"$base/delta1")
+        val v12 = Seq(
+          """{"v":1,"op":"add","path":"fileB"}""",
+          """{"v":1,"op":"add","path":"fileC"}""",
+          """{"v":2,"op":"delta","path":"delta1"}""")
+        Files.write(Paths.get(base, "_log.json"),
+          v12.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        // v3 COMPACTION: reads the v2 snapshot through the same MoR
+        // kernel readers use (never the source table), lands ONE
+        // compacted file, retires base + delta in one metadata commit.
+        morSnapshot(spark, base, 2).write.parquet(s"$base/fileBC")
+        val log = v12 ++ Seq(
+          """{"v":3,"op":"remove","path":"fileB"}""",
+          """{"v":3,"op":"remove","path":"fileC"}""",
+          """{"v":3,"op":"remove","path":"delta1"}""",
+          """{"v":3,"op":"add","path":"fileBC"}""")
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  /** MoR snapshot read: the DV-masked base read, then each outstanding
+    * delta resolved BY KEY in commit order — base rows whose key appears
+    * in a delta are superseded (keyed left-anti), the delta's row images
+    * union in, and a LATER delta supersedes an earlier one (fold order).
+    * At 100 TB each layer is one O(base ∪ delta) keyed shuffle with the
+    * small delta broadcasting under AQE — the read-amplification price
+    * MoR pays until compaction, exactly like DV masking. */
+  private[graft] def morSnapshot(spark: SparkSession, base: String,
+                                 v: Int): DataFrame = {
+    val st = fullState(base, v)
+    val b = readState(spark, base, st.live, st.dvs, schemaFiles = st.live)
+    st.deltas.foldLeft(b) { (acc, d) =>
+      val delta = spark.read.parquet(s"$base/$d")
+      acc.join(delta.select(col("o_orderkey")), Seq("o_orderkey"),
+          "left_anti")
+        .unionByName(delta, allowMissingColumns = true)
+    }
+  }
+
+  private[graft] def morBase(spark: SparkSession, sfDir: String): String =
+    morDir(spark, sfDir)
+
+  private def lakeMergeMor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = morDir(spark, sfDir)
+    (1 to 3).map { v =>
+      morSnapshot(spark, base, v)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"cents").cast("long").as("cents_sum"))
+        .select(lit(v.toLong).as("version"), $"o_orderstatus", $"n_rows",
+          $"cents_sum")
+    }.reduce(_.unionByName(_))
+      .orderBy($"version".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+  }
+
+  private val lakeMergeMorOracle = """
+    WITH tbl AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM orders
+      WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+         OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')),
+    src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) // 2 AS c
+      FROM orders WHERE o_orderkey % 100 = 42),
+    merged AS (
+      SELECT t.k, t.s, CASE WHEN src.k IS NOT NULL THEN src.c ELSE t.c END
+        AS c
+      FROM tbl t LEFT JOIN src ON t.k = src.k
+      UNION ALL
+      SELECT k, s, c FROM src
+      WHERE k NOT IN (SELECT k FROM tbl)),
+    pv AS (
+      SELECT 1 AS version, s, count(*) AS n_rows, sum(c) AS cents_sum
+      FROM tbl GROUP BY 2
+      UNION ALL
+      SELECT 2, s, count(*), sum(c) FROM merged GROUP BY 2
+      UNION ALL
+      SELECT 3, s, count(*), sum(c) FROM merged GROUP BY 2)
+    SELECT CAST(version AS BIGINT) AS version, s AS o_orderstatus,
+      CAST(n_rows AS BIGINT) AS n_rows, CAST(cents_sum AS BIGINT) AS cents_sum
+    FROM pv
+    ORDER BY version ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
 
   /** MERGE-ON-READ DELETION VECTORS (round 14; VERDICT r13 task 3) — the
     * read-side delete every Delta/Iceberg deployment uses when rewriting
@@ -1041,7 +1192,11 @@ object LakeOps extends QueryPack {
         case None => s"""{"v":$v,"op":"add","path":"$p"$zf$rf}"""
       }
     } ++ st.live.flatMap(p => st.dvs.getOrElse(p, Nil).map(d =>
-      s"""{"v":$v,"op":"dv","path":"$p","dv":"$d"}"""))
+      s"""{"v":$v,"op":"dv","path":"$p","dv":"$d"}"""))  ++
+      // Outstanding merge-on-read deltas are part of the replayed state:
+      // a checkpoint materialized mid-MoR must carry them in order, or a
+      // checkpoint-resolved read would silently lose the upsert layer.
+      st.deltas.map(d => s"""{"v":$v,"op":"delta","path":"$d"}""")
     Files.write(Paths.get(base, s"_ckpt.v$v.json"),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val logLines = new String(
@@ -1922,6 +2077,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_cdc", lakeCdc, Some(lakeCdcOracle)),
     Q("q_lake_compact", lakeCompact, Some(lakeCompactOracle)),
     Q("q_lake_merge", lakeMerge, Some(lakeMergeOracle)),
+    Q("q_lake_merge_mor", lakeMergeMor, Some(lakeMergeMorOracle)),
     Q("q_lake_dv", lakeDv, Some(lakeDvOracle)),
     Q("q_lake_schema_evolution", lakeSchemaEvolution,
       Some(lakeSchemaEvolutionOracle)),
