@@ -86,6 +86,42 @@ class Round17Spec extends SparkTestBase {
       "updates must take the source cents")
   }
 
+  // ---- q_sim_maxsim (VERDICT r16 task 2) ----
+
+  test("maxsim: funnel keeps >=80% of the unfiltered late-interaction top-5") {
+    import org.apache.spark.sql.expressions.Window
+    // Test-only exact oracle: MaxSim over ALL candidates (no pooled-dot
+    // stage-1 filter) at sf0.001 — the funnel's recall ground truth.
+    val e = Catalog.load(spark, sf0001, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          v => floor(v.cast("double") * lit(1000000d)).cast("long")).as("e"))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    def tok(c: org.apache.spark.sql.Column, t: Int) = slice(c, t * 16 + 1, 16)
+    val probes = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("probe_id"), $"e".as("pe"))
+    val ts = 0 until 4
+    val ms = ts.map { tq =>
+      greatest(ts.map(td => dot(tok($"pe", tq), tok($"ce", td))): _*)
+    }.reduce(_ + _)
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"maxsim".desc, $"cand_id".asc)
+    val exact = e.select($"vec_id".as("cand_id"), $"e".as("ce"))
+      .join(broadcast(probes), $"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id", ms.as("maxsim"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"probe_id", $"cand_id")
+    val got = SparkEntry.queries("q_sim_maxsim")(spark, sf0001)
+      .select($"probe_id", $"cand_id")
+    val hit = got.join(exact, Seq("probe_id", "cand_id"), "left_semi").count()
+    val total = exact.count()
+    assert(total == 40L)
+    assert(hit.toDouble / total >= 0.8,
+      s"funnel recall ${hit.toDouble / total} < 0.8 — the pooled-dot " +
+        "stage-1 filter is discarding true late-interaction winners")
+  }
+
   // ---- lake robustness pins (VERDICT r16 'what's wrong') ----
 
   test("zoneOf: an empty bucket refuses with a descriptive error") {
