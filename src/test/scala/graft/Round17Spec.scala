@@ -122,6 +122,62 @@ class Round17Spec extends SparkTestBase {
         "stage-1 filter is discarding true late-interaction winners")
   }
 
+  // ---- q_ts_dtw_banded (VERDICT r16 task 3) ----
+
+  test("dtw: wavefront result equals the classic in-memory DP") {
+    import org.apache.spark.sql.expressions.Window
+    // Rebuild the bounded PAA segments (10 per priority) and run the
+    // textbook banded DP driver-side — the q_graph_mst in-memory-Kruskal
+    // equality precedent.
+    val daily = Catalog.load(spark, sf0001, "orders")
+      .groupBy($"o_orderpriority".as("p"),
+        date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.partitionBy($"p").orderBy($"day".asc)
+    val seg = daily.select($"p", $"cents",
+        (row_number().over(w) - 1).cast("long").as("idx"),
+        count(lit(1)).over(Window.partitionBy($"p")).as("n"))
+      .groupBy($"p", expr("idx * 10 div n").as("s"))
+      .agg(expr("sum(cents) div count(1)").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val series = seg.groupBy(_._1).map { case (p, rows) =>
+      p -> rows.sortBy(_._2).map(_._3)
+    }
+    val band = 2
+    def dtw(x: Array[Long], y: Array[Long]): Long = {
+      val n = x.length
+      val inf = Long.MaxValue / 4
+      val d = Array.fill(n + 1, n + 1)(inf)
+      for (i <- 1 to n; j <- 1 to n if math.abs(i - j) <= band) {
+        val c = math.abs(x(i - 1) - y(j - 1))
+        val best =
+          if (i == 1 && j == 1) 0L
+          else math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+        if (best < inf) d(i)(j) = c + best
+      }
+      d(n)(n)
+    }
+    val expect = (for {
+      (pa, xa) <- series; (pb, xb) <- series if pa < pb
+    } yield (pa, pb, dtw(xa, xb))).toSeq.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_ts_dtw_banded")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == expect)
+  }
+
+  test("dtw: under- and over-band refuse loudly") {
+    val under = intercept[IllegalArgumentException] {
+      operators.TimeSeries.dtwBandCheck(10, 6, 2)
+    }
+    assert(under.getMessage.contains("no monotone warping path"))
+    val over = intercept[IllegalArgumentException] {
+      operators.TimeSeries.dtwPlan(spark, sf0001, 10)
+    }
+    assert(over.getMessage.contains("degenerates to full DTW"))
+  }
+
   // ---- lake robustness pins (VERDICT r16 'what's wrong') ----
 
   test("zoneOf: an empty bucket refuses with a descriptive error") {
