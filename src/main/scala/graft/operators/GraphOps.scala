@@ -335,7 +335,7 @@ object GraphOps extends QueryPack {
     * The canonical a<b form is recovered exactly by `filter(u < v)` — both
     * directions of every canonical pair are present, nothing else.
     */
-  private def coPurchaseUnd(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def coPurchaseUnd(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     memoEdgeLeaf(spark, sfDir, "coPurchaseUnd")(
       coPurchaseEdges(spark, sfDir)
@@ -998,6 +998,81 @@ object GraphOps extends QueryPack {
     }
     pr.select($"node".as("custkey"), $"pr")
       .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private val PprIters = 4
+  private val PprScale = 1000000000L // mass 1.0 == 10^9
+  private val PprSeedMod = 20L // seeds: custkey % 20 == 1 (~5% of nodes)
+
+  /** PERSONALIZED PAGERANK / random-walk-with-restart (round 17; r16
+    * VERDICT task 6) — the seeded variant of [[pagerank]] and the
+    * recommendation primitive the marketing pack consumes (co-purchase
+    * neighborhoods around a seed segment): restart mass returns to the
+    * SEED SET each iteration instead of spreading uniformly, so rank
+    * concentrates in the seeds' neighborhoods and nodes outside the
+    * 4-hop horizon simply have no row. ppr_i(v) = [v ∈ seeds]·0.15 +
+    * 0.85·Σ_{u→v} ppr_{i-1}(u)/deg(u), [[PprIters]] iterations in the
+    * pack's SCALED-INTEGER contract (mass×10⁹ BIGINTs, every division
+    * integral `div` ↔ DuckDB `//`), so the result is engine-exact.
+    * The per-iteration restart+inflow combine is a UNION-then-sum (one
+    * hash agg on node) rather than an outer join — both engines state it
+    * identically.
+    *
+    * Scale: same shape as pagerank — unrolled join+aggregate rounds over
+    * the memoized degree/edge leaves, each a hash shuffle on node id;
+    * the frontier starts at |seeds| and grows only into the reachable
+    * neighborhood, so early rounds shuffle a small fraction of the
+    * graph (the whole point of seeded walks at 100 TB). */
+  private def graphPpr(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+    val seeds = memoEdgeLeaf(spark, sfDir, "pprSeeds")(
+      deg.filter(pmod($"node", lit(PprSeedMod)) === 1L).select($"node"))
+    val base = seeds.select($"node", lit(PprScale * 15 / 100).as("t"))
+    var pr = seeds.select($"node", lit(PprScale).as("pr"))
+    // One declarative unrolled plan, the pagerank precedent: pr_{i-1} is
+    // referenced exactly once per round, so plan growth stays linear.
+    for (_ <- 1 to PprIters) {
+      val contrib = pr.join(deg, Seq("node"))
+        .select($"node".as("u"), expr("pr div deg").as("c"))
+      val inflow = und.join(contrib, Seq("u"))
+        .groupBy($"v".as("node"))
+        .agg(sum($"c").as("sumc"))
+        .select($"node", expr("(85 * sumc) div 100").as("t"))
+      pr = base.unionByName(inflow)
+        .groupBy($"node").agg(sum($"t").as("pr"))
+    }
+    pr.select($"node".as("custkey"), $"pr")
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private val graphPprOracle: String = {
+    val restart = PprScale * 15 / 100
+    val iters = (1 to PprIters).map { k =>
+      s"""it$k AS (
+      SELECT node, CAST(sum(t) AS BIGINT) AS pr FROM (
+        SELECT node, CAST($restart AS BIGINT) AS t FROM seeds
+        UNION ALL
+        SELECT e.v AS node,
+               (85 * CAST(sum(p.pr // d.deg) AS BIGINT)) // 100 AS t
+        FROM und e
+        JOIN it${k - 1} p ON e.u = p.node
+        JOIN deg d ON d.node = p.node
+        GROUP BY e.v) u$k
+      GROUP BY node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+    seeds AS (SELECT node FROM deg WHERE node % $PprSeedMod = 1),
+    it0 AS (SELECT node, CAST($PprScale AS BIGINT) AS pr FROM seeds),
+    $iters
+    SELECT node AS custkey, pr FROM it$PprIters
+    ORDER BY custkey ASC NULLS FIRST"""
   }
 
   private val HitsIters = 3
@@ -1800,6 +1875,7 @@ object GraphOps extends QueryPack {
     Q("q_graph_bfs", graphBfs, Some(graphBfsOracle)),
     Q("q_graph_sssp", graphSssp, Some(graphSsspOracle)),
     Q("q_graph_pagerank", pagerank, Some(pagerankOracle)),
+    Q("q_graph_ppr", graphPpr, Some(graphPprOracle)),
     Q("q_graph_hits", graphHits, Some(graphHitsOracle)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
   )

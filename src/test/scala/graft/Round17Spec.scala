@@ -178,6 +178,26 @@ class Round17Spec extends SparkTestBase {
     assert(over.getMessage.contains("degenerates to full DTW"))
   }
 
+  // ---- q_graph_ppr (VERDICT r16 task 6) ----
+
+  test("ppr: restart mass pins every seed; mass stays in the neighborhood") {
+    val out = SparkEntry.queries("q_graph_ppr")(spark, sf0001)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = rows.keys.filter(_ % 20 == 1).toSeq
+    assert(seeds.nonEmpty)
+    // Every seed carries at least the restart term (0.15 x 10^9): the
+    // union-then-sum combine can only ADD inflow on top of it.
+    seeds.foreach(s => assert(rows(s) >= 150000000L,
+      s"seed $s lost its restart mass"))
+    // Emitted mass is strictly positive, and the row set is a strict
+    // subset of the graph's nodes (rank concentrated, not global).
+    assert(rows.values.forall(_ > 0L))
+    val nNodes = operators.GraphOps.coPurchaseUnd(spark, sf0001)
+      .select($"u").distinct().count()
+    assert(rows.size < nNodes,
+      "a seeded walk must not reach every node in 4 hops on this graph")
+  }
+
   // ---- lake robustness pins (VERDICT r16 'what's wrong') ----
 
   test("zoneOf: an empty bucket refuses with a descriptive error") {
