@@ -12,7 +12,8 @@ class GeoBitmapSpec extends SparkTestBase {
 
   test("pack registration: geo + bitmap ids, all with oracles") {
     assert(operators.GeoOps.queries.map(_.id) ==
-      Vector("q_geo_cell_join", "q_geo_knn", "q_geo_haversine",
+      Vector("q_geo_region_join", "q_geo_geohash_cover",
+        "q_geo_cell_join", "q_geo_knn", "q_geo_haversine",
         "q_geo_dbscan", "q_geo_point_in_polygon"))
     assert(operators.BitmapOps.queries.map(_.id) ==
       Vector("q_agg_bitmap_distinct", "q_agg_bitmap_intersect"))
