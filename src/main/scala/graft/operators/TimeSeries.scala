@@ -1570,22 +1570,30 @@ object TimeSeries extends QueryPack {
     * ALL-INTEGER arithmetic end to end, so costs, mins and sums are
     * engine-exact with no rounding contract.
     *
-    * The DP is evaluated as an ANTI-DIAGONAL WAVEFRONT: cells on
-    * diagonal d = i+j depend only on diagonals d−1 and d−2, so the
-    * recurrence unrolls into 2·[[DtwSegs]]−2 synchronized relational
-    * rounds (the q_graph_kcore chained-peel precedent SURVEY §2.0 names;
-    * the oracle mirrors each round as a materialized CTE). Band-edge
-    * cells missing a predecessor take the min over the predecessors that
-    * exist — standard banded-DTW semantics; the band itself is enforced
-    * at cell construction, so out-of-corridor paths cannot exist.
+    * The DP is evaluated as a PER-PAIR HIGHER-ORDER-FUNCTION FOLD: each
+    * pair's two PAA series are bounded arrays ([[DtwSegs]] elements by
+    * construction — the collect is the documented k-bounded kind), and
+    * the recurrence folds row by row inside one `aggregate` expression
+    * (inner fold over j carries the in-row D(i,j−1) dependency) — the
+    * whole DP is ONE shuffle-free projection after the PAA aggregate, no
+    * per-diagonal job scheduling. Out-of-band cells hold an INF sentinel
+    * (min-then-guard, never INF+c), which is exactly the "min over the
+    * predecessors that exist" banded semantics. The ORACLE evaluates the
+    * same recurrence as an anti-diagonal WAVEFRONT — 2·[[DtwSegs]]−2
+    * chained materialized CTEs (the q_graph_kcore peel precedent), the
+    * form a pure-relational engine would use — so the two independent
+    * evaluation orders grading equal is itself evidence the DP is right.
+    * (A first cut ran the wavefront Spark-side too: 18 synchronized
+    * ~50-row rounds cost 3.8 s steady in pure job scheduling; the fold
+    * is the Spark-first shape for band-bounded series.)
     *
     * Scale: the PAA pass is one hash shuffle on the series key over raw
-    * rows; after it the DP touches |pairs| · (2·band+1) cells per
-    * diagonal — each round a bounded equi-join on the pair key,
-    * materialized (localCheckpoint) so lineage stays flat across the
-    * unrolled rounds (the HITS half-round lesson). At 100 TB with
-    * millions of series the same plan shards by pair key; the band keeps
-    * per-pair work linear in series length, never O(n·m). */
+    * rows; the fold then runs embarrassingly parallel per pair — at
+    * 100 TB with millions of series pairs the DP is a map-side
+    * expression over the pair join, linear in series length via the
+    * band, never O(n·m) and never a cross-cluster iteration barrier.
+    * The wavefront form stays the right answer only when ONE series is
+    * too long for an executor row — re-segment (PAA) first. */
   private[graft] def dtwPlan(spark: SparkSession, sfDir: String,
                              band: Int): DataFrame = {
     import spark.implicits._
@@ -1602,34 +1610,37 @@ object TimeSeries extends QueryPack {
     val seg = pos
       .groupBy($"p", expr(s"idx * $DtwSegs div n").as("s"))
       .agg(expr("sum(cents) div count(1)").as("x"))
-    val cells = seg.select($"p".as("pa"), $"s".as("sa"), $"x".as("xa"))
-      .join(seg.select($"p".as("pb"), $"s".as("sb"), $"x".as("xb")),
-        $"pa" < $"pb" && abs($"sa" - $"sb") <= band)
-      .select($"pa", $"pb", ($"sa" + 1).as("i"), ($"sb" + 1).as("j"),
-        abs($"xa" - $"xb").as("c"))
-      .localCheckpoint(true)
-    var dPrev2: DataFrame = null
-    var dPrev: DataFrame = cells.filter($"i" === 1 && $"j" === 1)
-      .select($"pa", $"pb", $"i", $"j", $"c".as("cost"))
-      .localCheckpoint(true)
-    for (d <- 3 to 2 * DtwSegs) {
-      val prev = if (dPrev2 == null) dPrev else dPrev.unionByName(dPrev2)
-      val pr = prev.select($"pa".as("qa"), $"pb".as("qb"),
-        $"i".as("pi"), $"j".as("pj"), $"cost")
-      val cur = cells.filter($"i" + $"j" === d)
-        .join(pr, $"qa" === $"pa" && $"qb" === $"pb" &&
-          (($"pi" === $"i" - 1 && $"pj" === $"j") ||
-            ($"pi" === $"i" && $"pj" === $"j" - 1) ||
-            ($"pi" === $"i" - 1 && $"pj" === $"j" - 1)))
-        .groupBy($"pa", $"pb", $"i", $"j", $"c")
-        .agg(min($"cost").as("mc"))
-        .select($"pa", $"pb", $"i", $"j", ($"c" + $"mc").as("cost"))
-        .localCheckpoint(true)
-      dPrev2 = dPrev
-      dPrev = cur
-    }
-    dPrev.filter($"i" === DtwSegs && $"j" === DtwSegs)
-      .select($"pa", $"pb", $"cost".as("dtw"))
+    // Bounded collect: exactly DtwSegs elements per key by construction.
+    val series = seg.groupBy($"p")
+      .agg(array_sort(collect_list(struct($"s", $"x"))).as("sx"))
+      .select($"p", transform($"sx", e => e("x")).as("xs"))
+    val n = DtwSegs
+    val inf = lit(Long.MaxValue / 4)
+    // prev holds [D(i-1,0) .. D(i-1,n)]; acc inside the inner fold holds
+    // [D(i,0) .. D(i,j-1)] so element_at(acc, j) IS the in-row D(i,j-1).
+    val initRow = concat(array(lit(0L)),
+      transform(sequence(lit(1), lit(n)), _ => inf))
+    val dp = aggregate(
+      sequence(lit(1), lit(n)),
+      initRow,
+      (prev, i) => aggregate(
+        sequence(lit(1), lit(n)),
+        array(inf),
+        (acc, j) => {
+          val m = least(element_at(prev, (j + 1).cast("int")),
+            element_at(prev, j.cast("int")),
+            element_at(acc, j.cast("int")))
+          val c = abs(element_at($"xa", i.cast("int")) -
+            element_at($"xb", j.cast("int")))
+          val v = when(abs(i - j) > band, inf)
+            .when(m >= inf, inf)
+            .otherwise(c + m)
+          concat(acc, array(v))
+        }),
+      row => element_at(row, n + 1))
+    series.select($"p".as("pa"), $"xs".as("xa"))
+      .join(series.select($"p".as("pb"), $"xs".as("xb")), $"pa" < $"pb")
+      .select($"pa", $"pb", dp.as("dtw"))
       .orderBy($"pa".asc_nulls_first, $"pb".asc_nulls_first)
   }
 
