@@ -1647,6 +1647,82 @@ object TimeSeries extends QueryPack {
   private def tsDtwBanded(spark: SparkSession, sfDir: String): DataFrame =
     dtwPlan(spark, sfDir, DtwBand)
 
+  private val MpLen = 7 // subsequence window length (one week of days)
+
+  /** MATRIX PROFILE (round 17; named beside banded DTW in the r16
+    * VERDICT's elastic-distance gap) — per window start i over the
+    * year-2000 daily-cents series: the L1 distance to its NEAREST
+    * NON-TRIVIAL neighbor window (|i−j| ≥ [[MpLen]], the standard
+    * exclusion zone) and that neighbor's index — the profile whose
+    * minima are the series' MOTIFS and maxima its DISCORDS. The
+    * non-normalized integer-L1 variant keeps every distance an exact
+    * BIGINT (daily cents are exact), so the argmin and its (dist, j)
+    * tie-break are engine-exact — the z-normalized Euclidean variant
+    * would put a float ulp under every comparison.
+    *
+    * Windows are built with [[MpLen]] stacked leads over the BOUNDED
+    * one-year daily table (the q_ts_decompose global-series exception),
+    * and the all-pairs scoring is a ~360-row self-join — bounded by the
+    * calendar, not the corpus; the only corpus pass is the daily
+    * pre-aggregation. At 100 TB (long/many series) production swaps the
+    * all-pairs for MASS-style FFT scoring or a SAX-word prefilter
+    * (q_ts_sax is the pack's representation for exactly that); this
+    * exact form is the baseline those approximations verify against. */
+  private def tsMatrixProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .filter(year($"o_orderdate") === 2000)
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy($"day".asc)
+    val win = daily
+      .select((row_number().over(w) - 1).cast("long").as("i"),
+        array((0 until MpLen).map(k => lead($"cents", k).over(w)): _*)
+          .as("wv"))
+      .filter(!array_contains(transform($"wv", _.isNull), true))
+    val dist = aggregate(
+      zip_with($"wa", $"wb", (x, y) => abs(x - y)), lit(0L), _ + _)
+    val prof = win.select($"i", $"wv".as("wa"))
+      .join(win.select($"i".as("j"), $"wv".as("wb")),
+        abs($"i" - $"j") >= MpLen)
+      .select($"i", $"j", dist.as("d"))
+    prof.groupBy($"i")
+      .agg(min(struct($"d", $"j")).as("nn"))
+      .select($"i", $"nn.d".as("nn_dist"), $"nn.j".as("nn_j"))
+      .orderBy($"i".asc_nulls_first)
+  }
+
+  private val tsMatrixProfileOracle = s"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+          AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1),
+    win0 AS (
+      SELECT row_number() OVER (ORDER BY day ASC) - 1 AS i,
+        ${(0 until MpLen).map(k =>
+          s"lead(cents, $k) OVER (ORDER BY day ASC) AS c$k")
+          .mkString(", ")}
+      FROM daily),
+    win AS (
+      SELECT i, [${(0 until MpLen).map(k => s"c$k").mkString(", ")}] AS wv
+      FROM win0
+      WHERE ${(0 until MpLen).map(k => s"c$k IS NOT NULL")
+        .mkString(" AND ")}),
+    prof AS (
+      SELECT a.i, b.i AS j,
+        CAST((SELECT sum(abs(r[1] - r[2]))
+              FROM (SELECT unnest(list_zip(a.wv, b.wv)) AS r)) AS BIGINT)
+          AS d
+      FROM win a JOIN win b ON abs(a.i - b.i) >= $MpLen),
+    nn AS (
+      SELECT i, d AS nn_dist, j AS nn_j, row_number() OVER (
+        PARTITION BY i ORDER BY d ASC, j ASC) AS rn
+      FROM prof)
+    SELECT i, nn_dist, nn_j FROM nn WHERE rn = 1
+    ORDER BY i ASC NULLS FIRST"""
+
   private val tsDtwBandedOracle: String = {
     val rounds = (3 to 2 * DtwSegs).map { d =>
       val prev =
@@ -1691,6 +1767,7 @@ object TimeSeries extends QueryPack {
 
   override val queries: Vector[Q] = Vector(
     Q("q_ts_dtw_banded", tsDtwBanded, Some(tsDtwBandedOracle)),
+    Q("q_ts_matrix_profile", tsMatrixProfile, Some(tsMatrixProfileOracle)),
     Q("q_ts_sax", tsSax, Some(tsSaxOracle)),
     Q("q_ts_seasonal_strength", tsSeasonalStrength,
       Some(tsSeasonalStrengthOracle)),
