@@ -980,6 +980,113 @@ object Streams extends QueryPack {
     GROUP BY event_type
     ORDER BY event_type ASC NULLS FIRST"""
 
+  /** STREAMING MERGE-ON-READ UPSERT SINK (round 17) — the workload the
+    * MoR dialect exists FOR (the r16 VERDICT's own motivation: "why
+    * streaming upserts into 100 TB tables are affordable"): a CDC-style
+    * full-row upsert feed (each key at most once, so the merged table is
+    * independent of the micro-batch split) streams over a base table,
+    * and every micro-batch lands ONLY a delta file plus one `delta`
+    * commit-log action — the SAME strict grammar and read kernel as
+    * `q_lake_merge_mor`, so the batch MoR snapshot read resolves the
+    * streamed layers with zero sink-specific code. The base file is
+    * never rewritten by any batch (the zero-rewrite-amplification
+    * contract); the foreachBatch commit is idempotent on batch replay
+    * (path-logged check, the [[streamLakeSink]] exactly-once pattern).
+    * Feed staged as 4 files + maxFilesPerTrigger=1 → a genuine
+    * multi-batch lifecycle.
+    *
+    * Scale: per micro-batch cost is |batch| write + one log line —
+    * independent of table size; the read amplification (one keyed
+    * anti-join per outstanding delta) is the compactor's bill to
+    * amortize, exactly as q_lake_merge_mor's v3 demonstrates. */
+  private def streamLakeMor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val lake = java.nio.file.Files.createTempDirectory("graft_lmor_lake_")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lmor_src_")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_lmor_ck_")
+    val rows = graft.Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderstatus",
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+          .as("cents"))
+    rows.filter(pmod($"o_orderkey", lit(10)) < 5)
+      .write.parquet(lake.resolve("base").toString)
+    val logPath = lake.resolve("_log.json")
+    java.nio.file.Files.write(logPath,
+      ("""{"v":1,"op":"add","path":"base"}""" + "\n").getBytes(UTF_8))
+    // CDC-style full-row upsert feed: keys ≡ 13 mod 100 hit the base
+    // (updates), keys ≡ 57 mod 100 do not (inserts); each key appears
+    // exactly once, so the merged table is batch-split-invariant.
+    rows.filter(pmod($"o_orderkey", lit(100)).isin(13L, 57L))
+      .select($"o_orderkey", $"o_orderstatus",
+        expr("cents div 3").as("cents"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val feedSchema = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rel = s"delta_$id"
+        val logged = new String(
+          java.nio.file.Files.readAllBytes(logPath), UTF_8)
+        if (!logged.contains("\"path\":\"" + rel + "\"")) {
+          batch.write.mode("overwrite")
+            .parquet(lake.resolve(rel).toString)
+          java.nio.file.Files.write(logPath,
+            (s"""{"v":${id + 2},"op":"delta","path":"$rel"}""" + "\n")
+              .getBytes(UTF_8),
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    // Strip the trailing newline convention difference: the shared MoR
+    // kernel parses the SAME grammar the batch scratch uses.
+    val logLines = new String(
+      java.nio.file.Files.readAllBytes(logPath), UTF_8)
+      .split("\n").filter(_.nonEmpty)
+    java.nio.file.Files.write(logPath,
+      logLines.mkString("\n").getBytes(UTF_8))
+    val nDeltas = logLines.count(_.contains("\"op\":\"delta\""))
+    val snap = graft.operators.LakeOps
+      .morSnapshot(spark, lake.toString, Int.MaxValue)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"cents").cast("long").as("cents_sum"))
+      .select($"o_orderstatus", $"n_rows", $"cents_sum",
+        lit(nDeltas.toLong).as("n_deltas"))
+      .orderBy($"o_orderstatus".asc_nulls_first)
+      .localCheckpoint(true)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    rmTree(lake)
+    snap
+  }
+
+  private val streamLakeMorSql = """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_orderkey % 10 < 5),
+    feed AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) // 3 AS c
+      FROM orders WHERE o_orderkey % 100 IN (13, 57)),
+    merged AS (
+      SELECT k, s, c FROM base WHERE k NOT IN (SELECT k FROM feed)
+      UNION ALL
+      SELECT k, s, c FROM feed)
+    SELECT s AS o_orderstatus, count(*) AS n_rows,
+      CAST(sum(c) AS BIGINT) AS cents_sum, CAST(4 AS BIGINT) AS n_deltas
+    FROM merged GROUP BY 1
+    ORDER BY o_orderstatus ASC NULLS FIRST"""
+
   /** The THIRTEENTH graded real-streaming run (round 13 batch 15): the
     * Spark-4 `transformWithState` ARBITRARY-STATE API (the successor of
     * flatMapGroupsWithState graded by `q_stream_transform_state`) on the
@@ -1787,6 +1894,7 @@ object Streams extends QueryPack {
     Q("q_stream_tws_map", streamTwsMap, Some(streamTwsMapSql)),
     Q("q_stream_tws_restart", streamTwsRestart, Some(streamTwsSql)),
     Q("q_stream_lake_sink", streamLakeSink, Some(streamLakeSinkSql)),
+    Q("q_stream_lake_mor", streamLakeMor, Some(streamLakeMorSql)),
     Q("q_stream_lake_cdf", streamLakeCdf, Some(streamLakeCdfSql)),
     Q("q_stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     // Kill-and-resume twin of q_stream_lake_cdf: identical declared
