@@ -35,6 +35,11 @@ class DifferentialSpec extends SparkTestBase {
     "q_pii_tokenize",          // bucketed global rank over the vault (r16)
     "q_stat_kmv_distinct",     // TakeOrdered bottom-k merge (r16)
     "q_sim_matryoshka",        // two-stage windowed funnel (r16)
+    "q_sim_maxsim",            // token-level funnel + distinct union (r17)
+    "q_ts_dtw_banded",         // PAA bucketing + per-pair HOF fold (r17)
+    "q_graph_ppr",             // seeded union-then-sum iteration (r17)
+    "q_geo_region_join",       // covering explode + reference-point dedup (r17)
+    "q_lake_merge_mor",        // delta-layer keyed anti-join resolution (r17)
   )
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
