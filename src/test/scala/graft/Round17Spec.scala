@@ -198,6 +198,18 @@ class Round17Spec extends SparkTestBase {
       "a seeded walk must not reach every node in 4 hops on this graph")
   }
 
+  // ---- q_geo_region_join plan shape ----
+
+  test("region join: executed plan is equi-join only, no cartesian") {
+    val df = SparkEntry.queries("q_geo_region_join")(spark, sf0001)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "region-overlap candidates must meet by covering-cell equi-join, " +
+        "never |A| x |B|")
+  }
+
   // ---- lake robustness pins (VERDICT r16 'what's wrong') ----
 
   test("zoneOf: an empty bucket refuses with a descriptive error") {
