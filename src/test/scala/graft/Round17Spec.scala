@@ -198,6 +198,30 @@ class Round17Spec extends SparkTestBase {
       "a seeded walk must not reach every node in 4 hops on this graph")
   }
 
+  // ---- q_lake_delete_mor layer ordering ----
+
+  test("edelete: a deleted-then-upserted key is present with upsert values") {
+    val base = operators.LakeOps.edelBase(spark, sf0001)
+    val v2 = operators.LakeOps.morSnapshot(spark, base, 2)
+    assert(v2.filter(pmod($"o_orderkey", lit(7)) === 3).count() == 0,
+      "the v2 equality-delete layer must mask every key = 3 mod 7")
+    val v3 = operators.LakeOps.morSnapshot(spark, base, 3)
+    val reinserted = v3.filter(pmod($"o_orderkey", lit(14)) === 3)
+    assert(reinserted.count() > 0,
+      "v3 must reinsert the upserted subset of the deleted keys")
+    // Upserted values, not the originals: cents = base cents div 4.
+    val orig = Catalog.load(spark, sf0001, "orders")
+      .filter(pmod($"o_orderkey", lit(14)) === 3)
+      .select($"o_orderkey",
+        expr("cast(cast(o_totalprice as decimal(14,2)) * 100 as long) div 4")
+          .as("c4"))
+    assert(reinserted.join(orig, Seq("o_orderkey"))
+      .filter($"cents" =!= $"c4").count() == 0)
+    // Keys deleted and NOT upserted stay gone at v3.
+    assert(v3.filter(pmod($"o_orderkey", lit(7)) === 3 &&
+      pmod($"o_orderkey", lit(14)) =!= 3).count() == 0)
+  }
+
   // ---- q_geo_region_join plan shape ----
 
   test("region join: executed plan is equi-join only, no cartesian") {
