@@ -486,6 +486,70 @@ object GraphOps extends QueryPack {
     GROUP BY component_id
     ORDER BY component_id ASC NULLS FIRST"""
 
+  /** QUALITY-RANKED DEDUP SURVIVORSHIP (round 17) — [[dedupClusters]]
+    * upgraded to the rule production corpus dedup actually ships: the
+    * survivor of a near-dup cluster is its HIGHEST-QUALITY member (the
+    * shared [[LlmExtras.qualityScore]] — one definition with
+    * q_text_quality / q_corpus_quality_bins so the gate, the binning and
+    * the survivorship can never drift), not the arbitrary min-id copy;
+    * ties break on doc_id. Ranking is over 4dp-ROUNDED scores (exact
+    * 4-decimal rationals both engines — the mips round-first contract)
+    * and the dropped-quality mass sums through DECIMAL(18,6) (§2.0 rule
+    * 3), so the whole decision table is engine-exact. Singletons are
+    * their own survivor — the output partitions the corpus.
+    *
+    * Scale: one scan-side quality projection, the memoized label leaf,
+    * and a per-cluster window — one hash shuffle on component_id.
+    */
+  private def dedupSurvivor(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lbl = nearDupLabels(spark, sfDir)
+    val docs = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", LlmExtras.qualityScore($"text").as("q"))
+      .join(lbl.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .select($"doc_id", $"q", coalesce($"lbl", $"doc_id").as("component_id"))
+    val w = Window.partitionBy($"component_id")
+      .orderBy($"q".desc, $"doc_id".asc)
+    docs.withColumn("rn", row_number().over(w))
+      .groupBy($"component_id")
+      .agg(
+        min(when($"rn" === 1, $"doc_id")).as("survivor_id"),
+        min(when($"rn" === 1, $"q")).as("survivor_quality"),
+        count(lit(1)).as("n_members"),
+        coalesce(graft.Dsl.dsum(when($"rn" > 1, $"q")), lit(0.0))
+          .as("quality_dropped"))
+      .orderBy($"component_id".asc_nulls_first)
+  }
+
+  private val dedupSurvivorOracle = s"""
+    WITH RECURSIVE ${LlmPipeline.nearPairsCtes},
+    edges AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM und)
+      UNION
+      SELECT e.u, reach.r FROM und e JOIN reach ON e.v = reach.node),
+    comp0 AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    dq AS (SELECT doc_id, ${LlmExtras.qualityScoreSql} AS q FROM documents),
+    comp AS (
+      SELECT dq.doc_id, dq.q, coalesce(c.component_id, dq.doc_id)
+        AS component_id
+      FROM dq LEFT JOIN comp0 c ON dq.doc_id = c.node),
+    r AS (
+      SELECT comp.*, row_number() OVER (
+        PARTITION BY component_id ORDER BY q DESC, doc_id ASC) AS rn
+      FROM comp)
+    SELECT component_id,
+      min(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+      min(CASE WHEN rn = 1 THEN q END) AS survivor_quality,
+      count(*) AS n_members,
+      coalesce(CAST(sum(CASE WHEN rn > 1
+        THEN CAST(q AS DECIMAL(18,6)) END) AS DOUBLE), 0) AS quality_dropped
+    FROM r
+    GROUP BY component_id
+    ORDER BY component_id ASC NULLS FIRST"""
+
   /** Degree distribution of the co-purchase graph — the first profiling
     * table a graph pipeline produces (skew in it decides whether the
     * triangle/propagation joins need the low-degree→high-degree orientation
@@ -1878,5 +1942,6 @@ object GraphOps extends QueryPack {
     Q("q_graph_ppr", graphPpr, Some(graphPprOracle)),
     Q("q_graph_hits", graphHits, Some(graphHitsOracle)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    Q("q_dedup_survivor", dedupSurvivor, Some(dedupSurvivorOracle)),
   )
 }
