@@ -678,11 +678,164 @@ object VectorServe extends QueryPack {
     ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
   }
 
+  private val MsLshBands = 2
+  private val MsLshPlanes = 6 // per band; OR across bands amplifies recall
+
+  /** Integer hyperplane dot for token LSH: weights from the suite's LCG
+    * (global plane index g, position pos → w = LCG(g·16+pos) % 2001 −
+    * 1000), dot over the 16-dim quantized token — EXACT int64, so the
+    * sign test needs no rounding contract at all (the double-LSH query
+    * rounds to 6dp; the integer grid dissolves the problem). */
+  private def msPlaneDot(tv: Column, g: Int): Column = {
+    val w = (0 until MsTokDim).map(pos =>
+      (1103515245L * (g.toLong * MsTokDim + pos) + 12345L) % 2001L - 1000L)
+    aggregate(zip_with(tv, array(w.map(lit): _*), (x, y) => x * y),
+      lit(0L), _ + _)
+  }
+
+  /** Band `band`'s bucket: the sign pattern of its [[MsLshPlanes]]
+    * planes. OR-amplification across [[MsLshBands]] bands (candidate if
+    * ANY band agrees) — the banded-minhash trick applied to hyperplane
+    * signs; 6 planes/band is the measured operating point on the
+    * ISOTROPIC fixtures (recall vs the exact funnel / candidate share:
+    * 4 planes 0.90/0.92 — no pruning; 6 planes 0.75/~0.35; 8 planes
+    * 0.38/~0.12 — honest trade, the Matryoshka isotropy caveat again;
+    * a trained-embedding corpus moves every point up), 2 bands double
+    * the catch probability. */
+  private def msBucket(tv: Column, band: Int): Column =
+    (0 until MsLshPlanes).map(b =>
+      when(msPlaneDot(tv, band * MsLshPlanes + b) > 0, lit(1L << b))
+        .otherwise(0L)).reduce(_ + _)
+
+  /** LSH-BUCKETED MaxSim (round 17) — [[simMaxsim]]'s declared 100-TB
+    * scale path made real and graded: the token-level stage-1 search is
+    * replaced by a sign-hyperplane BUCKET equi-join ([[MsLshPlanes]]
+    * integer planes over the 16-dim token grid → 2⁶ buckets), so
+    * candidate generation never scores corpus tokens against probe
+    * tokens at all — query and doc tokens meet only when they share a
+    * bucket, the same shuffle-by-key economics as the shingle/LSH dedup
+    * stack. Stage 2 is the IDENTICAL exact integer late-interaction
+    * rerank, so the two queries differ only in the candidate generator —
+    * recall vs the exact funnel is spec-measured, and the whole pipeline
+    * (buckets included) is oracle-graded: a wrong bucket, a wrong
+    * candidate set or a wrong rerank all break the hash. */
+  private def simMaxsimLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          v => floor(v.cast("double") * lit(1000000d)).cast("long")).as("e"))
+    val ts = 0 until MsTokens
+    val tok = e.select($"vec_id",
+      posexplode(array(ts.map(t => msTok($"e", t)): _*)).as(Seq("t", "tv")))
+    val buckets = tok.select($"vec_id", $"t",
+      posexplode(array((0 until MsLshBands).map(band =>
+        msBucket($"tv", band)): _*)).as(Seq("band", "bucket")))
+    val cand = buckets.filter($"vec_id" < MsProbes)
+      .select($"vec_id".as("probe_id"), $"band", $"bucket")
+      .join(buckets.select($"vec_id".as("cand_id"), $"band", $"bucket"),
+        Seq("band", "bucket"))
+      .filter($"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id").distinct()
+    val probes = e.filter($"vec_id" < MsProbes)
+      .select($"vec_id".as("probe_id"), $"e".as("pe"))
+    val maxsim = ts.map { tq =>
+      greatest(ts.map(td => msDot(msTok($"pe", tq), msTok($"ce", td))): _*)
+    }.reduce(_ + _)
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"maxsim".desc, $"cand_id".asc)
+    cand
+      .join(broadcast(probes), Seq("probe_id"))
+      .join(e.select($"vec_id".as("cand_id"), $"e".as("ce")), Seq("cand_id"))
+      .select($"probe_id", $"cand_id", maxsim.as("maxsim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= MsK)
+      .select($"probe_id", $"rank", $"cand_id", $"maxsim")
+      .orderBy($"probe_id".asc_nulls_first, $"rank".asc_nulls_first)
+  }
+
+  private val simMaxsimLshOracle: String = {
+    val ts = 0 until MsTokens
+    val maxsim = ts.map { tq =>
+      "greatest(" + ts.map(td =>
+        msDotSql(msTokSql("pe", tq), msTokSql("q.e", td))).mkString(", ") + ")"
+    }.mkString(" + ")
+    val tList = ts.mkString("[", ", ", "]")
+    s"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+        v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS e
+      FROM embeddings),
+    tok AS (
+      SELECT vec_id, t.t,
+        list_slice(e, t.t * $MsTokDim + 1, (t.t + 1) * $MsTokDim) AS tv
+      FROM q, (SELECT unnest($tList) AS t) t),
+    tflat AS (
+      SELECT vec_id, t, generate_subscripts(tv, 1) - 1 AS pos,
+        unnest(tv) AS v
+      FROM tok),
+    dots AS (
+      SELECT vec_id, t, band, b,
+        CAST(sum(v * ((1103515245 * ((band * $MsLshPlanes + b)
+          * $MsTokDim + pos) + 12345) % 2001 - 1000)) AS BIGINT) AS dot
+      FROM tflat
+      CROSS JOIN range($MsLshBands) bd(band)
+      CROSS JOIN range($MsLshPlanes) pl(b)
+      GROUP BY vec_id, t, band, b),
+    buckets AS (
+      SELECT vec_id, t, band,
+        CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+          ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id, t, band),
+    cand AS (
+      SELECT DISTINCT pb.vec_id AS probe_id, db.vec_id AS cand_id
+      FROM buckets pb
+      JOIN buckets db ON pb.band = db.band AND pb.bucket = db.bucket
+        AND db.vec_id <> pb.vec_id
+      WHERE pb.vec_id < $MsProbes),
+    p AS (SELECT vec_id AS probe_id, e AS pe FROM q WHERE vec_id < $MsProbes),
+    m AS (
+      SELECT c.probe_id, c.cand_id, CAST($maxsim AS BIGINT) AS maxsim
+      FROM cand c
+      JOIN p ON p.probe_id = c.probe_id
+      JOIN q ON q.vec_id = c.cand_id)
+    SELECT probe_id, CAST(rnk AS BIGINT) AS rank, cand_id, maxsim FROM (
+      SELECT m.*, row_number() OVER (
+        PARTITION BY probe_id ORDER BY maxsim DESC, cand_id ASC) AS rnk
+      FROM m) f
+    WHERE rnk <= $MsK
+    ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+  }
+
+  /** Spec hook: the LSH candidate-set size per probe (the pruning claim). */
+  private[graft] def maxsimLshCandCount(spark: SparkSession,
+                                        sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Catalog.load(spark, sfDir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          v => floor(v.cast("double") * lit(1000000d)).cast("long")).as("e"))
+    val ts = 0 until MsTokens
+    val tok = e.select($"vec_id",
+      posexplode(array(ts.map(t => msTok($"e", t)): _*)).as(Seq("t", "tv")))
+    val buckets = tok.select($"vec_id", $"t",
+      posexplode(array((0 until MsLshBands).map(band =>
+        msBucket($"tv", band)): _*)).as(Seq("band", "bucket")))
+    buckets.filter($"vec_id" < MsProbes)
+      .select($"vec_id".as("probe_id"), $"band", $"bucket")
+      .join(buckets.select($"vec_id".as("cand_id"), $"band", $"bucket"),
+        Seq("band", "bucket"))
+      .filter($"cand_id" =!= $"probe_id")
+      .select($"probe_id", $"cand_id").distinct()
+      .groupBy($"probe_id").agg(count(lit(1)).as("n_cand"))
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_sim_ann_ivfpq", ivfPq, Some(ivfPqOracle)),
     Q("q_retrieval_mmr", retrievalMmr, Some(retrievalMmrOracle)),
     Q("q_sim_ann_hnsw", simAnnHnsw, None),
     Q("q_sim_matryoshka", simMatryoshka, Some(simMatryoshkaOracle)),
     Q("q_sim_maxsim", simMaxsim, Some(simMaxsimOracle)),
+    Q("q_sim_maxsim_lsh", simMaxsimLsh, Some(simMaxsimLshOracle)),
   )
 }

@@ -198,6 +198,28 @@ class Round17Spec extends SparkTestBase {
       "a seeded walk must not reach every node in 4 hops on this graph")
   }
 
+  // ---- q_sim_maxsim_lsh: recall + pruning ----
+
+  test("maxsim lsh: banded buckets keep >=0.6 of the exact funnel top-5 " +
+    "while pruning the candidate set") {
+    val exact = SparkEntry.queries("q_sim_maxsim")(spark, sf0001)
+      .select($"probe_id", $"cand_id")
+    val lsh = SparkEntry.queries("q_sim_maxsim_lsh")(spark, sf0001)
+      .select($"probe_id", $"cand_id")
+    val total = exact.count()
+    val hit = lsh.join(exact, Seq("probe_id", "cand_id"), "left_semi").count()
+    assert(total == 40L)
+    assert(hit.toDouble / total >= 0.6,
+      s"banded token-LSH recall ${hit.toDouble / total} < 0.6 " +
+        "(measured 0.75 at sf0.01 on the isotropic fixtures)")
+    // The pruning claim: no probe's candidate set approaches the corpus.
+    val counts = operators.VectorServe.maxsimLshCandCount(spark, sf0001)
+      .collect().map(_.getLong(1))
+    val corpus = Catalog.load(spark, sf0001, "embeddings").count()
+    assert(counts.forall(_ < (corpus * 3) / 4),
+      s"candidate sets ${counts.toSeq} do not prune vs corpus $corpus")
+  }
+
   // ---- q_lake_delete_mor layer ordering ----
 
   test("edelete: a deleted-then-upserted key is present with upsert values") {
