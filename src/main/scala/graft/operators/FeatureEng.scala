@@ -33,6 +33,61 @@ import graft.Dsl._
   */
 object FeatureEng extends QueryPack {
 
+  /** TIME-SAFE (leakage-free) TARGET ENCODING (round 17) — the temporal
+    * counterpart to q_feat_target_encode_cv's fold-out-of-fold contract:
+    * a feature computed AT time t may only see data STRICTLY BEFORE t,
+    * the rule every production feature store enforces (an expanding-mean
+    * encode that includes the current row leaks the label; one that
+    * includes later rows is a time machine). Per order: the customer's
+    * count of PAST orders and their integral-mean past cents — an
+    * expanding window to row −1 ordered by (date, orderkey) so date ties
+    * resolve deterministically; a customer's first order encodes NULL
+    * (the honest cold-start marker — fabricating a prior from the full
+    * table would itself leak).
+    *
+    * Exactness: all integer (cents sums, integral `div` ↔ `//`). Scale:
+    * ONE hash shuffle on the entity key; the expanding frame streams
+    * per-partition — the same shape at any history length, never a
+    * self-join on time ranges.
+    */
+  private def featTargetEncodeTime(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    table(spark, sfDir)("orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+          .as("cents"))
+      .select($"o_orderkey",
+        count(lit(1)).over(w).as("past_n"),
+        sum($"cents").over(w).as("past_sum"))
+      .select($"o_orderkey", $"past_n",
+        when($"past_n" > 0, expr("past_sum div past_n"))
+          .as("past_avg_cents"))
+      .orderBy($"o_orderkey".asc_nulls_first)
+  }
+
+  private val featTargetEncodeTimeOracle = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    enc AS (
+      SELECT o_orderkey,
+        CAST(count(*) OVER w AS BIGINT) AS past_n,
+        CAST(sum(cents) OVER w AS BIGINT) AS past_sum
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT o_orderkey, past_n,
+      CASE WHEN past_n > 0 THEN CAST(past_sum // past_n AS BIGINT) END
+        AS past_avg_cents
+    FROM enc
+    ORDER BY o_orderkey ASC NULLS FIRST"""
+
   /** One-hot encoding of c_mktsegment into a fixed indicator-column set.
     * The domain is enumerated in the plan (5 literal arms), NOT discovered
     * at runtime — discovery would make the output schema data-dependent,
@@ -482,6 +537,8 @@ object FeatureEng extends QueryPack {
     Q("q_feat_crossed", featCrossed, Some(featCrossedOracle)),
     Q("q_feat_robust_scale", featRobustScale, Some(featRobustScaleOracle)),
     Q("q_feat_onehot", featOnehot, Some(featOnehotOracle)),
+    Q("q_feat_target_encode_time", featTargetEncodeTime,
+      Some(featTargetEncodeTimeOracle)),
     Q("q_feat_hash_bucket", featHashBucket, Some(featHashBucketOracle)),
     Q("q_feat_minmax", featMinmax, Some(featMinmaxOracle)),
     Q("q_feat_zscore", featZscore, Some(featZscoreOracle)),
