@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
 class FeatureEngSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("pack registration: 11 queries, all with oracles") {
+  test("pack registration: 12 queries, all with oracles") {
     assert(operators.FeatureEng.queries.map(_.id).toSet == Set(
       "q_feat_onehot", "q_feat_hash_bucket", "q_feat_minmax",
       "q_feat_zscore", "q_feat_bin_quantile", "q_feat_target_encode",
       "q_feat_freq_encode", "q_feat_woe", "q_feat_robust_scale",
-      "q_feat_target_encode_cv", "q_feat_crossed"))
+      "q_feat_target_encode_cv", "q_feat_crossed",
+      "q_feat_target_encode_time"))
     assert(operators.FeatureEng.queries.forall(_.oracle.isDefined))
   }
 
