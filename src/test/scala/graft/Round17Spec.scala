@@ -4,10 +4,14 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-/** Round-17 gates: the merge-on-read upsert dialect (r16 VERDICT task 1) —
+/** Round-17 gates: the merge-on-read upsert dialect (r16 VERDICT task 1 —
   * delta-only commit shape, byte-identical base files, MoR ≡ COW
-  * equivalence, compaction invariance — plus the lake robustness pins the
-  * r16 VERDICT asked for (zoneOf empty-bucket refusal, delta grammar).
+  * equivalence, compaction invariance) and its equality-delete sibling's
+  * layer ordering; the MaxSim funnel's recall floor and the banded-LSH
+  * variant's recall/pruning operating point; the banded-DTW in-memory-DP
+  * equality and band refusals; PPR restart-mass pins; the region-join
+  * plan shape; and the lake robustness pins the r16 VERDICT asked for
+  * (zoneOf empty-bucket refusal, delta grammar exclusivity).
   */
 class Round17Spec extends SparkTestBase {
   import spark.implicits._
