@@ -791,6 +791,74 @@ object GraphOps extends QueryPack {
     SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r
     GROUP BY node ORDER BY node ASC NULLS FIRST"""
 
+  private val CloseHops = 6
+  private val CloseScale = 1000000L
+
+  /** K-SOURCE BOUNDED-RADIUS CLOSENESS CENTRALITY (round 17) — the
+    * centrality the pack's BFS/SSSP machinery was missing: for each seed
+    * (custkey ≡ 1 mod 100), the size of its [[CloseHops]]-ball, the sum
+    * of hop distances inside it, and closeness = n_reached / Σd in ppm
+    * SCALED INTEGER (`div` ↔ `//`) — the H-bounded form large-graph
+    * practice actually computes (exact closeness needs a full BFS per
+    * node; the bounded ball is the production estimator, and within the
+    * ball every reported distance is exact). All sources advance in ONE
+    * shared frontier frame (source, node), so k sources cost one
+    * synchronized BFS, not k traversals — the multi-source discipline of
+    * [[graphBfs]] with the seen-set anti-join per round.
+    *
+    * Scale: each round shuffles the frontier×edges equi-join on node id;
+    * frontier rows are bounded by |sources|·|ball|; rounds are bounded by
+    * the radius. The oracle is one recursive CTE capped at d < H with a
+    * min-dist collapse — over-unrolling is harmless on both sides. */
+  private def graphCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val seeds = und.select($"u".as("node")).distinct()
+      .filter(pmod($"node", lit(100)) === 1)
+    var frontier = seeds
+      .select($"node".as("source"), $"node", lit(0L).as("d"))
+      .localCheckpoint(true)
+    var levels = Vector(frontier)
+    for (k <- 1 to CloseHops) {
+      val seen = levels.map(_.select($"source", $"node")).reduce(_ union _)
+      frontier = frontier.select($"source", $"node".as("u"))
+        .join(und, Seq("u"))
+        .select($"source", $"v".as("node")).distinct()
+        .join(seen, Seq("source", "node"), "left_anti")
+        .select($"source", $"node", lit(k.toLong).as("d"))
+        .localCheckpoint(true)
+      levels :+= frontier
+    }
+    levels.reduce(_ union _)
+      .filter($"d" > 0)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_reached"), sum($"d").as("dist_sum"))
+      .select($"source".as("custkey"), $"n_reached", $"dist_sum",
+        expr(s"n_reached * $CloseScale div dist_sum").as("closeness_ppm"))
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private val graphClosenessOracle = s"""
+    WITH RECURSIVE $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    seeds AS (SELECT DISTINCT u AS node FROM und WHERE u % 100 = 1),
+    r(source, node, d) AS (
+      SELECT node, node, 0 FROM seeds
+      UNION
+      SELECT r.source, e.v, r.d + 1
+      FROM und e JOIN r ON e.u = r.node
+      WHERE r.d < $CloseHops),
+    md AS (
+      SELECT source, node, min(d) AS d FROM r GROUP BY source, node)
+    SELECT source AS custkey,
+      CAST(count(*) AS BIGINT) AS n_reached,
+      CAST(sum(d) AS BIGINT) AS dist_sum,
+      CAST(count(*) * $CloseScale // sum(d) AS BIGINT) AS closeness_ppm
+    FROM md WHERE d > 0
+    GROUP BY source
+    ORDER BY custkey ASC NULLS FIRST"""
+
   private val SsspCap = 12L
 
   /** BOUNDED-RADIUS WEIGHTED SHORTEST PATHS (round 13 batch 10) — the
@@ -1940,6 +2008,7 @@ object GraphOps extends QueryPack {
     Q("q_graph_sssp", graphSssp, Some(graphSsspOracle)),
     Q("q_graph_pagerank", pagerank, Some(pagerankOracle)),
     Q("q_graph_ppr", graphPpr, Some(graphPprOracle)),
+    Q("q_graph_closeness", graphCloseness, Some(graphClosenessOracle)),
     Q("q_graph_hits", graphHits, Some(graphHitsOracle)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Q("q_dedup_survivor", dedupSurvivor, Some(dedupSurvivorOracle)),
