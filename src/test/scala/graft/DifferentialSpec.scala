@@ -40,6 +40,7 @@ class DifferentialSpec extends SparkTestBase {
     "q_graph_ppr",             // seeded union-then-sum iteration (r17)
     "q_geo_region_join",       // covering explode + reference-point dedup (r17)
     "q_lake_merge_mor",        // delta-layer keyed anti-join resolution (r17)
+    "q_graph_closeness",       // multi-source frontier distinct/anti-join (r17)
   )
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
