@@ -125,7 +125,13 @@ object Bench {
         // layers + compacted files) are written once per (app, sfDir); the
         // timed passes measure the snapshot reads, the declared steady
         // state.
-        "q_lake_merge_mor", "q_lake_delete_mor"))
+        "q_lake_merge_mor", "q_lake_delete_mor",
+        // Round-18 (r17 VERDICT task 7, warm-block round 3): the two
+        // remaining rep1/steady > 3x cold-codegen outliers from the r17
+        // judge retimes (q_survival_km 3.14/1.03, q_er_sorted_neighborhood
+        // 4.27/1.42) — first-use whole-stage-codegen of a deep window /
+        // sorted-neighborhood spine is a JVM cost, not a plan cost.
+        "q_survival_km", "q_er_sorted_neighborhood"))
       .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.

@@ -79,10 +79,27 @@ object Dsl {
     * is truncated and the blocks live until GC). Remaining caveats, by
     * design: the gate's count is a construction-time job (inherent to
     * any data-dependent gate — inspecting a consuming plan triggers it),
-    * and the cache is not explicitly unpersisted (the helper returns the
-    * frame before the consuming join runs; blocks age out via LRU). */
+    * and the number of LIVE gated persists is CAPPED (round-18 ADVICE
+    * fix): the helper cannot unpersist eagerly (it returns the frame
+    * BEFORE the consuming join runs), but an unbounded session
+    * accumulating one cached plan per invocation could evict hotter
+    * memoized leaves under memory pressure — so a FIFO of the last
+    * [[GatedPersistCap]] gated frames unpersists the oldest
+    * (non-blocking) once the cap trips. Evicting a frame a long-lived
+    * consumer still references is SAFE by persist's contract: the
+    * lineage is intact, so a later action simply recomputes — the cap
+    * trades bounded memory for recompute on a >cap-deep working set,
+    * which no declared query has (each uses ≤ 2 gated sides). */
+  private val GatedPersistCap = 8
+  private val gatedLive = new java.util.ArrayDeque[DataFrame]()
+
   def gatedBroadcast(df: DataFrame): DataFrame = {
     val cp = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    gatedLive.synchronized {
+      gatedLive.addLast(cp)
+      while (gatedLive.size > GatedPersistCap)
+        gatedLive.removeFirst().unpersist(blocking = false)
+    }
     if (cp.count() <= gatedBroadcastMaxRows) broadcast(cp) else cp.hint("merge")
   }
 }

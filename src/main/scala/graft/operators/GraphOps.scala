@@ -1117,7 +1117,13 @@ object GraphOps extends QueryPack {
     // and codegen linear in the iteration count (the components-lineage
     // lesson applied statically).
     val und = coPurchaseUnd(spark, sfDir)
-    val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")).cache()
+    // memoEdgeLeaf, not per-invocation .cache() (round-18 hygiene; the
+    // r17 HITS fix applied to its sibling): the degree table is a
+    // persistent graph leaf — the memo shares it across invocations (PPR
+    // builds the identical frame) and clearMemoForTest covers it, where a
+    // bare cache leaked blocks for the application lifetime.
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
     var pr = deg.select($"node", lit(PrScale).as("pr"))
     // Stays ONE declarative 5-iteration plan deliberately: a mid-loop
     // localCheckpoint leaf was measured (r7) at 6.2 s cold / 1.7-2.2 steady

@@ -153,12 +153,18 @@ object LakeOps extends QueryPack {
       .split("\n").toSeq.map(parseAction)
 
   /** Replayed table state: live files in commit order, deletion vectors
-    * per file, zone-map stats per file where the add carried them. */
+    * per file, zone-map stats per file where the add carried them.
+    * `everAdded` (round 18; r17 ADVICE fix) is every data file added up
+    * to the replayed version MINUS vacuumed paths — i.e. the files still
+    * ON DISK — the non-empty schema source the empty-snapshot fallback
+    * needs (the live set is empty exactly when every added file was
+    * removed, so `schemaFiles = st.live` was a no-op at those sites). */
   private[graft] final case class LakeState(live: Seq[String],
       dvs: Map[String, Seq[String]], zones: Map[String, (Long, Long)],
       colZones: Map[String, Map[String, (Long, Long)]] = Map.empty,
       rowCounts: Map[String, Long] = Map.empty,
-      deltas: Seq[(String, String)] = Nil)
+      deltas: Seq[(String, String)] = Nil,
+      everAdded: Seq[String] = Nil)
 
   private val emptyState = LakeState(Nil, Map.empty, Map.empty)
 
@@ -188,14 +194,18 @@ object LakeOps extends QueryPack {
     // retires a layer with a plain `remove` on its path.
     val deltas = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     deltas ++= start.deltas
+    val ever = scala.collection.mutable.LinkedHashSet.empty[String]
+    ever ++= start.everAdded
     acts.foreach { a =>
       a.op match {
         case "add" =>
-          live += a.path
+          live += a.path; ever += a.path
           for (mn <- a.minKey; mx <- a.maxKey) zones(a.path) = (mn, mx)
           if (a.colZones.nonEmpty) colZones(a.path) = a.colZones
           for (r <- a.rows) rowCounts(a.path) = r
         case "remove" =>
+          // The file stays ON DISK (restore depends on that), so it stays
+          // a valid schema source in `everAdded` until a vacuum deletes it.
           live -= a.path; dvs -= a.path; zones -= a.path; colZones -= a.path
           rowCounts -= a.path
           deltas --= deltas.filter(_._2 == a.path)
@@ -203,11 +213,13 @@ object LakeOps extends QueryPack {
           dvs(a.path) = dvs.getOrElse(a.path, Vector.empty) :+ a.dv.get
         case "delta" | "edelete" =>
           deltas += ((a.op, a.path))
-        case _ => () // vacuum / conflict: audit-only
+        case "vacuum" =>
+          ever -= a.path // physically deleted: no longer readable for schema
+        case _ => () // conflict: audit-only
       }
     }
     LakeState(live.toSeq, dvs.toMap, zones.toMap, colZones.toMap,
-      rowCounts.toMap, deltas.toSeq)
+      rowCounts.toMap, deltas.toSeq, ever.toSeq)
   }
 
   /** Replay the commit log to version `v` → live data files plus the
@@ -251,7 +263,12 @@ object LakeOps extends QueryPack {
   private def readSnapshot(spark: SparkSession, base: String, v: Int)
       : DataFrame = {
     val st = fullState(base, v)
-    readState(spark, base, st.live, st.dvs, schemaFiles = st.live)
+    // everAdded, not st.live (round-18 ADVICE fix): the fallback only
+    // fires when the live set is EMPTY, so passing the live set for both
+    // was a no-op — the on-disk added-file set is non-empty whenever any
+    // data was ever committed, so an empty snapshot still reads with the
+    // table's column set instead of degrading to the single-key frame.
+    readState(spark, base, st.live, st.dvs, schemaFiles = st.everAdded)
   }
 
   /** Scan + DV-mask + by-name-union a resolved live-file set — the shared
@@ -614,7 +631,9 @@ object LakeOps extends QueryPack {
   private[graft] def morSnapshot(spark: SparkSession, base: String,
                                  v: Int): DataFrame = {
     val st = fullState(base, v)
-    val b = readState(spark, base, st.live, st.dvs, schemaFiles = st.live)
+    // everAdded, not st.live (round-18 ADVICE fix — see readSnapshot).
+    val b = readState(spark, base, st.live, st.dvs,
+      schemaFiles = st.everAdded)
     st.deltas.foldLeft(b) { case (acc, (kind, d)) =>
       val layer = spark.read.parquet(s"$base/$d")
       val masked = acc.join(layer.select(col("o_orderkey")),
@@ -1039,8 +1058,9 @@ object LakeOps extends QueryPack {
   private def readCloneHead(spark: SparkSession, base: String): DataFrame = {
     val src = new String(Files.readAllBytes(Paths.get(base, "_source")),
       StandardCharsets.UTF_8)
-    val (files, dvs) = liveState(base, Int.MaxValue)
-    readState(spark, src, files, dvs, schemaFiles = files)
+    val st = fullState(base, Int.MaxValue)
+    // everAdded, not the live set (round-18 ADVICE fix — see readSnapshot).
+    readState(spark, src, st.live, st.dvs, schemaFiles = st.everAdded)
   }
 
   private def lakeClone(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1420,7 +1440,9 @@ object LakeOps extends QueryPack {
     val base = ckptDir(spark, sfDir)
     Seq(5, 8, 12).map { v =>
       val (st, cv, tailN) = ckptState(base, v)
-      readState(spark, base, st.live, st.dvs)
+      // schemaFiles (round-18 hygiene): the checkpoint-table sites now
+      // carry the same empty-snapshot schema fallback as the other nine.
+      readState(spark, base, st.live, st.dvs, schemaFiles = st.everAdded)
         .agg(count(lit(1)).as("n_rows"),
           sum($"o_orderkey").cast("long").as("key_sum"))
         .select(lit(v.toLong).as("version"),
@@ -1615,7 +1637,7 @@ object LakeOps extends QueryPack {
     val base = multiZoneDir(spark, sfDir)
     val (hi, clo) = multiZoneBounds(base)
     val st = fullState(base, 8)
-    readState(spark, base, st.live, st.dvs, schemaFiles = st.live)
+    readState(spark, base, st.live, st.dvs, schemaFiles = st.everAdded)
       .filter($"o_orderkey" <= hi && $"o_custkey" >= clo)
   }
 
@@ -1963,7 +1985,8 @@ object LakeOps extends QueryPack {
       StandardCharsets.UTF_8).toLong
     val hi = (3 * (maxk + 1) - 1) / 8
     val (st, _, _) = ckptState(base, 12)
-    readState(spark, base, st.live, st.dvs).filter($"o_orderkey" <= hi)
+    readState(spark, base, st.live, st.dvs, schemaFiles = st.everAdded)
+      .filter($"o_orderkey" <= hi)
   }
 
   /** Spec hook: the OCC table's base dir. */

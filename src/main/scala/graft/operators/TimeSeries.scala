@@ -1544,18 +1544,24 @@ object TimeSeries extends QueryPack {
   /** Banded-DTW argument contract, spec-pinned (r16 VERDICT task 3):
     * UNDER-band (band < |n−m|) means no monotone warping path can connect
     * (1,1) to (n,m) — every cell past the gap is unreachable and the
-    * distance is vacuously undefined, so refuse loudly; OVER-band
-    * (band ≥ max(n,m)) covers the whole matrix — that is full DTW wearing
-    * a band, and silently paying the full O(n·m) a caller asked to avoid
-    * is the bug, so demand the explicit full form instead. */
+    * distance is vacuously undefined, so refuse loudly; OVER-band covers
+    * the whole matrix — that is full DTW wearing a band, and silently
+    * paying the full O(n·m) a caller asked to avoid is the bug, so demand
+    * the explicit full form instead. The degeneracy boundary is exact
+    * (round-18 ADVICE fix): over cells (i,j) ∈ [1,n]×[1,m] the widest
+    * reachable offset is |n−1| at (n,1) or |m−1| at (1,m), i.e.
+    * max(n,m)−1 — so band = max(n,m)−1 ALREADY admits every cell (the
+    * silent full-DTW case the old `band < max(n,m)` guard let through),
+    * and the first genuinely banded setting is max(n,m)−2. */
   private[graft] def dtwBandCheck(n: Int, m: Int, band: Int): Unit = {
     require(band >= math.abs(n - m),
       s"graft dtw: band $band is narrower than the length gap |$n-$m| = " +
         s"${math.abs(n - m)} — no monotone warping path can connect (1,1) " +
         s"to ($n,$m); widen the band or re-segment the series")
-    require(band < math.max(n, m),
-      s"graft dtw: band $band covers the whole $n x $m matrix — banded " +
-        "DTW degenerates to full DTW; drop the band and say so explicitly")
+    require(band < math.max(n, m) - 1,
+      s"graft dtw: band $band covers the whole $n x $m matrix (every " +
+        s"cell has |i-j| <= ${math.max(n, m) - 1}) — banded DTW " +
+        "degenerates to full DTW; drop the band and say so explicitly")
   }
 
   /** SAKOE-CHIBA-BANDED DYNAMIC TIME WARPING (round 17; r16 VERDICT task

@@ -1022,6 +1022,19 @@ object Streams extends QueryPack {
         expr("cents div 3").as("cents"))
       .repartition(4)
       .write.mode("overwrite").parquet(srcDir.toString)
+    // The graded oracle states n_deltas = 4, which holds iff the staged
+    // feed is exactly 4 non-empty part files (Spark omits output files
+    // for empty partitions) and maxFilesPerTrigger=1 yields one batch per
+    // file. Guard the precondition loudly (round-18 ADVICE fix): a
+    // too-small fixture or a file-source batching change must fail with
+    // a diagnosis, not a confusing downstream hash mismatch.
+    val staged = Option(srcDir.toFile.listFiles()).getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("part-") && f.length() > 0)
+    require(staged == 4,
+      s"graft q_stream_lake_mor: staged feed produced $staged part files, " +
+        "but the declared lifecycle (and its oracle's n_deltas) needs " +
+        "exactly 4 — the fixture's upsert feed is too small or the " +
+        "repartition(4) write dropped empty partitions")
     val feedSchema = spark.read.parquet(srcDir.toString).schema
     val q = spark.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", "1")
