@@ -863,6 +863,145 @@ object GraphOps extends QueryPack {
     GROUP BY source
     ORDER BY custkey ASC NULLS FIRST"""
 
+  private val BetHops = 3
+  private val BetScale = 1000000L // dependency 1.0 == 10^6 (ppm)
+
+  /** K-SOURCE APPROXIMATE BETWEENNESS CENTRALITY (round 18; r17 VERDICT
+    * task 2) — Brandes' partial-dependency accumulation from the same
+    * fixed-k deterministic seed contract as [[graphCloseness]] (the 10
+    * smallest node ids; fixed k bounds the cost independent of scale),
+    * radius-bounded at [[BetHops]] — the k-source H-bounded estimator
+    * large-graph practice runs, since exact betweenness is Θ(|V|·|E|).
+    * Forward: one SHARED (source, node) BFS frontier carrying σ = the
+    * number of shortest paths (σ_k(v) = Σ_{u ∈ layer k−1, u−v} σ(u),
+    * aggregated BEFORE the seen-set anti-join so every parent
+    * contributes), per-round localCheckpoint leaves — k sources cost one
+    * synchronized BFS, not k traversals. Backward: the dependency
+    * recurrence δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)) unrolled
+    * layer by layer in the pack's SCALED-INTEGER contract — the per-edge
+    * term is `(σ_v · (10⁶ + δ_w)) div σ_w` (Spark `div` ↔ DuckDB `//`,
+    * every division integral), so the result is engine-exact where float
+    * Brandes would diverge in summation order. BFS layers are exactly
+    * the shortest-path DAG (an edge v→w with d(w) = d(v)+1 is a DAG
+    * edge, and every DAG edge within the ball has that form), so the
+    * successor join needs no extra structure. Output: every node within
+    * distance 1..H−1 of any seed with its accumulated dependency in ppm
+    * (layer-H nodes have δ = 0 by the radius bound and seeds accumulate
+    * only as non-sources, the Brandes v ≠ s convention).
+    *
+    * Int64-safe BY STRUCTURE: σ_v ≤ σ_w on any DAG edge (σ_w sums over
+    * all its parents, v included), so each term ≤ 10⁶ + δ_w and
+    * δ_k(v) ≤ deg_v · (10⁶ + max δ_{k+1}) — at H = 3 the worst product
+    * σ·(10⁶+δ) is bounded by deg²·10⁶·(1+deg), under 10¹⁶ for degrees
+    * to 10⁴ (co-purchase degrees are hundreds).
+    *
+    * Scale: the forward pass is [[graphCloseness]]'s frontier economics
+    * (|sources|·|ball| rows, never |V|²); the backward pass is one
+    * equi-join per layer between adjacent BFS levels over the memoized
+    * edge leaf — all shuffles keyed (source, node). */
+  private def graphBetweenness(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val seeds = und.select($"u".as("node")).distinct()
+      .orderBy($"node".asc).limit(10)
+    var lvl = seeds
+      .select($"node".as("source"), $"node", lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var levels = Vector(lvl)
+    for (_ <- 1 to BetHops) {
+      val seen = levels.map(_.select($"source", $"node")).reduce(_ union _)
+      lvl = lvl.select($"source", $"node".as("u"), $"sigma")
+        .join(und, Seq("u"))
+        .groupBy($"source", $"v".as("node"))
+        .agg(sum($"sigma").as("sigma"))
+        .join(seen, Seq("source", "node"), "left_anti")
+        .localCheckpoint(true)
+      levels :+= lvl
+    }
+    // Backward accumulation, layer H-1 down to 1; δ at layer H is 0.
+    var deltaNext = levels(BetHops)
+      .select($"source", $"node", lit(0L).as("delta"))
+    var acc = Vector.empty[DataFrame]
+    for (k <- (BetHops - 1) to 1 by -1) {
+      val cur = levels(k)
+      val succ = levels(k + 1)
+        .select($"source", $"node".as("w"), $"sigma".as("sigma_w"))
+        .join(deltaNext.select($"source", $"node".as("w"),
+          $"delta".as("delta_w")), Seq("source", "w"))
+      val contrib = cur
+        .join(und.select($"u".as("node"), $"v".as("w")), Seq("node"))
+        .join(succ, Seq("source", "w"))
+        .groupBy($"source", $"node")
+        .agg(sum(expr(s"(sigma * ($BetScale + delta_w)) div sigma_w"))
+          .as("delta"))
+      val deltaK = cur.select($"source", $"node")
+        .join(contrib, Seq("source", "node"), "left")
+        .select($"source", $"node", coalesce($"delta", lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      acc :+= deltaK
+      deltaNext = deltaK
+    }
+    acc.reduce(_ unionByName _)
+      .groupBy($"node")
+      .agg(sum($"delta").as("bet_ppm"))
+      .select($"node".as("custkey"), $"bet_ppm")
+      .orderBy($"custkey".asc_nulls_first)
+  }
+
+  private val graphBetweennessOracle: String = {
+    // Unrolled forward layers l1..lH with seen-set NOT EXISTS per layer,
+    // then the backward layers as contribution/left-join CTE pairs —
+    // stated in exactly the Spark evaluation order so every integral
+    // division grades bit-equal.
+    val fwd = (1 to BetHops).map { k =>
+      val seen = (0 until k).map(j =>
+        s"""NOT EXISTS (SELECT 1 FROM l$j p
+           WHERE p.source = c.source AND p.node = c.node)""").mkString(" AND ")
+      s"""l$k AS (
+      SELECT source, node, CAST(sum(sigma) AS BIGINT) AS sigma FROM (
+        SELECT l.source, e.v AS node, l.sigma
+        FROM und e JOIN l${k - 1} l ON e.u = l.node) c
+      WHERE $seen
+      GROUP BY source, node)"""
+    }.mkString(",\n    ")
+    val dH = s"""d$BetHops AS (
+      SELECT source, node, CAST(0 AS BIGINT) AS delta FROM l$BetHops)"""
+    val bwd = ((BetHops - 1) to 1 by -1).map { k =>
+      s"""c$k AS (
+      SELECT l.source, l.node,
+        CAST(sum((l.sigma * ($BetScale + d.delta)) // w.sigma) AS BIGINT)
+          AS delta
+      FROM l$k l
+      JOIN und e ON e.u = l.node
+      JOIN l${k + 1} w ON w.source = l.source AND w.node = e.v
+      JOIN d${k + 1} d ON d.source = w.source AND d.node = w.node
+      GROUP BY 1, 2),
+    d$k AS (
+      SELECT l.source, l.node,
+        CAST(coalesce(c.delta, 0) AS BIGINT) AS delta
+      FROM l$k l LEFT JOIN c$k c
+        ON c.source = l.source AND c.node = l.node)"""
+    }.mkString(",\n    ")
+    val layers = (1 until BetHops)
+      .map(k => s"SELECT * FROM d$k").mkString(" UNION ALL ")
+    s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    seeds AS (
+      SELECT node FROM (SELECT DISTINCT u AS node FROM und)
+      ORDER BY node ASC LIMIT 10),
+    l0 AS (SELECT node AS source, node, CAST(1 AS BIGINT) AS sigma
+           FROM seeds),
+    $fwd,
+    $dH,
+    $bwd
+    SELECT node AS custkey, CAST(sum(delta) AS BIGINT) AS bet_ppm
+    FROM ($layers) d
+    GROUP BY node
+    ORDER BY custkey ASC NULLS FIRST"""
+  }
+
   private val SsspCap = 12L
 
   /** BOUNDED-RADIUS WEIGHTED SHORTEST PATHS (round 13 batch 10) — the
@@ -1675,6 +1814,264 @@ object GraphOps extends QueryPack {
     ORDER BY community ASC NULLS FIRST"""
   }
 
+  private val WalkSteps = 8
+  private val WalkSeeds = 20
+  private val WalkA = 1103515245L // the suite LCG (see VectorServe planes)
+  private val WalkC = 12345L
+  private val WalkM = 2147483648L // 2^31
+
+  /** DETERMINISTIC RANDOM-WALK CORPUS for graph embeddings (round 18;
+    * r17 VERDICT task 4) — the DeepWalk/node2vec bridge between the
+    * graph pack and the vector/similarity pack: the (walk_id, step,
+    * node) sequences a skip-gram embedder would consume, emitted as a
+    * graded frame. One walk per seed (the [[WalkSeeds]] smallest node
+    * ids — the fixed-k closeness/betweenness seed contract),
+    * [[WalkSteps]] steps, RESTART discipline from [[graphPpr]]: a step
+    * returns to its seed with probability 1/5 (random-walk-with-restart,
+    * the PPR-sampling link), otherwise moves to a uniformly-chosen
+    * neighbor. All randomness is the suite's LCG — state s ← (A·s + C)
+    * mod 2³¹ seeded from the node id, restart test s mod 5 = 0, neighbor
+    * pick = rank (s mod deg)+1 in the (v ASC) row_number order of the
+    * adjacency leaf — pure integer recurrences, so DuckDB replays the
+    * walks EXACTLY via the same unrolled arithmetic (async/sampled walks
+    * are not oracle-able; LCG walks are, the pack's exactness
+    * discipline). Int64-safe: A·s < 2³¹·2³¹ · ~0.51 ≈ 2.4·10¹⁸.
+    *
+    * Scale: the walk frame is |seeds| rows — INDEPENDENT of graph size —
+    * and each step is one equi-join of that tiny frame against the
+    * memoized ranked-adjacency leaf on (u, rn) (broadcast probe side at
+    * any scale); the ranked leaf itself is the one per-node window sort,
+    * built once. At 100 TB: walks × steps is the product you choose,
+    * never a function of |E|. */
+  private def graphWalks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val adj = memoEdgeLeaf(spark, sfDir, "walkAdj")(
+      und.select($"u", $"v",
+        row_number().over(
+          Window.partitionBy($"u").orderBy($"v".asc)).as("rn")))
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+    val seeds = und.select($"u".as("node")).distinct()
+      .orderBy($"node".asc).limit(WalkSeeds)
+    var cur = seeds.select($"node".as("walk_id"), lit(0L).as("step"),
+        $"node", expr(s"($WalkA * node + $WalkC) % $WalkM").as("state"))
+      .localCheckpoint(true)
+    var all = Vector(cur)
+    for (k <- 1 to WalkSteps) {
+      val p = cur.select($"walk_id", $"node",
+          expr(s"($WalkA * state + $WalkC) % $WalkM").as("ns"))
+        .join(deg, Seq("node"))
+      // Inner join on the ranked neighbor is total (rn ∈ [1, deg] by
+      // construction); the restart CASE just ignores the picked v.
+      val stepped = p
+        .join(adj, p("node") === adj("u") &&
+          adj("rn") === (pmod($"ns", $"deg") + 1))
+        .select($"walk_id", lit(k.toLong).as("step"),
+          when(pmod($"ns", lit(5L)) === 0L, $"walk_id").otherwise($"v")
+            .as("node"),
+          $"ns".as("state"))
+        .localCheckpoint(true)
+      cur = stepped
+      all :+= stepped
+    }
+    all.map(_.select($"walk_id", $"step", $"node"))
+      .reduce(_ unionByName _)
+      .orderBy($"walk_id".asc_nulls_first, $"step".asc_nulls_first)
+  }
+
+  private val graphWalksOracle: String = {
+    val steps = (1 to WalkSteps).map { k =>
+      s"""w$k AS (
+      SELECT p.walk_id, CAST($k AS BIGINT) AS step,
+        CASE WHEN p.ns % 5 = 0 THEN p.walk_id ELSE a.v END AS node,
+        p.ns AS state
+      FROM (SELECT walk_id, node,
+              ($WalkA * state + $WalkC) % $WalkM AS ns FROM w${k - 1}) p
+      JOIN degt d ON d.node = p.node
+      JOIN adj a ON a.u = p.node AND a.rn = (p.ns % d.deg) + 1)"""
+    }.mkString(",\n    ")
+    val union = (0 to WalkSteps)
+      .map(k => s"SELECT walk_id, step, node FROM w$k")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    adj AS (SELECT u, v,
+              row_number() OVER (PARTITION BY u ORDER BY v ASC) AS rn
+            FROM und),
+    degt AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+    seeds AS (
+      SELECT node FROM (SELECT DISTINCT u AS node FROM und)
+      ORDER BY node ASC LIMIT $WalkSeeds),
+    w0 AS (SELECT node AS walk_id, CAST(0 AS BIGINT) AS step, node,
+             ($WalkA * node + $WalkC) % $WalkM AS state FROM seeds),
+    $steps
+    SELECT walk_id, step, node FROM ($union) w
+    ORDER BY walk_id ASC NULLS FIRST, step ASC NULLS FIRST"""
+  }
+
+  private val LouvainRounds = 2
+
+  /** Shared Louvain local-move phase (see [[graphLouvain]]); exposed for
+    * the Round18Spec modularity-monotonicity and ≥-LPA assertions —
+    * `rounds` lets the spec score each intermediate rung of the ascent. */
+  private[graft] def louvainLabels(spark: SparkSession, sfDir: String,
+                                   rounds: Int = LouvainRounds): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+    val vdim = und.agg(count(lit(1)).as("vol")) // = 2m, one broadcast row
+    var labels = und.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val dtot = labels.join(deg, Seq("node"))
+        .groupBy($"lbl".as("c")).agg(sum($"deg").as("dtot"))
+      // Candidate communities = every neighbor's community plus the
+      // node's own (k = 0 when no neighbor shares it); max(k) collapses
+      // the duplicate own-row, since counts are >= 0.
+      val nbr = und
+        .join(labels.select($"node".as("v"), $"lbl".as("c")), Seq("v"))
+        .groupBy($"u".as("node"), $"c").agg(count(lit(1)).as("k"))
+      val cand = nbr
+        .unionByName(labels.select($"node", $"lbl".as("c"),
+          lit(0L).as("k")))
+        .groupBy($"node", $"c").agg(max($"k").as("k"))
+      val scored = cand
+        .join(labels, Seq("node"))
+        .join(deg, Seq("node"))
+        .join(dtot, Seq("c"))
+        .crossJoin(broadcast(vdim))
+        // DOWNWARD-ONLY moves (c <= current label): the deterministic
+        // symmetry-breaker synchronous local moves need — without it two
+        // adjacent singletons SWAP labels every round (u adopts {v}, v
+        // adopts {u}: a relabeled isomorphic partition, Q unchanged
+        // forever — measured on the sf0.001 fixture: all 22 nodes moved,
+        // Q frozen at the singleton value). Gating moves toward smaller
+        // community ids means an edge's endpoints can never trade places
+        // (only the larger-labeled side may move), merges are anchored at
+        // min-ids (the propagateMinLabels discipline), and "stay" (c =
+        // lbl) is always a candidate.
+        .filter($"c" <= $"lbl")
+        .select($"node", $"c",
+          ($"vol" * $"k" - $"deg" *
+            ($"dtot" - when($"c" === $"lbl", $"deg").otherwise(lit(0L))))
+            .as("score"))
+      val w = Window.partitionBy($"node").orderBy($"score".desc, $"c".asc)
+      labels = scored.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"node", $"c".as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** LOUVAIN-STYLE COMMUNITY DETECTION by modularity ascent (round 18;
+    * r17 VERDICT task 3) — the community PRODUCER beside
+    * [[labelPropagation]] (until now the only one; [[graphModularity]]
+    * only SCORES a given partition): [[LouvainRounds]] SYNCHRONOUS
+    * local-move rounds over the co-purchase graph, each node moving to
+    * the candidate community (its neighbors' plus its own, gated
+    * DOWNWARD-ONLY — c ≤ current label — the symmetry-breaker that kills
+    * the synchronous label-swap oscillation; see [[louvainLabels]]) that
+    * maximizes the modularity gain. The gain comparison runs in EXACT
+    * integer arithmetic: with vol = 2m, moving u into community c scores
+    * score(u,c) = vol·k_{u,c} − deg_u·(Σtot(c) − [c = lbl_u]·deg_u)
+    * — the standard ΔQ numerator with u's own degree excluded from its
+    * current community's mass (comparing "stay" and "move" on equal
+    * footing), constant terms dropped since only the argmax matters.
+    * Ties break (score DESC, c ASC), so the ascent is fully
+    * deterministic — asynchronous sweep-order Louvain is not oracle-able;
+    * the synchronous fixed-round form is (the [[labelPropagation]]
+    * precedent). Labels start as node ids (every node its own
+    * community). Output: per-community size, min member, intra-edge
+    * count e_in and degree mass d_tot — the exact integer inputs of the
+    * Newman Q this partition is optimizing, so the spec can assert
+    * ascent monotonicity and Q(louvain) ≥ Q(label-prop) from the graded
+    * frame's own columns. Int64-safe: vol·k ≤ 2m·deg and deg·Σtot ≤
+    * deg·2m — both ≤ 2·10¹³ even at 10⁶ edges × 10⁴ degree.
+    *
+    * Scale: per round ONE |V|-row degree/label join (dtot), one
+    * edge-leaf equi-join + (node, c) count (the LPA shuffle), and a
+    * per-node argmax window (never global); the volume scalar rides a
+    * 1-row broadcast. Everything keys on node or community id. */
+  private def graphLouvain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val labels = louvainLabels(spark, sfDir)
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+    val edges = und.filter($"u" < $"v")
+    val ein = edges
+      .join(labels.select($"node".as("u"), $"lbl".as("cu")), Seq("u"))
+      .join(labels.select($"node".as("v"), $"lbl".as("cv")), Seq("v"))
+      .filter($"cu" === $"cv")
+      .groupBy($"cu".as("community")).agg(count(lit(1)).as("e_in"))
+    labels.join(deg, Seq("node"))
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"), min($"node").as("min_node"),
+        sum($"deg").as("d_tot"))
+      .join(ein, Seq("community"), "left")
+      .select($"community", $"n_members", $"min_node",
+        coalesce($"e_in", lit(0L)).as("e_in"), $"d_tot")
+      .orderBy($"community".asc_nulls_first)
+  }
+
+  private val graphLouvainOracle: String = {
+    val rounds = (1 to LouvainRounds).map { r =>
+      s"""dt$r AS (
+      SELECT l.lbl AS c, CAST(sum(d.deg) AS BIGINT) AS dtot
+      FROM l${r - 1} l JOIN deg d ON d.node = l.node GROUP BY 1),
+    cand$r AS (
+      SELECT node, c, CAST(max(k) AS BIGINT) AS k FROM (
+        SELECT e.u AS node, l.lbl AS c, CAST(count(*) AS BIGINT) AS k
+        FROM und e JOIN l${r - 1} l ON l.node = e.v GROUP BY 1, 2
+        UNION ALL
+        SELECT node, lbl AS c, CAST(0 AS BIGINT) FROM l${r - 1}) x
+      GROUP BY node, c),
+    sc$r AS (
+      SELECT cd.node, cd.c,
+        v.vol * cd.k - d.deg *
+          (t.dtot - CASE WHEN cd.c = l.lbl THEN d.deg ELSE 0 END) AS score
+      FROM cand$r cd
+      JOIN l${r - 1} l ON l.node = cd.node
+      JOIN deg d ON d.node = cd.node
+      JOIN dt$r t ON t.c = cd.c
+      CROSS JOIN vol v
+      WHERE cd.c <= l.lbl),
+    l$r AS (
+      SELECT node, c AS lbl FROM (
+        SELECT node, c, row_number() OVER
+          (PARTITION BY node ORDER BY score DESC, c ASC) AS rn
+        FROM sc$r) z WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+    vol AS (SELECT count(*) AS vol FROM und),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+    $rounds,
+    ein AS (
+      SELECT lu.lbl AS community, count(*) AS e_in
+      FROM edges e
+      JOIN l$LouvainRounds lu ON lu.node = e.a
+      JOIN l$LouvainRounds lv ON lv.node = e.b
+      WHERE lu.lbl = lv.lbl GROUP BY 1),
+    base AS (
+      SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+        min(l.node) AS min_node, CAST(sum(d.deg) AS BIGINT) AS d_tot
+      FROM l$LouvainRounds l JOIN deg d ON d.node = l.node GROUP BY 1)
+    SELECT b.community, b.n_members, b.min_node,
+      CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, b.d_tot
+    FROM base b LEFT JOIN ein e ON e.community = b.community
+    ORDER BY b.community ASC NULLS FIRST"""
+  }
+
   /** RESOURCE-ALLOCATION link prediction (added round 12 batch 6) — the
     * Zhou–Lü–Zhang RA index next to the common-neighbor/Jaccard scores:
     * score(a,b) = Σ over shared neighbors z of 1/deg(z), down-weighting
@@ -1998,6 +2395,8 @@ object GraphOps extends QueryPack {
       Some(eigencentralityOracle)),
     Q("q_graph_label_propagation", labelPropagation,
       Some(labelPropagationOracle)),
+    Q("q_graph_louvain", graphLouvain, Some(graphLouvainOracle)),
+    Q("q_graph_walks", graphWalks, Some(graphWalksOracle)),
     Q("q_graph_link_ra", linkRa, Some(linkRaOracle)),
     Q("q_graph_modularity", graphModularity, Some(graphModularityOracle)),
     Q("q_split_group_aware", splitGroupAware, Some(splitGroupAwareOracle)),
@@ -2019,6 +2418,7 @@ object GraphOps extends QueryPack {
     Q("q_graph_pagerank", pagerank, Some(pagerankOracle)),
     Q("q_graph_ppr", graphPpr, Some(graphPprOracle)),
     Q("q_graph_closeness", graphCloseness, Some(graphClosenessOracle)),
+    Q("q_graph_betweenness", graphBetweenness, Some(graphBetweennessOracle)),
     Q("q_graph_hits", graphHits, Some(graphHitsOracle)),
     Q("q_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     Q("q_dedup_survivor", dedupSurvivor, Some(dedupSurvivorOracle)),

