@@ -103,7 +103,8 @@ object LakeOps extends QueryPack {
       path: String, dv: Option[String],
       minKey: Option[Long], maxKey: Option[Long],
       colZones: Map[String, (Long, Long)] = Map.empty,
-      rows: Option[Long] = None)
+      rows: Option[Long] = None,
+      bloom: Option[String] = None)
 
   /** STRICT action grammar (round 15; VERDICT r14 task 7): every log line
     * must fully match one known action shape — a malformed or unknown
@@ -113,18 +114,21 @@ object LakeOps extends QueryPack {
     * table). Grammar: `{"v":N,"op":OP,"path":P[,"dv":D][,"min":M,"max":X]}`
     * with OP ∈ {add, remove, dv, vacuum, conflict, delta, edelete}; `dv` is required on
     * and exclusive to `dv` actions; zone stats (single-key `min`/`max`,
-    * the multi-column `zones` map, and the `rows` count) are exclusive
-    * to `add`. */
+    * the multi-column `zones` map, the `rows` count, and the round-18
+    * `bloom` hex bitmap — a per-file split-block Bloom filter over the
+    * key column, [[BloomBits]] bits as [[BloomWords]] zero-padded
+    * 16-hex-digit little-endian words) are exclusive to `add`. */
   private val actionRe =
     ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta|edelete)","path":"(\w+)"""" +
       """(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?""" +
-      """(?:,"zones":\{([^{}]*)\})?(?:,"rows":(\d+))?\}$""").r
+      """(?:,"zones":\{([^{}]*)\})?(?:,"rows":(\d+))?""" +
+      """(?:,"bloom":"([0-9a-f]+)")?\}$""").r
   private val zoneEntryRe = """"(\w+)":\[(-?\d+),(-?\d+)\]""".r
   private val zonesInnerRe =
     """"\w+":\[-?\d+,-?\d+\](?:,"\w+":\[-?\d+,-?\d+\])*""".r
 
   private[graft] def parseAction(line: String): LakeAction = line match {
-    case actionRe(v, op, path, dv, mn, mx, zs, rw) =>
+    case actionRe(v, op, path, dv, mn, mx, zs, rw, bl) =>
       val cz = Option(zs).map { inner =>
         if (!zonesInnerRe.pattern.matcher(inner).matches())
           throw new IllegalArgumentException(
@@ -134,14 +138,20 @@ object LakeOps extends QueryPack {
       }.getOrElse(Map.empty[String, (Long, Long)])
       val a = LakeAction(v.toInt, op, path, Option(dv),
         Option(mn).map(_.toLong), Option(mx).map(_.toLong), cz,
-        Option(rw).map(_.toLong))
+        Option(rw).map(_.toLong), Option(bl))
       if ((a.op == "dv") != a.dv.isDefined)
         throw new IllegalArgumentException(
           s"graft lake: 'dv' field is required on and exclusive to dv actions: $line")
-      if ((a.minKey.isDefined || a.colZones.nonEmpty || a.rows.isDefined)
-          && a.op != "add")
+      if ((a.minKey.isDefined || a.colZones.nonEmpty || a.rows.isDefined
+          || a.bloom.isDefined) && a.op != "add")
         throw new IllegalArgumentException(
           s"graft lake: zone stats are only legal on add actions: $line")
+      // A truncated bitmap would silently widen every word-index lookup
+      // to bit 0 — length-check at parse, the strict-grammar discipline.
+      a.bloom.foreach(b => if (b.length != BloomWords * 16)
+        throw new IllegalArgumentException(
+          s"graft lake: bloom bitmap must be ${BloomWords * 16} hex chars " +
+            s"(${b.length} found): $line"))
       a
     case _ =>
       throw new IllegalArgumentException(
@@ -164,7 +174,8 @@ object LakeOps extends QueryPack {
       colZones: Map[String, Map[String, (Long, Long)]] = Map.empty,
       rowCounts: Map[String, Long] = Map.empty,
       deltas: Seq[(String, String)] = Nil,
-      everAdded: Seq[String] = Nil)
+      everAdded: Seq[String] = Nil,
+      blooms: Map[String, String] = Map.empty)
 
   private val emptyState = LakeState(Nil, Map.empty, Map.empty)
 
@@ -196,6 +207,8 @@ object LakeOps extends QueryPack {
     deltas ++= start.deltas
     val ever = scala.collection.mutable.LinkedHashSet.empty[String]
     ever ++= start.everAdded
+    val blooms = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    blooms ++= start.blooms
     acts.foreach { a =>
       a.op match {
         case "add" =>
@@ -203,11 +216,12 @@ object LakeOps extends QueryPack {
           for (mn <- a.minKey; mx <- a.maxKey) zones(a.path) = (mn, mx)
           if (a.colZones.nonEmpty) colZones(a.path) = a.colZones
           for (r <- a.rows) rowCounts(a.path) = r
+          for (b <- a.bloom) blooms(a.path) = b
         case "remove" =>
           // The file stays ON DISK (restore depends on that), so it stays
           // a valid schema source in `everAdded` until a vacuum deletes it.
           live -= a.path; dvs -= a.path; zones -= a.path; colZones -= a.path
-          rowCounts -= a.path
+          rowCounts -= a.path; blooms -= a.path
           deltas --= deltas.filter(_._2 == a.path)
         case "dv" =>
           dvs(a.path) = dvs.getOrElse(a.path, Vector.empty) :+ a.dv.get
@@ -219,7 +233,7 @@ object LakeOps extends QueryPack {
       }
     }
     LakeState(live.toSeq, dvs.toMap, zones.toMap, colZones.toMap,
-      rowCounts.toMap, deltas.toSeq, ever.toSeq)
+      rowCounts.toMap, deltas.toSeq, ever.toSeq, blooms.toMap)
   }
 
   /** Replay the commit log to version `v` → live data files plus the
@@ -1310,10 +1324,11 @@ object LakeOps extends QueryPack {
     val lines = st.live.map { p =>
       val zf = zonesField(st.colZones.getOrElse(p, Map.empty))
       val rf = st.rowCounts.get(p).map(r => s""","rows":$r""").getOrElse("")
+      val bf = st.blooms.get(p).map(b => s""","bloom":"$b"""").getOrElse("")
       st.zones.get(p) match {
         case Some((mn, mx)) =>
-          s"""{"v":$v,"op":"add","path":"$p","min":$mn,"max":$mx$zf$rf}"""
-        case None => s"""{"v":$v,"op":"add","path":"$p"$zf$rf}"""
+          s"""{"v":$v,"op":"add","path":"$p","min":$mn,"max":$mx$zf$rf$bf}"""
+        case None => s"""{"v":$v,"op":"add","path":"$p"$zf$rf$bf}"""
       }
     } ++ st.live.flatMap(p => st.dvs.getOrElse(p, Nil).map(d =>
       s"""{"v":$v,"op":"dv","path":"$p","dv":"$d"}"""))  ++
@@ -1648,6 +1663,203 @@ object LakeOps extends QueryPack {
     val st = fullState(base, 8)
     (multiZonePlan(st, Map("o_orderkey" -> (Long.MinValue, hi),
       "o_custkey" -> (clo, Long.MaxValue))), st.live.size)
+  }
+
+  /** BLOOM-FILTER FILE SKIPPING (round 18; r17 VERDICT task 1) — the
+    * missing quadrant of the data-skipping matrix: zonemaps (single and
+    * multi-column), stats-only reads and clustering all prune by RANGE,
+    * so a point lookup on a key the table is NOT clustered by reads
+    * every live file — exactly the MERGE/upsert probe workload the MoR
+    * tables serve. Each add action now may carry a per-file split-block
+    * BLOOM bitmap over the key column ([[BloomBits]] bits, k =
+    * [[BloomHashes]].size affine hashes over the prime [[BloomP]] — the
+    * q_feat_hash_bucket integer-LCG discipline, engine-identical
+    * arithmetic), hex-encoded in the same strict grammar; the read path
+    * drops a file when EVERY probe key has at least one unset bit
+    * (negative membership is definitive; positives may be false — the
+    * planner tests the PARSED BITMAP, so false positives surface
+    * naturally and the oracle reproduces them exactly via the
+    * all-k-positions-occupied EXISTS formulation, never by parsing hex).
+    * The scratch: 8 RESIDUE slices of the urgent orders (key mod 8), so
+    * every file's key RANGE spans the whole table — the adds carry their
+    * true min/max to PROVE zone pruning is useless for this layout
+    * (spec-asserted) — and the graded read probes 3 MID-DOMAIN urgent
+    * keys (the smallest at or above half the slice max, inside every
+    * file's zone), planning only files whose blooms answer "maybe".
+    *
+    * Scale: the bitmap is built by ONE word-level bit_or aggregation
+    * (≤ files × [[BloomWords]] bounded result rows — never a per-key
+    * collect), costs [[BloomWords]]·8 bytes per file in the log
+    * (4 KiB — the split-block budget real formats spend per row group),
+    * and planning is O(live files × k × probes) catalog arithmetic with
+    * no scan. */
+  private val BloomBits = 32768L
+  private val BloomWords = 512 // BloomBits / 64
+  private val BloomP = 2147483647L // 2^31 - 1, prime
+  private val BloomHashes = Seq((1103515245L, 12345L), (69069L, 362437L))
+  private val BloomFiles = 8
+  private val BloomProbesN = 3
+
+  private def bloomHashSql(col: String, a: Long, c: Long): String =
+    s"((($col % $BloomP) * $a + $c) % $BloomP) % $BloomBits"
+
+  private def bloomHash(x: Long, a: Long, c: Long): Long =
+    (((x % BloomP) * a + c) % BloomP) % BloomBits
+
+  /** Membership against the hex bitmap (the planner's read path): true
+    * iff every hash position's bit is set. */
+  private[graft] def bloomMightContain(hex: String, key: Long): Boolean =
+    BloomHashes.forall { case (a, c) =>
+      val pos = bloomHash(key, a, c)
+      val w = (pos / 64L).toInt
+      val word =
+        java.lang.Long.parseUnsignedLong(hex.substring(w * 16, w * 16 + 16), 16)
+      ((word >>> (pos % 64L).toInt) & 1L) == 1L
+    }
+
+  private val bloomBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bloomTableDir(spark: SparkSession, sfDir: String): String =
+    bloomBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_bloom_").toString
+        val slice = Catalog.load(spark, sfDir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+        val fcol = pmod($"o_orderkey", lit(BloomFiles.toLong))
+        // ONE word-level aggregation job builds every file's bitmap: the
+        // per-row hash positions OR into (file, word) cells, so the
+        // driver receives ≤ files x BloomWords bounded rows, never keys.
+        val hcols = BloomHashes.map { case (a, c) =>
+          expr(bloomHashSql("o_orderkey", a, c)) }
+        val words = slice
+          .select(fcol.as("f"), explode(array(hcols: _*)).as("pos"))
+          .select($"f", expr("pos div 64").as("w"),
+            expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
+              .as("b"))
+          .groupBy($"f", $"w").agg(expr("bit_or(b)").as("bits"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        val zonesB = slice.groupBy(fcol.as("f"))
+          .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"),
+            count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+            r.getLong(3)))).toMap
+        // Probes sit MID-DOMAIN (the 3 smallest urgent keys at or above
+        // half the slice max): every residue file's [min, max] zone
+        // contains them — probes at the domain edge would let range
+        // pruning win by accident and void the operator's whole point
+        // (measured: the 3 global-smallest keys zone-pruned 5 of 8).
+        val maxk = slice.agg(max($"o_orderkey")).first().getLong(0)
+        val probes = slice.filter($"o_orderkey" >= maxk / 2)
+          .orderBy($"o_orderkey".asc).limit(BloomProbesN)
+          .select($"o_orderkey").collect().map(_.getLong(0))
+        val log = (0 until BloomFiles).map { i =>
+          slice.filter(fcol === i.toLong).write.parquet(s"$base/file_$i")
+          val (mn, mx, n) = zonesB.getOrElse(i.toLong,
+            throw new IllegalArgumentException(
+              s"graft lake: empty bloom residue slice $i — the scratch " +
+                "builder assumes every residue class is populated"))
+          val hex = (0 until BloomWords).map(w =>
+            f"${words.getOrElse((i.toLong, w.toLong), 0L)}%016x").mkString
+          s"""{"v":${i + 1},"op":"add","path":"file_$i","min":$mn""" +
+            s""","max":$mx,"rows":$n,"bloom":"$hex"}"""
+        }
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        Files.write(Paths.get(base, "_meta_probes"),
+          probes.mkString(",").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  private def bloomProbes(base: String): Seq[Long] =
+    new String(Files.readAllBytes(Paths.get(base, "_meta_probes")),
+      StandardCharsets.UTF_8).split(",").toSeq.map(_.toLong)
+
+  /** Spec hooks: the planned set under the probe lookup (a file lacking
+    * a bloom can never be pruned — plan it, the zonemap convention),
+    * plus the live count and the probe keys. */
+  private[graft] def bloomPlannedFiles(spark: SparkSession,
+      sfDir: String): (Seq[String], Int, Seq[Long]) = {
+    val base = bloomTableDir(spark, sfDir)
+    val st = fullState(base, BloomFiles)
+    val probes = bloomProbes(base)
+    val planned = st.live.filter { p =>
+      st.blooms.get(p).forall(hex =>
+        probes.exists(k => bloomMightContain(hex, k)))
+    }
+    (planned, st.live.size, probes)
+  }
+
+  /** Spec hook: the UNPRUNED probe read (all live files, same filter). */
+  private[graft] def bloomUnpruned(spark: SparkSession,
+                                   sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = bloomTableDir(spark, sfDir)
+    val st = fullState(base, BloomFiles)
+    readState(spark, base, st.live, st.dvs, schemaFiles = st.everAdded)
+      .filter($"o_orderkey".isin(bloomProbes(base): _*))
+  }
+
+  /** Spec hook: the per-file single-key zones of the bloom table — every
+    * residue file's range spans ~the whole key domain, so range pruning
+    * cannot drop a file for any in-domain point lookup. */
+  private[graft] def bloomZones(spark: SparkSession,
+      sfDir: String): Map[String, (Long, Long)] =
+    fullState(bloomTableDir(spark, sfDir), BloomFiles).zones
+
+  private def lakeBloomSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = bloomTableDir(spark, sfDir)
+    val st = fullState(base, BloomFiles)
+    val (planned, nLive, probes) = bloomPlannedFiles(spark, sfDir)
+    readState(spark, base, planned, st.dvs, schemaFiles = st.everAdded)
+      .filter($"o_orderkey".isin(probes: _*))
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").cast("long").as("key_sum"))
+      .select(lit(nLive.toLong).as("n_files_live"),
+        lit(planned.size.toLong).as("n_files_planned"),
+        $"n_rows", $"key_sum")
+      .orderBy($"n_files_live".asc_nulls_first)
+  }
+
+  /** The oracle restates bloom membership EXACTLY: file f is planned iff
+    * some probe has, for EVERY hash j, a slice row in f occupying the
+    * probe's position j — which is precisely "all k bits set", false
+    * positives included (a row pair covering the probe's two positions
+    * plans the file even when the probe key is absent). */
+  private val lakeBloomSkipOracle: String = {
+    val handP = BloomHashes.map { case (a, c) =>
+      (bloomHashSql("s.o_orderkey", a, c), bloomHashSql("pr.p", a, c))
+    }
+    val exists = handP.map { case (hs, hp) =>
+      s"""EXISTS (SELECT 1 FROM slice s
+           WHERE s.o_orderkey % $BloomFiles = f.f AND $hs = $hp)"""
+    }.mkString("\n        AND ")
+    s"""
+    WITH slice AS (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    probes AS (
+      SELECT o_orderkey AS p FROM slice
+      WHERE o_orderkey >= (SELECT max(o_orderkey) FROM slice) // 2
+      ORDER BY o_orderkey LIMIT $BloomProbesN),
+    files AS (SELECT CAST(range AS BIGINT) AS f FROM range($BloomFiles)),
+    planned AS (
+      SELECT f.f FROM files f WHERE EXISTS (
+        SELECT 1 FROM probes pr
+        WHERE $exists))
+    SELECT CAST($BloomFiles AS BIGINT) AS n_files_live,
+      (SELECT CAST(count(*) AS BIGINT) FROM planned) AS n_files_planned,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM slice
+    WHERE o_orderkey % $BloomFiles IN (SELECT f FROM planned)
+      AND o_orderkey IN (SELECT p FROM probes)
+    ORDER BY n_files_live ASC NULLS FIRST"""
   }
 
   /** POSITIONAL DELETION VECTORS (round 16; r15 VERDICT task 7) — the DV
@@ -2218,6 +2430,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_checkpoint", lakeCheckpoint, Some(lakeCheckpointOracle)),
     Q("q_lake_zonemap", lakeZonemap, Some(lakeZonemapOracle)),
     Q("q_lake_zonemap_multi", lakeZonemapMulti, Some(lakeZonemapMultiOracle)),
+    Q("q_lake_bloom_skip", lakeBloomSkip, Some(lakeBloomSkipOracle)),
     Q("q_lake_dv_positional", lakeDvPositional, Some(lakeDvPositionalOracle)),
     Q("q_lake_cluster", lakeCluster, Some(lakeClusterOracle)),
   )

@@ -151,6 +151,72 @@ class Round18Spec extends SparkTestBase {
     assert(got == expect)
   }
 
+  // ---- q_lake_bloom_skip (VERDICT r17 task 1) ----
+
+  test("bloom skip: pruned read ≡ unpruned read (row identity)") {
+    val (planned, nLive, probes) =
+      operators.LakeOps.bloomPlannedFiles(spark, sf0001)
+    assert(nLive == 8 && probes.size == 3)
+    val unpruned = operators.LakeOps.bloomUnpruned(spark, sf0001)
+      .select($"o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(unpruned == probes.sorted, "the probe read must hit every probe key")
+    val graded = SparkEntry.queries("q_lake_bloom_skip")(spark, sf0001)
+      .collect().head
+    assert(graded.getLong(2) == probes.size.toLong &&
+      graded.getLong(3) == probes.sum,
+      "pruning dropped probe rows — a false NEGATIVE, which blooms forbid")
+  }
+
+  test("bloom skip: planner equals the independent membership predicate; zones cannot prune") {
+    val (planned, _, probes) =
+      operators.LakeOps.bloomPlannedFiles(spark, sf0001)
+    // Independent membership: re-derive each file's occupied positions
+    // from the RAW key sets (never the hex bitmaps the planner parses) —
+    // a bitmap encode/decode bug on either side breaks the equality.
+    val slice = Catalog.load(spark, sf0001, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey").collect().map(_.getLong(0))
+    val P = 2147483647L
+    val hashes = Seq((1103515245L, 12345L), (69069L, 362437L))
+    def pos(x: Long, h: (Long, Long)) = (((x % P) * h._1 + h._2) % P) % 32768L
+    val byFile = slice.groupBy(_ % 8)
+    val expectPlanned = (0 until 8).filter { f =>
+      val keys = byFile.getOrElse(f.toLong, Array.empty[Long])
+      val occupied = hashes.map(h => keys.map(pos(_, h)).toSet)
+      probes.exists(p => hashes.zip(occupied)
+        .forall { case (h, occ) => occ.contains(pos(p, h)) })
+    }.map(f => s"file_$f")
+    assert(planned.sorted == expectPlanned.sorted,
+      s"planner ${planned.sorted} != membership ${expectPlanned.sorted}")
+    // The layout defeats range pruning by construction: every residue
+    // file's zone contains every probe, so a zonemap planner keeps all 8.
+    val zones = operators.LakeOps.bloomZones(spark, sf0001)
+    assert(zones.size == 8)
+    probes.foreach(p => zones.values.foreach { case (mn, mx) =>
+      assert(mn <= p || p <= mx) })
+    val zonePlanned = zones.count { case (_, (mn, mx)) =>
+      probes.exists(p => mn <= p && p <= mx) }
+    assert(zonePlanned > planned.size,
+      "the bloom must out-prune the zonemap on this layout")
+  }
+
+  test("bloom grammar: length-checked, add-exclusive, checkpoint-grade strict") {
+    val hex = "ab" * (512 * 8) // 8192 chars = 512 words x 16
+    val a = operators.LakeOps.parseAction(
+      s"""{"v":3,"op":"add","path":"f1","min":0,"max":9,"rows":4,"bloom":"$hex"}""")
+    assert(a.bloom.contains(hex))
+    val short = intercept[IllegalArgumentException] {
+      operators.LakeOps.parseAction(
+        """{"v":3,"op":"add","path":"f1","bloom":"abcd"}""")
+    }
+    assert(short.getMessage.contains("hex chars"))
+    val onRemove = intercept[IllegalArgumentException] {
+      operators.LakeOps.parseAction(
+        s"""{"v":3,"op":"remove","path":"f1","bloom":"$hex"}""")
+    }
+    assert(onRemove.getMessage.contains("only legal on add"))
+  }
+
   // ---- dtw band guard (r17 ADVICE fix) ----
 
   test("dtw: band = max(n,m)-1 (the silent full-DTW case) now refuses") {
