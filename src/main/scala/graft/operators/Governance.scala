@@ -665,7 +665,78 @@ object Governance extends QueryPack {
     WHERE c_custkey % 97 = 0
     ORDER BY c_custkey ASC"""
 
+  /** DIFFERENTIALLY-PRIVATE ROLLUP EXPORT (round 18; r17 VERDICT task 5)
+    * — the noisy-aggregate surface the governance pack lacked beside
+    * k-anonymity/l-diversity/t-closeness/masking: per-priority order
+    * counts released under a DISCRETE LAPLACE (two-sided geometric)
+    * mechanism with ratio α = 1/2, i.e. ε = ln 2 per count — and since
+    * the groups partition the rows, parallel composition keeps the whole
+    * release at ε = ln 2. The noise is drawn by INVERSE-CDF over exact
+    * integer weights W(k) = 2^(B−|k|), k ∈ [−B, B], B = [[DpB]] (total
+    * mass [[DpTotal]]; truncation beyond ±B contributes δ < 2^−(B−1),
+    * making the release (ln 2, 2^−15)-DP), from the suite LCG seeded by
+    * the GROUP KEY's leading digit — deterministic given the seed, so
+    * the oracle replays the noise EXACTLY (a production export would
+    * draw the seed from a secret; determinism here is the pack's
+    * oracle-exactness discipline, not a DP requirement). The inverse-CDF
+    * is ONE literal CASE expression generated from the weights and
+    * embedded as the SAME SQL text in both engines — zero parity risk.
+    * The graded frame carries n_true and noise beside n_noisy as grading
+    * instrumentation; the production export is the n_noisy column alone.
+    *
+    * Scale: one map-side-combined count per group + O(groups) scalar
+    * arithmetic; the mechanism adds nothing data-sized. */
+  private val DpB = 16
+  private val dpWeights: Seq[(Int, Long)] =
+    (-DpB to DpB).map(k => k -> (1L << (DpB - math.abs(k))))
+  private val DpTotal = dpWeights.map(_._2).sum // 196606
+  private val dpCaseSql: String = {
+    val cums = dpWeights.map(_._2).scanLeft(0L)(_ + _).tail
+    val branches = dpWeights.map(_._1).zip(cums).dropRight(1)
+      .map { case (k, c) => s"WHEN u < $c THEN $k" }
+    s"CASE ${branches.mkString(" ")} ELSE $DpB END"
+  }
+
+  /** In-memory twin of the LCG + inverse-CDF draw, for the spec. */
+  private[graft] def dpNoiseOf(seed: Long): Long = {
+    val u = ((1103515245L * seed + 12345L) % 2147483648L) % DpTotal
+    val cums = dpWeights.map(_._2).scanLeft(0L)(_ + _).tail
+    dpWeights.map(_._1).zip(cums).collectFirst {
+      case (k, c) if u < c => k.toLong
+    }.getOrElse(DpB.toLong)
+  }
+
+  private def gdprDpRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("n_true"))
+      .select($"priority", $"n_true",
+        expr("((1103515245 * CAST(substring(priority, 1, 1) AS BIGINT) " +
+          s"+ 12345) % 2147483648) % $DpTotal").as("u"))
+      .select($"priority", $"n_true",
+        expr(s"CAST($dpCaseSql AS BIGINT)").as("noise"))
+      .withColumn("n_noisy", $"n_true" + $"noise")
+      .orderBy($"priority".asc_nulls_first)
+  }
+
+  private val gdprDpRollupOracle = s"""
+    WITH agg AS (
+      SELECT o_orderpriority AS priority, count(*) AS n_true
+      FROM orders GROUP BY 1),
+    seeded AS (
+      SELECT priority, n_true,
+        ((1103515245 * CAST(substring(priority, 1, 1) AS BIGINT)
+          + 12345) % 2147483648) % $DpTotal AS u
+      FROM agg)
+    SELECT priority, CAST(n_true AS BIGINT) AS n_true,
+      CAST($dpCaseSql AS BIGINT) AS noise,
+      CAST(n_true + CAST($dpCaseSql AS BIGINT) AS BIGINT) AS n_noisy
+    FROM seeded
+    ORDER BY priority ASC NULLS FIRST"""
+
   override val queries: Vector[Q] = Vector(
+    Q("q_gdpr_dp_rollup", gdprDpRollup, Some(gdprDpRollupOracle)),
     Q("q_pii_tokenize", piiTokenize, Some(piiTokenizeOracle)),
     Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedOracle)),
     Q("q_pii_tcloseness", piiTcloseness, Some(piiTclosenessOracle)),

@@ -584,6 +584,110 @@ object TimeSeries extends QueryPack {
     FROM l WHERE fcst_snaive IS NOT NULL
     ORDER BY day ASC NULLS FIRST"""
 
+  private val BacktestHorizons = Seq(1, 3)
+
+  /** ROLLING-ORIGIN FORECAST BACKTEST (round 18; r17 VERDICT task 6) —
+    * the out-of-sample scoring the TS pack's forecasters (Holt,
+    * Holt-Winters, snaive) never received: over the daily revenue series
+    * in INTEGER CENTS, every day t with a full warmup becomes a backtest
+    * target forecast from origin t−h for horizons h ∈
+    * [[BacktestHorizons]], by three models using ONLY data ≤ the origin —
+    * naive (ŷ = y_{t−h}), seasonal-naive (ŷ = y_{t−7}; h ≤ 7 keeps it
+    * origin-legal), and drift (ŷ = y_{t−h} + h·slope, slope = the
+    * origin's mean historical step (y_{t−h} − y₁)/(idx_{t−h} − 1),
+    * integral `div`) — scored as MAE in cents and MAPE in ppm
+    * ((err·10⁶) div y_t, then the mean as an integral div), ALL-INTEGER
+    * end to end so both engines grade bit-equal with no rounding
+    * contract. The uniform warmup idx > 7 + h puts every model on the
+    * SAME origin set per horizon (the backtest convention). Output: one
+    * row per (model, horizon) — 6 rows.
+    *
+    * Scale: one raw-row pass (the daily pre-aggregation), then windows
+    * and the 6-way scoring run over the BOUNDED |days| series (the
+    * documented global-series exception, see q_ts_decompose); the
+    * stacked struct-explode scores all 6 cells in ONE pass over it. */
+  private def tsBacktest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Catalog.load(spark, sfDir, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("cents"))
+    val w = Window.orderBy($"day".asc)
+    val feat = daily.select($"cents",
+      row_number().over(w).as("idx"),
+      lag($"cents", 1).over(w).as("l1"),
+      lag($"cents", 3).over(w).as("l3"),
+      lag($"cents", 7).over(w).as("l7"),
+      first($"cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("y0"))
+    val cells = BacktestHorizons.flatMap { h =>
+      Seq(
+        ("naive", expr(s"l$h")),
+        ("snaive", expr("l7")),
+        // The warmup guard lives INSIDE the expression: the struct array
+        // evaluates for every row before the validity filter, and ANSI
+        // mode makes the idx = h+1 zero denominator an eager error.
+        ("drift", expr(s"if(idx > 7 + $h, " +
+          s"l$h + ($h * (l$h - y0)) div (idx - $h - 1), " +
+          "cast(null as bigint))"))
+      ).map { case (m, f) =>
+        struct(lit(m).as("model"), lit(h.toLong).as("horizon"),
+          f.as("fc"), ($"idx" > 7 + h).as("valid"))
+      }
+    }
+    feat.select($"cents", explode(array(cells: _*)).as("e"))
+      .filter($"e.valid")
+      .select($"e.model".as("model"), $"e.horizon".as("horizon"),
+        abs($"cents" - $"e.fc").as("err"),
+        expr("(abs(cents - e.fc) * 1000000) div cents").as("ape_ppm"))
+      .groupBy($"model", $"horizon")
+      .agg(count(lit(1)).as("n_origins"), sum($"err").as("se"),
+        sum($"ape_ppm").as("sa"))
+      .select($"model", $"horizon", $"n_origins",
+        expr("se div n_origins").as("mae_cents"),
+        expr("sa div n_origins").as("mape_ppm"))
+      .orderBy($"model".asc_nulls_first, $"horizon".asc_nulls_first)
+  }
+
+  private val tsBacktestOracle: String = {
+    val cells = BacktestHorizons.flatMap { h =>
+      Seq(
+        ("naive", s"l$h"),
+        ("snaive", "l7"),
+        ("drift", s"l$h + ($h * (l$h - y0)) // (idx - $h - 1)"))
+        .map { case (m, f) =>
+          s"""SELECT '$m' AS model, CAST($h AS BIGINT) AS horizon,
+            cents, $f AS fc FROM feat WHERE idx > 7 + $h"""
+        }
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+          AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    feat AS (
+      SELECT cents,
+        row_number() OVER (ORDER BY day ASC) AS idx,
+        lag(cents, 1) OVER (ORDER BY day ASC) AS l1,
+        lag(cents, 3) OVER (ORDER BY day ASC) AS l3,
+        lag(cents, 7) OVER (ORDER BY day ASC) AS l7,
+        first_value(cents) OVER (ORDER BY day ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0
+      FROM daily),
+    scored AS (
+      $cells)
+    SELECT model, horizon, CAST(count(*) AS BIGINT) AS n_origins,
+      CAST(CAST(sum(abs(cents - fc)) AS BIGINT) // count(*) AS BIGINT)
+        AS mae_cents,
+      CAST(CAST(sum((abs(cents - fc) * 1000000) // cents) AS BIGINT)
+        // count(*) AS BIGINT) AS mape_ppm
+    FROM scored
+    GROUP BY model, horizon
+    ORDER BY model ASC NULLS FIRST, horizon ASC NULLS FIRST"""
+  }
+
   /** Interval-UNION coverage (added round 10 close): each event claims
     * [ts, ts + 15 min); per user, the union's total covered time, merged
     * block count, and longest block — the sweep-line primitive under SLA
@@ -1789,6 +1893,7 @@ object TimeSeries extends QueryPack {
     Q("q_ts_changepoint", tsChangepoint, Some(tsChangepointOracle)),
     Q("q_ts_gapfill", gapfill, Some(gapfillOracle)),
     Q("q_ts_forecast_snaive", tsForecastSnaive, Some(tsForecastSnaiveOracle)),
+    Q("q_ts_backtest", tsBacktest, Some(tsBacktestOracle)),
     Q("q_win_interval_union", winIntervalUnion, Some(winIntervalUnionOracle)),
     Q("q_ts_decompose", tsDecompose, Some(tsDecomposeOracle)),
     Q("q_ts_downsample_ohlc", downsampleOhlc, Some(downsampleOhlcOracle)),

@@ -217,6 +217,56 @@ class Round18Spec extends SparkTestBase {
     assert(onRemove.getMessage.contains("only legal on add"))
   }
 
+  // ---- q_gdpr_dp_rollup (VERDICT r17 task 5) ----
+
+  test("dp rollup: noise is the seeded discrete Laplace draw, bounded, and additive") {
+    val rows = SparkEntry.queries("q_gdpr_dp_rollup")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (prio, nTrue, noise, nNoisy) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(noise >= -16 && noise <= 16, s"$prio noise $noise out of ±16")
+      assert(nNoisy == nTrue + noise)
+      val seed = prio.substring(0, 1).toLong
+      assert(noise == operators.Governance.dpNoiseOf(seed),
+        s"$prio noise $noise != in-memory inverse-CDF draw")
+    }
+    // ε-accounting pin: total inverse-CDF mass for α = 1/2, B = 16 —
+    // 2^16 + 2·(2^16 − 1); a drifted weight table changes every draw.
+    assert((-16 to 16).map(k => 1L << (16 - math.abs(k))).sum == 196606L)
+  }
+
+  // ---- q_ts_backtest (VERDICT r17 task 6) ----
+
+  test("backtest: engine equals the in-memory rolling-origin scorer") {
+    val daily = Catalog.load(spark, sf0001, "orders")
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+        .as("cents"))
+      .orderBy($"day".asc)
+      .collect().map(_.getLong(1))
+    val expect = (for {
+      h <- Seq(1, 3)
+      (m, f) <- Seq[(String, Int => Long)](
+        ("naive", t => daily(t - h)),
+        ("snaive", t => daily(t - 7)),
+        ("drift", t => daily(t - h) +
+          (h * (daily(t - h) - daily(0))) / (t - h) /* idx-h-1 = (t+1)-h-1 */))
+    } yield {
+      val ts = (7 + h) until daily.length // idx > 7+h, idx = t+1
+      val errs = ts.map(t => math.abs(daily(t) - f(t)))
+      val apes = ts.zip(errs).map { case (t, e) => e * 1000000L / daily(t) }
+      (m, h.toLong, ts.size.toLong, errs.sum / ts.size, apes.sum / ts.size)
+    }).sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q_ts_backtest")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+    // Same origin set for every model within a horizon.
+    got.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.size == 1) }
+  }
+
   // ---- dtw band guard (r17 ADVICE fix) ----
 
   test("dtw: band = max(n,m)-1 (the silent full-DTW case) now refuses") {
