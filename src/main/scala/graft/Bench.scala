@@ -132,11 +132,11 @@ object Bench {
         // 4.27/1.42) — first-use whole-stage-codegen of a deep window /
         // sorted-neighborhood spine is a JVM cost, not a plan cost.
         "q_survival_km", "q_er_sorted_neighborhood",
-        // Round-18: the bloom table scratch (8 residue slices + word-level
-        // bitmap aggregation + log) is written once per (app, sfDir); the
-        // timed pass measures the bloom-planned probe read, the declared
-        // steady state.
-        "q_lake_bloom_skip"))
+        // Round-18: the bloom table and MoR-probe scratches (residue
+        // slices + word-level bitmap aggregations + layer files + logs)
+        // are written once per (app, sfDir); the timed passes measure the
+        // bloom-planned probe reads, the declared steady states.
+        "q_lake_bloom_skip", "q_lake_mor_probe"))
       .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.

@@ -142,10 +142,18 @@ object LakeOps extends QueryPack {
       if ((a.op == "dv") != a.dv.isDefined)
         throw new IllegalArgumentException(
           s"graft lake: 'dv' field is required on and exclusive to dv actions: $line")
-      if ((a.minKey.isDefined || a.colZones.nonEmpty || a.rows.isDefined
-          || a.bloom.isDefined) && a.op != "add")
+      if ((a.minKey.isDefined || a.colZones.nonEmpty || a.rows.isDefined)
+          && a.op != "add")
         throw new IllegalArgumentException(
           s"graft lake: zone stats are only legal on add actions: $line")
+      // Blooms also ride MoR layer commits (round 18, q_lake_mor_probe):
+      // delete-file/delta-file membership stats are exactly what Iceberg
+      // manifests keep for delete files, and the probe read skips layers
+      // by them. Everything else stays add-exclusive.
+      if (a.bloom.isDefined && a.op != "add" && a.op != "delta"
+          && a.op != "edelete")
+        throw new IllegalArgumentException(
+          s"graft lake: bloom stats are only legal on add/delta/edelete actions: $line")
       // A truncated bitmap would silently widen every word-index lookup
       // to bit 0 — length-check at parse, the strict-grammar discipline.
       a.bloom.foreach(b => if (b.length != BloomWords * 16)
@@ -227,6 +235,7 @@ object LakeOps extends QueryPack {
           dvs(a.path) = dvs.getOrElse(a.path, Vector.empty) :+ a.dv.get
         case "delta" | "edelete" =>
           deltas += ((a.op, a.path))
+          for (b <- a.bloom) blooms(a.path) = b
         case "vacuum" =>
           ever -= a.path // physically deleted: no longer readable for schema
         case _ => () // conflict: audit-only
@@ -1334,8 +1343,12 @@ object LakeOps extends QueryPack {
       s"""{"v":$v,"op":"dv","path":"$p","dv":"$d"}"""))  ++
       // Outstanding merge-on-read deltas are part of the replayed state:
       // a checkpoint materialized mid-MoR must carry them in order, or a
-      // checkpoint-resolved read would silently lose the upsert layer.
-      st.deltas.map { case (k, d) => s"""{"v":$v,"op":"$k","path":"$d"}""" }
+      // checkpoint-resolved read would silently lose the upsert layer —
+      // and their blooms ride along (a checkpoint-resolved probe read
+      // must keep skipping layers).
+      st.deltas.map { case (k, d) =>
+        val bf = st.blooms.get(d).map(b => s""","bloom":"$b"""").getOrElse("")
+        s"""{"v":$v,"op":"$k","path":"$d"$bf}""" }
     Files.write(Paths.get(base, s"_ckpt.v$v.json"),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val logLines = new String(
@@ -1697,25 +1710,56 @@ object LakeOps extends QueryPack {
   private val BloomWords = 512 // BloomBits / 64
   private val BloomP = 2147483647L // 2^31 - 1, prime
   private val BloomHashes = Seq((1103515245L, 12345L), (69069L, 362437L))
+  private val BloomBlock = BloomBits / BloomHashes.size // bits per hash
   private val BloomFiles = 8
   private val BloomProbesN = 3
 
+  /** SPLIT-BLOCK layout — each hash owns a DISJOINT block of the bitmap
+    * (hash j sets bit j·[[BloomBlock]] + (affine mod block)). This is
+    * not just the Parquet-bloom shape: it makes "bit h_j(p) is set" mean
+    * EXACTLY "some stored key collides with p under hash j", so the
+    * oracle's per-hash EXISTS formulation IS the bitmap semantics. A
+    * single shared array (the textbook layout) breaks that equivalence —
+    * a bit set by hash 1 can satisfy a hash-0 probe, a cross-hash false
+    * positive no per-hash relational statement reproduces (measured:
+    * sf0.1 planned a 4th base file the oracle refused). */
   private def bloomHashSql(col: String, a: Long, c: Long): String =
-    s"((($col % $BloomP) * $a + $c) % $BloomP) % $BloomBits"
+    s"((($col % $BloomP) * $a + $c) % $BloomP) % $BloomBlock"
 
   private def bloomHash(x: Long, a: Long, c: Long): Long =
-    (((x % BloomP) * a + c) % BloomP) % BloomBits
+    (((x % BloomP) * a + c) % BloomP) % BloomBlock
 
   /** Membership against the hex bitmap (the planner's read path): true
-    * iff every hash position's bit is set. */
+    * iff every hash's block-offset position bit is set. */
   private[graft] def bloomMightContain(hex: String, key: Long): Boolean =
-    BloomHashes.forall { case (a, c) =>
-      val pos = bloomHash(key, a, c)
+    BloomHashes.zipWithIndex.forall { case ((a, c), j) =>
+      val pos = j * BloomBlock + bloomHash(key, a, c)
       val w = (pos / 64L).toInt
       val word =
         java.lang.Long.parseUnsignedLong(hex.substring(w * 16, w * 16 + 16), 16)
       ((word >>> (pos % 64L).toInt) & 1L) == 1L
     }
+
+  /** Build hex bitmaps for every group of `df` keyed by `fileCol` — ONE
+    * word-level bit_or aggregation, ≤ groups × [[BloomWords]] bounded
+    * result rows on the driver (never keys). */
+  private def bloomHexes(df: DataFrame,
+                         fileCol: org.apache.spark.sql.Column,
+                         keyCol: String): Map[Long, String] = {
+    val hcols = BloomHashes.zipWithIndex.map { case ((a, c), j) =>
+      expr(s"${j * BloomBlock} + ${bloomHashSql(keyCol, a, c)}") }
+    val words = df
+      .select(fileCol.as("f"), explode(array(hcols: _*)).as("pos"))
+      .select(col("f"), expr("pos div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("b"))
+      .groupBy(col("f"), col("w")).agg(expr("bit_or(b)").as("bits"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    words.keys.map(_._1).toSeq.distinct.map { f =>
+      f -> (0 until BloomWords).map(w =>
+        f"${words.getOrElse((f, w.toLong), 0L)}%016x").mkString
+    }.toMap
+  }
 
   private val bloomBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1730,19 +1774,7 @@ object LakeOps extends QueryPack {
           .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
             $"o_totalprice", $"o_orderdate", $"o_orderpriority")
         val fcol = pmod($"o_orderkey", lit(BloomFiles.toLong))
-        // ONE word-level aggregation job builds every file's bitmap: the
-        // per-row hash positions OR into (file, word) cells, so the
-        // driver receives ≤ files x BloomWords bounded rows, never keys.
-        val hcols = BloomHashes.map { case (a, c) =>
-          expr(bloomHashSql("o_orderkey", a, c)) }
-        val words = slice
-          .select(fcol.as("f"), explode(array(hcols: _*)).as("pos"))
-          .select($"f", expr("pos div 64").as("w"),
-            expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))")
-              .as("b"))
-          .groupBy($"f", $"w").agg(expr("bit_or(b)").as("bits"))
-          .collect()
-          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        val hexes = bloomHexes(slice, fcol, "o_orderkey")
         val zonesB = slice.groupBy(fcol.as("f"))
           .agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"),
             count(lit(1)).as("n"))
@@ -1764,8 +1796,7 @@ object LakeOps extends QueryPack {
             throw new IllegalArgumentException(
               s"graft lake: empty bloom residue slice $i — the scratch " +
                 "builder assumes every residue class is populated"))
-          val hex = (0 until BloomWords).map(w =>
-            f"${words.getOrElse((i.toLong, w.toLong), 0L)}%016x").mkString
+          val hex = hexes(i.toLong)
           s"""{"v":${i + 1},"op":"add","path":"file_$i","min":$mn""" +
             s""","max":$mx,"rows":$n,"bloom":"$hex"}"""
         }
@@ -1859,6 +1890,199 @@ object LakeOps extends QueryPack {
     FROM slice
     WHERE o_orderkey % $BloomFiles IN (SELECT f FROM planned)
       AND o_orderkey IN (SELECT p FROM probes)
+    ORDER BY n_files_live ASC NULLS FIRST"""
+  }
+
+  /** BLOOM-SKIPPED MERGE-ON-READ POINT LOOKUP (round 18) — the exact
+    * workload the r17 VERDICT motivated bloom skipping with: "point
+    * lookups on non-clustered keys against the MoR tables currently read
+    * every live file" — AND every outstanding layer. Here blooms ride
+    * BOTH sides of the MoR read: every base add carries one, and every
+    * `delta`/`edelete` layer commit carries one too (delete-file
+    * membership stats, exactly what Iceberg manifests keep), so a probe
+    * read (a) plans only base files whose bloom answers "maybe" and
+    * (b) FOLDS ONLY THE LAYERS whose bloom might contain a probe — sound
+    * because a layer containing none of the probed keys cannot affect
+    * them (it supersedes/deletes only its own keys), so skipping it is
+    * semantics-preserving; spec-pinned probe ≡ unskipped-full-MoR-read.
+    * The scratch: the urgent slice as 8 key-residue base files, then an
+    * upsert layer (keys ≡ 17 mod 20, cents÷3), an equality-delete layer
+    * (keys ≡ 14 mod 20) and a second upsert layer (keys ≡ 7 mod 20,
+    * cents÷5); the 3 mid-domain probes hit an updated key, a deleted key
+    * and an untouched key — layer 3's class is never probed, so the
+    * graded n_layers_applied shows real layer skipping (false positives
+    * replay exactly through the oracle's EXISTS formulation, as in
+    * q_lake_bloom_skip). This is the read-amplification fix for
+    * streaming-upsert tables between compactions: probe cost scales with
+    * the layers that MIGHT hold the key, not with every layer landed
+    * since the last compaction. */
+  private val probeBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def probeClasses = Seq(17L, 14L, 3L) // probed residues mod 20
+  private val ProbeMod = 20L
+
+  private def probeTableDir(spark: SparkSession, sfDir: String): String =
+    probeBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_probe_").toString
+        val slice = Catalog.load(spark, sfDir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey", $"o_orderstatus",
+            ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+              .as("cents"))
+          .localCheckpoint(true)
+        val fcol = pmod($"o_orderkey", lit(BloomFiles.toLong))
+        val hexes = bloomHexes(slice, fcol, "o_orderkey")
+        val baseAdds = (0 until BloomFiles).map { i =>
+          slice.filter(fcol === i.toLong).write.parquet(s"$base/file_$i")
+          s"""{"v":${i + 1},"op":"add","path":"file_$i"""" +
+            s""","bloom":"${hexes(i.toLong)}"}"""
+        }
+        def layer(name: String, df: DataFrame): String = {
+          df.write.parquet(s"$base/$name")
+          s""""bloom":"${bloomHexes(df, lit(0L), "o_orderkey")(0L)}""""
+        }
+        val k = $"o_orderkey"
+        val d1 = layer("delta1", slice.filter(pmod(k, lit(ProbeMod)) === 17L)
+          .select(k, $"o_orderstatus", expr("cents div 3").as("cents")))
+        val e1 = layer("edel1", slice.filter(pmod(k, lit(ProbeMod)) === 14L)
+          .select(k))
+        val d2 = layer("delta2", slice.filter(pmod(k, lit(ProbeMod)) === 7L)
+          .select(k, $"o_orderstatus", expr("cents div 5").as("cents")))
+        val log = baseAdds ++ Seq(
+          s"""{"v":9,"op":"delta","path":"delta1",$d1}""",
+          s"""{"v":10,"op":"edelete","path":"edel1",$e1}""",
+          s"""{"v":11,"op":"delta","path":"delta2",$d2}""")
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        val maxk = slice.agg(max(k)).first().getLong(0)
+        val probes = probeClasses.map { c =>
+          val r = slice.filter(k >= maxk / 2 && pmod(k, lit(ProbeMod)) === c)
+            .agg(min(k)).first()
+          require(!r.isNullAt(0), s"graft lake: no mid-domain urgent key " +
+            s"in residue class $c mod $ProbeMod — fixture too small for " +
+            "the probe contract")
+          r.getLong(0)
+        }
+        Files.write(Paths.get(base, "_meta_probes"),
+          probes.mkString(",").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  /** Spec hooks: planned base files, applied layers (in commit order),
+    * live/layer counts, and the probe keys. */
+  private[graft] def morProbePlan(spark: SparkSession, sfDir: String)
+      : (Seq[String], Seq[(String, String)], Int, Int, Seq[Long]) = {
+    val base = probeTableDir(spark, sfDir)
+    val st = fullState(base, Int.MaxValue)
+    val probes = bloomProbes(base)
+    def mightAny(path: String): Boolean =
+      st.blooms.get(path).forall(hex =>
+        probes.exists(kk => bloomMightContain(hex, kk)))
+    (st.live.filter(mightAny), st.deltas.filter(d => mightAny(d._2)),
+      st.live.size, st.deltas.size, probes)
+  }
+
+  /** Spec hook: the UNSKIPPED probe — the full MoR snapshot read (every
+    * base file, every layer) filtered to the probe keys. */
+  private[graft] def morProbeUnskipped(spark: SparkSession,
+                                       sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = probeTableDir(spark, sfDir)
+    morSnapshot(spark, base, Int.MaxValue)
+      .filter(col("o_orderkey").isin(bloomProbes(base): _*))
+  }
+
+  private def lakeMorProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = probeTableDir(spark, sfDir)
+    val st = fullState(base, Int.MaxValue)
+    val (plannedBase, applied, nLive, nLayers, probes) =
+      morProbePlan(spark, sfDir)
+    val b = readState(spark, base, plannedBase, st.dvs,
+      schemaFiles = st.everAdded)
+      .filter($"o_orderkey".isin(probes: _*))
+    val merged = applied.foldLeft(b) { case (acc, (kind, d)) =>
+      // Layers fold probe-filtered: the mask/union only needs the layer's
+      // probed keys (the rest cannot affect the probe result).
+      val layer = spark.read.parquet(s"$base/$d")
+        .filter($"o_orderkey".isin(probes: _*))
+      val masked = acc.join(layer.select($"o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+      kind match {
+        case "delta" => masked.unionByName(layer, allowMissingColumns = true)
+        case _ => masked
+      }
+    }
+    merged
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"cents").cast("long").as("cents_sum"))
+      .select(lit(nLive.toLong).as("n_files_live"),
+        lit(plannedBase.size.toLong).as("n_files_planned"),
+        lit(nLayers.toLong).as("n_layers"),
+        lit(applied.size.toLong).as("n_layers_applied"),
+        $"n_rows", $"cents_sum")
+      .orderBy($"n_files_live".asc_nulls_first)
+  }
+
+  private val lakeMorProbeOracle: String = {
+    def might(rowsSql: String): String = BloomHashes.map { case (a, c) =>
+      val hs = bloomHashSql("s.k", a, c)
+      val hp = bloomHashSql("pr.p", a, c)
+      s"""EXISTS (SELECT 1 FROM ($rowsSql) s WHERE $hs = $hp)"""
+    }.mkString(" AND ")
+    val basePlanned =
+      might(s"SELECT k FROM slice WHERE k % $BloomFiles = f.f")
+    val layerFlags = Seq(
+      ("a1", s"SELECT k FROM slice WHERE k % $ProbeMod = 17"),
+      ("a2", s"SELECT k FROM slice WHERE k % $ProbeMod = 14"),
+      ("a3", s"SELECT k FROM slice WHERE k % $ProbeMod = 7")
+    ).map { case (nm, sql) =>
+      s"""$nm AS (SELECT CASE WHEN EXISTS (
+        SELECT 1 FROM probes pr WHERE ${might(sql)})
+        THEN 1 ELSE 0 END AS f)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH slice AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_orderpriority = '1-URGENT'),
+    mx AS (SELECT max(k) AS m FROM slice),
+    probes AS (
+      SELECT min(k) AS p FROM slice, mx
+        WHERE k >= m // 2 AND k % $ProbeMod = 17
+      UNION ALL SELECT min(k) FROM slice, mx
+        WHERE k >= m // 2 AND k % $ProbeMod = 14
+      UNION ALL SELECT min(k) FROM slice, mx
+        WHERE k >= m // 2 AND k % $ProbeMod = 3),
+    files AS (SELECT CAST(range AS BIGINT) AS f FROM range($BloomFiles)),
+    planned AS (
+      SELECT f.f FROM files f WHERE EXISTS (
+        SELECT 1 FROM probes pr WHERE $basePlanned)),
+    $layerFlags,
+    l1 AS (SELECT k, st, c // 3 AS c FROM slice WHERE k % $ProbeMod = 17),
+    le AS (SELECT k FROM slice WHERE k % $ProbeMod = 14),
+    l2 AS (SELECT k, st, c // 5 AS c FROM slice WHERE k % $ProbeMod = 7),
+    pb AS (SELECT k, st, c FROM slice WHERE k IN (SELECT p FROM probes)),
+    m1 AS (
+      SELECT k, st, c FROM pb WHERE k NOT IN (SELECT k FROM l1)
+      UNION ALL
+      SELECT k, st, c FROM l1 WHERE k IN (SELECT p FROM probes)),
+    m2 AS (SELECT k, st, c FROM m1 WHERE k NOT IN (SELECT k FROM le)),
+    m3 AS (
+      SELECT k, st, c FROM m2 WHERE k NOT IN (SELECT k FROM l2)
+      UNION ALL
+      SELECT k, st, c FROM l2 WHERE k IN (SELECT p FROM probes))
+    SELECT CAST($BloomFiles AS BIGINT) AS n_files_live,
+      (SELECT CAST(count(*) AS BIGINT) FROM planned) AS n_files_planned,
+      CAST(3 AS BIGINT) AS n_layers,
+      (SELECT CAST(a1.f + a2.f + a3.f AS BIGINT) FROM a1, a2, a3)
+        AS n_layers_applied,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(c) AS BIGINT) AS cents_sum
+    FROM m3
     ORDER BY n_files_live ASC NULLS FIRST"""
   }
 
@@ -2431,6 +2655,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_zonemap", lakeZonemap, Some(lakeZonemapOracle)),
     Q("q_lake_zonemap_multi", lakeZonemapMulti, Some(lakeZonemapMultiOracle)),
     Q("q_lake_bloom_skip", lakeBloomSkip, Some(lakeBloomSkipOracle)),
+    Q("q_lake_mor_probe", lakeMorProbe, Some(lakeMorProbeOracle)),
     Q("q_lake_dv_positional", lakeDvPositional, Some(lakeDvPositionalOracle)),
     Q("q_lake_cluster", lakeCluster, Some(lakeClusterOracle)),
   )

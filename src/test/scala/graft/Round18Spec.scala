@@ -178,7 +178,9 @@ class Round18Spec extends SparkTestBase {
       .select($"o_orderkey").collect().map(_.getLong(0))
     val P = 2147483647L
     val hashes = Seq((1103515245L, 12345L), (69069L, 362437L))
-    def pos(x: Long, h: (Long, Long)) = (((x % P) * h._1 + h._2) % P) % 32768L
+    // Split-block layout: per-hash positions live in disjoint 16384-bit
+    // blocks, so membership is per-hash exact (see LakeOps scaladoc).
+    def pos(x: Long, h: (Long, Long)) = (((x % P) * h._1 + h._2) % P) % 16384L
     val byFile = slice.groupBy(_ % 8)
     val expectPlanned = (0 until 8).filter { f =>
       val keys = byFile.getOrElse(f.toLong, Array.empty[Long])
@@ -200,6 +202,50 @@ class Round18Spec extends SparkTestBase {
       "the bloom must out-prune the zonemap on this layout")
   }
 
+  // ---- q_lake_mor_probe ----
+
+  test("mor probe: skipped probe read ≡ unskipped full-MoR read; layers genuinely skip") {
+    val (plannedBase, applied, nLive, nLayers, probes) =
+      operators.LakeOps.morProbePlan(spark, sf0001)
+    assert(nLive == 8 && nLayers == 3 && probes.size == 3)
+    // Semantic identity: the full MoR snapshot (every file, every layer)
+    // filtered to the probes must equal the graded skipped read's rows.
+    val unskipped = operators.LakeOps.morProbeUnskipped(spark, sf0001)
+      .select($"o_orderkey", $"cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val graded = SparkEntry.queries("q_lake_mor_probe")(spark, sf0001)
+      .collect().head
+    assert(graded.getLong(4) == unskipped.size.toLong)
+    assert(unskipped.map(_._2).sum == graded.getLong(5))
+    // The deleted-class probe contributes no row; updated + untouched do.
+    assert(unskipped.size == 2)
+    // Applied layers: delta1 (probed update class) and edel1 (probed
+    // delete class) MUST apply — their probes are true members; delta2's
+    // class is never probed, so it applies only on a (split-block,
+    // per-hash-exact) false positive — assert against the independent
+    // membership predicate rather than a brittle count.
+    val appliedPaths = applied.map(_._2)
+    assert(appliedPaths.contains("delta1") && appliedPaths.contains("edel1"))
+    val P = 2147483647L
+    val hashes = Seq((1103515245L, 12345L), (69069L, 362437L))
+    def pos(x: Long, h: (Long, Long)) = (((x % P) * h._1 + h._2) % P) % 16384L
+    val slice = Catalog.load(spark, sf0001, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey").collect().map(_.getLong(0))
+    def memberAny(keys: Array[Long]): Boolean = {
+      val occ = hashes.map(h => keys.map(pos(_, h)).toSet)
+      probes.exists(p => hashes.zip(occ)
+        .forall { case (h, o) => o.contains(pos(p, h)) })
+    }
+    val d2keys = slice.filter(_ % 20 == 7)
+    assert(appliedPaths.contains("delta2") == memberAny(d2keys),
+      "delta2's applied flag must equal its independent bloom membership")
+    val expectBase = (0 until 8)
+      .filter(f => memberAny(slice.filter(_ % 8 == f)))
+      .map(f => s"file_$f")
+    assert(plannedBase.sorted == expectBase.sorted)
+  }
+
   test("bloom grammar: length-checked, add-exclusive, checkpoint-grade strict") {
     val hex = "ab" * (512 * 8) // 8192 chars = 512 words x 16
     val a = operators.LakeOps.parseAction(
@@ -210,11 +256,16 @@ class Round18Spec extends SparkTestBase {
         """{"v":3,"op":"add","path":"f1","bloom":"abcd"}""")
     }
     assert(short.getMessage.contains("hex chars"))
+    // Layer commits carry blooms too (the mor-probe read path) ...
+    val onDelta = operators.LakeOps.parseAction(
+      s"""{"v":3,"op":"delta","path":"d1","bloom":"$hex"}""")
+    assert(onDelta.bloom.contains(hex))
+    // ... but remove/vacuum/conflict never do.
     val onRemove = intercept[IllegalArgumentException] {
       operators.LakeOps.parseAction(
         s"""{"v":3,"op":"remove","path":"f1","bloom":"$hex"}""")
     }
-    assert(onRemove.getMessage.contains("only legal on add"))
+    assert(onRemove.getMessage.contains("only legal on add/delta/edelete"))
   }
 
   // ---- q_gdpr_dp_rollup (VERDICT r17 task 5) ----
