@@ -41,6 +41,11 @@ class DifferentialSpec extends SparkTestBase {
     "q_geo_region_join",       // covering explode + reference-point dedup (r17)
     "q_lake_merge_mor",        // delta-layer keyed anti-join resolution (r17)
     "q_graph_closeness",       // multi-source frontier distinct/anti-join (r17)
+    "q_graph_betweenness",     // layered sigma aggregation + backward joins (r18)
+    "q_graph_louvain",         // synchronous gain argmax windows per round (r18)
+    "q_graph_walks",           // ranked-adjacency row_number + step joins (r18)
+    "q_lake_mor_probe",        // bloom-planned base + layer anti-join fold (r18)
+    "q_ts_backtest",           // global-series windows + struct-explode (r18)
   )
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
