@@ -88,8 +88,53 @@ object LakeOps extends QueryPack {
           """{"v":7,"op":"add","path":"fileC"}""")
         Files.write(Paths.get(base, "_log.json"),
           log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        // Timestamped sibling log (round 18, q_lake_time_travel_ts):
+        // IDENTICAL actions with an in-commit `ts` field inserted by
+        // string transform — identity with the canonical log holds by
+        // construction, so AS OF resolution and data replay can never
+        // disagree on table content.
+        val tsLog = log.map { line =>
+          val v = parseAction(line).v
+          line.replaceFirst("""("path":"\w+")""", "$1,\"ts\":" + lakeTs(v))
+        }
+        Files.write(Paths.get(base, "_log_ts.json"),
+          tsLog.mkString("\n").getBytes(StandardCharsets.UTF_8))
         base
       })
+
+  /** Deterministic commit timestamps for the scratch's ts log. */
+  private[graft] def lakeTs(v: Int): Long = 800000000L + v * 86400L
+
+  /** AS OF TIMESTAMP resolution (round 18) over a ts-carrying log: the
+    * answer is the LATEST commit whose timestamp is ≤ the query point —
+    * the Delta/Iceberg contract — after validating what that contract
+    * silently assumes: every commit carries a timestamp, all actions of
+    * one commit agree on it, and timestamps are STRICTLY increasing in
+    * version (a clock-skewed log would make AS OF ambiguous — refuse
+    * loudly rather than resolve arbitrarily). A query point before the
+    * first commit refuses too (no table existed to read). */
+  private[graft] def versionAsOf(base: String, q: Long): Int = {
+    val acts = readActions(Paths.get(base, "_log_ts.json"))
+    val byV = acts.groupBy(_.v).toSeq.sortBy(_._1)
+    val commits = byV.map { case (v, as) =>
+      val tss = as.flatMap(_.ts).distinct
+      require(tss.size == 1 && as.forall(_.ts.isDefined),
+        s"graft lake: commit $v must carry exactly one timestamp on " +
+          s"every action (found ${tss.mkString(",")})")
+      (v, tss.head)
+    }
+    commits.sliding(2).foreach {
+      case Seq((v1, t1), (v2, t2)) =>
+        require(t1 < t2, s"graft lake: non-monotone commit timestamps " +
+          s"(v$v1 at $t1, v$v2 at $t2) — AS OF is ambiguous on a " +
+          "clock-skewed log")
+      case _ => ()
+    }
+    val hit = commits.filter(_._2 <= q)
+    require(hit.nonEmpty, s"graft lake: AS OF $q predates the first " +
+      s"commit (${commits.head._2}) — no table state existed")
+    hit.last._1
+  }
 
   /** One parsed commit-log action. `minKey`/`maxKey` are the optional
     * per-file ZONE-MAP stats an `add` action may carry (round 15; VERDICT
@@ -104,7 +149,8 @@ object LakeOps extends QueryPack {
       minKey: Option[Long], maxKey: Option[Long],
       colZones: Map[String, (Long, Long)] = Map.empty,
       rows: Option[Long] = None,
-      bloom: Option[String] = None)
+      bloom: Option[String] = None,
+      ts: Option[Long] = None)
 
   /** STRICT action grammar (round 15; VERDICT r14 task 7): every log line
     * must fully match one known action shape — a malformed or unknown
@@ -117,10 +163,13 @@ object LakeOps extends QueryPack {
     * the multi-column `zones` map, the `rows` count, and the round-18
     * `bloom` hex bitmap — a per-file split-block Bloom filter over the
     * key column, [[BloomBits]] bits as [[BloomWords]] zero-padded
-    * 16-hex-digit little-endian words) are exclusive to `add`. */
+    * 16-hex-digit little-endian words) are exclusive to `add`; the
+    * round-18 `ts` field (epoch-seconds commit timestamp, the Delta
+    * in-commit-timestamp that AS OF resolution needs) is legal on any
+    * action and validated commit-consistent + monotone at resolution. */
   private val actionRe =
     ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta|edelete)","path":"(\w+)"""" +
-      """(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?""" +
+      """(?:,"ts":(\d+))?(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"zones":\{([^{}]*)\})?(?:,"rows":(\d+))?""" +
       """(?:,"bloom":"([0-9a-f]+)")?\}$""").r
   private val zoneEntryRe = """"(\w+)":\[(-?\d+),(-?\d+)\]""".r
@@ -128,7 +177,7 @@ object LakeOps extends QueryPack {
     """"\w+":\[-?\d+,-?\d+\](?:,"\w+":\[-?\d+,-?\d+\])*""".r
 
   private[graft] def parseAction(line: String): LakeAction = line match {
-    case actionRe(v, op, path, dv, mn, mx, zs, rw, bl) =>
+    case actionRe(v, op, path, tsv, dv, mn, mx, zs, rw, bl) =>
       val cz = Option(zs).map { inner =>
         if (!zonesInnerRe.pattern.matcher(inner).matches())
           throw new IllegalArgumentException(
@@ -138,7 +187,7 @@ object LakeOps extends QueryPack {
       }.getOrElse(Map.empty[String, (Long, Long)])
       val a = LakeAction(v.toInt, op, path, Option(dv),
         Option(mn).map(_.toLong), Option(mx).map(_.toLong), cz,
-        Option(rw).map(_.toLong), Option(bl))
+        Option(rw).map(_.toLong), Option(bl), Option(tsv).map(_.toLong))
       if ((a.op == "dv") != a.dv.isDefined)
         throw new IllegalArgumentException(
           s"graft lake: 'dv' field is required on and exclusive to dv actions: $line")
@@ -363,6 +412,57 @@ object LakeOps extends QueryPack {
     FROM orders
     WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
        OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+    ORDER BY version ASC NULLS FIRST"""
+
+  /** TIME TRAVEL AS OF TIMESTAMP (round 18) — the other half of the
+    * time-travel surface next to [[lakeTimeTravel]]'s version reads:
+    * every commit in the sibling ts log carries an in-commit epoch
+    * timestamp, [[versionAsOf]] resolves a query point to the latest
+    * commit at-or-before it (validating per-commit consistency and
+    * strict monotonicity — see its scaladoc), and the resolved version
+    * reads through the SAME snapshot kernel (DV masking, by-name schema
+    * union) as every other read. The three graded points exercise the
+    * resolution cases: mid-interval (between commits 3 and 4 → v3), an
+    * exact commit boundary (ts(5) → v5, the ≤ contract), and a point
+    * past an observed commit (→ v6). Scale: resolution is O(log)
+    * catalog arithmetic; the read is the resolved snapshot's. */
+  private def lakeTimeTravelTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = lakeDir(spark, sfDir)
+    Seq(lakeTs(3) + 1000L, lakeTs(5), lakeTs(6) + 42L).map { q =>
+      val v = versionAsOf(base, q)
+      readSnapshot(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"),
+          sum(($"o_totalprice".cast("decimal(14,2)") * 100).cast("long"))
+            .as("total_cents"))
+        .select(lit(q).as("asof_ts"), lit(v.toLong).as("version"),
+          $"n_rows", $"key_sum", $"total_cents")
+    }.reduce(_.unionByName(_)).orderBy($"version".asc_nulls_first)
+  }
+
+  private val lakeTimeTravelTsOracle = s"""
+    WITH c AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cts
+      FROM orders)
+    SELECT CAST(${lakeTs(3) + 1000L} AS BIGINT) AS asof_ts,
+      CAST(3 AS BIGINT) AS version,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(k) AS BIGINT) AS key_sum,
+      CAST(sum(cts) AS BIGINT) AS total_cents
+    FROM c WHERE (k % 10 >= 3 AND k % 10 < 6)
+       OR (k % 10 < 3 AND s = 'F')
+    UNION ALL
+    SELECT CAST(${lakeTs(5)} AS BIGINT), CAST(5 AS BIGINT),
+      CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+      CAST(sum(cts) AS BIGINT)
+    FROM c WHERE k % 10 IN (3, 5) OR (k % 10 < 3 AND s = 'F')
+    UNION ALL
+    SELECT CAST(${lakeTs(6) + 42L} AS BIGINT), CAST(6 AS BIGINT),
+      CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+      CAST(sum(cts) AS BIGINT)
+    FROM c WHERE k % 10 IN (3, 5, 6, 7) OR (k % 10 < 3 AND s = 'F')
     ORDER BY version ASC NULLS FIRST"""
 
   /** CHANGE DATA FEED between consecutive snapshots (round 13 batch 9) —
@@ -2656,6 +2756,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_zonemap_multi", lakeZonemapMulti, Some(lakeZonemapMultiOracle)),
     Q("q_lake_bloom_skip", lakeBloomSkip, Some(lakeBloomSkipOracle)),
     Q("q_lake_mor_probe", lakeMorProbe, Some(lakeMorProbeOracle)),
+    Q("q_lake_time_travel_ts", lakeTimeTravelTs, Some(lakeTimeTravelTsOracle)),
     Q("q_lake_dv_positional", lakeDvPositional, Some(lakeDvPositionalOracle)),
     Q("q_lake_cluster", lakeCluster, Some(lakeClusterOracle)),
   )

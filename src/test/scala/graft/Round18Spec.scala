@@ -318,6 +318,45 @@ class Round18Spec extends SparkTestBase {
       assert(g.map(_._3).distinct.size == 1) }
   }
 
+  // ---- q_lake_time_travel_ts ----
+
+  test("as-of resolution: boundary, refusals (pre-creation, skew, unstamped)") {
+    def dirWith(lines: Seq[String]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_asof_spec_")
+      java.nio.file.Files.write(d.resolve("_log_ts.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      d.toString
+    }
+    val ok = dirWith(Seq(
+      """{"v":1,"op":"add","path":"a","ts":100}""",
+      """{"v":2,"op":"add","path":"b","ts":200}"""))
+    assert(operators.LakeOps.versionAsOf(ok, 100) == 1) // exact boundary: <=
+    assert(operators.LakeOps.versionAsOf(ok, 199) == 1)
+    assert(operators.LakeOps.versionAsOf(ok, 5000) == 2)
+    val early = intercept[IllegalArgumentException] {
+      operators.LakeOps.versionAsOf(ok, 99)
+    }
+    assert(early.getMessage.contains("predates the first commit"))
+    val skew = dirWith(Seq(
+      """{"v":1,"op":"add","path":"a","ts":300}""",
+      """{"v":2,"op":"add","path":"b","ts":200}"""))
+    assert(intercept[IllegalArgumentException] {
+      operators.LakeOps.versionAsOf(skew, 400)
+    }.getMessage.contains("non-monotone"))
+    val split = dirWith(Seq(
+      """{"v":1,"op":"add","path":"a","ts":100}""",
+      """{"v":1,"op":"add","path":"b","ts":101}"""))
+    assert(intercept[IllegalArgumentException] {
+      operators.LakeOps.versionAsOf(split, 400)
+    }.getMessage.contains("exactly one timestamp"))
+    val unstamped = dirWith(Seq(
+      """{"v":1,"op":"add","path":"a","ts":100}""",
+      """{"v":2,"op":"add","path":"b"}"""))
+    assert(intercept[IllegalArgumentException] {
+      operators.LakeOps.versionAsOf(unstamped, 400)
+    }.getMessage.contains("exactly one timestamp"))
+  }
+
   // ---- dtw band guard (r17 ADVICE fix) ----
 
   test("dtw: band = max(n,m)-1 (the silent full-DTW case) now refuses") {
