@@ -1843,9 +1843,9 @@ object LakeOps extends QueryPack {
   /** Build hex bitmaps for every group of `df` keyed by `fileCol` — ONE
     * word-level bit_or aggregation, ≤ groups × [[BloomWords]] bounded
     * result rows on the driver (never keys). */
-  private def bloomHexes(df: DataFrame,
-                         fileCol: org.apache.spark.sql.Column,
-                         keyCol: String): Map[Long, String] = {
+  private[graft] def bloomHexes(df: DataFrame,
+                                fileCol: org.apache.spark.sql.Column,
+                                keyCol: String): Map[Long, String] = {
     val hcols = BloomHashes.zipWithIndex.map { case ((a, c), j) =>
       expr(s"${j * BloomBlock} + ${bloomHashSql(keyCol, a, c)}") }
     val words = df
@@ -2095,12 +2095,20 @@ object LakeOps extends QueryPack {
       .filter(col("o_orderkey").isin(bloomProbes(base): _*))
   }
 
-  private def lakeMorProbe(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared bloom-skipped probe-read kernel: plan might-contain base
+    * files, fold might-contain layers (each probe-filtered), return the
+    * merged probe frame plus (live, planned, layers, applied) counts.
+    * Used by [[lakeMorProbe]] and the streaming bloom sink's graded
+    * read (streaming/Streams q_stream_lake_bloom). */
+  private[graft] def bloomProbeRead(spark: SparkSession, base: String,
+      probes: Seq[Long]): (DataFrame, Int, Int, Int, Int) = {
     import spark.implicits._
-    val base = probeTableDir(spark, sfDir)
     val st = fullState(base, Int.MaxValue)
-    val (plannedBase, applied, nLive, nLayers, probes) =
-      morProbePlan(spark, sfDir)
+    def mightAny(path: String): Boolean =
+      st.blooms.get(path).forall(hex =>
+        probes.exists(kk => bloomMightContain(hex, kk)))
+    val plannedBase = st.live.filter(mightAny)
+    val applied = st.deltas.filter(d => mightAny(d._2))
     val b = readState(spark, base, plannedBase, st.dvs,
       schemaFiles = st.everAdded)
       .filter($"o_orderkey".isin(probes: _*))
@@ -2116,23 +2124,39 @@ object LakeOps extends QueryPack {
         case _ => masked
       }
     }
+    (merged, st.live.size, plannedBase.size, st.deltas.size, applied.size)
+  }
+
+  private def lakeMorProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = probeTableDir(spark, sfDir)
+    val probes = bloomProbes(base)
+    val (merged, nLive, nPlanned, nLayers, nApplied) =
+      bloomProbeRead(spark, base, probes)
     merged
       .agg(count(lit(1)).as("n_rows"),
         sum($"cents").cast("long").as("cents_sum"))
       .select(lit(nLive.toLong).as("n_files_live"),
-        lit(plannedBase.size.toLong).as("n_files_planned"),
+        lit(nPlanned.toLong).as("n_files_planned"),
         lit(nLayers.toLong).as("n_layers"),
-        lit(applied.size.toLong).as("n_layers_applied"),
+        lit(nApplied.toLong).as("n_layers_applied"),
         $"n_rows", $"cents_sum")
       .orderBy($"n_files_live".asc_nulls_first)
   }
 
-  private val lakeMorProbeOracle: String = {
-    def might(rowsSql: String): String = BloomHashes.map { case (a, c) =>
+  /** Oracle-text helper: the per-hash EXISTS conjunction stating "the
+    * bloom over `rowsSql`'s k column might contain probe pr.p" — exactly
+    * the split-block bitmap semantics (see the layout note above).
+    * Shared by the mor-probe oracle and the streaming bloom sink's. */
+  private[graft] def bloomMightSqlExists(rowsSql: String): String =
+    BloomHashes.map { case (a, c) =>
       val hs = bloomHashSql("s.k", a, c)
       val hp = bloomHashSql("pr.p", a, c)
       s"""EXISTS (SELECT 1 FROM ($rowsSql) s WHERE $hs = $hp)"""
     }.mkString(" AND ")
+
+  private val lakeMorProbeOracle: String = {
+    def might(rowsSql: String): String = bloomMightSqlExists(rowsSql)
     val basePlanned =
       might(s"SELECT k FROM slice WHERE k % $BloomFiles = f.f")
     val layerFlags = Seq(

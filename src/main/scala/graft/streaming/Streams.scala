@@ -1100,6 +1100,175 @@ object Streams extends QueryPack {
     FROM merged GROUP BY 1
     ORDER BY o_orderstatus ASC NULLS FIRST"""
 
+  /** STREAMING BLOOM-CARRYING UPSERT SINK + PROBE READ (round 18) — the
+    * end-to-end story the round's two bloom operators build toward:
+    * [[streamLakeMor]] showed streaming upserts landing delta-only
+    * commits; this sink additionally computes each micro-batch's
+    * SPLIT-BLOCK BLOOM (LakeOps.bloomHexes — one word-level aggregation
+    * over the batch) and writes it INTO the delta commit line, the way
+    * an Iceberg writer attaches delete-file stats at commit time. The
+    * graded read is then a bloom-skipped POINT LOOKUP over the streamed
+    * table (LakeOps.bloomProbeRead): three mid-domain probes — an
+    * updated key (feed class 13), an inserted key (class 57, absent
+    * from the base), and an untouched base key (class 21) — plan the
+    * base by its bloom and fold ONLY the delta layers whose bloom
+    * answers "maybe". The feed is staged as 4 DETERMINISTIC class files
+    * (key mod 4), one micro-batch each, so every delta's content — and
+    * hence its bloom and its applied-flag — is a relational statement
+    * the oracle restates exactly (a round-robin split would make the
+    * per-delta blooms unstatable). Commit idempotency on replay is the
+    * [[streamLakeSink]] path-logged check.
+    *
+    * Scale: the per-batch bloom costs one bounded aggregation over the
+    * batch (512 words); the probe read pays |might-contain layers|, not
+    * |layers since compaction| — the streaming-upsert read-amplification
+    * fix, now attached at the only place it can be (write time). */
+  private def streamLakeBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val lake = java.nio.file.Files.createTempDirectory("graft_lbloom_lake_")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lbloom_src_")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_lbloom_ck_")
+    val rows = graft.Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderstatus",
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+          .as("cents"))
+    val baseDf = rows.filter(pmod($"o_orderkey", lit(10)) < 5)
+    baseDf.write.parquet(lake.resolve("base").toString)
+    val baseHex = graft.operators.LakeOps
+      .bloomHexes(baseDf, lit(0L), "o_orderkey")(0L)
+    val logPath = lake.resolve("_log.json")
+    java.nio.file.Files.write(logPath,
+      (s"""{"v":1,"op":"add","path":"base","bloom":"$baseHex"}""" + "\n")
+        .getBytes(UTF_8))
+    val feed = rows.filter(pmod($"o_orderkey", lit(100)).isin(13L, 57L))
+      .select($"o_orderkey", $"o_orderstatus",
+        expr("cents div 3").as("cents"))
+      .localCheckpoint(true)
+    // Deterministic class staging: one file per key-residue class so each
+    // micro-batch (maxFilesPerTrigger=1) is a relationally-statable set.
+    (0 until 4).foreach { i =>
+      val sub = feed.filter(pmod($"o_orderkey", lit(4)) === i.toLong)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lbloom_tmp_")
+      sub.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") && f.length() > 0)
+        .getOrElse(throw new IllegalStateException(
+          s"graft q_stream_lake_bloom: feed class $i staged no rows — " +
+            "the fixture's upsert feed is too small for 4 deterministic " +
+            "micro-batches"))
+      java.nio.file.Files.move(part.toPath,
+        srcDir.resolve(s"feed_$i.parquet"))
+      rmTree(tmp)
+    }
+    val feedSchema = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val rel = s"delta_$id"
+        val logged = new String(
+          java.nio.file.Files.readAllBytes(logPath), UTF_8)
+        if (!logged.contains("\"path\":\"" + rel + "\"")) {
+          val b = batch.localCheckpoint(true)
+          b.write.mode("overwrite").parquet(lake.resolve(rel).toString)
+          // The batch's split-block bloom, attached at commit time.
+          val hex = graft.operators.LakeOps
+            .bloomHexes(b.toDF(), lit(0L), "o_orderkey")
+            .getOrElse(0L, "0" * 8192)
+          java.nio.file.Files.write(logPath,
+            (s"""{"v":${id + 2},"op":"delta","path":"$rel","bloom":"$hex"}""" +
+              "\n").getBytes(UTF_8),
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir.toString)
+      .start()
+    q.awaitTermination()
+    val logLines = new String(
+      java.nio.file.Files.readAllBytes(logPath), UTF_8)
+      .split("\n").filter(_.nonEmpty)
+    java.nio.file.Files.write(logPath,
+      logLines.mkString("\n").getBytes(UTF_8))
+    val nDeltas = logLines.count(_.contains("\"op\":\"delta\""))
+    require(nDeltas == 4,
+      s"graft q_stream_lake_bloom: $nDeltas delta commits landed, but " +
+        "the declared lifecycle (and its oracle) needs exactly 4")
+    // Mid-domain probes: updated (13), inserted (57), untouched base (21).
+    val maxk = rows.agg(max($"o_orderkey")).first().getLong(0)
+    val probes = Seq(13L, 57L, 21L).map { c =>
+      val r = rows.filter($"o_orderkey" >= maxk / 2 &&
+        pmod($"o_orderkey", lit(100L)) === c).agg(min($"o_orderkey")).first()
+      require(!r.isNullAt(0), s"graft q_stream_lake_bloom: no mid-domain " +
+        s"key in class $c mod 100 — fixture too small for the probes")
+      r.getLong(0)
+    }
+    val (merged, _, nPlanned, nLayers, nApplied) = graft.operators.LakeOps
+      .bloomProbeRead(spark, lake.toString, probes)
+    val out = merged
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"cents").cast("long").as("cents_sum"))
+      .select(lit(nPlanned.toLong).as("n_files_planned"),
+        lit(nLayers.toLong).as("n_deltas"),
+        lit(nApplied.toLong).as("n_deltas_applied"),
+        $"n_rows", $"cents_sum")
+      .orderBy($"n_deltas".asc_nulls_first)
+      .localCheckpoint(true)
+    rmTree(srcDir)
+    rmTree(ckDir)
+    rmTree(lake)
+    out
+  }
+
+  private val streamLakeBloomSql: String = {
+    val deltaFlags = (0 until 4).map { i =>
+      s"""a$i AS (SELECT CASE WHEN EXISTS (
+        SELECT 1 FROM probes pr
+        WHERE ${graft.operators.LakeOps.bloomMightSqlExists(
+          s"SELECT k FROM feed WHERE k % 4 = $i")})
+        THEN 1 ELSE 0 END AS f)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH rows0 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+        CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+      FROM orders),
+    base AS (SELECT k, s, c FROM rows0 WHERE k % 10 < 5),
+    feed AS (SELECT k, s, c // 3 AS c FROM rows0 WHERE k % 100 IN (13, 57)),
+    mx AS (SELECT max(k) AS m FROM rows0),
+    probes AS (
+      SELECT min(k) AS p FROM rows0, mx
+        WHERE k >= m // 2 AND k % 100 = 13
+      UNION ALL SELECT min(k) FROM rows0, mx
+        WHERE k >= m // 2 AND k % 100 = 57
+      UNION ALL SELECT min(k) FROM rows0, mx
+        WHERE k >= m // 2 AND k % 100 = 21),
+    bp AS (SELECT CASE WHEN EXISTS (
+      SELECT 1 FROM probes pr
+      WHERE ${graft.operators.LakeOps.bloomMightSqlExists(
+        "SELECT k FROM base")})
+      THEN 1 ELSE 0 END AS f),
+    $deltaFlags,
+    merged AS (
+      SELECT k, c FROM base
+      WHERE k IN (SELECT p FROM probes)
+        AND k NOT IN (SELECT k FROM feed)
+      UNION ALL
+      SELECT k, c FROM feed WHERE k IN (SELECT p FROM probes))
+    SELECT (SELECT CAST(f AS BIGINT) FROM bp) AS n_files_planned,
+      CAST(4 AS BIGINT) AS n_deltas,
+      (SELECT CAST(a0.f + a1.f + a2.f + a3.f AS BIGINT)
+       FROM a0, a1, a2, a3) AS n_deltas_applied,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(c) AS BIGINT) AS cents_sum
+    FROM merged
+    ORDER BY n_deltas ASC NULLS FIRST"""
+  }
+
   /** The THIRTEENTH graded real-streaming run (round 13 batch 15): the
     * Spark-4 `transformWithState` ARBITRARY-STATE API (the successor of
     * flatMapGroupsWithState graded by `q_stream_transform_state`) on the
@@ -1908,6 +2077,7 @@ object Streams extends QueryPack {
     Q("q_stream_tws_restart", streamTwsRestart, Some(streamTwsSql)),
     Q("q_stream_lake_sink", streamLakeSink, Some(streamLakeSinkSql)),
     Q("q_stream_lake_mor", streamLakeMor, Some(streamLakeMorSql)),
+    Q("q_stream_lake_bloom", streamLakeBloom, Some(streamLakeBloomSql)),
     Q("q_stream_lake_cdf", streamLakeCdf, Some(streamLakeCdfSql)),
     Q("q_stream_cdc_apply", streamCdcApply, Some(streamCdcApplySql)),
     // Kill-and-resume twin of q_stream_lake_cdf: identical declared

@@ -318,6 +318,46 @@ class Round18Spec extends SparkTestBase {
       assert(g.map(_._3).distinct.size == 1) }
   }
 
+  // ---- q_stream_lake_bloom ----
+
+  test("stream bloom sink: graded row equals the independent membership replay") {
+    val rows = Catalog.load(spark, sf0001, "orders")
+      .select($"o_orderkey",
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+          .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxk = rows.map(_._1).max
+    val probes = Seq(13L, 57L, 21L).map(c =>
+      rows.map(_._1).filter(k => k >= maxk / 2 && k % 100 == c).min)
+    val feed = rows.filter(r => r._1 % 100 == 13 || r._1 % 100 == 57)
+      .map { case (k, c) => (k, c / 3) }
+    val P = 2147483647L
+    val hashes = Seq((1103515245L, 12345L), (69069L, 362437L))
+    def pos(x: Long, h: (Long, Long)) = (((x % P) * h._1 + h._2) % P) % 16384L
+    def memberAny(keys: Seq[Long]): Boolean = {
+      val occ = hashes.map(h => keys.map(pos(_, h)).toSet)
+      probes.exists(p => hashes.zip(occ)
+        .forall { case (h, o) => o.contains(pos(p, h)) })
+    }
+    val expApplied = (0 until 4)
+      .count(f => memberAny(feed.filter(_._1 % 4 == f).map(_._1)))
+    val feedKeys = feed.map(_._1).toSet
+    val expCents =
+      rows.filter(r => r._1 % 10 < 5 && probes.contains(r._1) &&
+        !feedKeys.contains(r._1)).map(_._2).sum +
+      feed.filter(r => probes.contains(r._1)).map(_._2).sum
+    val g = SparkEntry.queries("q_stream_lake_bloom")(spark, sf0001)
+      .collect().head
+    assert(g.getLong(1) == 4L) // n_deltas
+    assert(g.getLong(2) == expApplied.toLong,
+      s"applied deltas ${g.getLong(2)} != independent membership $expApplied")
+    assert(g.getLong(3) == 3L && g.getLong(4) == expCents)
+    // The probe economics are real only if some delta was skipped —
+    // membership-derived, so a false positive can't flake this (both
+    // sides see it).
+    assert(expApplied < 4, "every delta applied: the skip path never ran")
+  }
+
   // ---- q_lake_time_travel_ts ----
 
   test("as-of resolution: boundary, refusals (pre-creation, skew, unstamped)") {
