@@ -735,8 +735,74 @@ object Governance extends QueryPack {
     FROM seeded
     ORDER BY priority ASC NULLS FIRST"""
 
+  /** DIFFERENTIALLY-PRIVATE CLIPPED SUM (round 18) — the other DP
+    * release primitive beside [[gdprDpRollup]]'s counts: per-priority
+    * revenue sums in integer cents, each row's contribution CLIPPED at
+    * [[DpClipC]] (the bounded-contribution step every DP sum needs —
+    * unbounded values have unbounded sensitivity; the bias it introduces
+    * is the standard utility/privacy trade and is visible in the graded
+    * n_over_clip column), then noised with the SAME discrete-Laplace
+    * inverse-CDF table SCALED by the sensitivity: noise = C·k releases
+    * the sum at ε = ln 2 (a one-row change moves the clipped sum by at
+    * most C, and C-scaled two-sided-geometric noise gives a C-sensitive
+    * statistic exactly the ε the unit table gives a 1-sensitive one).
+    * Seeded by the group key through the SECOND suite LCG (69069 ·
+    * seed + 362437) so the count and sum draws are decorrelated.
+    * Deterministic given the seed — oracle replays exactly.
+    *
+    * Scale: one map-side-combined sum/count per group; the mechanism is
+    * O(groups) scalar arithmetic. */
+  private val DpClipC = 1000000L // clip at $10k per row, in cents
+
+  private def gdprDpSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Catalog.load(spark, sfDir, "orders")
+      .select($"o_orderpriority".as("priority"),
+        ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+          .as("cents"))
+      .groupBy($"priority")
+      .agg(sum(least($"cents", lit(DpClipC))).as("sum_clipped"),
+        sum(when($"cents" > DpClipC, 1L).otherwise(0L)).as("n_over_clip"))
+      .select($"priority", $"sum_clipped", $"n_over_clip",
+        expr("((69069 * CAST(substring(priority, 1, 1) AS BIGINT) " +
+          s"+ 362437) % 2147483648) % $DpTotal").as("u"))
+      .select($"priority", $"sum_clipped", $"n_over_clip",
+        (lit(DpClipC) * expr(s"CAST($dpCaseSql AS BIGINT)")).as("noise_cents"))
+      .withColumn("sum_noisy", $"sum_clipped" + $"noise_cents")
+      .orderBy($"priority".asc_nulls_first)
+  }
+
+  private val gdprDpSumOracle = s"""
+    WITH agg AS (
+      SELECT o_orderpriority AS priority,
+        CAST(sum(least(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+          AS BIGINT), $DpClipC)) AS BIGINT) AS sum_clipped,
+        CAST(sum(CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+          AS BIGINT) > $DpClipC THEN 1 ELSE 0 END) AS BIGINT) AS n_over_clip
+      FROM orders GROUP BY 1),
+    seeded AS (
+      SELECT priority, sum_clipped, n_over_clip,
+        ((69069 * CAST(substring(priority, 1, 1) AS BIGINT)
+          + 362437) % 2147483648) % $DpTotal AS u
+      FROM agg)
+    SELECT priority, sum_clipped, n_over_clip,
+      CAST($DpClipC * ($dpCaseSql) AS BIGINT) AS noise_cents,
+      CAST(sum_clipped + $DpClipC * ($dpCaseSql) AS BIGINT) AS sum_noisy
+    FROM seeded
+    ORDER BY priority ASC NULLS FIRST"""
+
+  /** In-memory twin of the sum draw, for the spec. */
+  private[graft] def dpSumNoiseOf(seed: Long): Long = {
+    val u = ((69069L * seed + 362437L) % 2147483648L) % DpTotal
+    val cums = dpWeights.map(_._2).scanLeft(0L)(_ + _).tail
+    DpClipC * dpWeights.map(_._1).zip(cums).collectFirst {
+      case (k, c) if u < c => k.toLong
+    }.getOrElse(DpB.toLong)
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_gdpr_dp_rollup", gdprDpRollup, Some(gdprDpRollupOracle)),
+    Q("q_gdpr_dp_sum", gdprDpSum, Some(gdprDpSumOracle)),
     Q("q_pii_tokenize", piiTokenize, Some(piiTokenizeOracle)),
     Q("q_sample_weighted", sampleWeighted, Some(sampleWeightedOracle)),
     Q("q_pii_tcloseness", piiTcloseness, Some(piiTclosenessOracle)),

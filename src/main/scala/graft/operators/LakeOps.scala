@@ -85,7 +85,16 @@ object LakeOps extends QueryPack {
           """{"v":7,"op":"remove","path":"fileD"}""",
           """{"v":7,"op":"remove","path":"fileF"}""",
           """{"v":7,"op":"add","path":"fileB"}""",
-          """{"v":7,"op":"add","path":"fileC"}""")
+          """{"v":7,"op":"add","path":"fileC"}""",
+          // NAMED TAGS (round 18, q_lake_tag_read): a tag action names
+          // the snapshot at its own `v` — append-only audit metadata
+          // (replay ignores it), the Iceberg named-ref surface. `rc`
+          // is deliberately tagged TWICE: the later line wins, the
+          // git-style retag.
+          """{"v":2,"op":"tag","path":"ingest_done"}""",
+          """{"v":3,"op":"tag","path":"rc"}""",
+          """{"v":5,"op":"tag","path":"dv_applied"}""",
+          """{"v":7,"op":"tag","path":"rc"}""")
         Files.write(Paths.get(base, "_log.json"),
           log.mkString("\n").getBytes(StandardCharsets.UTF_8))
         // Timestamped sibling log (round 18, q_lake_time_travel_ts):
@@ -104,6 +113,21 @@ object LakeOps extends QueryPack {
 
   /** Deterministic commit timestamps for the scratch's ts log. */
   private[graft] def lakeTs(v: Int): Long = 800000000L + v * 86400L
+
+  /** NAMED-TAG resolution (round 18): a `tag` action names the snapshot
+    * at its own version — append-only metadata the state replay ignores
+    * (tags fall into the audit-only arm), exactly Iceberg's named refs.
+    * The LAST tag line for a name wins (retagging is an append, never a
+    * history rewrite); an unknown name refuses loudly with the known
+    * names in the message. */
+  private[graft] def versionOfTag(base: String, name: String): Int = {
+    val tags = readActions(Paths.get(base, "_log.json"))
+      .filter(_.op == "tag")
+    val hit = tags.filter(_.path == name)
+    require(hit.nonEmpty, s"graft lake: unknown tag '$name' — known tags: " +
+      tags.map(_.path).distinct.sorted.mkString(", "))
+    hit.last.v
+  }
 
   /** AS OF TIMESTAMP resolution (round 18) over a ts-carrying log: the
     * answer is the LATEST commit whose timestamp is ≤ the query point —
@@ -168,7 +192,7 @@ object LakeOps extends QueryPack {
     * in-commit-timestamp that AS OF resolution needs) is legal on any
     * action and validated commit-consistent + monotone at resolution. */
   private val actionRe =
-    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta|edelete)","path":"(\w+)"""" +
+    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta|edelete|tag)","path":"(\w+)"""" +
       """(?:,"ts":(\d+))?(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"zones":\{([^{}]*)\})?(?:,"rows":(\d+))?""" +
       """(?:,"bloom":"([0-9a-f]+)")?\}$""").r
@@ -464,6 +488,41 @@ object LakeOps extends QueryPack {
       CAST(sum(cts) AS BIGINT)
     FROM c WHERE k % 10 IN (3, 5, 6, 7) OR (k % 10 < 3 AND s = 'F')
     ORDER BY version ASC NULLS FIRST"""
+
+  /** TAGGED SNAPSHOT READS (round 18) — the human-name layer over time
+    * travel: [[versionOfTag]] resolves a name to its tagged version,
+    * and the read goes through the same snapshot kernel as every other.
+    * Graded names: `ingest_done` (v2), `dv_applied` (v5 — the masked
+    * read), and `rc` (tagged twice, v3 then v7 — the LAST tag wins, so
+    * the graded row reads v7 = the restored v3 content; retag-by-append
+    * spec-pinned). Scale: resolution is O(log) driver arithmetic. */
+  private def lakeTagRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = lakeDir(spark, sfDir)
+    Seq("dv_applied", "ingest_done", "rc").map { name =>
+      val v = versionOfTag(base, name)
+      readSnapshot(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"))
+        .select(lit(name).as("tag"), lit(v.toLong).as("version"),
+          $"n_rows", $"key_sum")
+    }.reduce(_.unionByName(_)).orderBy($"tag".asc_nulls_first)
+  }
+
+  private val lakeTagReadOracle = """
+    WITH c AS (SELECT o_orderkey AS k, o_orderstatus AS s FROM orders)
+    SELECT 'dv_applied' AS tag, CAST(5 AS BIGINT) AS version,
+      CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum
+    FROM c WHERE k % 10 IN (3, 5) OR (k % 10 < 3 AND s = 'F')
+    UNION ALL
+    SELECT 'ingest_done', CAST(2 AS BIGINT),
+      CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+    FROM c WHERE k % 10 < 6
+    UNION ALL
+    SELECT 'rc', CAST(7 AS BIGINT),
+      CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+    FROM c WHERE (k % 10 >= 3 AND k % 10 < 6) OR (k % 10 < 3 AND s = 'F')
+    ORDER BY tag ASC NULLS FIRST"""
 
   /** CHANGE DATA FEED between consecutive snapshots (round 13 batch 9) —
     * the incremental-read path downstream consumers run instead of
@@ -2781,6 +2840,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_bloom_skip", lakeBloomSkip, Some(lakeBloomSkipOracle)),
     Q("q_lake_mor_probe", lakeMorProbe, Some(lakeMorProbeOracle)),
     Q("q_lake_time_travel_ts", lakeTimeTravelTs, Some(lakeTimeTravelTsOracle)),
+    Q("q_lake_tag_read", lakeTagRead, Some(lakeTagReadOracle)),
     Q("q_lake_dv_positional", lakeDvPositional, Some(lakeDvPositionalOracle)),
     Q("q_lake_cluster", lakeCluster, Some(lakeClusterOracle)),
   )

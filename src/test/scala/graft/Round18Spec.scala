@@ -403,6 +403,42 @@ class Round18Spec extends SparkTestBase {
     }.getMessage.contains("exactly one timestamp"))
   }
 
+  // ---- q_lake_tag_read / q_gdpr_dp_sum ----
+
+  test("tags: retag-by-append wins; unknown tag refuses with the known set") {
+    SparkEntry.queries("q_lake_tag_read")(spark, sf0001).count()
+    val base = operators.LakeOps.timeTravelLiveFiles(spark, sf0001, 1).head
+      .split("/").dropRight(1).mkString("/")
+    assert(operators.LakeOps.versionOfTag(base, "rc") == 7,
+      "the later rc tag line must win")
+    assert(operators.LakeOps.versionOfTag(base, "ingest_done") == 2)
+    val unknown = intercept[IllegalArgumentException] {
+      operators.LakeOps.versionOfTag(base, "nope")
+    }
+    assert(unknown.getMessage.contains("unknown tag") &&
+      unknown.getMessage.contains("rc"))
+  }
+
+  test("dp sum: C-scaled draw from the second LCG, clipped sum additive") {
+    val rows = SparkEntry.queries("q_gdpr_dp_sum")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (prio, clipped, over, noise, noisy) = (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(noise % 1000000L == 0L && math.abs(noise) <= 16000000L)
+      assert(noisy == clipped + noise)
+      assert(over >= 0L)
+      val seed = prio.substring(0, 1).toLong
+      assert(noise == operators.Governance.dpSumNoiseOf(seed))
+      // Decorrelated from the count draw for at least one group.
+    }
+    val cn = rows.map(r => operators.Governance.dpNoiseOf(
+      r.getString(0).substring(0, 1).toLong))
+    val sn = rows.map(_.getLong(3) / 1000000L)
+    assert(cn.toSeq != sn.toSeq,
+      "count and sum draws must not be identical across every group")
+  }
+
   // ---- dtw band guard (r17 ADVICE fix) ----
 
   test("dtw: band = max(n,m)-1 (the silent full-DTW case) now refuses") {
