@@ -187,6 +187,115 @@ object EvalOps extends QueryPack {
     ORDER BY q.query_tok ASC NULLS FIRST"""
   }
 
+  private val NdcgScale = 1048576L // 2^20: discount 1.0 == 2^20
+
+  /** The log2 position discounts as EXACT INTEGER literals: w(i) =
+    * round(2^20 / log2(i + 1)) for ranks 1..MrrK, computed once here and
+    * embedded as the SAME CASE text in both engines — the DP
+    * inverse-CDF-table discipline applied to nDCG's only transcendental
+    * (Java has no log2; Math.log(x)/Math.log(2) vs DuckDB's std::log2
+    * can differ in the last ulp, and a raw double DCG sum would ride
+    * that difference across the rounding boundary). */
+  private val ndcgWeights: Seq[Long] = (1 to MrrK).map(i =>
+    math.round(NdcgScale / (math.log(i + 1.0) / math.log(2.0))))
+  private val ndcgCaseSql: String =
+    "CASE rn " + ndcgWeights.zipWithIndex.map { case (w, i) =>
+      s"WHEN ${i + 1} THEN $w" }.mkString(" ") + " ELSE 0 END"
+
+  /** NDCG@K RETRIEVAL EVALUATION (round 18) — the position-discounted
+    * relevance metric completing the eval family (AUC ranks pairs, MRR
+    * scores only the FIRST hit; nDCG credits every relevant result,
+    * discounted by rank): over [[evalMrr]]'s exact ranking (per query
+    * token, top-[[MrrK]] docs by tf with deterministic ties) and its
+    * binary relevance (query token appears in the doc's first 100
+    * chars), DCG = Σ rel_i · w(i) in the integer weight grid above,
+    * IDCG = the best achievable reordering = Σ_{i ≤ n_rel} w(i) (binary
+    * relevance packs all hits at the top), and ndcg_ppm = DCG·10⁶ div
+    * IDCG (0 for queries with no relevant hit) — integer-exact end to
+    * end. Scale: the tf ranking is the MRR plan (token-filtered scan,
+    * per-token window top-k); the metric adds O(queries · K) arithmetic. */
+  private def evalNdcg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split($"text", " ").as("toks"),
+        substring($"text", 1, 100).as("head100"))
+    val tf = docs.select($"doc_id", explode($"toks").as("tok"))
+      .filter($"tok".isInCollection(MrrQueries))
+      .groupBy($"tok", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val ranked = tf
+      .join(docs.select($"doc_id", $"head100"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"tok").orderBy($"tf".desc, $"doc_id".asc)))
+      .filter($"rn" <= MrrK)
+      .withColumn("rel",
+        when(instr(concat(lit(" "), $"head100", lit(" ")),
+          concat(lit(" "), $"tok", lit(" "))) > 0, 1L).otherwise(0L))
+    val scored = ranked
+      .groupBy($"tok")
+      .agg(sum($"rel").as("n_rel"),
+        sum($"rel" * expr(ndcgCaseSql)).as("dcg_w"))
+    // IDCG for binary relevance = the n_rel largest discounts, i.e. the
+    // weight prefix sum — a rank-indexed join against the literal grid.
+    val prefix = ndcgWeights.scanLeft(0L)(_ + _).zipWithIndex
+      .map { case (s, n) => (n.toLong, s) }
+    val idcg = prefix.toDF("n_rel", "idcg_w")
+    MrrQueries.toDF("query_tok")
+      .join(scored.withColumnRenamed("tok", "query_tok"),
+        Seq("query_tok"), "left")
+      .select($"query_tok",
+        coalesce($"n_rel", lit(0L)).as("n_rel"),
+        coalesce($"dcg_w", lit(0L)).as("dcg_w"))
+      .join(broadcast(idcg), Seq("n_rel"))
+      .select($"query_tok", $"n_rel", $"dcg_w", $"idcg_w",
+        when($"idcg_w" === 0L, 0L)
+          .otherwise(expr("(dcg_w * 1000000) div idcg_w")).as("ndcg_ppm"))
+      .orderBy($"query_tok".asc_nulls_first)
+  }
+
+  private val evalNdcgOracle = {
+    val vals = MrrQueries.map(t => s"('$t')").mkString(", ")
+    val prefixVals = ndcgWeights.scanLeft(0L)(_ + _).zipWithIndex
+      .map { case (s, n) => s"($n, $s)" }.mkString(", ")
+    s"""
+    WITH q(query_tok) AS (VALUES $vals),
+    idcg(n_rel, idcg_w) AS (VALUES $prefixVals),
+    tf AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok IN (SELECT query_tok FROM q)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT tf.tok, tf.doc_id, tf.tf,
+        row_number() OVER (PARTITION BY tf.tok
+          ORDER BY tf.tf DESC, tf.doc_id ASC) AS rn,
+        d.head100
+      FROM tf JOIN (SELECT doc_id, substr(text, 1, 100) AS head100
+                    FROM documents) d USING (doc_id)),
+    scored AS (
+      SELECT tok AS query_tok,
+        CAST(sum(rel) AS BIGINT) AS n_rel,
+        CAST(sum(rel * ($ndcgCaseSql)) AS BIGINT) AS dcg_w
+      FROM (
+        SELECT tok, rn,
+          CASE WHEN strpos(' ' || head100 || ' ', ' ' || tok || ' ') > 0
+            THEN 1 ELSE 0 END AS rel
+        FROM ranked WHERE rn <= $MrrK) r
+      GROUP BY 1)
+    SELECT q.query_tok,
+      CAST(coalesce(s.n_rel, 0) AS BIGINT) AS n_rel,
+      CAST(coalesce(s.dcg_w, 0) AS BIGINT) AS dcg_w,
+      CAST(i.idcg_w AS BIGINT) AS idcg_w,
+      CAST(CASE WHEN i.idcg_w = 0 THEN 0
+        ELSE (coalesce(s.dcg_w, 0) * 1000000) // i.idcg_w END AS BIGINT)
+        AS ndcg_ppm
+    FROM q
+    LEFT JOIN scored s USING (query_tok)
+    JOIN idcg i ON i.n_rel = coalesce(s.n_rel, 0)
+    ORDER BY q.query_tok ASC NULLS FIRST"""
+  }
+
   /** MULTIPLE LINEAR REGRESSION VIA NORMAL EQUATIONS (per nation) — the
     * 2-feature OLS fit y ~ 1 + x1 + x2 (order value in k$ against order
     * month and customer balance in k$), solved EXACTLY by Cramer's rule
@@ -413,6 +522,7 @@ object EvalOps extends QueryPack {
     Q("q_eval_calibration", evalCalibration, Some(evalCalibrationOracle)),
     Q("q_eval_auc", evalAuc, Some(evalAucOracle)),
     Q("q_eval_mrr", evalMrr, Some(evalMrrOracle)),
+    Q("q_eval_ndcg", evalNdcg, Some(evalNdcgOracle)),
     Q("q_stat_regression_multi", statRegressionMulti,
       Some(statRegressionMultiOracle)),
     Q("q_ml_naive_bayes", mlNaiveBayes, Some(mlNaiveBayesOracle)),
