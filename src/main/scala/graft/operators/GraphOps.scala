@@ -1912,6 +1912,137 @@ object GraphOps extends QueryPack {
     ORDER BY walk_id ASC NULLS FIRST, step ASC NULLS FIRST"""
   }
 
+  // node2vec bias weights: return (v = prev) deterred at 1, a common
+  // neighbor of prev at 4, a distance-2 explore at 16 — i.e. p = 4,
+  // q = 1/4, the DFS-leaning operating point; all-integer so the
+  // weighted choice is exact.
+  private val N2vReturn = 1L
+  private val N2vCommon = 4L
+  private val N2vFar = 16L
+
+  /** SECOND-ORDER BIASED WALKS — node2vec (round 18) — the (p,q)-biased
+    * sibling of [[graphWalks]], which completes the DeepWalk/node2vec
+    * pair: from step 2 on, the next hop is drawn from the current
+    * node's neighbors with weights keyed by their relation to the
+    * PREVIOUS node (return / common-neighbor / distance-2, the
+    * [[N2vReturn]]/[[N2vCommon]]/[[N2vFar]] integer grid), sampled by
+    * inverse-CDF over the per-walk cumulative weights in (v ASC) order
+    * with the suite LCG (idx = state mod Σw, pick the first candidate
+    * whose running sum exceeds idx) — every ingredient integer, so the
+    * oracle replays the biased choices EXACTLY via unrolled CTEs with
+    * the same window cumsum. Step 1 has no previous node and draws
+    * uniformly (the [[graphWalks]] ranked pick). No restart — the bias
+    * replaces it.
+    *
+    * Scale: the per-step fan-out is |walks|·deg(cur) rows through one
+    * equi-join on the edge leaf plus a per-walk window (never global);
+    * the common-neighbor flag is one more edge-leaf equi-join keyed
+    * (prev, v). Walk count is chosen, not data-sized. */
+  private def graphWalksBiased(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val adj = memoEdgeLeaf(spark, sfDir, "walkAdj")(
+      und.select($"u", $"v",
+        row_number().over(
+          Window.partitionBy($"u").orderBy($"v".asc)).as("rn")))
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+    val seeds = und.select($"u".as("node")).distinct()
+      .orderBy($"node".asc).limit(WalkSeeds)
+    val w0 = seeds.select($"node".as("walk_id"), lit(0L).as("step"),
+        $"node", expr(s"($WalkA * node + $WalkC) % $WalkM").as("state"))
+      .localCheckpoint(true)
+    // Step 1: uniform ranked pick (no previous node yet).
+    val p1 = w0.select($"walk_id", $"node",
+        expr(s"($WalkA * state + $WalkC) % $WalkM").as("ns"))
+      .join(deg, Seq("node"))
+    var cur = p1
+      .join(adj, p1("node") === adj("u") &&
+        adj("rn") === (pmod($"ns", $"deg") + 1))
+      .select($"walk_id", lit(1L).as("step"), p1("node").as("prev"),
+        $"v".as("node"), $"ns".as("state"))
+      .localCheckpoint(true)
+    var all = Vector(
+      w0.select($"walk_id", $"step", $"node"),
+      cur.select($"walk_id", $"step", $"node"))
+    for (k <- 2 to WalkSteps) {
+      val p = cur.select($"walk_id", $"prev", $"node",
+        expr(s"($WalkA * state + $WalkC) % $WalkM").as("ns"))
+      val cand = p
+        .join(und.select($"u".as("node"), $"v"), Seq("node"))
+        .join(und.select($"u".as("prev"), $"v", lit(1L).as("pe")),
+          Seq("prev", "v"), "left")
+        .select($"walk_id", $"prev", $"node", $"v", $"ns",
+          when($"v" === $"prev", N2vReturn)
+            .when($"pe".isNotNull, N2vCommon)
+            .otherwise(N2vFar).as("wt"))
+      val ord = Window.partitionBy($"walk_id").orderBy($"v".asc)
+      val tot = Window.partitionBy($"walk_id")
+      cur = cand
+        .withColumn("cum", sum($"wt").over(ord))
+        .withColumn("idx", pmod($"ns", sum($"wt").over(tot)))
+        .filter($"idx" >= $"cum" - $"wt" && $"idx" < $"cum")
+        .select($"walk_id", lit(k.toLong).as("step"),
+          $"node".as("prev"), $"v".as("node"), $"ns".as("state"))
+        .localCheckpoint(true)
+      all :+= cur.select($"walk_id", $"step", $"node")
+    }
+    all.reduce(_ unionByName _)
+      .orderBy($"walk_id".asc_nulls_first, $"step".asc_nulls_first)
+  }
+
+  private val graphWalksBiasedOracle: String = {
+    val steps = (2 to WalkSteps).map { k =>
+      s"""c$k AS (
+      SELECT p.walk_id, p.node AS cprev, a.v, p.ns,
+        CASE WHEN a.v = p.prev THEN $N2vReturn
+             WHEN e.u IS NOT NULL THEN $N2vCommon
+             ELSE $N2vFar END AS wt
+      FROM (SELECT walk_id, prev, node,
+              ($WalkA * state + $WalkC) % $WalkM AS ns FROM w${k - 1}) p
+      JOIN und a ON a.u = p.node
+      LEFT JOIN und e ON e.u = p.prev AND e.v = a.v),
+    s$k AS (
+      SELECT walk_id, cprev, v, ns, wt,
+        sum(wt) OVER (PARTITION BY walk_id ORDER BY v ASC) AS cum,
+        sum(wt) OVER (PARTITION BY walk_id) AS tot
+      FROM c$k),
+    w$k AS (
+      SELECT walk_id, CAST($k AS BIGINT) AS step, cprev AS prev,
+        v AS node, ns AS state
+      FROM s$k
+      WHERE ns % tot >= cum - wt AND ns % tot < cum)"""
+    }.mkString(",\n    ")
+    val union = (0 to WalkSteps)
+      .map(k => s"SELECT walk_id, step, node FROM w$k")
+      .mkString(" UNION ALL ")
+    s"""
+    WITH $coPurchaseEdgesCtes,
+    und AS MATERIALIZED (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    adj AS (SELECT u, v,
+              row_number() OVER (PARTITION BY u ORDER BY v ASC) AS rn
+            FROM und),
+    degt AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u),
+    seeds AS (
+      SELECT node FROM (SELECT DISTINCT u AS node FROM und)
+      ORDER BY node ASC LIMIT $WalkSeeds),
+    w0 AS (SELECT node AS walk_id, CAST(0 AS BIGINT) AS step,
+             CAST(NULL AS BIGINT) AS prev, node,
+             ($WalkA * node + $WalkC) % $WalkM AS state FROM seeds),
+    w1 AS (
+      SELECT p.walk_id, CAST(1 AS BIGINT) AS step, p.node AS prev,
+        a.v AS node, p.ns AS state
+      FROM (SELECT walk_id, node,
+              ($WalkA * state + $WalkC) % $WalkM AS ns FROM w0) p
+      JOIN degt d ON d.node = p.node
+      JOIN adj a ON a.u = p.node AND a.rn = (p.ns % d.deg) + 1),
+    $steps
+    SELECT walk_id, step, node FROM ($union) w
+    ORDER BY walk_id ASC NULLS FIRST, step ASC NULLS FIRST"""
+  }
+
   private val LouvainRounds = 2
 
   /** Shared Louvain local-move phase (see [[graphLouvain]]); exposed for
@@ -2538,6 +2669,8 @@ object GraphOps extends QueryPack {
     Q("q_graph_louvain_coarse", graphLouvainCoarse,
       Some(graphLouvainCoarseOracle)),
     Q("q_graph_walks", graphWalks, Some(graphWalksOracle)),
+    Q("q_graph_walks_biased", graphWalksBiased,
+      Some(graphWalksBiasedOracle)),
     Q("q_graph_link_ra", linkRa, Some(linkRaOracle)),
     Q("q_graph_modularity", graphModularity, Some(graphModularityOracle)),
     Q("q_split_group_aware", splitGroupAware, Some(splitGroupAwareOracle)),

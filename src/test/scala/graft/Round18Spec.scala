@@ -157,6 +157,52 @@ class Round18Spec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("biased walks: in-memory second-order replay matches, bias is real") {
+    val und = operators.GraphOps.coPurchaseUnd(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).sorted }
+    val edge = und.toSet
+    val seeds = adj.keys.toSeq.sorted.take(20)
+    val M = 2147483648L
+    def step(s: Long) = (1103515245L * s + 12345L) % M
+    val expect = seeds.flatMap { sd =>
+      var state = step(sd)
+      var prev = sd
+      // step 1: uniform ranked pick
+      state = step(state)
+      var node = adj(sd)((state % adj(sd).length).toInt)
+      val rows = scala.collection.mutable.ArrayBuffer(
+        (sd, 0L, sd), (sd, 1L, node))
+      for (k <- 2 to 8) {
+        state = step(state)
+        val cands = adj(node)
+        val wts = cands.map { v =>
+          if (v == prev) 1L
+          else if (edge.contains((prev, v))) 4L
+          else 16L
+        }
+        val idx = state % wts.sum
+        var cum = 0L
+        var pick = -1
+        var i = 0
+        while (pick < 0 && i < cands.length) {
+          cum += wts(i); if (idx < cum) pick = i; i += 1
+        }
+        prev = node
+        node = cands(pick)
+        rows += ((sd, k.toLong, node))
+      }
+      rows
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q_graph_walks_biased")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // The bias must actually change trajectories vs the unbiased walk.
+    val plain = SparkEntry.queries("q_graph_walks")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got != plain, "biased and unbiased walks coincided everywhere")
+  }
+
   // ---- q_lake_bloom_skip (VERDICT r17 task 1) ----
 
   test("bloom skip: pruned read ≡ unpruned read (row identity)") {
