@@ -410,6 +410,27 @@ class Round18Spec extends SparkTestBase {
     assert(expApplied < 4, "every delta applied: the skip path never ran")
   }
 
+  test("checkpoint roundtrip preserves file AND layer blooms (strict grammar)") {
+    val hexA = "a1" * (512 * 8)
+    val hexD = "b2" * (512 * 8)
+    val hexE = "c3" * (512 * 8)
+    val d = java.nio.file.Files.createTempDirectory("graft_ckpt_bloom_")
+    java.nio.file.Files.write(d.resolve("_log.json"), Seq(
+      s"""{"v":1,"op":"add","path":"base","min":0,"max":99,"bloom":"$hexA"}""",
+      s"""{"v":2,"op":"delta","path":"d1","bloom":"$hexD"}""",
+      s"""{"v":3,"op":"edelete","path":"e1","bloom":"$hexE"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    operators.LakeOps.writeCheckpointFor(d.toString, 3)
+    // Resolve THROUGH the checkpoint (cv = 3, zero tail actions): every
+    // bloom and the zone must survive the serialize/parse roundtrip, or a
+    // checkpoint-resolved probe read would silently stop skipping.
+    val (st, cv, tail) = operators.LakeOps.ckptStateFor(d.toString, 3)
+    assert(cv == 3 && tail == 0)
+    assert(st.blooms == Map("base" -> hexA, "d1" -> hexD, "e1" -> hexE))
+    assert(st.zones == Map("base" -> ((0L, 99L))))
+    assert(st.deltas == Seq(("delta", "d1"), ("edelete", "e1")))
+  }
+
   // ---- q_lake_time_travel_ts ----
 
   test("as-of resolution: boundary, refusals (pre-creation, skew, unstamped)") {
@@ -483,6 +504,26 @@ class Round18Spec extends SparkTestBase {
     val sn = rows.map(_.getLong(3) / 1000000L)
     assert(cn.toSeq != sn.toSeq,
       "count and sum draws must not be identical across every group")
+  }
+
+  // ---- q_lake_constraints ----
+
+  test("constraints: refusal is transactional — conflict audited, no file landed") {
+    SparkEntry.queries("q_lake_constraints")(spark, sf0001).count()
+    val base = operators.LakeOps.constraintsBase(spark, sf0001)
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "_log.json")), "UTF-8")
+    assert(log.contains(""""op":"conflict","path":"fileB2""""),
+      "the violating batch must leave a conflict audit")
+    assert(!log.contains(""""op":"add","path":"fileB2""""))
+    val onDisk = new java.io.File(base).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(onDisk == Seq("fileB1", "fileB3", "fileBase"),
+      s"the refused batch must land NO data file: $onDisk")
+    // Enforcement holds on the live table: zero violating rows.
+    val g = SparkEntry.queries("q_lake_constraints")(spark, sf0001)
+      .collect().head
+    assert(g.getLong(0) == 3L && g.getLong(1) == 1L && g.getLong(4) == 0L)
   }
 
   // ---- dtw band guard (r17 ADVICE fix) ----
