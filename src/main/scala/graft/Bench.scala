@@ -136,7 +136,7 @@ object Bench {
         // slices + word-level bitmap aggregations + layer files + logs)
         // are written once per (app, sfDir); the timed passes measure the
         // bloom-planned probe reads, the declared steady states.
-        "q_lake_bloom_skip", "q_lake_mor_probe",
+        "q_lake_bloom_skip", "q_lake_mor_probe", "q_lake_constraints",
         // Round-18: the Brandes spine (3 forward + 2 backward layered
         // joins) is the round's one rep1/steady > 3x cold-codegen
         // outlier (8.00/2.42 retimed) — absorb the first-use compile
