@@ -305,8 +305,12 @@ object EvalOps extends QueryPack {
     * contract, lifted to 2 features); det = 0 flags a collinear group
     * exactly. Features are integer-quantized THROUGH DECIMAL (never a
     * float floor): k$ = cents div 100000, with the balance shifted
-    * +10k$ before the div so the one negative-capable feature keeps
-    * Spark `div` (truncate) and DuckDB `//` (floor) identical.
+    * +10k$ before the div so the one negative-capable feature keeps a
+    * provably NON-NEGATIVE dividend — the regime where Spark `div` and
+    * DuckDB `//` agree under EITHER division convention (both truncate
+    * toward zero on this image, probed: (-7)//2 = -3 in DuckDB 1.0 —
+    * but the shift makes parity independent of that engine choice;
+    * round-19 ADVICE comment fix, the q_ts_backtest drift precedent).
     *
     * Scale: ONE map-side-combined agg per nation computes all nine
     * power sums in int64 (bounded: |x1| ≤ 12, |x2| ≤ 9, y ≤ 600 k$ ⇒

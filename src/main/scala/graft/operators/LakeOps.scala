@@ -182,7 +182,8 @@ object LakeOps extends QueryPack {
     * dropped `remove` would resurrect a dead file; a dropped `dv` would
     * undelete rows — corrupt catalog state must never read as a clean
     * table). Grammar: `{"v":N,"op":OP,"path":P[,"dv":D][,"min":M,"max":X]}`
-    * with OP ∈ {add, remove, dv, vacuum, conflict, delta, edelete}; `dv` is required on
+    * with OP ∈ {add, remove, dv, vacuum, conflict, delta, edelete,
+    * schema, tag}; `dv` is required on
     * and exclusive to `dv` actions; zone stats (single-key `min`/`max`,
     * the multi-column `zones` map, the `rows` count, and the round-18
     * `bloom` hex bitmap — a per-file split-block Bloom filter over the
@@ -192,7 +193,7 @@ object LakeOps extends QueryPack {
     * in-commit-timestamp that AS OF resolution needs) is legal on any
     * action and validated commit-consistent + monotone at resolution. */
   private val actionRe =
-    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta|edelete|tag)","path":"(\w+)"""" +
+    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta|edelete|schema|tag)","path":"(\w+)"""" +
       """(?:,"ts":(\d+))?(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"zones":\{([^{}]*)\})?(?:,"rows":(\d+))?""" +
       """(?:,"bloom":"([0-9a-f]+)")?\}$""").r
@@ -311,6 +312,13 @@ object LakeOps extends QueryPack {
           for (b <- a.bloom) blooms(a.path) = b
         case "vacuum" =>
           ever -= a.path // physically deleted: no longer readable for schema
+        case "schema" =>
+          // Checkpoint-only record (round-19 ADVICE fix): a file that was
+          // added-then-removed BEFORE the checkpoint is still on disk and
+          // still a valid schema source, but it appears in no live add
+          // line — the checkpoint persists it as a schema action so a
+          // checkpoint-resolved empty snapshot keeps its schema fallback.
+          ever += a.path
         case _ => () // conflict: audit-only
       }
     }
@@ -1474,8 +1482,9 @@ object LakeOps extends QueryPack {
     s"""{"v":$v,"op":"add","path":"$p","min":$mn,"max":$mx}"""
 
   /** Materialize the replayed state at `v` as a checkpoint file of
-    * strict-grammar actions (zone-carrying adds + DV registrations),
-    * plus a sibling `.off` file holding the BYTE OFFSET of the first log
+    * strict-grammar actions (zone-carrying adds + DV registrations +
+    * outstanding MoR layers + `schema` records for the non-live everAdded
+    * set), plus a sibling `.off` file holding the BYTE OFFSET of the first log
     * line after commit `v` — the tail-seek cursor that makes snapshot
     * resolution O(tail) in I/O and parse, not just in replay (the log is
     * version-ordered append-only, so the offset stays valid as commits
@@ -1507,7 +1516,14 @@ object LakeOps extends QueryPack {
       // must keep skipping layers).
       st.deltas.map { case (k, d) =>
         val bf = st.blooms.get(d).map(b => s""","bloom":"$b"""").getOrElse("")
-        s"""{"v":$v,"op":"$k","path":"$d"$bf}""" }
+        s"""{"v":$v,"op":"$k","path":"$d"$bf}""" } ++
+      // everAdded files that are no longer live (added-then-removed, not
+      // vacuumed) are still on disk and still the empty-snapshot schema
+      // fallback's source — persist them as `schema` actions so resolving
+      // THROUGH this checkpoint loses no schema source (round-19 ADVICE
+      // fix; live files re-enter everAdded through their add lines).
+      st.everAdded.filterNot(st.live.toSet).map(p =>
+        s"""{"v":$v,"op":"schema","path":"$p"}""")
     Files.write(Paths.get(base, s"_ckpt.v$v.json"),
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val logLines = new String(
@@ -1628,7 +1644,9 @@ object LakeOps extends QueryPack {
     Seq(5, 8, 12).map { v =>
       val (st, cv, tailN) = ckptState(base, v)
       // schemaFiles (round-18 hygiene): the checkpoint-table sites now
-      // carry the same empty-snapshot schema fallback as the other nine.
+      // carry the same empty-snapshot schema fallback as the other nine —
+      // including files added-then-removed BEFORE the checkpoint, which
+      // writeCheckpoint persists as `schema` actions (round-19 ADVICE fix).
       readState(spark, base, st.live, st.dvs, schemaFiles = st.everAdded)
         .agg(count(lit(1)).as("n_rows"),
           sum($"o_orderkey").cast("long").as("key_sum"))
@@ -1867,6 +1885,13 @@ object LakeOps extends QueryPack {
     * no scan. */
   private val BloomBits = 32768L
   private val BloomWords = 512 // BloomBits / 64
+
+  /** The all-zero bitmap an EMPTY batch/file commits (every probe answers
+    * "definitely absent"). Exposed so sink-side writers (the streaming
+    * bloom sink) share the one length-checked literal instead of
+    * duplicating `BloomWords * 16` — a bitmap-size change then stays a
+    * one-constant edit (round-19 ADVICE fix). */
+  private[graft] def emptyBloomHex: String = "0" * (BloomWords * 16)
   private val BloomP = 2147483647L // 2^31 - 1, prime
   private val BloomHashes = Seq((1103515245L, 12345L), (69069L, 362437L))
   private val BloomBlock = BloomBits / BloomHashes.size // bits per hash

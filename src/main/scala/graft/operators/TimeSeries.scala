@@ -595,7 +595,8 @@ object TimeSeries extends QueryPack {
     * naive (ŷ = y_{t−h}), seasonal-naive (ŷ = y_{t−7}; h ≤ 7 keeps it
     * origin-legal), and drift (ŷ = y_{t−h} + h·slope, slope = the
     * origin's mean historical step (y_{t−h} − y₁)/(idx_{t−h} − 1),
-    * integral `div`) — scored as MAE in cents and MAPE in ppm
+    * integral FLOOR division via a non-negative dividend shift — see
+    * the in-line comment) — scored as MAE in cents and MAPE in ppm
     * ((err·10⁶) div y_t, then the mean as an integral div), ALL-INTEGER
     * end to end so both engines grade bit-equal with no rounding
     * contract. The uniform warmup idx > 7 + h puts every model on the
@@ -628,8 +629,19 @@ object TimeSeries extends QueryPack {
         // The warmup guard lives INSIDE the expression: the struct array
         // evaluates for every row before the validity filter, and ANSI
         // mode makes the idx = h+1 zero denominator an eager error.
+        // FLOOR-division drift via the non-negative shift (round-19 ADVICE
+        // fix, the EvalOps k$-band precedent): the raw dividend
+        // h·(l_h − y0) is negative whenever the origin's revenue is below
+        // day 1's, and a negative integral division is exactly where a
+        // truncating engine and a flooring engine disagree. Adding
+        // h·y0·den to the dividend (den = idx−h−1 ≥ 7 under the warmup
+        // guard) makes it PROVABLY non-negative — h·l_h + h·y0·(den−1),
+        // every term ≥ 0 — where truncate ≡ floor, then subtracting h·y0
+        // yields floor(h·(l_h − y0)/den) on BOTH engines regardless of
+        // their division convention.
         ("drift", expr(s"if(idx > 7 + $h, " +
-          s"l$h + ($h * (l$h - y0)) div (idx - $h - 1), " +
+          s"l$h + ($h * l$h + $h * y0 * (idx - $h - 2)) div (idx - $h - 1)" +
+          s" - $h * y0, " +
           "cast(null as bigint))"))
       ).map { case (m, f) =>
         struct(lit(m).as("model"), lit(h.toLong).as("horizon"),
@@ -655,7 +667,9 @@ object TimeSeries extends QueryPack {
       Seq(
         ("naive", s"l$h"),
         ("snaive", "l7"),
-        ("drift", s"l$h + ($h * (l$h - y0)) // (idx - $h - 1)"))
+        ("drift",
+          s"l$h + ($h * l$h + $h * y0 * (idx - $h - 2)) // (idx - $h - 1)" +
+            s" - $h * y0"))
         .map { case (m, f) =>
           s"""SELECT '$m' AS model, CAST($h AS BIGINT) AS horizon,
             cents, $f AS fc FROM feat WHERE idx > 7 + $h"""

@@ -1177,7 +1177,7 @@ object Streams extends QueryPack {
           // The batch's split-block bloom, attached at commit time.
           val hex = graft.operators.LakeOps
             .bloomHexes(b.toDF(), lit(0L), "o_orderkey")
-            .getOrElse(0L, "0" * 8192)
+            .getOrElse(0L, graft.operators.LakeOps.emptyBloomHex)
           java.nio.file.Files.write(logPath,
             (s"""{"v":${id + 2},"op":"delta","path":"$rel","bloom":"$hex"}""" +
               "\n").getBytes(UTF_8),

@@ -353,8 +353,10 @@ class Round18Spec extends SparkTestBase {
       (m, f) <- Seq[(String, Int => Long)](
         ("naive", t => daily(t - h)),
         ("snaive", t => daily(t - 7)),
-        ("drift", t => daily(t - h) +
-          (h * (daily(t - h) - daily(0))) / (t - h) /* idx-h-1 = (t+1)-h-1 */))
+        ("drift", t => daily(t - h) + Math.floorDiv(
+          h * (daily(t - h) - daily(0)), t - h) /* idx-h-1 = (t+1)-h-1;
+          floorDiv matches the engine's non-negative-shift FLOOR drift
+          (round-19 ADVICE fix) */))
     } yield {
       val ts = (7 + h) until daily.length // idx > 7+h, idx = t+1
       val errs = ts.map(t => math.abs(daily(t) - f(t)))
