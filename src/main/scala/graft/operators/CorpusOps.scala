@@ -1065,11 +1065,164 @@ object CorpusOps extends QueryPack {
     FROM c GROUP BY source
     ORDER BY source ASC NULLS FIRST"""
 
+  /** Minimum duplicate length in tokens — the Lee-et-al. threshold knob. */
+  private[operators] val SuffixMinLen = 8
+  /** Suffix-key truncation in tokens: duplicate extents are measured
+    * exactly up to this length per position; longer regions are covered
+    * by CHAINED positions and reassembled by the island merge. */
+  private[operators] val SuffixKeyLen = 24
+
+  /** GLOBAL EXACT SUBSTRING DEDUP — SORTED-SUFFIX PASS (round 19; r18
+    * VERDICT task 1): cross-document duplicate spans at ARBITRARY offsets
+    * and lengths ≥ [[SuffixMinLen]], the true Lee-et-al. suffix-array
+    * semantics that [[dedupSpanRemoval]] / [[textDupNgrams]] only
+    * approximate at fixed 5-gram granularity. Per token position, the
+    * suffix (truncated to [[SuffixKeyLen]] tokens) is keyed by its first
+    * [[SuffixMinLen]] tokens (the BAND: any two suffixes sharing ≥ L
+    * tokens share the band, so the global suffix-sort decomposes into
+    * per-band sorts); within a band, suffixes sort lexicographically and
+    * each position's maximal duplicate extent is the classic suffix-array
+    * identity max(LCP(prev), LCP(next)) — the max common prefix with ANY
+    * other corpus position is achieved by a sorted NEIGHBOR. Positions
+    * with extent ≥ L mark intervals [i, i+extent−1]; a per-document
+    * running-max-end island merge reassembles maximal duplicated regions
+    * (regions longer than K chain through overlapping flagged positions,
+    * so merged extents are EXACT at any length). Output: per affected
+    * document the region count, removed tokens, longest region and exact
+    * kept-ppm — the substring-dedup cut sheet. Counts ≥ 2 occurrences
+    * ANYWHERE (same-doc repeats included), the corpus-level definition.
+    *
+    * Scale: one tokenize pass → positional explode (corpus-token-sized,
+    * the same mass every tokenizing op pays) → ONE shuffle keyed by the
+    * 8-gram band; band populations are n-gram frequencies (Zipf-bounded,
+    * the shingle-leaf argument — a production run hashes the band key and
+    * caps df like SHINGLE_DF_CAP); the per-band sort + lag/lead neighbor
+    * scan is windowed WITHIN bands — never a global sort, never all-pairs
+    * (no-cartesian plan is spec-pinned); the island merge windows over
+    * each doc's flagged positions only, bounded by doc length. LCP is
+    * an O(K) codegen'd array expression, not a join.
+    */
+  private def dedupSuffixSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val L = SuffixMinLen
+    val K = SuffixKeyLen
+    val docs = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split(LlmPipeline.normText($"text"), " ").as("toks"))
+    val pos = docs
+      .select($"doc_id", $"toks",
+        explode(when(size($"toks") >= L,
+          sequence(lit(0), size($"toks") - L)).otherwise(array())).as("i"))
+      .select($"doc_id", $"i".cast("long").as("i"),
+        concat_ws(" ", slice($"toks", $"i" + 1, lit(L))).as("band"),
+        slice($"toks", $"i" + 1, lit(K)).as("sfx"))
+    val wb = Window.partitionBy($"band")
+      .orderBy(concat_ws(" ", $"sfx").asc, $"doc_id".asc, $"i".asc)
+    // Token LCP with a neighbor: position of the first mismatching token
+    // (array_position returns 0 when the shorter suffix is a full prefix
+    // of the longer — both engines, probed). The missing-neighbor case is
+    // guarded EXPLICITLY: Spark's least() SKIPS nulls (DuckDB's
+    // propagates them), so relying on null propagation here silently
+    // turns every band-edge row into lcp = |sfx| on the Spark side.
+    def lcp(nb: String): Column = {
+      val m = s"least(size(sfx), size($nb))"
+      val mp = s"array_position(transform(sequence(1, $m), " +
+        s"j -> element_at(sfx, j) != element_at($nb, j)), true)"
+      expr(s"CASE WHEN $nb IS NULL THEN 0L WHEN $mp = 0 THEN $m " +
+        s"ELSE $mp - 1 END")
+    }
+    val flagged = pos
+      .withColumn("psfx", lag($"sfx", 1).over(wb))
+      .withColumn("nsfx", lead($"sfx", 1).over(wb))
+      .select($"doc_id", $"i",
+        greatest(lcp("psfx"), lcp("nsfx")).as("ext"))
+      .filter($"ext" >= L.toLong)
+      .select($"doc_id", $"i", ($"i" + $"ext" - 1L).as("e"))
+    val wp = Window.partitionBy($"doc_id").orderBy($"i".asc)
+    val islands = flagged
+      .withColumn("prev_end",
+        max($"e").over(wp.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when($"prev_end".isNull || $"i" > $"prev_end" + 1L, 1L).otherwise(0L))
+      .withColumn("g", sum($"fresh")
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"g")
+      .agg(min($"i").as("s"), max($"e").as("ee"))
+    islands.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_regions"),
+        sum($"ee" - $"s" + 1L).as("removed_tokens"),
+        max($"ee" - $"s" + 1L).as("max_region_len"))
+      .join(docs.select($"doc_id", size($"toks").cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .select($"doc_id", $"n_regions", $"removed_tokens", $"max_region_len",
+        $"n_tokens",
+        expr("(n_tokens - removed_tokens) * 1000000 div n_tokens")
+          .as("kept_ppm"))
+      .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private val dedupSuffixSpansSql: String = {
+    val L = SuffixMinLen
+    val K = SuffixKeyLen
+    def lcpSql(nb: String): String = {
+      val m = s"least(len(sfx), len($nb))"
+      val mp = s"list_position(list_transform(range(1, $m + 1), " +
+        s"j -> sfx[j] IS DISTINCT FROM $nb[j]), true)"
+      s"CASE WHEN $nb IS NULL THEN 0 WHEN $mp = 0 THEN $m ELSE $mp - 1 END"
+    }
+    s"""
+    WITH docs AS (
+      SELECT doc_id, string_split(${LlmPipeline.normTextSql}, ' ') AS toks
+      FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+        array_to_string(toks[i+1:i+$L], ' ') AS band,
+        toks[i+1:i+$K] AS sfx
+      FROM (SELECT doc_id, toks, unnest(range(len(toks) - ${L - 1})) AS i
+            FROM docs WHERE len(toks) >= $L)),
+    nbr AS (
+      SELECT doc_id, i, sfx,
+        lag(sfx) OVER w AS psfx, lead(sfx) OVER w AS nsfx
+      FROM pos
+      WINDOW w AS (PARTITION BY band
+        ORDER BY array_to_string(sfx, ' ') ASC, doc_id ASC, i ASC)),
+    flagged AS (
+      SELECT doc_id, i,
+        i + greatest(${lcpSql("psfx")}, ${lcpSql("nsfx")}) - 1 AS e
+      FROM nbr
+      WHERE greatest(${lcpSql("psfx")}, ${lcpSql("nsfx")}) >= $L),
+    marked AS (
+      SELECT doc_id, i, e,
+        max(e) OVER (PARTITION BY doc_id ORDER BY i ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM flagged),
+    grouped AS (
+      SELECT doc_id, i, e,
+        sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY i ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked),
+    islands AS (
+      SELECT doc_id, g, min(i) AS s, max(e) AS ee
+      FROM grouped GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_regions,
+        CAST(sum(ee - s + 1) AS BIGINT) AS removed_tokens,
+        CAST(max(ee - s + 1) AS BIGINT) AS max_region_len
+      FROM islands GROUP BY 1)
+    SELECT p.doc_id, p.n_regions, p.removed_tokens, p.max_region_len,
+      CAST(len(d.toks) AS BIGINT) AS n_tokens,
+      CAST((len(d.toks) - p.removed_tokens) * 1000000 // len(d.toks)
+        AS BIGINT) AS kept_ppm
+    FROM per_doc p JOIN docs d USING (doc_id)
+    ORDER BY p.doc_id ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_text_zipf", textZipf, Some(textZipfSql)),
     Q("q_dedup_url_canonical", dedupUrlCanonical,
       Some(dedupUrlCanonicalSql)),
     Q("q_dedup_span_removal", dedupSpanRemoval, Some(dedupSpanRemovalSql)),
+    Q("q_dedup_suffix_spans", dedupSuffixSpans, Some(dedupSuffixSpansSql)),
     Q("q_pack_bins", packBins, Some(packBinsSql)),
     Q("q_text_dup_ngrams", textDupNgrams, Some(textDupNgramsSql)),
     Q("q_corpus_temperature", corpusTemperature, Some(corpusTemperatureSql)),

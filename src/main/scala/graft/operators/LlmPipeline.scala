@@ -32,7 +32,7 @@ object LlmPipeline extends QueryPack {
   /** Max docs a shingle may appear in before it is dropped (see scale note). */
   private val SHINGLE_DF_CAP = 100
 
-  private[operators] def normText(c: Column): Column =
+  private[graft] def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
   private[operators] val normTextSql =

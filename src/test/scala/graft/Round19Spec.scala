@@ -43,4 +43,68 @@ class Round19Spec extends SparkTestBase {
     val (st2, _, _) = operators.LakeOps.ckptStateFor(d2.toString, 4)
     assert(st2.everAdded.toSet == Set("f2"))
   }
+
+  // ---- q_dedup_suffix_spans (VERDICT r18 task 1) ----
+
+  /** Independent in-memory evaluation of the SEMANTICS (not the
+    * algorithm): a position's duplicate extent is the max j ∈ [L, K] such
+    * that its j-token prefix occurs ≥ 2 times in the corpus — computed
+    * here by brute-force j-gram counting, with NO suffix sorting and NO
+    * neighbor LCP. Equality proves the sorted-suffix neighbor-LCP
+    * identity (max common prefix with any other suffix is achieved by a
+    * sorted neighbor, restricted per band) computes exactly that. */
+  test("suffix spans: engine equals brute-force j-gram duplicate extents") {
+    val L = 8; val K = 24
+    val docs = Catalog.load(spark, sf0001, "documents")
+      .select($"doc_id",
+        split(operators.LlmPipeline.normText($"text"), " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector)
+      .sortBy(_._1)
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, toks) <- docs; i <- 0 to toks.length - L;
+         j <- L to math.min(K, toks.length - i))
+      counts.updateWith(toks.slice(i, i + j).mkString(" ")) {
+        c => Some(c.getOrElse(0) + 1) }
+    val expect = docs.flatMap { case (d, toks) =>
+      val ivals = (0 to toks.length - L).flatMap { i =>
+        val ext = (L to math.min(K, toks.length - i)).reverseIterator
+          .find(j => counts(toks.slice(i, i + j).mkString(" ")) >= 2)
+          .getOrElse(0)
+        if (ext >= L) Some((i.toLong, i + ext - 1L)) else None
+      }
+      if (ivals.isEmpty) None
+      else {
+        val islands = ivals.tail.foldLeft(Vector(ivals.head)) {
+          case (acc, (i, e)) =>
+            val (s0, e0) = acc.last
+            if (i > e0 + 1) acc :+ ((i, e))
+            else acc.init :+ ((s0, math.max(e0, e)))
+        }
+        val removed = islands.map { case (s, e) => e - s + 1 }.sum
+        Some((d, islands.size.toLong, removed,
+          islands.map { case (s, e) => e - s + 1 }.max,
+          toks.length.toLong,
+          (toks.length - removed) * 1000000L / toks.length))
+      }
+    }
+    val got = SparkEntry.queries("q_dedup_suffix_spans")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toVector
+    assert(got == expect.toVector)
+    assert(got.nonEmpty, "fixture must contain duplicated >= 8-token spans")
+  }
+
+  test("suffix spans: plan has no cartesian and no global-sort window") {
+    val df = SparkEntry.queries("q_dedup_suffix_spans")(spark, sf0001)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "suffix neighbors must meet by band-keyed shuffle, never |P| x |P|")
+    // The neighbor-scan window is partitioned by the 8-gram band: its
+    // exchange must hash-partition, never collapse to a single partition
+    // (a global suffix sort would be the 100-TB scale-killer).
+    assert(!plan.contains("SinglePartition"),
+      "the suffix sort must decompose into per-band sorts")
+  }
 }
