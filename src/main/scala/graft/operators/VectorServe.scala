@@ -372,6 +372,102 @@ object VectorServe extends QueryPack {
       .distinct()
   }
 
+  /** DuckDB replay oracle (round 19; r18 VERDICT task 2 — the discipline
+    * that made q_graph_walks_biased gradeable): the beam search is
+    * path-dependent but DETERMINISTIC — every stage is exact int64
+    * arithmetic with total-order ties — so the oracle REPLAYS the entire
+    * pipeline relationally: Lloyd's training ([[KMeansOps.kmeansCtes]],
+    * already the IVF oracles' text), top-4 cell multi-assignment, the
+    * bucket-pair candidate seed, [[HnswDescentRounds]] NN-descent rounds
+    * (undirected + 2-hop expansion → exact score → top-[[HnswM]] trim),
+    * symmetrization, and [[HnswRounds]] beam rounds (edge expansion minus
+    * the current beam → score → top-[[HnswBeam]] trim). Round CTEs are
+    * MATERIALIZED (DuckDB inlines CTEs; a chain referencing each round
+    * 2-3x re-evaluates multiplicatively otherwise — the louvain-coarse
+    * lesson), and pair scoring runs on the LONG (vec_id, pos, e) form so
+    * the d2 aggregation vectorizes instead of paying per-row lambdas. */
+  private val simAnnHnswOracle: String = {
+    // Exact top-HnswM trim of a candidate-pair CTE by (d2, dst) — the
+    // scoreTrim twin.
+    def scoreTrimSql(cand: String): String = s"""
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER
+          (PARTITION BY src ORDER BY d2 ASC, dst ASC) AS rn
+        FROM (SELECT c.src, c.dst, sum((a.e - b.e) * (a.e - b.e)) AS d2
+              FROM $cand c
+              JOIN quant a ON a.vec_id = c.src
+              JOIN quant b ON b.vec_id = c.dst AND b.pos = a.pos
+              GROUP BY 1, 2)) WHERE rn <= $HnswM"""
+    // Exact (probe, cand) scoring of a pair CTE — the serve-side score.
+    def pairScoreSql(pairs: String): String = s"""
+      SELECT pr.probe_id, pr.cand_id,
+        CAST(sum((a.e - b.e) * (a.e - b.e)) AS BIGINT) AS d2
+      FROM $pairs pr
+      JOIN quant a ON a.vec_id = pr.probe_id
+      JOIN quant b ON b.vec_id = pr.cand_id AND b.pos = a.pos
+      GROUP BY 1, 2"""
+    val descent = (1 to HnswDescentRounds).map { r =>
+      s"""
+    und$r AS MATERIALIZED (
+      SELECT src, dst FROM knn${r - 1}
+      UNION SELECT dst, src FROM knn${r - 1}),
+    cand$r AS MATERIALIZED (
+      SELECT src, dst FROM und$r
+      UNION
+      SELECT a.src, b.dst FROM und$r a
+      JOIN und$r b ON a.dst = b.src AND a.src <> b.dst),
+    knn$r AS MATERIALIZED (${scoreTrimSql(s"cand$r")})"""
+    }.mkString(",")
+    val beams = (1 to HnswRounds).map { r =>
+      s"""
+    expand$r AS (
+      SELECT DISTINCT b.probe_id, g.dst AS cand_id
+      FROM beam${r - 1} b JOIN graph g ON g.src = b.cand_id
+      WHERE NOT EXISTS (SELECT 1 FROM beam${r - 1} x
+        WHERE x.probe_id = b.probe_id AND x.cand_id = g.dst)),
+    beam$r AS MATERIALIZED (
+      SELECT probe_id, cand_id, d2 FROM (
+        SELECT probe_id, cand_id, d2, row_number() OVER
+          (PARTITION BY probe_id ORDER BY d2 ASC, cand_id ASC) AS rn
+        FROM (${pairScoreSql(s"expand$r")}
+              UNION ALL
+              SELECT probe_id, cand_id, d2 FROM beam${r - 1}))
+      WHERE rn <= $HnswBeam)"""
+    }.mkString(",")
+    s"""
+    WITH ${KMeansOps.kmeansCtes},
+    buckets AS MATERIALIZED (
+      SELECT cell, vec_id FROM (
+        SELECT vec_id, cell, row_number() OVER
+          (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM (SELECT q.vec_id, c.cell, sum((q.e - c.c) * (q.e - c.c)) AS d2
+              FROM quant q JOIN cent3 c USING (pos) GROUP BY 1, 2))
+      WHERE rn <= $HnswBuildCells),
+    cand0 AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM buckets a JOIN buckets b USING (cell)
+      WHERE a.vec_id <> b.vec_id),
+    knn0 AS MATERIALIZED (${scoreTrimSql("cand0")}),$descent,
+    graph AS MATERIALIZED (
+      SELECT src, dst FROM knn$HnswDescentRounds
+      UNION SELECT dst, src FROM knn$HnswDescentRounds),
+    pairs0 AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS cand_id
+      FROM (SELECT DISTINCT vec_id FROM quant WHERE vec_id < $HnswProbes) p
+      CROSS JOIN (SELECT DISTINCT vec_id FROM quant
+                  WHERE vec_id % $HnswEntryMod = 0) e),
+    beam0 AS MATERIALIZED (
+      SELECT probe_id, cand_id, d2 FROM (
+        SELECT probe_id, cand_id, d2, row_number() OVER
+          (PARTITION BY probe_id ORDER BY d2 ASC, cand_id ASC) AS rn
+        FROM (${pairScoreSql("pairs0")})) WHERE rn <= $HnswBeam),$beams
+    SELECT probe_id, CAST(rn AS BIGINT) AS rank, cand_id, d2 FROM (
+      SELECT probe_id, cand_id, d2, row_number() OVER
+        (PARTITION BY probe_id ORDER BY d2 ASC, cand_id ASC) AS rn
+      FROM beam$HnswRounds WHERE cand_id <> probe_id) WHERE rn <= $HnswK
+    ORDER BY probe_id ASC NULLS FIRST, rank ASC NULLS FIRST"""
+  }
+
   private def simAnnHnsw(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val quant = KMeansOps.kmQuant(spark, sfDir)
@@ -833,7 +929,7 @@ object VectorServe extends QueryPack {
   override val queries: Vector[Q] = Vector(
     Q("q_sim_ann_ivfpq", ivfPq, Some(ivfPqOracle)),
     Q("q_retrieval_mmr", retrievalMmr, Some(retrievalMmrOracle)),
-    Q("q_sim_ann_hnsw", simAnnHnsw, None),
+    Q("q_sim_ann_hnsw", simAnnHnsw, Some(simAnnHnswOracle)),
     Q("q_sim_matryoshka", simMatryoshka, Some(simMatryoshkaOracle)),
     Q("q_sim_maxsim", simMaxsim, Some(simMaxsimOracle)),
     Q("q_sim_maxsim_lsh", simMaxsimLsh, Some(simMaxsimLshOracle)),
