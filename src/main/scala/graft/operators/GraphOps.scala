@@ -2254,23 +2254,23 @@ object GraphOps extends QueryPack {
       .orderBy($"community".asc_nulls_first)
   }
 
-  /** The coarse-refined node-level labels: contract the fine partition
-    * into the weighted community graph, run one weighted ascent round,
-    * map the moves back through the fine labels. Shared by the graded
-    * rollup and the Round18Spec Q(coarse) ≥ Q(fine) assertion. */
-  private[graft] def louvainCoarseLabels(spark: SparkSession,
-                                         sfDir: String): DataFrame = {
-    import spark.implicits._
-    val und = coPurchaseUnd(spark, sfDir)
-    val fine = louvainLabels(spark, sfDir)
-    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
-      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+  /** One Louvain CONTRACTION + WEIGHTED-ASCENT level: contract the given
+    * node-level partition into its weighted community graph (wdeg = the
+    * community's fine degree mass, inter-community edge multiplicities as
+    * weights) and run one gain-maximizing synchronous move round at the
+    * supernode grain — same exact-integer gain, deterministic ties and
+    * downward-only gating as [[louvainLabels]]. Returns the SUPERNODE
+    * move frame (lbl → newlbl): community-sized, so callers can both map
+    * labels back through it and count moved supernodes cheaply. */
+  private def louvainAscentMoves(und: DataFrame, deg: DataFrame,
+                                 labels: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
     val vdim = und.agg(count(lit(1)).as("vol"))
-    val wdeg = fine.join(deg, Seq("node"))
+    val wdeg = labels.join(deg, Seq("node"))
       .groupBy($"lbl".as("c")).agg(sum($"deg").as("wdeg"))
     val ce = und
-      .join(fine.select($"node".as("u"), $"lbl".as("cu")), Seq("u"))
-      .join(fine.select($"node".as("v"), $"lbl".as("cv")), Seq("v"))
+      .join(labels.select($"node".as("u"), $"lbl".as("cu")), Seq("u"))
+      .join(labels.select($"node".as("v"), $"lbl".as("cv")), Seq("v"))
       .filter($"cu" =!= $"cv")
       .groupBy($"cu".as("sn"), $"cv".as("c2")).agg(count(lit(1)).as("k"))
     val cand = ce
@@ -2287,9 +2287,23 @@ object GraphOps extends QueryPack {
           ($"dtot" - when($"c2" === $"sn", $"wdeg").otherwise(lit(0L))))
           .as("score"))
     val w = Window.partitionBy($"sn").orderBy($"score".desc, $"c2".asc)
-    val mv = scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"sn".as("lbl"), $"c2".as("newlbl"))
+  }
+
+  /** The coarse-refined node-level labels: contract the fine partition
+    * into the weighted community graph, run one weighted ascent round,
+    * map the moves back through the fine labels. Shared by the graded
+    * rollup and the Round18Spec Q(coarse) ≥ Q(fine) assertion. */
+  private[graft] def louvainCoarseLabels(spark: SparkSession,
+                                         sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val fine = louvainLabels(spark, sfDir)
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+    val mv = louvainAscentMoves(und, deg, fine)
     fine.join(mv, Seq("lbl")).select($"node", $"newlbl".as("lbl"))
   }
 
@@ -2341,6 +2355,151 @@ object GraphOps extends QueryPack {
       CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, b.d_tot
     FROM basec b LEFT JOIN einc e ON e.community = b.community
     ORDER BY b.community ASC NULLS FIRST"""
+
+  private val LouvainLevels = 3
+
+  /** The multi-level node labels: the fine partition, then up to
+    * [[LouvainLevels]] contraction + weighted-ascent levels
+    * ([[louvainAscentMoves]]) with an EARLY EXIT when a level moves zero
+    * supernodes. The exit is exact, not heuristic: downward-only gating
+    * makes every node's label monotone non-increasing across levels, and
+    * a zero-move level is a FIXED POINT (the next level sees identical
+    * labels, hence identical wdeg/ce/scores, hence zero moves again) —
+    * so exiting early yields bit-identical labels to running the full
+    * cap, which is what lets the DuckDB oracle simply unroll all
+    * [[LouvainLevels]] levels. The moved-count check is the documented
+    * bounded-metadata pattern: one scalar count over the
+    * community-sized move frame per level, never over nodes or edges.
+    * Shared by the graded rollup and the Round19Spec per-level
+    * monotonicity / fixed-point assertions. */
+  private[graft] def louvainMultiLabels(spark: SparkSession, sfDir: String,
+      levels: Int = LouvainLevels): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+    var labels = louvainLabels(spark, sfDir)
+    var lvl = 0
+    var converged = false
+    while (lvl < levels && !converged) {
+      val mv = louvainAscentMoves(und, deg, labels).localCheckpoint(true)
+      converged = mv.filter($"newlbl" =!= $"lbl").isEmpty
+      labels = labels.join(mv, Seq("lbl"))
+        .select($"node", $"newlbl".as("lbl"))
+        .localCheckpoint(true)
+      lvl += 1
+    }
+    labels
+  }
+
+  /** MULTI-LEVEL LOUVAIN TO CONVERGENCE (round 19; r18 VERDICT task 4) —
+    * the full Louvain loop: after the fine synchronous ascent
+    * ([[louvainLabels]]) the contraction + weighted-ascent level of
+    * [[graphLouvainCoarse]] ITERATES — each level re-contracts the
+    * current partition into its weighted community graph and runs one
+    * more gain-maximizing move round at the supernode grain — until a
+    * level moves nothing (ΔQ = 0 exactly, and permanently: labels are
+    * monotone non-increasing under the downward-only gate, so a
+    * zero-move level is a fixed point) or the [[LouvainLevels]] cap is
+    * hit. Same exact-integer gain arithmetic, deterministic (score DESC,
+    * c ASC) ties and downward-only gating at every level, so the whole
+    * descent-to-convergence is bit-deterministic and the oracle unrolls
+    * the levels as MATERIALIZED CTE chains (fixed-point levels replay as
+    * no-ops, which is why the unroll and the early exit agree). Output:
+    * the same rollup grain as [[graphLouvain]]/[[graphLouvainCoarse]]
+    * (per-community size, min member, intra-edge count, degree mass —
+    * the exact integer inputs of Newman Q), so the three partitions
+    * compare directly; Round19Spec pins per-level Q monotonicity,
+    * Q(multi) ≥ Q(coarse), and the fixed point (one more level at the
+    * converged labels changes nothing).
+    *
+    * Scale: each level's frames are COMMUNITY-sized (the whole point of
+    * contraction at 100 TB — level 1 already shrinks sf0.01 from 412 to
+    * 228 supernodes) except the one label-decorated edge-leaf pass per
+    * level; the early exit caps wasted levels at one. */
+  private def graphLouvainMulti(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+    val lm = louvainMultiLabels(spark, sfDir).localCheckpoint(true)
+    val edges = und.filter($"u" < $"v")
+    val ein = edges
+      .join(lm.select($"node".as("u"), $"lbl".as("cu")), Seq("u"))
+      .join(lm.select($"node".as("v"), $"lbl".as("cv")), Seq("v"))
+      .filter($"cu" === $"cv")
+      .groupBy($"cu".as("community")).agg(count(lit(1)).as("e_in"))
+    lm.join(deg, Seq("node"))
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"), min($"node").as("min_node"),
+        sum($"deg").as("d_tot"))
+      .join(ein, Seq("community"), "left")
+      .select($"community", $"n_members", $"min_node",
+        coalesce($"e_in", lit(0L)).as("e_in"), $"d_tot")
+      .orderBy($"community".asc_nulls_first)
+  }
+
+  /** One unrolled contraction + weighted-ascent level of the multi
+    * oracle: reads node labels from CTE `$prev`, emits `lv$lvl`. Mirrors
+    * [[louvainAscentMoves]] CTE-for-frame; the label CTE is MATERIALIZED
+    * (each level references its predecessor 4x — the louvainFineCtes
+    * multiplicative-replay lesson). */
+  private def louvainLevelCtes(lvl: Int, prev: String): String = s"""
+    wd$lvl AS (
+      SELECT l.lbl AS c, CAST(sum(d.deg) AS BIGINT) AS wdeg
+      FROM $prev l JOIN deg d ON d.node = l.node GROUP BY 1),
+    ce$lvl AS (
+      SELECT lu.lbl AS sn, lv.lbl AS c2, CAST(count(*) AS BIGINT) AS k
+      FROM und e
+      JOIN $prev lu ON lu.node = e.u
+      JOIN $prev lv ON lv.node = e.v
+      WHERE lu.lbl <> lv.lbl GROUP BY 1, 2),
+    cm$lvl AS (
+      SELECT sn, c2, CAST(max(k) AS BIGINT) AS k FROM (
+        SELECT sn, c2, k FROM ce$lvl
+        UNION ALL SELECT c, c, CAST(0 AS BIGINT) FROM wd$lvl) x
+      GROUP BY 1, 2),
+    sm$lvl AS (
+      SELECT cd.sn, cd.c2,
+        v.vol * cd.k - wu.wdeg *
+          (wd.wdeg - CASE WHEN cd.c2 = cd.sn THEN wu.wdeg ELSE 0 END)
+          AS score
+      FROM cm$lvl cd
+      JOIN wd$lvl wu ON wu.c = cd.sn
+      JOIN wd$lvl wd ON wd.c = cd.c2
+      CROSS JOIN vol v
+      WHERE cd.c2 <= cd.sn),
+    mvm$lvl AS (
+      SELECT sn AS lbl, c2 AS newlbl FROM (
+        SELECT sn, c2, row_number() OVER
+          (PARTITION BY sn ORDER BY score DESC, c2 ASC) AS rn
+        FROM sm$lvl) z WHERE rn = 1),
+    lv$lvl AS MATERIALIZED (
+      SELECT l.node, m.newlbl AS lbl
+      FROM $prev l JOIN mvm$lvl m ON m.lbl = l.lbl)"""
+
+  private val graphLouvainMultiOracle: String = {
+    val levels = (1 to LouvainLevels).map { lvl =>
+      louvainLevelCtes(lvl, if (lvl == 1) s"l$LouvainRounds" else s"lv${lvl - 1}")
+    }.mkString(",")
+    s"""
+    WITH $louvainFineCtes,$levels,
+    einm AS (
+      SELECT lu.lbl AS community, count(*) AS e_in
+      FROM edges e
+      JOIN lv$LouvainLevels lu ON lu.node = e.a
+      JOIN lv$LouvainLevels lv ON lv.node = e.b
+      WHERE lu.lbl = lv.lbl GROUP BY 1),
+    basem AS (
+      SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+        min(l.node) AS min_node, CAST(sum(d.deg) AS BIGINT) AS d_tot
+      FROM lv$LouvainLevels l JOIN deg d ON d.node = l.node GROUP BY 1)
+    SELECT b.community, b.n_members, b.min_node,
+      CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, b.d_tot
+    FROM basem b LEFT JOIN einm e ON e.community = b.community
+    ORDER BY b.community ASC NULLS FIRST"""
+  }
 
   /** RESOURCE-ALLOCATION link prediction (added round 12 batch 6) — the
     * Zhou–Lü–Zhang RA index next to the common-neighbor/Jaccard scores:
@@ -2668,6 +2827,8 @@ object GraphOps extends QueryPack {
     Q("q_graph_louvain", graphLouvain, Some(graphLouvainOracle)),
     Q("q_graph_louvain_coarse", graphLouvainCoarse,
       Some(graphLouvainCoarseOracle)),
+    Q("q_graph_louvain_multi", graphLouvainMulti,
+      Some(graphLouvainMultiOracle)),
     Q("q_graph_walks", graphWalks, Some(graphWalksOracle)),
     Q("q_graph_walks_biased", graphWalksBiased,
       Some(graphWalksBiasedOracle)),

@@ -107,4 +107,53 @@ class Round19Spec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"),
       "the suffix sort must decompose into per-band sorts")
   }
+
+  // ---- q_graph_louvain_multi (VERDICT r18 task 4) ----
+
+  /** Newman Q of a (node → lbl) partition over the co-purchase graph, as
+    * an exact rational (num, den) — the Round18Spec scorer. */
+  private def modularityOf(labels: Map[Long, Long]): (BigInt, BigInt) = {
+    val und = operators.GraphOps.coPurchaseUnd(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = und.filter { case (u, v) => u < v }
+    val m = BigInt(edges.length)
+    val deg = und.groupBy(_._1).map { case (u, es) => u -> BigInt(es.length) }
+    val eInByC = edges.filter { case (u, v) => labels(u) == labels(v) }
+      .groupBy { case (u, _) => labels(u) }
+      .map { case (c, es) => c -> BigInt(es.length) }
+    val dTot = deg.groupBy { case (n, _) => labels(n) }
+      .map { case (c, ds) => c -> ds.values.sum }
+    val num = dTot.keys.toSeq.map { c =>
+      4 * m * eInByC.getOrElse(c, BigInt(0)) - dTot(c) * dTot(c)
+    }.sum
+    (num, 4 * m * m)
+  }
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("louvain multi: per-level monotone Q, >= coarse, and a true fixed point") {
+    operators.GraphOps.clearMemoForTest()
+    // Level 1 of the multi loop IS the coarse step — exact label equality.
+    val coarse = labelMap(operators.GraphOps.louvainCoarseLabels(spark, sf0001))
+    val l1 = labelMap(operators.GraphOps.louvainMultiLabels(spark, sf0001, 1))
+    assert(l1 == coarse, "multi level 1 must equal the coarse labels")
+    // Per-level ascent: Q never descends from level to level.
+    val l2 = labelMap(operators.GraphOps.louvainMultiLabels(spark, sf0001, 2))
+    val l3 = labelMap(operators.GraphOps.louvainMultiLabels(spark, sf0001, 3))
+    val qs = Seq(l1, l2, l3).map(modularityOf)
+    qs.sliding(2).foreach { case Seq((an, ad), (bn, bd)) =>
+      assert(bn * ad >= an * bd, s"Q descended across a level: $bn/$bd < $an/$ad")
+    }
+    // Fixed point: the capped run has converged at fixture scale — one
+    // more permitted level changes nothing (which is also the exact
+    // argument for why the oracle's full unroll equals the early exit).
+    val l4 = labelMap(operators.GraphOps.louvainMultiLabels(spark, sf0001, 4))
+    assert(l4 == l3, "multi labels must be a fixed point within the level cap")
+    // The graded rollup agrees with the converged labels' community sizes.
+    val sizes = l3.groupBy(_._2).map { case (c, g) => (c, g.size.toLong) }
+    val graded = SparkEntry.queries("q_graph_louvain_multi")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sizes == graded, "graded rollup diverged from the converged labels")
+  }
 }
