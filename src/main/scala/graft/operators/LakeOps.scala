@@ -193,7 +193,7 @@ object LakeOps extends QueryPack {
     * in-commit-timestamp that AS OF resolution needs) is legal on any
     * action and validated commit-consistent + monotone at resolution. */
   private val actionRe =
-    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta|edelete|schema|tag)","path":"(\w+)"""" +
+    ("""^\{"v":(\d+),"op":"(add|remove|dv|vacuum|conflict|delta|edelete|schema|tag|expire)","path":"(\w+)"""" +
       """(?:,"ts":(\d+))?(?:,"dv":"(\w+)")?(?:,"min":(-?\d+),"max":(-?\d+))?""" +
       """(?:,"zones":\{([^{}]*)\})?(?:,"rows":(\d+))?""" +
       """(?:,"bloom":"([0-9a-f]+)")?\}$""").r
@@ -319,7 +319,8 @@ object LakeOps extends QueryPack {
           // line — the checkpoint persists it as a schema action so a
           // checkpoint-resolved empty snapshot keeps its schema fallback.
           ever += a.path
-        case _ => () // conflict: audit-only
+        case _ => () // conflict/expire: audit-only (expiry gates READERS
+                     // at resolution — see readSnapshot — not the replay)
       }
     }
     LakeState(live.toSeq, dvs.toMap, zones.toMap, colZones.toMap,
@@ -364,8 +365,27 @@ object LakeOps extends QueryPack {
     * iff each masked file holds at most one row per o_orderkey — true
     * for the orders-slice scratches and pinned by the per-masked-file
     * uniqueness assertion in Round14BSpec. */
+  /** Reading a snapshot an `expire` record names must REFUSE loudly
+    * (round 19, q_lake_expire): its files may be vacuumed, so resolving
+    * it would either fail confusingly downstream or — worse — silently
+    * answer from a partial file set. Logs without expire records (every
+    * other scratch) are untouched by this gate. */
+  private def checkNotExpired(base: String, v: Int): Unit = {
+    val ex = readActions(Paths.get(base, "_log.json"))
+      .filter(_.op == "expire")
+    ex.find(_.path == s"s$v").foreach { a =>
+      throw new IllegalStateException(s"graft lake: snapshot v$v was " +
+        s"expired by expire_snapshots at commit ${a.v} — time travel to " +
+        "it is no longer available")
+    }
+  }
+
+  private[graft] def readSnapshotForTest(spark: SparkSession, base: String,
+      v: Int): DataFrame = readSnapshot(spark, base, v)
+
   private def readSnapshot(spark: SparkSession, base: String, v: Int)
       : DataFrame = {
+    checkNotExpired(base, v)
     val st = fullState(base, v)
     // everAdded, not st.live (round-18 ADVICE fix): the fallback only
     // fires when the live set is EMPTY, so passing the live set for both
@@ -1168,6 +1188,244 @@ object LakeOps extends QueryPack {
     FROM orders
     WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
        OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+    ORDER BY version ASC NULLS FIRST"""
+
+  // ---- SNAPSHOT EXPIRY (round 19; r18 VERDICT task 5) ----
+
+  /** Expiry policy constants, shared by the scratch builder, the graded
+    * query's status recomputation and the Round19Spec assertions: retain
+    * the newest [[ExpireRetainLast]] snapshots unconditionally, expire
+    * older ones committed before [[ExpireOlderThan]] — unless a named
+    * tag protects them (the Iceberg retention contract: refs pin
+    * snapshots against `expire_snapshots`). */
+  private val ExpireRetainLast = 2
+  private def expireOlderThan: Long = lakeTs(4)
+
+  /** Snapshot versions of a log = versions carrying any table-state
+    * action (tags/expire/vacuum/conflict are audit grain, not
+    * snapshots). */
+  private def dataVersions(acts: Seq[LakeAction]): Seq[Int] =
+    acts.filter(a => Set("add", "remove", "dv", "delta", "edelete",
+      "schema").contains(a.op)).map(_.v).distinct.sorted
+
+  /** Expire the given snapshot versions under the VACUUM-SAFETY
+    * invariant: a data file is physically deleted ONLY if every snapshot
+    * referencing it is being (or was already) expired — files any
+    * retained snapshot still references stay on disk, whatever else
+    * happens. Appends one audit commit: an `expire` record per version
+    * (path `s<v>` — what gates readers, see [[checkNotExpired]]) plus a
+    * `vacuum` record per deleted file (what keeps `everAdded` honest).
+    * Returns the deleted file names. Pure catalog arithmetic — O(commits)
+    * log replay + O(files) listing, zero data scan, the vacuumDir
+    * posture. */
+  private def doExpire(base: String, toExpire: Seq[Int]): Seq[String] = {
+    if (toExpire.isEmpty) return Nil
+    val acts = readActions(Paths.get(base, "_log.json"))
+    val already = acts.filter(_.op == "expire")
+      .map(_.path.stripPrefix("s").toInt).toSet
+    val gone = already ++ toExpire
+    val retained = dataVersions(acts).filterNot(gone)
+    val needed = retained.flatMap(v => liveState(base, v)._1).toSet
+    val dead = toExpire.flatMap(v => liveState(base, v)._1).toSet -- needed
+    dead.toSeq.sorted.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base, d))
+    }
+    val newV = acts.map(_.v).max + 1
+    val lines = toExpire.sorted.map(v =>
+      s"""{"v":$newV,"op":"expire","path":"s$v","ts":${lakeTs(newV)}}""") ++
+      dead.toSeq.sorted.map(d =>
+        s"""{"v":$newV,"op":"vacuum","path":"$d","ts":${lakeTs(newV)}}""")
+    val old = new String(Files.readAllBytes(Paths.get(base, "_log.json")),
+      StandardCharsets.UTF_8)
+    Files.write(Paths.get(base, "_log.json"),
+      (old + "\n" + lines.mkString("\n")).getBytes(StandardCharsets.UTF_8))
+    dead.toSeq.sorted
+  }
+
+  /** `expire_snapshots(retain_last, older_than)`: the policy sweep.
+    * Candidates = snapshots older than the horizon and outside the
+    * retain-last window, not already expired; TAGGED candidates are
+    * PROTECTED (skipped, reported), the rest expire via [[doExpire]].
+    * Returns (expired, protected, deleted files). Idempotent: a second
+    * sweep under the same policy finds no candidates. */
+  private[graft] def expireSnapshots(base: String, retainLast: Int,
+      olderThan: Long): (Seq[Int], Seq[Int], Seq[String]) = {
+    val acts = readActions(Paths.get(base, "_log.json"))
+    val versions = dataVersions(acts)
+    val already = acts.filter(_.op == "expire")
+      .map(_.path.stripPrefix("s").toInt).toSet
+    val ts = acts.groupBy(_.v).map { case (v, as) =>
+      val tss = as.flatMap(_.ts).distinct
+      require(tss.size == 1,
+        s"graft lake: commit $v must carry exactly one timestamp for " +
+          s"retention arithmetic (found ${tss.mkString(",")})")
+      v -> tss.head
+    }
+    val head = versions.takeRight(retainLast).toSet
+    val tagged = acts.filter(_.op == "tag").map(_.v).toSet
+    val candidates = versions.filter(v =>
+      !already(v) && !head(v) && ts(v) < olderThan)
+    val (prot, expired) = candidates.partition(tagged)
+    val dead = doExpire(base, expired)
+    (expired, prot, dead)
+  }
+
+  /** Direct single-snapshot expiry — the REFUSAL surface (the
+    * q_lake_constraints transactional-refusal pattern): a tag-protected
+    * or head snapshot refuses loudly BEFORE any state change (no log
+    * append, no file deletion — the spec pins both), anything else
+    * delegates to [[doExpire]]. */
+  private[graft] def expireVersion(base: String, v: Int): Seq[String] = {
+    val acts = readActions(Paths.get(base, "_log.json"))
+    val tags = acts.filter(a => a.op == "tag" && a.v == v).map(_.path)
+    require(tags.isEmpty, s"graft lake: snapshot v$v is protected by " +
+      s"tag(s) ${tags.sorted.mkString(", ")} — expire_snapshots refuses; " +
+      "drop the tag first")
+    require(v != dataVersions(acts).last, s"graft lake: snapshot v$v is " +
+      "the current table version — the head is never expirable")
+    doExpire(base, Seq(v))
+  }
+
+  /** The expiry scratch: five snapshots over orders slices (A → A,B →
+    * B,C → compact to D → D,E), commit timestamps on every action, a
+    * named tag `audit` pinning v3 — then ONE policy sweep
+    * (retain_last=2, older_than=ts(v4)) runs at build time: candidates
+    * {v1,v2,v3}, v3 held by its tag, v1/v2 expired; fileA (referenced
+    * only by expired snapshots) is physically deleted, fileB/fileC
+    * survive because the PROTECTED v3 still references them — the
+    * vacuum-safety invariant doing real work. */
+  private val expireBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def expireDir(spark: SparkSession, sfDir: String): String =
+    expireBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_exp_").toString
+        val orders = Catalog.load(spark, sfDir, "orders")
+        val k = pmod($"o_orderkey", lit(10))
+        orders.filter(k < 3).write.parquet(s"$base/fileA")
+        orders.filter(k >= 3 && k < 6).write.parquet(s"$base/fileB")
+        orders.filter(k < 3 && $"o_orderstatus" === "F")
+          .write.parquet(s"$base/fileC")
+        spark.read.parquet(s"$base/fileB", s"$base/fileC")
+          .write.parquet(s"$base/fileD")
+        orders.filter(k >= 6 && k < 8).write.parquet(s"$base/fileE")
+        def line(v: Int, op: String, path: String): String =
+          s"""{"v":$v,"op":"$op","path":"$path","ts":${lakeTs(v)}}"""
+        val log = Seq(
+          line(1, "add", "fileA"),
+          line(2, "add", "fileB"),
+          line(3, "remove", "fileA"), line(3, "add", "fileC"),
+          line(3, "tag", "audit"),
+          line(4, "remove", "fileB"), line(4, "remove", "fileC"),
+          line(4, "add", "fileD"),
+          line(5, "add", "fileE"))
+        Files.write(Paths.get(base, "_log.json"),
+          log.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        val (expired, prot, dead) =
+          expireSnapshots(base, ExpireRetainLast, expireOlderThan)
+        require(expired == Seq(1, 2) && prot == Seq(3) &&
+          dead == Seq("fileA"),
+          s"graft lake: expiry scratch invariant broke ($expired/$prot/$dead)")
+        base
+      })
+
+  /** TAG-PROTECTED SNAPSHOT EXPIRY (round 19; r18 VERDICT task 5) — the
+    * remaining table-maintenance verb beside vacuum/restore/clone:
+    * `expire_snapshots(retain_last=2, older_than=ts(v4))` over a 5-commit
+    * log with a named tag pinning v3. Graded, one row per snapshot plus
+    * an audit row: the policy VERDICT per version (expired / protected /
+    * retained — recomputed in the query from the same constants, so a
+    * drifting sweep breaks the hash), whether the version still RESOLVES
+    * post-expiry (expired reads refuse at resolution — [[checkNotExpired]]
+    * — before any file is touched; 0 in the readable column), and the
+    * exact aggregates of every still-readable snapshot (fileD = B∪C by
+    * the compaction contract, so v4 must answer exactly v3's numbers —
+    * the cross-snapshot consistency only a correct safety invariant can
+    * produce: v3's files survive ONLY because its tag held them). Audit
+    * row: files vacuumed, snapshots expired, snapshots protected, safety
+    * violations (a retained snapshot with a missing file — must be 0).
+    *
+    * Scale: expiry is pure catalog arithmetic (O(commits) replay +
+    * O(files) metadata deletes, zero data scan); the graded reads scan
+    * only live files of the retained snapshots. */
+  private def lakeExpire(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = expireDir(spark, sfDir)
+    val acts = readActions(Paths.get(base, "_log.json"))
+    val versions = dataVersions(acts)
+    val expired = acts.filter(_.op == "expire")
+      .map(_.path.stripPrefix("s").toInt).toSet
+    val tagged = acts.filter(_.op == "tag").map(_.v).toSet
+    val head = versions.takeRight(ExpireRetainLast).toSet
+    val perVersion = versions.map { v =>
+      val status =
+        if (expired(v)) "expired"
+        else if (tagged(v) && !head(v) && lakeTs(v) < expireOlderThan)
+          "protected"
+        else "retained"
+      val nFiles = liveState(base, v)._1.size.toLong
+      val snap =
+        try Some(readSnapshot(spark, base, v))
+        catch { case _: IllegalStateException => None }
+      snap match {
+        case Some(df) => df
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"o_orderkey").cast("long").as("key_sum"))
+          .select(lit(v.toLong).as("version"), lit(status).as("status"),
+            lit(nFiles).as("n_files"), lit(1L).as("readable"),
+            $"n_rows", $"key_sum")
+        case None => spark.range(1)
+          .select(lit(v.toLong).as("version"), lit(status).as("status"),
+            lit(nFiles).as("n_files"), lit(0L).as("readable"),
+            lit(0L).as("n_rows"), lit(0L).as("key_sum"))
+      }
+    }
+    val nVac = acts.count(_.op == "vacuum").toLong
+    val nProt = versions.count(v => tagged(v) && !head(v) && !expired(v) &&
+      lakeTs(v) < expireOlderThan).toLong
+    val violations = versions.filterNot(expired).count(v =>
+      liveFiles(base, v).exists(p => !Files.exists(Paths.get(p)))).toLong
+    val audit = spark.range(1).select(lit(0L).as("version"),
+      lit("audit").as("status"), lit(nVac).as("n_files"),
+      lit(expired.size.toLong).as("readable"), lit(nProt).as("n_rows"),
+      lit(violations).as("key_sum"))
+    (audit +: perVersion).reduce(_.unionByName(_))
+      .orderBy($"version".asc_nulls_first)
+  }
+
+  /** The audit row overloads the snapshot columns (the lakeVacuum
+    * precedent): n_files = files vacuumed, readable = snapshots expired,
+    * n_rows = snapshots protected, key_sum = safety violations. */
+  private val lakeExpireOracle = """
+    WITH v3agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+      WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+         OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')),
+    v5agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders
+      WHERE (o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6)
+         OR (o_orderkey % 10 < 3 AND o_orderstatus = 'F')
+         OR (o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8))
+    SELECT CAST(0 AS BIGINT) AS version, 'audit' AS status,
+      CAST(1 AS BIGINT) AS n_files, CAST(2 AS BIGINT) AS readable,
+      CAST(1 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS key_sum
+    UNION ALL SELECT 1, 'expired', 1, 0, 0, 0
+    UNION ALL SELECT 2, 'expired', 2, 0, 0, 0
+    UNION ALL SELECT 3, 'protected', 2, 1,
+      (SELECT n_rows FROM v3agg), (SELECT key_sum FROM v3agg)
+    UNION ALL SELECT 4, 'retained', 1, 1,
+      (SELECT n_rows FROM v3agg), (SELECT key_sum FROM v3agg)
+    UNION ALL SELECT 5, 'retained', 2, 1,
+      (SELECT n_rows FROM v5agg), (SELECT key_sum FROM v5agg)
     ORDER BY version ASC NULLS FIRST"""
 
   /** TABLE RESTORE (round 14) — point-in-time rollback as ONE metadata
@@ -2970,6 +3228,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_time_travel_ts", lakeTimeTravelTs, Some(lakeTimeTravelTsOracle)),
     Q("q_lake_tag_read", lakeTagRead, Some(lakeTagReadOracle)),
     Q("q_lake_constraints", lakeConstraints, Some(lakeConstraintsOracle)),
+    Q("q_lake_expire", lakeExpire, Some(lakeExpireOracle)),
     Q("q_lake_dv_positional", lakeDvPositional, Some(lakeDvPositionalOracle)),
     Q("q_lake_cluster", lakeCluster, Some(lakeClusterOracle)),
   )

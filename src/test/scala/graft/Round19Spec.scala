@@ -156,4 +156,46 @@ class Round19Spec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(sizes == graded, "graded rollup diverged from the converged labels")
   }
+
+  // ---- q_lake_expire (VERDICT r18 task 5) ----
+
+  test("snapshot expiry: tag/head refusals are transactional, sweep idempotent, safety invariant holds") {
+    import java.nio.file.{Files, Paths}
+    val base = operators.LakeOps.expireDir(spark, sf0001)
+    def logBytes = new String(
+      Files.readAllBytes(Paths.get(base, "_log.json")), "UTF-8")
+    def diskFiles = new java.io.File(base).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val (log0, disk0) = (logBytes, diskFiles)
+    // v3 is tag-protected: a direct expire REFUSES naming the tag, and
+    // transactionally — no log append, no file deletion.
+    val e1 = intercept[IllegalArgumentException] {
+      operators.LakeOps.expireVersion(base, 3)
+    }
+    assert(e1.getMessage.contains("protected by tag") &&
+      e1.getMessage.contains("audit"))
+    // The head snapshot is never expirable.
+    val e2 = intercept[IllegalArgumentException] {
+      operators.LakeOps.expireVersion(base, 5)
+    }
+    assert(e2.getMessage.contains("head"))
+    assert(logBytes == log0 && diskFiles == disk0,
+      "a refused expiry must leave log and disk untouched")
+    // A second policy sweep finds nothing: the sweep is idempotent.
+    val (exp2, prot2, dead2) = operators.LakeOps.expireSnapshots(
+      base, 2, 800000000L + 4 * 86400L)
+    assert(exp2.isEmpty && dead2.isEmpty && prot2 == Seq(3))
+    assert(logBytes == log0 && diskFiles == disk0)
+    // Vacuum safety: fileA (referenced only by expired v1/v2) is gone;
+    // fileB/fileC survive because the PROTECTED v3 references them.
+    assert(!diskFiles.contains("fileA") &&
+      diskFiles.contains("fileB") && diskFiles.contains("fileC"))
+    // Time travel to an expired snapshot refuses AT RESOLUTION (before
+    // any file is touched), naming the expiring commit.
+    val e3 = intercept[IllegalStateException] {
+      SparkEntry.queries("q_lake_expire")(spark, sf0001) // scratch built
+      operators.LakeOps.readSnapshotForTest(spark, base, 1).count()
+    }
+    assert(e3.getMessage.contains("expired"))
+  }
 }
