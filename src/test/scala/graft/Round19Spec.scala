@@ -198,4 +198,29 @@ class Round19Spec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("expired"))
   }
+
+  // ---- q_mv_incremental_mor (VERDICT r18 task 6) ----
+
+  test("mor-aware mv refresh: equals the full recompute and reads only layer files") {
+    val df = SparkEntry.queries("q_mv_incremental_mor")(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // Differential: the retract-and-apply delta rule must equal a full
+    // per-status rollup of the v3 MoR snapshot through the shared kernel.
+    val base = operators.LakeOps.edelBase(spark, sf0001)
+    val full = operators.LakeOps.morSnapshot(spark, base, 3)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"cents").cast("long").as("cents_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == full, s"refresh diverged from full recompute: $got vs $full")
+    // Plan: the graded refresh must touch NO base file — the stale rollup
+    // and the affected-key old-image lookup arrive as checkpoint leaves;
+    // only the MoR layer files (ed1, up1) are scanned.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("fileP") && !plan.contains("fileQ"),
+      "refresh plan must not rescan base files")
+    assert(plan.contains("ed1") && plan.contains("up1"),
+      "refresh plan must read the post-watermark MoR layers")
+  }
 }
