@@ -1102,41 +1102,42 @@ object CorpusOps extends QueryPack {
     * each doc's flagged positions only, bounded by doc length. LCP is
     * an O(K) codegen'd array expression, not a join.
     */
-  private def dedupSuffixSpans(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val L = SuffixMinLen
-    val K = SuffixKeyLen
-    val docs = Catalog.load(spark, sfDir, "documents")
-      .select($"doc_id", split(LlmPipeline.normText($"text"), " ").as("toks"))
-    val pos = docs
-      .select($"doc_id", $"toks",
-        explode(when(size($"toks") >= L,
-          sequence(lit(0), size($"toks") - L)).otherwise(array())).as("i"))
-      .select($"doc_id", $"i".cast("long").as("i"),
-        concat_ws(" ", slice($"toks", $"i" + 1, lit(L))).as("band"),
-        slice($"toks", $"i" + 1, lit(K)).as("sfx"))
-    val wb = Window.partitionBy($"band")
-      .orderBy(concat_ws(" ", $"sfx").asc, $"doc_id".asc, $"i".asc)
-    // Token LCP with a neighbor: position of the first mismatching token
-    // (array_position returns 0 when the shorter suffix is a full prefix
-    // of the longer — both engines, probed). The missing-neighbor case is
-    // guarded EXPLICITLY: Spark's least() SKIPS nulls (DuckDB's
-    // propagates them), so relying on null propagation here silently
-    // turns every band-edge row into lcp = |sfx| on the Spark side.
-    def lcp(nb: String): Column = {
-      val m = s"least(size(sfx), size($nb))"
-      val mp = s"array_position(transform(sequence(1, $m), " +
-        s"j -> element_at(sfx, j) != element_at($nb, j)), true)"
-      expr(s"CASE WHEN $nb IS NULL THEN 0L WHEN $mp = 0 THEN $m " +
-        s"ELSE $mp - 1 END")
-    }
-    val flagged = pos
-      .withColumn("psfx", lag($"sfx", 1).over(wb))
-      .withColumn("nsfx", lead($"sfx", 1).over(wb))
-      .select($"doc_id", $"i",
-        greatest(lcp("psfx"), lcp("nsfx")).as("ext"))
-      .filter($"ext" >= L.toLong)
-      .select($"doc_id", $"i", ($"i" + $"ext" - 1L).as("e"))
+  // Token LCP with a neighbor: position of the first mismatching token
+  // (array_position returns 0 when the shorter suffix is a full prefix
+  // of the longer — both engines, probed). The missing-neighbor case is
+  // guarded EXPLICITLY: Spark's least() SKIPS nulls (DuckDB's
+  // propagates them), so relying on null propagation here silently
+  // turns every band-edge row into lcp = |sfx| on the Spark side.
+  // Shared by the within-corpus and cross-corpus suffix passes.
+  private def sfxLcp(nb: String): Column = {
+    val m = s"least(size(sfx), size($nb))"
+    val mp = s"array_position(transform(sequence(1, $m), " +
+      s"j -> element_at(sfx, j) != element_at($nb, j)), true)"
+    expr(s"CASE WHEN $nb IS NULL THEN 0L WHEN $mp = 0 THEN $m " +
+      s"ELSE $mp - 1 END")
+  }
+
+  /** The per-position (doc_id, i, band, sfx[, extra cols]) explode both
+    * suffix passes start from. */
+  private def sfxPositions(docs: DataFrame, extra: Column*): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(($"doc_id" +: $"toks" +: extra) :+
+        explode(when(size($"toks") >= SuffixMinLen,
+          sequence(lit(0), size($"toks") - SuffixMinLen))
+          .otherwise(array())).as("i"): _*)
+      .select(($"doc_id" +: $"i".cast("long").as("i") +:
+        concat_ws(" ", slice($"toks", $"i" + 1, lit(SuffixMinLen)))
+          .as("band") +:
+        slice($"toks", $"i" + 1, lit(SuffixKeyLen)).as("sfx") +:
+        extra): _*)
+  }
+
+  /** Island-merge + per-doc cut sheet over flagged (doc_id, i, e)
+    * duplicate intervals — the shared back half of both suffix passes. */
+  private def suffixCutSheet(flagged: DataFrame,
+                             docs: DataFrame): DataFrame = {
+    import flagged.sparkSession.implicits._
     val wp = Window.partitionBy($"doc_id").orderBy($"i".asc)
     val islands = flagged
       .withColumn("prev_end",
@@ -1158,6 +1159,73 @@ object CorpusOps extends QueryPack {
         expr("(n_tokens - removed_tokens) * 1000000 div n_tokens")
           .as("kept_ppm"))
       .orderBy($"doc_id".asc_nulls_first)
+  }
+
+  private def dedupSuffixSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val L = SuffixMinLen
+    val docs = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", split(LlmPipeline.normText($"text"), " ").as("toks"))
+    val pos = sfxPositions(docs)
+    val wb = Window.partitionBy($"band")
+      .orderBy(concat_ws(" ", $"sfx").asc, $"doc_id".asc, $"i".asc)
+    val flagged = pos
+      .withColumn("psfx", lag($"sfx", 1).over(wb))
+      .withColumn("nsfx", lead($"sfx", 1).over(wb))
+      .select($"doc_id", $"i",
+        greatest(sfxLcp("psfx"), sfxLcp("nsfx")).as("ext"))
+      .filter($"ext" >= L.toLong)
+      .select($"doc_id", $"i", ($"i" + $"ext" - 1L).as("e"))
+    suffixCutSheet(flagged, docs)
+  }
+
+  /** CROSS-CORPUS EXACT SUBSTRING DECONTAMINATION (round 19) — the
+    * sorted-suffix pass pointed at the decontamination question: which
+    * TRAIN documents contain verbatim spans (≥ [[SuffixMinLen]] tokens,
+    * arbitrary offsets) of the EVAL corpus (`source = src0`, the
+    * q_text_decontaminate split)? The n-gram rule q_text_decontaminate
+    * applies flags shingle OVERLAP; this measures the exact maximal
+    * leaked REGIONS — the Lee-et-al. substring decontamination cut
+    * sheet. Mechanics: both corpora's suffixes explode into the same
+    * band-keyed frame with an is_eval flag; within a band's sorted
+    * order, a train position's extent against the eval corpus is
+    * max(LCP(nearest PRECEDING eval suffix), LCP(nearest FOLLOWING eval
+    * suffix)) — nearest-in-sorted-order maximizes LCP by the suffix-array
+    * min-chain identity, and the band is CONTIGUOUS in global order
+    * (any suffix sandwiched between two band members shares their
+    * L-prefix), so the in-band nearest eval IS the global best once
+    * ext ≥ L. The nearest-eval lookup is last/first IGNORE NULLS over
+    * the band window (an eval-only lag would misalign train rows);
+    * train-train matches contribute NOTHING — only eval neighbors are
+    * candidates, the cross-corpus contract. Flagged train intervals
+    * island-merge into maximal leaked regions per train doc (same cut
+    * sheet as q_dedup_suffix_spans). Eval docs emit no rows.
+    *
+    * Scale: identical mass to q_dedup_suffix_spans (one band-keyed
+    * shuffle, windowed in-band neighbor scan, never all-pairs); the
+    * eval corpus rides the SAME explode — no separate broadcast needed
+    * because the band sort interleaves the two sides for free. */
+  private def dedupSuffixCross(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val L = SuffixMinLen
+    val docs = Catalog.load(spark, sfDir, "documents")
+      .select($"doc_id", ($"source" === EvalSource).as("is_eval"),
+        split(LlmPipeline.normText($"text"), " ").as("toks"))
+    val pos = sfxPositions(docs, $"is_eval")
+    val wb = Window.partitionBy($"band")
+      .orderBy(concat_ws(" ", $"sfx").asc, $"doc_id".asc, $"i".asc)
+    val evalSfx = when($"is_eval", $"sfx")
+    val flagged = pos
+      .withColumn("psfx", last(evalSfx, ignoreNulls = true)
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nsfx", first(evalSfx, ignoreNulls = true)
+        .over(wb.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(!$"is_eval")
+      .select($"doc_id", $"i",
+        greatest(sfxLcp("psfx"), sfxLcp("nsfx")).as("ext"))
+      .filter($"ext" >= L.toLong)
+      .select($"doc_id", $"i", ($"i" + $"ext" - 1L).as("e"))
+    suffixCutSheet(flagged, docs.filter(!$"is_eval"))
   }
 
   private val dedupSuffixSpansSql: String = {
@@ -1217,12 +1285,81 @@ object CorpusOps extends QueryPack {
     ORDER BY p.doc_id ASC NULLS FIRST"""
   }
 
+  private val dedupSuffixCrossSql: String = {
+    val L = SuffixMinLen
+    val K = SuffixKeyLen
+    def lcpSql(nb: String): String = {
+      val m = s"least(len(sfx), len($nb))"
+      val mp = s"list_position(list_transform(range(1, $m + 1), " +
+        s"j -> sfx[j] IS DISTINCT FROM $nb[j]), true)"
+      s"CASE WHEN $nb IS NULL THEN 0 WHEN $mp = 0 THEN $m ELSE $mp - 1 END"
+    }
+    s"""
+    WITH docs AS (
+      SELECT doc_id, source = '$EvalSource' AS is_eval,
+        string_split(${LlmPipeline.normTextSql}, ' ') AS toks
+      FROM documents),
+    pos AS (
+      SELECT doc_id, is_eval, CAST(i AS BIGINT) AS i,
+        array_to_string(toks[i+1:i+$L], ' ') AS band,
+        toks[i+1:i+$K] AS sfx
+      FROM (SELECT doc_id, is_eval, toks,
+              unnest(range(len(toks) - ${L - 1})) AS i
+            FROM docs WHERE len(toks) >= $L)),
+    nbr AS (
+      SELECT doc_id, is_eval, i, sfx,
+        last_value(CASE WHEN is_eval THEN sfx END IGNORE NULLS) OVER wp
+          AS psfx,
+        first_value(CASE WHEN is_eval THEN sfx END IGNORE NULLS) OVER wn
+          AS nsfx
+      FROM pos
+      WINDOW
+        wp AS (PARTITION BY band
+          ORDER BY array_to_string(sfx, ' ') ASC, doc_id ASC, i ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        wn AS (PARTITION BY band
+          ORDER BY array_to_string(sfx, ' ') ASC, doc_id ASC, i ASC
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    flagged AS (
+      SELECT doc_id, i,
+        i + greatest(${lcpSql("psfx")}, ${lcpSql("nsfx")}) - 1 AS e
+      FROM nbr
+      WHERE NOT is_eval
+        AND greatest(${lcpSql("psfx")}, ${lcpSql("nsfx")}) >= $L),
+    marked AS (
+      SELECT doc_id, i, e,
+        max(e) OVER (PARTITION BY doc_id ORDER BY i ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM flagged),
+    grouped AS (
+      SELECT doc_id, i, e,
+        sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY i ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked),
+    islands AS (
+      SELECT doc_id, g, min(i) AS s, max(e) AS ee
+      FROM grouped GROUP BY 1, 2),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_regions,
+        CAST(sum(ee - s + 1) AS BIGINT) AS removed_tokens,
+        CAST(max(ee - s + 1) AS BIGINT) AS max_region_len
+      FROM islands GROUP BY 1)
+    SELECT p.doc_id, p.n_regions, p.removed_tokens, p.max_region_len,
+      CAST(len(d.toks) AS BIGINT) AS n_tokens,
+      CAST((len(d.toks) - p.removed_tokens) * 1000000 // len(d.toks)
+        AS BIGINT) AS kept_ppm
+    FROM per_doc p JOIN docs d USING (doc_id)
+    ORDER BY p.doc_id ASC NULLS FIRST"""
+  }
+
   override val queries: Vector[Q] = Vector(
     Q("q_text_zipf", textZipf, Some(textZipfSql)),
     Q("q_dedup_url_canonical", dedupUrlCanonical,
       Some(dedupUrlCanonicalSql)),
     Q("q_dedup_span_removal", dedupSpanRemoval, Some(dedupSpanRemovalSql)),
     Q("q_dedup_suffix_spans", dedupSuffixSpans, Some(dedupSuffixSpansSql)),
+    Q("q_dedup_suffix_cross", dedupSuffixCross, Some(dedupSuffixCrossSql)),
     Q("q_pack_bins", packBins, Some(packBinsSql)),
     Q("q_text_dup_ngrams", textDupNgrams, Some(textDupNgramsSql)),
     Q("q_corpus_temperature", corpusTemperature, Some(corpusTemperatureSql)),

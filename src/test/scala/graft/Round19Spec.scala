@@ -223,4 +223,79 @@ class Round19Spec extends SparkTestBase {
     assert(plan.contains("ed1") && plan.contains("up1"),
       "refresh plan must read the post-watermark MoR layers")
   }
+
+  // ---- q_sim_nn_descent (round 19) ----
+
+  test("nn descent: graded directed edges symmetrize to the HNSW serve graph") {
+    val knn = SparkEntry.queries("q_sim_nn_descent")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sym = operators.VectorServe.hnswGraphLeaf(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(knn.map { case (s, d) => Set((s, d), (d, s)) }
+      .foldLeft(Set.empty[(Long, Long)])(_ ++ _) == sym,
+      "symmetrized graded edges must equal the HNSW graph leaf")
+    // Every src carries at most M=8 ranked neighbors, self excluded.
+    val bySrc = knn.groupBy(_._1)
+    assert(bySrc.values.forall(_.size <= 8) &&
+      knn.forall { case (s, d) => s != d })
+  }
+
+  // ---- q_dedup_suffix_cross (round 19) ----
+
+  /** Brute-force cross-corpus semantics: a TRAIN position's extent is the
+    * max j ∈ [L, K] whose j-token prefix occurs ANYWHERE in the EVAL
+    * corpus — computed by eval-only j-gram counting, no suffix sorting,
+    * no windows. Equality proves the in-band nearest-eval-neighbor LCP
+    * identity computes exactly that. */
+  test("suffix cross: engine equals brute-force eval-side j-gram extents") {
+    val L = 8; val K = 24
+    val all = Catalog.load(spark, sf0001, "documents")
+      .select($"doc_id", $"source",
+        split(operators.LlmPipeline.normText($"text"), " ").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[String](2).toVector))
+      .sortBy(_._1)
+    val evalGrams = scala.collection.mutable.Set.empty[String]
+    for ((_, src, toks) <- all if src == "src0";
+         i <- 0 to toks.length - L;
+         j <- L to math.min(K, toks.length - i))
+      evalGrams += toks.slice(i, i + j).mkString(" ")
+    val expect = all.filter(_._2 != "src0").flatMap { case (d, _, toks) =>
+      val ivals = (0 to toks.length - L).flatMap { i =>
+        val ext = (L to math.min(K, toks.length - i)).reverseIterator
+          .find(j => evalGrams(toks.slice(i, i + j).mkString(" ")))
+          .getOrElse(0)
+        if (ext >= L) Some((i.toLong, i + ext - 1L)) else None
+      }
+      if (ivals.isEmpty) None
+      else {
+        val islands = ivals.tail.foldLeft(Vector(ivals.head)) {
+          case (acc, (i, e)) =>
+            val (s0, e0) = acc.last
+            if (i > e0 + 1) acc :+ ((i, e))
+            else acc.init :+ ((s0, math.max(e0, e)))
+        }
+        val removed = islands.map { case (s, e) => e - s + 1 }.sum
+        Some((d, islands.size.toLong, removed,
+          islands.map { case (s, e) => e - s + 1 }.max,
+          toks.length.toLong,
+          (toks.length - removed) * 1000000L / toks.length))
+      }
+    }
+    val got = SparkEntry.queries("q_dedup_suffix_cross")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toVector
+    assert(got == expect.toVector)
+    assert(got.nonEmpty, "fixture must contain train spans leaked from eval")
+  }
+
+  test("suffix cross: plan has no cartesian and no global-sort window") {
+    val df = SparkEntry.queries("q_dedup_suffix_cross")(spark, sf0001)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SinglePartition"),
+      "the cross suffix sort must decompose into per-band sorts")
+  }
 }
