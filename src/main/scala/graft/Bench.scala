@@ -156,7 +156,11 @@ object Bench {
         // refresh's stale-rollup leaf is memoized the same way
         // (q_mv_incremental's policy), the timed pass measures the
         // layer-driven refresh.
-        "q_lake_expire", "q_mv_incremental_mor"))
+        "q_lake_expire", "q_mv_incremental_mor",
+        // Round-19: the WAP scratch (4 slices + branch + two audited
+        // publishes) is written once per (app, sfDir); the timed pass
+        // measures the post-publish ref reads.
+        "q_lake_wap"))
       .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.

@@ -2741,6 +2741,185 @@ object LakeOps extends QueryPack {
                                      sfDir: String): String =
     constrDir(spark, sfDir)
 
+  // ---- WRITE-AUDIT-PUBLISH via branch refs (round 19) ----
+
+  private def branchLog(base: String, branch: String) =
+    Paths.get(base, s"_log_$branch.json")
+
+  /** Create branch `branch` at the current main head: the branch log
+    * starts as a copy of main's (refs share their history prefix — the
+    * clone-log pattern applied to a MOVABLE ref; tags stay the immutable
+    * kind). */
+  private[graft] def branchCreate(base: String, branch: String): Unit = {
+    require(!Files.exists(branchLog(base, branch)),
+      s"graft lake: branch '$branch' already exists")
+    Files.copy(Paths.get(base, "_log.json"), branchLog(base, branch))
+    ()
+  }
+
+  /** Stage an already-written data file as a commit ON THE BRANCH: main's
+    * log is untouched — that isolation is the whole point of WAP (readers
+    * of main never see unaudited data). */
+  private[graft] def stageOnBranch(base: String, branch: String,
+                                   path: String): Int = {
+    val acts = readActions(branchLog(base, branch))
+    val v = acts.map(_.v).max + 1
+    val line = s"""{"v":$v,"op":"add","path":"$path"}"""
+    val old = new String(Files.readAllBytes(branchLog(base, branch)),
+      StandardCharsets.UTF_8)
+    Files.write(branchLog(base, branch),
+      (old + "\n" + line).getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  /** PUBLISH = audit-then-fast-forward: validate every staged add
+    * (branch commits past the main head) against the table's
+    * `_constraint` CHECK — scanning ONLY the staged files, the
+    * lakeConstraints economics — then either fast-forward main by
+    * appending the staged lines (publish) or DISCARD the staged
+    * snapshot from the branch and record a `conflict` audit line on
+    * main (the WAP refusal: a failed audit never reaches main, and the
+    * branch rolls back to its last published state — transactional on
+    * both refs). Returns (published staged commits, refused). */
+  private[graft] def publishBranch(spark: SparkSession, base: String,
+                                   branch: String): (Int, Int) = {
+    val mainActs = readActions(Paths.get(base, "_log.json"))
+    val mainHead = mainActs.map(_.v).max
+    val staged = readActions(branchLog(base, branch)).filter(_.v > mainHead)
+    require(staged.nonEmpty,
+      s"graft lake: branch '$branch' has nothing staged past main v$mainHead")
+    val pred = new String(Files.readAllBytes(
+      Paths.get(base, "_constraint")), StandardCharsets.UTF_8)
+    val bad = staged.filter(_.op == "add").map(a =>
+      spark.read.parquet(s"$base/${a.path}")
+        .filter(expr(s"NOT ($pred)")).count()).sum
+    if (bad > 0L) {
+      val kept = readActions(branchLog(base, branch))
+        .filter(_.v <= mainHead)
+      Files.write(branchLog(base, branch), kept.map(actionLine)
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val cl = s"""{"v":${mainHead + 1},"op":"conflict","path":"${
+        staged.head.path}"}"""
+      val old = new String(Files.readAllBytes(Paths.get(base, "_log.json")),
+        StandardCharsets.UTF_8)
+      Files.write(Paths.get(base, "_log.json"),
+        (old + "\n" + cl).getBytes(StandardCharsets.UTF_8))
+      (0, 1)
+    } else {
+      val old = new String(Files.readAllBytes(Paths.get(base, "_log.json")),
+        StandardCharsets.UTF_8)
+      Files.write(Paths.get(base, "_log.json"),
+        (old + "\n" + staged.map(actionLine).mkString("\n"))
+          .getBytes(StandardCharsets.UTF_8))
+      (staged.map(_.v).distinct.size, 0)
+    }
+  }
+
+  /** Re-serialize a parsed action to its canonical log line (only the
+    * field shapes the WAP logs use: plain add/remove/conflict). */
+  private def actionLine(a: LakeAction): String =
+    s"""{"v":${a.v},"op":"${a.op}","path":"${a.path}"}"""
+
+  private val wapBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def wapDir(spark: SparkSession, sfDir: String): String =
+    wapBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_wap_").toString
+        Files.write(Paths.get(base, "_constraint"),
+          ConstraintSql.getBytes(StandardCharsets.UTF_8))
+        val orders = Catalog.load(spark, sfDir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val k = pmod($"o_orderkey", lit(10))
+        orders.filter(k < 3).write.parquet(s"$base/fileA")
+        orders.filter(k >= 3 && k < 6).write.parquet(s"$base/fileB")
+        orders.filter(k === 6 || k === 7).write.parquet(s"$base/fileG")
+        orders.filter(k === 8 || k === 9).write.parquet(s"$base/fileH")
+        Files.write(Paths.get(base, "_log.json"), Seq(
+          """{"v":1,"op":"add","path":"fileA"}""",
+          """{"v":2,"op":"add","path":"fileB"}""")
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+        branchCreate(base, "audit")
+        stageOnBranch(base, "audit", "fileG")
+        val r1 = publishBranch(spark, base, "audit")
+        stageOnBranch(base, "audit", "fileH")
+        val r2 = publishBranch(spark, base, "audit")
+        require(r1 == ((1, 0)) && r2 == ((0, 1)),
+          s"graft lake: WAP scratch invariant broke ($r1/$r2)")
+        base
+      })
+
+  /** WRITE-AUDIT-PUBLISH via BRANCH REFS (round 19) — the movable-ref
+    * surface beside the immutable tags (q_lake_tag_read) and the Iceberg
+    * WAP workflow built on it: writers stage commits on an `audit`
+    * branch (main's readers NEVER see them — ref isolation), an audit
+    * validates the staged files against the table's `_constraint` CHECK
+    * (scanning only the staged files), and a passing batch PUBLISHES by
+    * fast-forwarding main (pure log append — zero data movement), while
+    * a failing batch is DISCARDED from the branch and leaves a
+    * `conflict` audit line on main (transactional on both refs: no
+    * partial publish, no staged residue). Scratch: fileG (keys ≡ {6,7})
+    * stages and publishes; fileH (≡ {8,9}, every row violating
+    * `o_orderkey % 10 < 8`) stages and is refused. Graded: main at its
+    * pre-publish v2 and post-publish head, the branch head (≡ main head
+    * after the rollback), and the audit-trail row (published/refused
+    * counts + stray-fileH references across BOTH logs, pinned 0) — a
+    * leaked staged file, a lost publish, or a partial rollback all
+    * break the hash.
+    *
+    * Scale: branching is O(log) metadata (refs share their history
+    * prefix); the audit scans only staged bytes with the negated CHECK
+    * pushed to the scan; publish is a log append. */
+  private def lakeWap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = wapDir(spark, sfDir)
+    val mainActs = readActions(Paths.get(base, "_log.json"))
+    val brActs = readActions(branchLog(base, "audit"))
+    def liveOf(acts: Seq[LakeAction], v: Int): Seq[String] =
+      replayActions(emptyState, acts.filter(_.v <= v)).live
+    def refRow(ref: String, v: Int, acts: Seq[LakeAction]): DataFrame = {
+      val files = liveOf(acts, v)
+      spark.read.parquet(files.map(f => s"$base/$f"): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").cast("long").as("key_sum"))
+        .select(lit(ref).as("ref"), lit(v.toLong).as("version"),
+          lit(files.size.toLong).as("n_files"), $"n_rows", $"key_sum")
+    }
+    val stray = (mainActs ++ brActs)
+      .count(a => a.op == "add" && a.path == "fileH").toLong
+    val published = mainActs.count(a => a.op == "add" && a.v > 2).toLong
+    val refused = mainActs.count(_.op == "conflict").toLong
+    val audit = spark.range(1).select(lit("audit_trail").as("ref"),
+      lit(0L).as("version"), lit(stray).as("n_files"),
+      lit(published).as("n_rows"), lit(refused).as("key_sum"))
+    Seq(refRow("main", 2, mainActs),
+      refRow("main", mainActs.map(_.v).max, mainActs),
+      refRow("audit", brActs.map(_.v).max, brActs), audit)
+      .reduce(_.unionByName(_))
+      .orderBy($"ref".asc_nulls_first, $"version".asc_nulls_first)
+  }
+
+  private val lakeWapOracle = """
+    WITH v2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey % 10 < 6),
+    v3 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey % 10 < 8)
+    SELECT 'audit' AS ref, CAST(3 AS BIGINT) AS version,
+      CAST(3 AS BIGINT) AS n_files, n_rows, key_sum FROM v3
+    UNION ALL
+    SELECT 'audit_trail', 0, 0, 1, 1
+    UNION ALL
+    SELECT 'main', 2, 2, n_rows, key_sum FROM v2
+    UNION ALL
+    SELECT 'main', 4, 3, n_rows, key_sum FROM v3
+    ORDER BY ref ASC NULLS FIRST, version ASC NULLS FIRST"""
+
   /** POSITIONAL DELETION VECTORS (round 16; r15 VERDICT task 7) — the DV
     * dialect that works with DUPLICATE KEYS in a data file, which the
     * round-14 key-equi contract forbids: positions are STABLE because
@@ -3324,6 +3503,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_constraints", lakeConstraints, Some(lakeConstraintsOracle)),
     Q("q_lake_expire", lakeExpire, Some(lakeExpireOracle)),
     Q("q_mv_incremental_mor", mvIncrementalMor, Some(mvIncrementalMorOracle)),
+    Q("q_lake_wap", lakeWap, Some(lakeWapOracle)),
     Q("q_lake_dv_positional", lakeDvPositional, Some(lakeDvPositionalOracle)),
     Q("q_lake_cluster", lakeCluster, Some(lakeClusterOracle)),
   )

@@ -289,6 +289,51 @@ class Round19Spec extends SparkTestBase {
     assert(got.nonEmpty, "fixture must contain train spans leaked from eval")
   }
 
+  // ---- q_lake_wap (round 19) ----
+
+  test("wap: staged commits are invisible on main until publish; refusal is transactional on both refs") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val base = Files.createTempDirectory("graft_wap_spec_").toString
+    Files.write(Paths.get(base, "_constraint"),
+      "o_orderkey % 10 < 8".getBytes(UTF_8))
+    val orders = Catalog.load(spark, sf0001, "documents") // any keyed rows
+      .select($"doc_id".as("o_orderkey"))
+    orders.filter(pmod($"o_orderkey", lit(10)) < 3)
+      .write.parquet(s"$base/fileA")
+    orders.filter(pmod($"o_orderkey", lit(10)) === 6)
+      .write.parquet(s"$base/fileX")
+    orders.filter(pmod($"o_orderkey", lit(10)) === 8)
+      .write.parquet(s"$base/fileY")
+    Files.write(Paths.get(base, "_log.json"),
+      """{"v":1,"op":"add","path":"fileA"}""".getBytes(UTF_8))
+    def mainLog = new String(
+      Files.readAllBytes(Paths.get(base, "_log.json")), "UTF-8")
+    operators.LakeOps.branchCreate(base, "wip")
+    operators.LakeOps.stageOnBranch(base, "wip", "fileX")
+    // ISOLATION: main's log is untouched while the commit sits staged.
+    assert(!mainLog.contains("fileX"),
+      "a staged commit must be invisible on main before publish")
+    val (pub, ref) = operators.LakeOps.publishBranch(spark, base, "wip")
+    assert(pub == 1 && ref == 0 && mainLog.contains("fileX"))
+    // REFUSAL: a violating staged batch never reaches main, the branch
+    // rolls back (no fileY add on either ref), and a conflict line lands.
+    operators.LakeOps.stageOnBranch(base, "wip", "fileY")
+    val (pub2, ref2) = operators.LakeOps.publishBranch(spark, base, "wip")
+    val branchLog = new String(Files.readAllBytes(
+      Paths.get(base, "_log_wip.json")), "UTF-8")
+    assert(pub2 == 0 && ref2 == 1)
+    assert(!mainLog.contains(""""op":"add","path":"fileY""""))
+    assert(!branchLog.contains("fileY"),
+      "a refused staged commit must be discarded from the branch")
+    assert(mainLog.contains(""""op":"conflict""""))
+    // Re-publishing with nothing staged refuses loudly.
+    val e = intercept[IllegalArgumentException] {
+      operators.LakeOps.publishBranch(spark, base, "wip")
+    }
+    assert(e.getMessage.contains("nothing staged"))
+  }
+
   test("suffix cross: plan has no cartesian and no global-sort window") {
     val df = SparkEntry.queries("q_dedup_suffix_cross")(spark, sf0001)
     df.count()
