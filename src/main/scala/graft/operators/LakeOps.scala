@@ -2820,6 +2820,124 @@ object LakeOps extends QueryPack {
   private def actionLine(a: LakeAction): String =
     s"""{"v":${a.v},"op":"${a.op}","path":"${a.path}"}"""
 
+  // ---- COLUMN MAPPING: rename-without-rewrite (round 19) ----
+
+  /** One committed rename: at version `v`, logical column `from` became
+    * `to`. Kept in `_renames.json` sidecar metadata (the Delta
+    * column-mapping / Iceberg field-id table metadata) — NEVER in the
+    * data files, which is the whole point. */
+  private final case class Rename(v: Int, from: String, to: String)
+  private val renameRe =
+    """^\{"v":(\d+),"from":"(\w+)","to":"(\w+)"\}$""".r
+
+  private def readRenames(base: String): Seq[Rename] = {
+    val p = Paths.get(base, "_renames.json")
+    if (!Files.exists(p)) Nil
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map {
+        case renameRe(v, f, t) => Rename(v.toInt, f, t)
+        case l => throw new IllegalArgumentException(
+          s"graft lake: malformed rename record: $l")
+      }
+  }
+
+  /** Column-mapped snapshot read: each live file scans under the
+    * PHYSICAL names it was written with, then the renames committed
+    * AFTER its add version compose onto it (in commit order), so every
+    * file generation surfaces the logical schema current at `v` and the
+    * per-file frames union by (logical) name. Zero data rewrite — the
+    * rename history is pure metadata, exactly the Delta column-mapping
+    * read path. */
+  private[graft] def colmapRead(spark: SparkSession, base: String,
+                                v: Int): DataFrame = {
+    val acts = readActions(Paths.get(base, "_log.json"))
+    val st = replayActions(emptyState, acts.filter(_.v <= v))
+    val renames = readRenames(base).filter(_.v <= v).sortBy(_.v)
+    st.live.map { f =>
+      val addV = acts.filter(a => a.op == "add" && a.path == f)
+        .map(_.v).min
+      renames.filter(_.v > addV)
+        .foldLeft(spark.read.parquet(s"$base/$f")) { (d, r) =>
+          d.withColumnRenamed(r.from, r.to)
+        }
+    }.reduce((a, b) => a.unionByName(b))
+  }
+
+  private val colmapBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def colmapDir(spark: SparkSession, sfDir: String): String =
+    colmapBuilt.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + sfDir, { _ =>
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft_lake_cmap_").toString
+        val orders = Catalog.load(spark, sfDir, "orders")
+          .select($"o_orderkey", $"o_orderstatus",
+            ($"o_totalprice".cast("decimal(14,2)") * 100).cast("long")
+              .as("cents"))
+        val k = pmod($"o_orderkey", lit(10))
+        // v1: written under the ORIGINAL logical name.
+        orders.filter(k < 4).write.parquet(s"$base/fileA")
+        // v3: written under the post-rename name — a second physical
+        // generation of the same logical column.
+        orders.filter(k >= 4 && k < 8)
+          .select($"o_orderkey", $"o_orderstatus".as("status"), $"cents")
+          .write.parquet(s"$base/fileC")
+        Files.write(Paths.get(base, "_log.json"), Seq(
+          """{"v":1,"op":"add","path":"fileA"}""",
+          """{"v":3,"op":"add","path":"fileC"}""")
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+        // v2 and v4: two chained metadata-only renames — fileA composes
+        // both, fileC only the second.
+        Files.write(Paths.get(base, "_renames.json"), Seq(
+          """{"v":2,"from":"o_orderstatus","to":"status"}""",
+          """{"v":4,"from":"status","to":"order_state"}""")
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+        base
+      })
+
+  /** COLUMN MAPPING — RENAME WITHOUT REWRITE (round 19) — the Delta
+    * column-mapping / Iceberg field-id surface: a column rename is ONE
+    * metadata commit; files written before it keep their physical
+    * column names forever and reads reconcile every file generation to
+    * the current logical schema by composing the renames committed
+    * after each file's add version. Scratch: fileA (written as
+    * `o_orderstatus`), rename → `status`, fileC (written as `status`),
+    * rename → `order_state` — so the head read composes TWO renames on
+    * fileA and one on fileC, and a single logical `order_state` column
+    * spans both physical generations. Graded per order_state: row count
+    * + cents sum over the reconciled head (≡ orders k<8 by
+    * construction); the spec pins the zero-rewrite claim (fileA's
+    * physical schema still says `o_orderstatus`), epoch-correct
+    * time-travel (a v3 read surfaces `status`, not `order_state`), and
+    * refusal-free by-name union across generations.
+    *
+    * Scale: renames are O(1) metadata; the read adds zero work (a
+    * rename is an analyzer-level aliasing, the scan is unchanged — no
+    * shuffle, no rewrite of historical bytes, the reason every
+    * lakehouse ships this instead of ALTER TABLE … REWRITE). */
+  private def lakeColumnMap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = colmapDir(spark, sfDir)
+    colmapRead(spark, base, 4)
+      .groupBy($"order_state")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"cents").cast("long").as("cents_sum"))
+      .orderBy($"order_state".asc_nulls_first)
+  }
+
+  private val lakeColumnMapOracle = """
+    SELECT o_orderstatus AS order_state, count(*) AS n_rows,
+      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT))
+        AS BIGINT) AS cents_sum
+    FROM orders WHERE o_orderkey % 10 < 8
+    GROUP BY 1
+    ORDER BY order_state ASC NULLS FIRST"""
+
+  /** Spec hook. */
+  private[graft] def colmapBase(spark: SparkSession, sfDir: String): String =
+    colmapDir(spark, sfDir)
+
   private val wapBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3504,6 +3622,7 @@ object LakeOps extends QueryPack {
     Q("q_lake_expire", lakeExpire, Some(lakeExpireOracle)),
     Q("q_mv_incremental_mor", mvIncrementalMor, Some(mvIncrementalMorOracle)),
     Q("q_lake_wap", lakeWap, Some(lakeWapOracle)),
+    Q("q_lake_column_map", lakeColumnMap, Some(lakeColumnMapOracle)),
     Q("q_lake_dv_positional", lakeDvPositional, Some(lakeDvPositionalOracle)),
     Q("q_lake_cluster", lakeCluster, Some(lakeClusterOracle)),
   )

@@ -334,6 +334,36 @@ class Round19Spec extends SparkTestBase {
     assert(e.getMessage.contains("nothing staged"))
   }
 
+  // ---- q_lake_column_map (round 19) ----
+
+  test("column map: zero-rewrite renames compose per file generation, epoch-correct") {
+    SparkEntry.queries("q_lake_column_map")(spark, sf0001).count()
+    val base = operators.LakeOps.colmapBase(spark, sf0001)
+    // ZERO REWRITE: the pre-rename file's PHYSICAL schema still carries
+    // the original column name — renames never touch data bytes.
+    assert(spark.read.parquet(s"$base/fileA").columns
+      .contains("o_orderstatus"))
+    assert(spark.read.parquet(s"$base/fileC").columns.contains("status"))
+    // EPOCH-CORRECT TIME TRAVEL: a read at v3 surfaces the logical name
+    // current THEN (`status`), composing only v2's rename onto fileA;
+    // the head read surfaces `order_state` and neither physical name.
+    val v3 = operators.LakeOps.colmapRead(spark, base, 3)
+    assert(v3.columns.contains("status") &&
+      !v3.columns.contains("order_state") &&
+      !v3.columns.contains("o_orderstatus"))
+    val head = operators.LakeOps.colmapRead(spark, base, 4)
+    assert(head.columns.contains("order_state") &&
+      !head.columns.contains("status") &&
+      !head.columns.contains("o_orderstatus"))
+    // Both generations answer under the one logical column: the v3 read
+    // equals the head read up to the rename.
+    val a = v3.groupBy($"status").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = head.groupBy($"order_state").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("suffix cross: plan has no cartesian and no global-sort window") {
     val df = SparkEntry.queries("q_dedup_suffix_cross")(spark, sf0001)
     df.count()
