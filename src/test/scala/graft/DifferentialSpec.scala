@@ -46,6 +46,11 @@ class DifferentialSpec extends SparkTestBase {
     "q_graph_walks",           // ranked-adjacency row_number + step joins (r18)
     "q_lake_mor_probe",        // bloom-planned base + layer anti-join fold (r18)
     "q_ts_backtest",           // global-series windows + struct-explode (r18)
+    "q_dedup_suffix_spans",    // band-keyed suffix sort + lag/lead LCP (r19)
+    "q_dedup_suffix_cross",    // nearest-eval IGNORE-NULLS band windows (r19)
+    "q_graph_louvain_multi",   // iterated contraction + zero-move exit (r19)
+    "q_sim_nn_descent",        // bucket-seeded descent + per-src trim (r19)
+    "q_mv_incremental_mor",    // layer fold over broadcast key lookup (r19)
   )
 
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
