@@ -160,7 +160,12 @@ object Bench {
         // Round-19: the WAP scratch (4 slices + branch + two audited
         // publishes) is written once per (app, sfDir); the timed pass
         // measures the post-publish ref reads.
-        "q_lake_wap", "q_lake_column_map"))
+        "q_lake_wap", "q_lake_column_map",
+        // Round-19: the fine Louvain partition became a memo leaf shared
+        // by louvain / louvain_coarse / louvain_multi — warm it so the
+        // declared build-once cost lands here, the timed passes measure
+        // the per-query ascent/contraction work.
+        "q_graph_louvain"))
       .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.

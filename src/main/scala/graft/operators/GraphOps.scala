@@ -2047,9 +2047,21 @@ object GraphOps extends QueryPack {
 
   /** Shared Louvain local-move phase (see [[graphLouvain]]); exposed for
     * the Round18Spec modularity-monotonicity and ≥-LPA assertions —
-    * `rounds` lets the spec score each intermediate rung of the ascent. */
+    * `rounds` lets the spec score each intermediate rung of the ascent.
+    * The default-rounds result is a MEMO LEAF (round 19): three graded
+    * queries (louvain / coarse / multi) build on the identical fine
+    * partition, so the 2-round ascent runs once per (app, sfDir) — the
+    * label-leaf policy q_graph_components already follows. Explicit
+    * `rounds` calls (the spec's intermediate rungs) stay un-memoized. */
   private[graft] def louvainLabels(spark: SparkSession, sfDir: String,
-                                   rounds: Int = LouvainRounds): DataFrame = {
+                                   rounds: Int = LouvainRounds): DataFrame =
+    if (rounds == LouvainRounds)
+      memoEdgeLeaf(spark, sfDir, "louvainFine")(
+        louvainLabelsPlan(spark, sfDir, rounds))
+    else louvainLabelsPlan(spark, sfDir, rounds)
+
+  private def louvainLabelsPlan(spark: SparkSession, sfDir: String,
+                                rounds: Int): DataFrame = {
     import spark.implicits._
     val und = coPurchaseUnd(spark, sfDir)
     val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
