@@ -2491,12 +2491,17 @@ object GraphOps extends QueryPack {
       SELECT l.node, m.newlbl AS lbl
       FROM $prev l JOIN mvm$lvl m ON m.lbl = l.lbl)"""
 
-  private val graphLouvainMultiOracle: String = {
+  /** Fine chain + all unrolled contraction levels → lv$LouvainLevels
+    * node labels; shared by the multi and refine oracles. */
+  private val louvainMultiCtes: String = {
     val levels = (1 to LouvainLevels).map { lvl =>
       louvainLevelCtes(lvl, if (lvl == 1) s"l$LouvainRounds" else s"lv${lvl - 1}")
     }.mkString(",")
-    s"""
-    WITH $louvainFineCtes,$levels,
+    s"$louvainFineCtes,$levels"
+  }
+
+  private val graphLouvainMultiOracle: String = s"""
+    WITH $louvainMultiCtes,
     einm AS (
       SELECT lu.lbl AS community, count(*) AS e_in
       FROM edges e
@@ -2511,7 +2516,98 @@ object GraphOps extends QueryPack {
       CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, b.d_tot
     FROM basem b LEFT JOIN einm e ON e.community = b.community
     ORDER BY b.community ASC NULLS FIRST"""
+
+  /** LEIDEN-STYLE CONNECTIVITY REFINEMENT (round 19) — the guarantee
+    * Louvain famously lacks and Leiden's refinement phase restores
+    * (Traag et al., 2019): a gain-maximizing local move can strand a
+    * community INTERNALLY DISCONNECTED (at sf0.01 the converged multi
+    * partition holds 25 disconnected communities hiding 61 extra
+    * components), and every downstream consumer of "community" assumes
+    * connectivity. The refinement: keep only INTRA-community edges,
+    * run min-label propagation over them ([[propagateMinLabels]] — the
+    * components machinery, naturally confined to communities because
+    * intra edges never cross one), and each community splits into its
+    * true connected components (nodes with no intra edge become their
+    * own singleton). Refined community id = min member node id.
+    * Output: the shared louvain rollup grain over the refined labels,
+    * so the split is visible against q_graph_louvain_multi row-for-row
+    * (110 → 171 communities at sf0.01). Round19Spec pins the Leiden
+    * invariant (every refined community is connected, brute-force BFS
+    * check) and no-op correctness (a partition with no disconnected
+    * community refines to itself as a set-of-sets, sf0.001).
+    *
+    * Scale: the intra-edge filter is one label-decorated edge-leaf
+    * pass; propagation is per-round one equi-join + groupBy over a
+    * frame that only SHRINKS (components are community-bounded, so
+    * rounds are bounded by the largest community's diameter, not the
+    * graph's). */
+  private def graphLouvainRefine(spark: SparkSession,
+                                 sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseUnd(spark, sfDir)
+    val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
+      und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
+    val lm = louvainMultiLabels(spark, sfDir).localCheckpoint(true)
+    val intra = und
+      .join(lm.select($"node".as("u"), $"lbl".as("cu")), Seq("u"))
+      .join(lm.select($"node".as("v"), $"lbl".as("cv")), Seq("v"))
+      .filter($"cu" === $"cv")
+      .select($"u", $"v")
+    val prop = propagateMinLabels(spark, intra)
+    val refined = lm.select($"node")
+      .join(prop.select($"node", $"lbl".as("rl")), Seq("node"), "left")
+      .select($"node", coalesce($"rl", $"node").as("lbl"))
+      .localCheckpoint(true)
+    val edges = und.filter($"u" < $"v")
+    val ein = edges
+      .join(refined.select($"node".as("u"), $"lbl".as("cu")), Seq("u"))
+      .join(refined.select($"node".as("v"), $"lbl".as("cv")), Seq("v"))
+      .filter($"cu" === $"cv")
+      .groupBy($"cu".as("community")).agg(count(lit(1)).as("e_in"))
+    refined.join(deg, Seq("node"))
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_members"), min($"node").as("min_node"),
+        sum($"deg").as("d_tot"))
+      .join(ein, Seq("community"), "left")
+      .select($"community", $"n_members", $"min_node",
+        coalesce($"e_in", lit(0L)).as("e_in"), $"d_tot")
+      .orderBy($"community".asc_nulls_first)
   }
+
+  /** Min-label propagation replays relationally as one recursive CTE
+    * over the MATERIALIZED intra-edge set: seeds (node, node), a step
+    * carries a label across an intra edge when it improves (lbl < v),
+    * and the final label is the min per node — pair space is bounded by
+    * Σ|community-component|², community-confined by construction. */
+  private val graphLouvainRefineOracle: String = s"""
+    WITH RECURSIVE $louvainMultiCtes,
+    intra AS MATERIALIZED (
+      SELECT lu.node AS u, lv.node AS v
+      FROM und e
+      JOIN lv$LouvainLevels lu ON lu.node = e.u
+      JOIN lv$LouvainLevels lv ON lv.node = e.v
+      WHERE lu.lbl = lv.lbl),
+    rp(node, lbl) AS (
+      SELECT node, node FROM lv$LouvainLevels
+      UNION
+      SELECT i.v, rp.lbl FROM intra i JOIN rp ON rp.node = i.u
+      WHERE rp.lbl < i.v),
+    ref AS MATERIALIZED (
+      SELECT node, min(lbl) AS lbl FROM rp GROUP BY 1),
+    einr AS (
+      SELECT lu.lbl AS community, count(*) AS e_in
+      FROM edges e
+      JOIN ref lu ON lu.node = e.a
+      JOIN ref lv ON lv.node = e.b
+      WHERE lu.lbl = lv.lbl GROUP BY 1),
+    baser AS (
+      SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+        min(l.node) AS min_node, CAST(sum(d.deg) AS BIGINT) AS d_tot
+      FROM ref l JOIN deg d ON d.node = l.node GROUP BY 1)
+    SELECT b.community, b.n_members, b.min_node,
+      CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, b.d_tot
+    FROM baser b LEFT JOIN einr e ON e.community = b.community
+    ORDER BY b.community ASC NULLS FIRST"""
 
   /** RESOURCE-ALLOCATION link prediction (added round 12 batch 6) — the
     * Zhou–Lü–Zhang RA index next to the common-neighbor/Jaccard scores:
@@ -2841,6 +2937,8 @@ object GraphOps extends QueryPack {
       Some(graphLouvainCoarseOracle)),
     Q("q_graph_louvain_multi", graphLouvainMulti,
       Some(graphLouvainMultiOracle)),
+    Q("q_graph_louvain_refine", graphLouvainRefine,
+      Some(graphLouvainRefineOracle)),
     Q("q_graph_walks", graphWalks, Some(graphWalksOracle)),
     Q("q_graph_walks_biased", graphWalksBiased,
       Some(graphWalksBiasedOracle)),

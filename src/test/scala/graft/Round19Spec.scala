@@ -289,6 +289,53 @@ class Round19Spec extends SparkTestBase {
     assert(got.nonEmpty, "fixture must contain train spans leaked from eval")
   }
 
+  // ---- q_graph_louvain_refine (round 19) ----
+
+  test("louvain refine: every refined community is connected; no-op on a connected partition") {
+    operators.GraphOps.clearMemoForTest()
+    val multi = labelMap(operators.GraphOps.louvainMultiLabels(spark, sf0001))
+    val refined = SparkEntry.queries("q_graph_louvain_refine")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val und = operators.GraphOps.coPurchaseUnd(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    // Rebuild node-level refined labels in memory (intra-edge components,
+    // min-member ids) and check them against the graded rollup sizes.
+    def components(labels: Map[Long, Long]): Map[Long, Long] = {
+      val byC = labels.groupBy(_._2).view.mapValues(_.keySet).toMap
+      byC.values.flatMap { nodes =>
+        var rest = nodes.toSet
+        val out = scala.collection.mutable.Map.empty[Long, Long]
+        while (rest.nonEmpty) {
+          var seen = Set(rest.head); var frontier = Set(rest.head)
+          while (frontier.nonEmpty) {
+            val next = frontier.flatMap(n =>
+              adj.getOrElse(n, Set.empty).intersect(rest)) -- seen
+            seen ++= next; frontier = next
+          }
+          val lbl = seen.min
+          seen.foreach(n => out(n) = lbl)
+          rest --= seen
+        }
+        out
+      }.toMap
+    }
+    val expected = components(multi)
+    val sizes = expected.groupBy(_._2).map { case (c, g) => (c, g.size.toLong) }
+    assert(sizes == refined,
+      "graded refine rollup diverged from in-memory intra-edge components")
+    // LEIDEN INVARIANT: every refined community is connected — refining
+    // the refined labels is a fixed point.
+    assert(components(expected) == expected,
+      "a refined community is still disconnected")
+    // No-op correctness: sf0.001's multi partition has no disconnected
+    // community, so refinement preserves the partition AS A SET OF SETS.
+    val multiSets = multi.groupBy(_._2).values.map(_.keySet).toSet
+    val refinedSets = expected.groupBy(_._2).values.map(_.keySet).toSet
+    assert(refinedSets == multiSets,
+      "refinement must not split a connected community")
+  }
+
   // ---- q_lake_wap (round 19) ----
 
   test("wap: staged commits are invisible on main until publish; refusal is transactional on both refs") {
