@@ -165,7 +165,7 @@ object Bench {
         // by louvain / louvain_coarse / louvain_multi — warm it so the
         // declared build-once cost lands here, the timed passes measure
         // the per-query ascent/contraction work.
-        "q_graph_louvain"))
+        "q_graph_louvain", "q_graph_louvain_multi"))
       .foreach(n => warm(n)(SparkEntry.queries(n)(spark, sfDir).count(): Unit))
     // The shingle leaf (shared by q_dedup_near / q_dedup_minhash, round 9):
     // resolving it materializes the eager checkpoint before the timed pass.
