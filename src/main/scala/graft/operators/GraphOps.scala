@@ -85,6 +85,57 @@ object GraphOps extends QueryPack {
     }
   }
 
+  /** HOT-NEIGHBOR set for the salted wedge joins (optimization round 19):
+    * co-purchase nodes whose degree exceeds `S`× the average degree
+    * (floored at 1 — the commonNeighborsCapped scale-relative-threshold
+    * discipline, all integer arithmetic). Only wedges through these keys
+    * need salting; everything else's per-key fan-out is bounded by the
+    * threshold. Memoized tiny leaf (≤ 2|E|/(S·avg) rows by Markov), shared
+    * by q_graph_common_neighbors and q_graph_link_ra.
+    */
+  private def saltHotDeg(spark: SparkSession, sfDir: String,
+                         s: Int): DataFrame = {
+    import spark.implicits._
+    memoEdgeLeaf(spark, sfDir, s"saltHotV$s") {
+      val und = coPurchaseUnd(spark, sfDir)
+      val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+      val avg = deg.agg((sum($"deg") cast "long").as("sd"),
+        count(lit(1)).as("nv"))
+        .select(greatest(expr("sd div nv"), lit(1L)).as("ad"))
+      deg.crossJoin(broadcast(avg))
+        .filter($"deg" > lit(s.toLong) * $"ad")
+        .select($"node".as("v"))
+    }
+  }
+
+  /** Hot-split wedge enumeration (optimization round 19): all (u, u2)
+    * pairs sharing a neighbor v, as the plain equi self-join for non-hub
+    * v and the (v, salt)-keyed salted join for v in `hotB` — each wedge
+    * meets under exactly one slice (its v is hot or not) and hub pairs
+    * under exactly one salt, so the union is the unsalted self-join's
+    * multiset. `hotB` must be the (gated-broadcast) hot-neighbor frame
+    * with a single `v` column. Exposed private[graft] for the
+    * Round19PerfSpec hub-graph equivalence test — the fixture graphs have
+    * no hubs at any SF, so only a synthetic hub exercises the salted
+    * slice.
+    */
+  private[graft] def hotSplitWedges(und: DataFrame, hotB: DataFrame,
+                                    s: Int): DataFrame = {
+    import und.sparkSession.implicits._
+    val undCold = und.join(hotB, Seq("v"), "left_anti")
+    val undHot = und.join(hotB, Seq("v"), "left_semi")
+    val wedgeCold = undCold.hint("shuffle_hash")
+      .join(undCold.select($"u".as("u2"), $"v"), Seq("v"))
+      .select($"u", $"u2")
+    val probe = undHot.select($"u", $"v",
+      pmod(xxhash64($"u"), lit(s.toLong)).as("salt"))
+    val build = undHot.select($"u".as("u2"), $"v",
+      explode(array((0 until s).map(i => lit(i.toLong)): _*)).as("salt"))
+    val wedgeHot = probe.hint("shuffle_hash").join(build, Seq("v", "salt"))
+      .select($"u", $"u2")
+    wedgeCold.unionByName(wedgeHot)
+  }
+
   /** doc_id → component id (= min doc_id reachable through near-dup pairs),
     * plus component size; singletons are their own component. Edges are
     * EXACTLY `q_dedup_near`'s output pairs (shared code + shared oracle CTE).
@@ -124,11 +175,18 @@ object GraphOps extends QueryPack {
     var rounds = 0
     var converged = false
     while (!converged && rounds < MaxRounds) {
+      // shuffle_hash hints (optimization round 19): both join inputs are
+      // statistics-free checkpoint-RDD leaves, so unhinted planning fell
+      // to sort-merge joins that re-sorted the edge leaf every round; the
+      // |V|-row label side builds a per-partition hash instead (the
+      // commonNeighbors round-12 rationale, applied to the round kernel).
       val nbrMin = und
-        .join(lbl.select($"node".as("v"), $"lbl".as("vlbl")), Seq("v"))
+        .join(lbl.select($"node".as("v"), $"lbl".as("vlbl"))
+          .hint("shuffle_hash"), Seq("v"))
         .groupBy($"u").agg(min($"vlbl").as("nbr_lbl"))
       val next = dbg(s"round$rounds")(lbl
-        .join(nbrMin.select($"u".as("node"), $"nbr_lbl"), Seq("node"), "left")
+        .join(nbrMin.select($"u".as("node"), $"nbr_lbl")
+          .hint("shuffle_hash"), Seq("node"), "left")
         .select($"node", least($"lbl", coalesce($"nbr_lbl", $"lbl")).as("lbl"))
         .localCheckpoint(true))
       val sum1 = next.agg(sum($"lbl")).as[Long].first()
@@ -196,15 +254,20 @@ object GraphOps extends QueryPack {
           struct($"c".as("u"), $"p".as("v")),
           struct($"p".as("u"), $"c".as("v")))).as("x"))
         .select($"x.u".as("u"), $"x.v".as("v"))
+      // shuffle_hash hints (optimization round 19): the per-round m/sm
+      // frames are node-sized aggregates over statistics-free RDD leaves;
+      // unhinted planning sort-merged them (re-sorting the exploded edge
+      // frame every round) — hash builds are sort-free and the aggregate
+      // output arrives already partitioned on the join key.
       val m = und.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"u", $"mn").as("m"))
-      val ls = und.join(m, Seq("u")).filter($"v" > $"u")
+      val ls = und.join(m.hint("shuffle_hash"), Seq("u")).filter($"v" > $"u")
         .select($"v".as("c"), $"m".as("p"))
         .filter($"c" =!= $"p").distinct()
       // Small-star: group each node's SMALLER neighbors (ls is already
       // child→parents), hang them and the node onto their minimum.
       val sm = ls.groupBy($"c").agg(min($"p").as("m"))
-      val ss = ls.join(sm, Seq("c"))
+      val ss = ls.join(sm.hint("shuffle_hash"), Seq("c"))
         .select(explode(array($"p", $"c")).as("n"), $"m")
         .select(greatest($"n", $"m").as("c"), least($"n", $"m").as("p"))
         .filter($"c" =!= $"p").distinct()
@@ -582,15 +645,28 @@ object GraphOps extends QueryPack {
     * costs Σ deg(n)² over neighbors n — the quantity q_graph_degree_hist
     * profiles — and every wedge of a hub neighbor n lands in ONE shuffle
     * partition when the join key is n alone. The self-join is therefore
-    * SALTED (round 10, the q_join_skew_salted pattern): the probe side
-    * keys on (v, hash(u) mod S), the build side replicates each row to
-    * all S salts, so a hub's deg² pair explosion spreads over S tasks at
-    * the price of an S× replication of ONE side — results are exactly the
-    * unsalted join's (each original row pair meets under precisely one
-    * salt), which is what the oracle hash-checks. Salt from xxhash64 of
-    * the row's own key, never rand(): deterministic under task retry. The
-    * pair aggregate and the degree join shuffle on node-pair/node keys;
-    * top-20 is TakeOrderedAndProject (no global sort materialization).
+    * SALTED — but only for HUB neighbors (optimization round 19, guide
+    * §2.5 "salt the hot keys, not the table"): the round-10 form
+    * replicated the ENTIRE build side S× to spread hub fan-out, paying an
+    * S×|E| shuffle even on graphs with no hubs at all. Skew is a property
+    * of a few keys, so the salt is now applied only to wedges through
+    * neighbors whose degree exceeds S× the average ([[saltHotDeg]] — the
+    * scale-relative threshold discipline of commonNeighborsCapped's cap):
+    * the hub slice keys on (v, hash(u) mod S) with the build half
+    * replicated to all S salts, the non-hub slice is a plain equi-join on
+    * v whose per-key fan-out is bounded by the threshold itself. Each
+    * (e1, e2) wedge meets under exactly one slice (its shared v is hot or
+    * it is not) and hub pairs under precisely one salt, so the union is
+    * exactly the unsalted join's multiset — which is what the oracle
+    * hash-checks. Salt from xxhash64 of the row's own key, never rand():
+    * deterministic under task retry. At sf0.1 the co-purchase graph has
+    * max_deg 127 < 8×avg(28): the hot slice is empty and the 8×|E|
+    * replication disappears outright; at 100 TB replication cost is
+    * proportional to true hub mass (≤ 2|E|/threshold keys) instead of
+    * |E|. The hot-key set is a count-gated broadcast (|hubs| rows), so
+    * the semi/anti splits are map-side. The pair aggregate and the degree
+    * join shuffle on node-pair/node keys; top-20 is
+    * TakeOrderedAndProject (no global sort materialization).
     */
   private def commonNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -599,11 +675,8 @@ object GraphOps extends QueryPack {
     val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
     val edges = und.filter($"u" < $"v")
       .select($"u".as("a"), $"v".as("b"))
-    val probe = und.select($"u", $"v",
-      pmod(xxhash64($"u"), lit(S.toLong)).as("salt"))
-    val build = und.select($"u".as("u2"), $"v",
-      explode(array((0 until S).map(i => lit(i.toLong)): _*)).as("salt"))
-    val wedges = probe.hint("shuffle_hash").join(build, Seq("v", "salt"))
+    val hotB = graft.Dsl.gatedBroadcast(saltHotDeg(spark, sfDir, S))
+    val wedges = hotSplitWedges(und, hotB, S)
       .filter($"u" < $"u2")
       .select($"u".as("a"), $"u2".as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
@@ -823,10 +896,16 @@ object GraphOps extends QueryPack {
     var levels = Vector(frontier)
     for (k <- 1 to CloseHops) {
       val seen = levels.map(_.select($"source", $"node")).reduce(_ union _)
-      frontier = frontier.select($"source", $"node".as("u"))
+      // Explicit broadcasts (optimization round 19): frontier and seen
+      // are |sources|·|ball| rows BY CONSTRUCTION — without the hints the
+      // statistics-free leaves planned as sort-merge joins that shuffled
+      // and re-sorted the edge leaf every round (the graphBfs rationale,
+      // applied here). Unbounded-radius callers drop the hints and the
+      // same plan degrades to shuffled equi-joins.
+      frontier = broadcast(frontier.select($"source", $"node".as("u")))
         .join(und, Seq("u"))
         .select($"source", $"v".as("node")).distinct()
-        .join(seen, Seq("source", "node"), "left_anti")
+        .join(broadcast(seen), Seq("source", "node"), "left_anti")
         .select($"source", $"node", lit(k.toLong).as("d"))
         .localCheckpoint(true)
       levels :+= frontier
@@ -910,11 +989,14 @@ object GraphOps extends QueryPack {
     var levels = Vector(lvl)
     for (_ <- 1 to BetHops) {
       val seen = levels.map(_.select($"source", $"node")).reduce(_ union _)
-      lvl = lvl.select($"source", $"node".as("u"), $"sigma")
+      // Explicit broadcasts (optimization round 19): the frontier and the
+      // seen set are |sources|·|ball|-bounded — the graphCloseness
+      // rationale; the edge leaf is never shuffled by the forward pass.
+      lvl = broadcast(lvl.select($"source", $"node".as("u"), $"sigma"))
         .join(und, Seq("u"))
         .groupBy($"source", $"v".as("node"))
         .agg(sum($"sigma").as("sigma"))
-        .join(seen, Seq("source", "node"), "left_anti")
+        .join(broadcast(seen), Seq("source", "node"), "left_anti")
         .localCheckpoint(true)
       levels :+= lvl
     }
@@ -924,18 +1006,21 @@ object GraphOps extends QueryPack {
     var acc = Vector.empty[DataFrame]
     for (k <- (BetHops - 1) to 1 by -1) {
       val cur = levels(k)
+      // Backward pass broadcasts (optimization round 19): every frame
+      // here is a |sources|·|ball|-bounded BFS layer — the edge leaf is
+      // probed in place, never shuffled or sorted.
       val succ = levels(k + 1)
         .select($"source", $"node".as("w"), $"sigma".as("sigma_w"))
-        .join(deltaNext.select($"source", $"node".as("w"),
-          $"delta".as("delta_w")), Seq("source", "w"))
-      val contrib = cur
+        .join(broadcast(deltaNext.select($"source", $"node".as("w"),
+          $"delta".as("delta_w"))), Seq("source", "w"))
+      val contrib = broadcast(cur)
         .join(und.select($"u".as("node"), $"v".as("w")), Seq("node"))
-        .join(succ, Seq("source", "w"))
+        .join(broadcast(succ), Seq("source", "w"))
         .groupBy($"source", $"node")
         .agg(sum(expr(s"(sigma * ($BetScale + delta_w)) div sigma_w"))
           .as("delta"))
       val deltaK = cur.select($"source", $"node")
-        .join(contrib, Seq("source", "node"), "left")
+        .join(broadcast(contrib), Seq("source", "node"), "left")
         .select($"source", $"node", coalesce($"delta", lit(0L)).as("delta"))
         .localCheckpoint(true)
       acc :+= deltaK
@@ -1043,14 +1128,19 @@ object GraphOps extends QueryPack {
         .select($"e.v".as("node"), ($"f.d" + $"e.w").as("d"))
         .filter($"d" <= SsspCap)
         .groupBy($"node").agg(min($"d").as("d"))
-        .join(dist.withColumnRenamed("d", "d_old"), Seq("node"), "left_outer")
+        // shuffle_hash hints (optimization round 19): dist/improved are
+        // |reached|-row statistics-free checkpoint leaves — unhinted
+        // planning sort-merged these per-round joins.
+        .join(dist.withColumnRenamed("d", "d_old").hint("shuffle_hash"),
+          Seq("node"), "left_outer")
         .filter($"d_old".isNull || $"d" < $"d_old")
         .select($"node", $"d")
         .localCheckpoint(true)
       changed = improved.count()
       if (changed > 0L) {
         dist = dist.withColumnRenamed("d", "d_old")
-          .join(improved.withColumnRenamed("d", "d_new"),
+          .join(improved.withColumnRenamed("d", "d_new")
+            .hint("shuffle_hash"),
             Seq("node"), "full_outer")
           .select($"node", coalesce($"d_new", $"d_old").as("d"))
           .localCheckpoint(true)
@@ -1143,10 +1233,14 @@ object GraphOps extends QueryPack {
         .select($"cu", $"m.wkey".as("wkey"), $"m.u".as("u"),
           $"m.v".as("v"), $"m.cv".as("cv"))
         .localCheckpoint(true)
+      // No per-round checkpoint on the accumulator (optimization round
+      // 19): `chosen` is already a checkpoint leaf, so the union's
+      // lineage is flat by construction — the old per-round
+      // localCheckpoint re-materialized the whole accumulated forest
+      // every round for nothing.
       mst = mst.unionByName(
         chosen.select(least($"u", $"v").as("u"),
           greatest($"u", $"v").as("v"), $"wkey").distinct())
-        .localCheckpoint(true)
       // Merge bookkeeping: the chosen graph has ONE row per component, so
       // once comps fit the driver bound the round mapping is a bounded
       // collect + union-find (min-root labels — identical to two-star's
@@ -1316,9 +1410,12 @@ object GraphOps extends QueryPack {
     // One declarative unrolled plan, the pagerank precedent: pr_{i-1} is
     // referenced exactly once per round, so plan growth stays linear.
     for (_ <- 1 to PprIters) {
-      val contrib = pr.join(deg, Seq("node"))
+      // shuffle_hash hints (optimization round 19): the |seeds|-reach
+      // score frame is a statistics-free subtree — unhinted planning
+      // sort-merged it against the edge leaf every round.
+      val contrib = pr.hint("shuffle_hash").join(deg, Seq("node"))
         .select($"node".as("u"), expr("pr div deg").as("c"))
-      val inflow = und.join(contrib, Seq("u"))
+      val inflow = und.join(contrib.hint("shuffle_hash"), Seq("u"))
         .groupBy($"v".as("node"))
         .agg(sum($"c").as("sumc"))
         .select($"node", expr("(85 * sumc) div 100").as("t"))
@@ -1407,12 +1504,17 @@ object GraphOps extends QueryPack {
     }
     var hub = nodes.select($"node", lit(HitsScale).as("s"))
     var auth = hub
+    // shuffle_hash hints (optimization round 19): the |V|-row score
+    // frames are statistics-free checkpoint leaves — unhinted planning
+    // sort-merged each half-round, re-sorting the edge leaf six times.
     for (_ <- 1 to HitsIters) {
       auth = normalize(edges
-        .join(hub.select($"node".as("src"), $"s".as("hs")), Seq("src"))
+        .join(hub.select($"node".as("src"), $"s".as("hs"))
+          .hint("shuffle_hash"), Seq("src"))
         .groupBy($"dst".as("node")).agg(sum($"hs").as("s")))
       hub = normalize(edges
-        .join(auth.select($"node".as("dst"), $"s".as("as")), Seq("dst"))
+        .join(auth.select($"node".as("dst"), $"s".as("as"))
+          .hint("shuffle_hash"), Seq("dst"))
         .groupBy($"src".as("node")).agg(sum($"as").as("s")))
     }
     nodes
@@ -1758,11 +1860,17 @@ object GraphOps extends QueryPack {
     * ids; output = per-community size + min member.
     *
     * Scale: each round is ONE equi-join of the undirected edge leaf with
-    * the |V|-row label frame + one (node, label)-keyed count + a
-    * per-node argmax window (partitioned by node — never global), with
-    * the label frame eagerly checkpointed per round (flat lineage, the
-    * components/pagerank pattern). Pure integer counting — no float
-    * parity risk.
+    * the |V|-row label frame (shuffled hash — the label side is |V| rows
+    * with no leaf statistics, so unhinted planning fell to a sort-merge
+    * that re-sorted the edge list every round) + one (node, label)-keyed
+    * count + a per-node `max_by` argmax (optimization round 19: the
+    * row_number window this replaces sorted every (node, label, c) row
+    * per round; the aggregate form is sort-free, map-side combinable,
+    * and picks the identical label — max over the total order
+    * (c, −label) = count DESC then label ASC, unique per node because
+    * labels are distinct within a node's group). Label frames eagerly
+    * checkpointed per round (flat lineage, the components/pagerank
+    * pattern). Pure integer counting — no float parity risk.
     */
   private def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1771,14 +1879,13 @@ object GraphOps extends QueryPack {
       .select($"node", $"node".as("lbl"))
       .localCheckpoint(true)
     for (_ <- 1 to LpaRounds) {
-      val w = Window.partitionBy($"node")
-        .orderBy($"c".desc, $"lbl".asc)
       labels = und
-        .join(labels.select($"node".as("nbr"), $"lbl"), $"v" === $"nbr")
+        .join(labels.select($"node".as("nbr"), $"lbl").hint("shuffle_hash"),
+          $"v" === $"nbr")
         .select($"u".as("node"), $"lbl")
         .groupBy($"node", $"lbl").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
+        .groupBy($"node")
+        .agg(max_by($"lbl", struct($"c", -$"lbl")).as("lbl"))
         .select($"node", $"lbl")
         .localCheckpoint(true)
     }
@@ -1859,19 +1966,30 @@ object GraphOps extends QueryPack {
       .localCheckpoint(true)
     var all = Vector(cur)
     for (k <- 1 to WalkSteps) {
-      val p = cur.select($"walk_id", $"node",
-          expr(s"($WalkA * state + $WalkC) % $WalkM").as("ns"))
+      // Explicit broadcast of the |walks|-row frame (optimization round
+      // 19): without it the no-statistics RDD leaves planned as
+      // sort-merge, which AQE only repaired AFTER materializing a full
+      // shuffle write of the adjacency leaf EVERY STEP (the executed
+      // plan showed Exchange hashpartitioning(u, rn) per step). The walk
+      // frame is |seeds| rows BY CONSTRUCTION — broadcast at any scale;
+      // with graph-scale walk counts drop the hint and the same plan
+      // degrades to the shuffled equi-join.
+      val p = broadcast(cur.select($"walk_id", $"node",
+          expr(s"($WalkA * state + $WalkC) % $WalkM").as("ns")))
         .join(deg, Seq("node"))
       // Inner join on the ranked neighbor is total (rn ∈ [1, deg] by
       // construction); the restart CASE just ignores the picked v.
-      val stepped = p
+      val steppedPre = broadcast(p)
         .join(adj, p("node") === adj("u") &&
           adj("rn") === (pmod($"ns", $"deg") + 1))
         .select($"walk_id", lit(k.toLong).as("step"),
           when(pmod($"ns", lit(5L)) === 0L, $"walk_id").otherwise($"v")
             .as("node"),
           $"ns".as("state"))
-        .localCheckpoint(true)
+      val stepped = steppedPre.localCheckpoint(true)
+      if (sys.env.contains("GRAFT_WALK_DEBUG") && k == 1)
+        Console.err.println("WALKSTEP\n" +
+          steppedPre.queryExecution.executedPlan.toString.take(6000))
       cur = stepped
       all :+= stepped
     }
@@ -1953,11 +2071,13 @@ object GraphOps extends QueryPack {
     val w0 = seeds.select($"node".as("walk_id"), lit(0L).as("step"),
         $"node", expr(s"($WalkA * node + $WalkC) % $WalkM").as("state"))
       .localCheckpoint(true)
-    // Step 1: uniform ranked pick (no previous node yet).
-    val p1 = w0.select($"walk_id", $"node",
-        expr(s"($WalkA * state + $WalkC) % $WalkM").as("ns"))
+    // Step 1: uniform ranked pick (no previous node yet). Broadcasts as
+    // in [[graphWalks]] (optimization round 19): the walk frame is
+    // |seeds| rows by construction.
+    val p1 = broadcast(w0.select($"walk_id", $"node",
+        expr(s"($WalkA * state + $WalkC) % $WalkM").as("ns")))
       .join(deg, Seq("node"))
-    var cur = p1
+    var cur = broadcast(p1)
       .join(adj, p1("node") === adj("u") &&
         adj("rn") === (pmod($"ns", $"deg") + 1))
       .select($"walk_id", lit(1L).as("step"), p1("node").as("prev"),
@@ -1969,23 +2089,43 @@ object GraphOps extends QueryPack {
     for (k <- 2 to WalkSteps) {
       val p = cur.select($"walk_id", $"prev", $"node",
         expr(s"($WalkA * state + $WalkC) % $WalkM").as("ns"))
-      val cand = p
+      // Per-step joins restructured to tiny-side broadcasts (optimization
+      // round 19): the original (prev, v) LEFT join against the edge leaf
+      // planned as a SortMergeJoin that SHUFFLED AND SORTED the full leaf
+      // every step (executed plan: Exchange hashpartitioning(prev, v) +
+      // Sort per step — two leaf shuffles per step with the candidate
+      // join's). The common-neighbor flag is instead computed by fanning
+      // the |walks|-row frame out to prev's neighbors (one broadcast
+      // probe of the leaf, |walks|·deg(prev) rows) and broadcast-joining
+      // THAT against the candidates on (walk_id, v) — per walk there is
+      // ONE prev, and prev's neighbor list is distinct, so (walk_id, v)
+      // matches exactly when (prev, v) is an edge: identical weights,
+      // zero edge-leaf shuffles. Both broadcast frames are
+      // |walks|·deg-sized by construction (walk count is chosen, not
+      // data-sized).
+      val cand = broadcast(p)
         .join(und.select($"u".as("node"), $"v"), Seq("node"))
-        .join(und.select($"u".as("prev"), $"v", lit(1L).as("pe")),
-          Seq("prev", "v"), "left")
+      val pn = broadcast(p.select($"walk_id", $"prev"))
+        .join(und.select($"u".as("prev"), $"v"), Seq("prev"))
+        .select($"walk_id", $"v", lit(1L).as("pe"))
+      val weighted = cand
+        .join(broadcast(pn), Seq("walk_id", "v"), "left")
         .select($"walk_id", $"prev", $"node", $"v", $"ns",
           when($"v" === $"prev", N2vReturn)
             .when($"pe".isNotNull, N2vCommon)
             .otherwise(N2vFar).as("wt"))
       val ord = Window.partitionBy($"walk_id").orderBy($"v".asc)
       val tot = Window.partitionBy($"walk_id")
-      cur = cand
+      val curPre = weighted
         .withColumn("cum", sum($"wt").over(ord))
         .withColumn("idx", pmod($"ns", sum($"wt").over(tot)))
         .filter($"idx" >= $"cum" - $"wt" && $"idx" < $"cum")
         .select($"walk_id", lit(k.toLong).as("step"),
           $"node".as("prev"), $"v".as("node"), $"ns".as("state"))
-        .localCheckpoint(true)
+      cur = curPre.localCheckpoint(true)
+      if (sys.env.contains("GRAFT_WALK_DEBUG") && k == 2)
+        Console.err.println("BIASEDSTEP\n" +
+          curPre.queryExecution.executedPlan.toString.take(8000))
       all :+= cur.select($"walk_id", $"step", $"node")
     }
     all.reduce(_ unionByName _)
@@ -2638,9 +2778,12 @@ object GraphOps extends QueryPack {
     *
     * Scale: the per-neighbor weight joins ONCE onto the undirected leaf
     * (|V|-row degree table, shuffled hash join), the wedge self-join is
-    * the salted shuffle of [[commonNeighbors]] (hub fan-out spread over
-    * 8 salt buckets), the non-edge filter is the anti-join reusing
-    * the wedge (a,b) partitioning, and top-20 is a
+    * the HOT-ONLY salted shuffle of [[commonNeighbors]] (optimization
+    * round 19, guide §2.5: hub fan-out spread over 8 salt buckets for
+    * neighbors above [[saltHotDeg]]'s threshold only — the blanket 8×|E|
+    * build replication is gone; the non-hub slice is a plain equi-join
+    * with fan-out bounded by the threshold), the non-edge filter is the
+    * anti-join reusing the wedge (a,b) partitioning, and top-20 is a
     * TakeOrderedAndProject. No |E|-broadcast anywhere.
     */
   private def linkRa(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2649,14 +2792,24 @@ object GraphOps extends QueryPack {
     val und = coPurchaseUnd(spark, sfDir)
     val deg = und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
     val edges = und.filter($"u" < $"v").select($"u".as("a"), $"v".as("b"))
+    val hotB = graft.Dsl.gatedBroadcast(saltHotDeg(spark, sfDir, S))
     val weighted = und
       .join(deg.select($"node".as("v"), expr("1000000 div deg").as("w"))
         .hint("shuffle_hash"), Seq("v"))
-    val probe = weighted.select($"u", $"v", $"w",
+    val wCold = weighted.join(hotB, Seq("v"), "left_anti")
+    val wHot = weighted.join(hotB, Seq("v"), "left_semi")
+    val undHot = und.join(hotB, Seq("v"), "left_semi")
+    val undCold = und.join(hotB, Seq("v"), "left_anti")
+    val pairCold = wCold.hint("shuffle_hash")
+      .join(undCold.select($"u".as("u2"), $"v"), Seq("v"))
+      .select($"u", $"u2", $"w")
+    val probe = wHot.select($"u", $"v", $"w",
       pmod(xxhash64($"u"), lit(S.toLong)).as("salt"))
-    val build = und.select($"u".as("u2"), $"v",
+    val build = undHot.select($"u".as("u2"), $"v",
       explode(array((0 until S).map(i => lit(i.toLong)): _*)).as("salt"))
-    val pairs = probe.hint("shuffle_hash").join(build, Seq("v", "salt"))
+    val pairHot = probe.hint("shuffle_hash").join(build, Seq("v", "salt"))
+      .select($"u", $"u2", $"w")
+    val pairs = pairCold.unionByName(pairHot)
       .filter($"u" < $"u2")
       .select($"u".as("a"), $"u2".as("b"), $"w")
       .groupBy($"a", $"b")
