@@ -1363,9 +1363,12 @@ object GraphOps extends QueryPack {
     // vs 3.5 / 1.2 for the unrolled chain — the blocking materialization
     // costs more than the codegen depth it saves at this graph size.
     for (_ <- 1 to PrIters) {
-      val contrib = pr.join(deg, Seq("node"))
+      // shuffle_hash hints (optimization round 19): the |V|-row rank
+      // frame is a statistics-free subtree — unhinted planning
+      // sort-merged it against the edge leaf every unrolled iteration.
+      val contrib = pr.hint("shuffle_hash").join(deg, Seq("node"))
         .select($"node".as("u"), expr("pr div deg").as("c"))
-      pr = und.join(contrib, Seq("u"))
+      pr = und.join(contrib.hint("shuffle_hash"), Seq("u"))
         .groupBy($"v".as("node"))
         .agg(sum($"c").as("sumc"))
         .select($"node",
@@ -2998,12 +3001,17 @@ object GraphOps extends QueryPack {
     import spark.implicits._
     val und = coPurchaseUnd(spark, sfDir)
     val s1 = und.groupBy($"u").agg(count(lit(1)).as("s1"))
+    // shuffle_hash hints (optimization round 19): the |V|-row score
+    // frames are statistics-free subtrees — unhinted planning
+    // sort-merged each matvec against the edge leaf.
     def matvec(s: DataFrame, in: String, out: String): DataFrame =
-      und.join(s.select($"u".as("v"), col(in)), Seq("v"))
+      und.join(s.select($"u".as("v"), col(in)).hint("shuffle_hash"),
+          Seq("v"))
         .groupBy($"u").agg(sum(col(in)).as(out))
     val s2 = matvec(s1, "s1", "s2")
     val s3 = matvec(s2, "s2", "s3")
-    s1.join(s2, Seq("u")).join(s3, Seq("u"))
+    s1.join(s2.hint("shuffle_hash"), Seq("u"))
+      .join(s3.hint("shuffle_hash"), Seq("u"))
       .select($"u".as("node"), $"s1", $"s2", $"s3")
       .orderBy($"s3".desc, $"node".asc)
       .limit(20)

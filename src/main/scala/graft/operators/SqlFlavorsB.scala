@@ -941,8 +941,20 @@ object SqlFlavorsB extends QueryPack {
         .as("cents"))
     val ord = t("orders").select($"o_orderkey", $"o_custkey",
       $"o_orderstatus", $"o_orderpriority")
+    // The store-channel join feeds BOTH gate aggregates (frequent parts
+    // and best customers) — cached narrow (3 columns) so the fact⋈orders
+    // join runs once per query instead of once per gate (optimization
+    // round 19, guide §2.4: two consumers share one computed exchange;
+    // the executed plan previously embedded the join under each gated
+    // InMemoryRelation separately). MEMORY_AND_DISK via cache(): the
+    // in-plan shared-subtree policy Sessions.scala documents; at scale
+    // the cached slice is the F-channel fraction of lineitem projected to
+    // three columns, spilling — the recompute alternative is a second
+    // full fact-fact join.
     val store = li.join(ord.filter($"o_orderstatus" === "F"),
       $"l_orderkey" === $"o_orderkey")
+      .select($"l_partkey", $"o_custkey", $"cents")
+      .cache()
     val freqParts = store.groupBy($"l_partkey")
       .agg(count(lit(1)).as("n")).filter($"n" >= 10)
       .select($"l_partkey".as("fp"))
