@@ -1881,8 +1881,8 @@ object GraphOps extends QueryPack {
     var labels = und.select($"u".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
       .localCheckpoint(true)
-    for (_ <- 1 to LpaRounds) {
-      labels = und
+    for (r <- 1 to LpaRounds) {
+      val roundPre = und
         .join(labels.select($"node".as("nbr"), $"lbl").hint("shuffle_hash"),
           $"v" === $"nbr")
         .select($"u".as("node"), $"lbl")
@@ -1890,7 +1890,10 @@ object GraphOps extends QueryPack {
         .groupBy($"node")
         .agg(max_by($"lbl", struct($"c", -$"lbl")).as("lbl"))
         .select($"node", $"lbl")
-        .localCheckpoint(true)
+      labels = roundPre.localCheckpoint(true)
+      if (sys.env.contains("GRAFT_WALK_DEBUG") && r == 1)
+        Console.err.println("LPAROUND\n" +
+          roundPre.queryExecution.executedPlan.toString.take(6000))
     }
     labels.groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_members"), min($"node").as("min_node"))
