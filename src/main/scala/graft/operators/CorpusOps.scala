@@ -1121,13 +1121,26 @@ object CorpusOps extends QueryPack {
     * suffix passes start from. */
   private def sfxPositions(docs: DataFrame, extra: Column*): DataFrame = {
     import docs.sparkSession.implicits._
+    // The band key ships as xxhash64 of the L-gram text, not the text
+    // itself (optimization round 19, guide §2.3 — shuffle keys, not
+    // payloads: the ~50-byte string was ~20% of every shuffled position
+    // row, and the window comparator walked it per row). EXACT by the
+    // suffix-order contiguity argument: the sort key (the joined sfx
+    // text) has the band text as its PREFIX, and `concat_ws(" ")` over
+    // space-free tokens is injective (split round-trips it), so within a
+    // hash partition every band's rows stay CONTIGUOUS in the window
+    // order; a hash collision only makes two bands share a partition,
+    // where the boundary rows' foreign neighbors agree on < L tokens by
+    // band-inequality and can never cross the `ext >= L` threshold —
+    // the flagged set is bit-identical to the per-band-text windows the
+    // DuckDB oracle runs (hash-verified at three SFs).
     docs
       .select(($"doc_id" +: $"toks" +: extra) :+
         explode(when(size($"toks") >= SuffixMinLen,
           sequence(lit(0), size($"toks") - SuffixMinLen))
           .otherwise(array())).as("i"): _*)
       .select(($"doc_id" +: $"i".cast("long").as("i") +:
-        concat_ws(" ", slice($"toks", $"i" + 1, lit(SuffixMinLen)))
+        xxhash64(concat_ws(" ", slice($"toks", $"i" + 1, lit(SuffixMinLen))))
           .as("band") +:
         slice($"toks", $"i" + 1, lit(SuffixKeyLen)).as("sfx") +:
         extra): _*)
