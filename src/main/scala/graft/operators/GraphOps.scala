@@ -1138,11 +1138,14 @@ object GraphOps extends QueryPack {
         .localCheckpoint(true)
       changed = improved.count()
       if (changed > 0L) {
-        dist = dist.withColumnRenamed("d", "d_old")
-          .join(improved.withColumnRenamed("d", "d_new")
-            .hint("shuffle_hash"),
-            Seq("node"), "full_outer")
-          .select($"node", coalesce($"d_new", $"d_old").as("d"))
+        // Merge as union + min, not full-outer + coalesce (optimization
+        // round 19, guide §2.4): `improved` rows are STRICTLY better than
+        // any existing entry (the filter above guarantees d < d_old or the
+        // node is new), so min over the union IS the coalesce semantics —
+        // one hash aggregate instead of a two-sided join (one exchange
+        // fewer per round, and map-side partial min combines first).
+        dist = dist.unionByName(improved)
+          .groupBy($"node").agg(min($"d").as("d"))
           .localCheckpoint(true)
         frontier = improved
       }
@@ -1223,16 +1226,25 @@ object GraphOps extends QueryPack {
     var e = edgesW.select($"u".as("cu"), $"v".as("cv"), $"u", $"v", $"wkey")
       .localCheckpoint(true)
     var mst = Seq.empty[(Long, Long, Long)].toDF("u", "v", "wkey")
-    var comps = e.agg(countDistinct($"cu")).head().getLong(0)
+    // Min outgoing edge per component as ONE map-side-combined min(struct)
+    // aggregation — wkey is unique, so the struct order is total; no window
+    // sort over the (heavily skewed) comp partitions.
+    def minOut(edges: DataFrame): DataFrame = edges.groupBy($"cu")
+      .agg(min(struct($"wkey", $"u", $"v", $"cv")).as("m"))
+      .select($"cu", $"m.wkey".as("wkey"), $"m.u".as("u"),
+        $"m.v".as("v"), $"m.cv".as("cv"))
+      .localCheckpoint(true)
+    // Component counting (optimization round 19, guide §2.4): `chosen` has
+    // EXACTLY one row per component with an outgoing edge, and it is already
+    // an eagerly materialized checkpoint leaf — its count() IS
+    // countDistinct(cu) for free (a scan of cached blocks, no shuffle),
+    // where the old loop paid a full distinct-aggregate shuffle + action
+    // over the edge list every round on top of the min-struct aggregate.
+    // Cost: one minOut aggregate computed at the exit round that the tail
+    // does not consume — strictly cheaper than one distinct-agg per round.
+    var chosen = minOut(e)
+    var comps = chosen.count()
     while (comps > TailComps) {
-      // Min outgoing edge per component as ONE map-side-combined
-      // min(struct) aggregation — wkey is unique, so the struct order is
-      // total; no window sort over the (heavily skewed) comp partitions.
-      val chosen = e.groupBy($"cu")
-        .agg(min(struct($"wkey", $"u", $"v", $"cv")).as("m"))
-        .select($"cu", $"m.wkey".as("wkey"), $"m.u".as("u"),
-          $"m.v".as("v"), $"m.cv".as("cv"))
-        .localCheckpoint(true)
       // No per-round checkpoint on the accumulator (optimization round
       // 19): `chosen` is already a checkpoint leaf, so the union's
       // lineage is flat by construction — the old per-round
@@ -1280,7 +1292,8 @@ object GraphOps extends QueryPack {
           coalesce($"ncv", $"cv").as("cv"), $"u", $"v", $"wkey")
         .filter($"cu" =!= $"cv")
         .localCheckpoint(true)
-      comps = e.agg(countDistinct($"cu")).head().getLong(0)
+      chosen = minOut(e)
+      comps = chosen.count()
     }
     if (comps > 0L) {
       // Tail: at most TailComps components remain, so the min-edge-per-
@@ -2704,9 +2717,16 @@ object GraphOps extends QueryPack {
     val deg = memoEdgeLeaf(spark, sfDir, "pprDeg")(
       und.groupBy($"u".as("node")).agg(count(lit(1)).as("deg")))
     val lm = louvainMultiLabels(spark, sfDir).localCheckpoint(true)
+    // shuffle_hash hints (optimization round 19, second pass): lm/refined/
+    // deg are |V|-row statistics-free checkpoint leaves and ein is a
+    // community-level aggregate — unhinted planning sort-merged all four
+    // joins below (plans/r19/q_graph_louvain_refine_after.txt showed 4 SMJs
+    // re-sorting the edge frame); hash builds are sort-free.
     val intra = und
-      .join(lm.select($"node".as("u"), $"lbl".as("cu")), Seq("u"))
-      .join(lm.select($"node".as("v"), $"lbl".as("cv")), Seq("v"))
+      .join(lm.select($"node".as("u"), $"lbl".as("cu")).hint("shuffle_hash"),
+        Seq("u"))
+      .join(lm.select($"node".as("v"), $"lbl".as("cv")).hint("shuffle_hash"),
+        Seq("v"))
       .filter($"cu" === $"cv")
       .select($"u", $"v")
     // Two-star (pointer-doubling) labeling, not linear min-label
@@ -2717,20 +2737,23 @@ object GraphOps extends QueryPack {
     // default to self — exactly the singleton semantics.
     val (prop, _) = twoStarLabels(spark, intra)
     val refined = lm.select($"node")
-      .join(prop.select($"node", $"lbl".as("rl")), Seq("node"), "left")
+      .join(prop.select($"node", $"lbl".as("rl")).hint("shuffle_hash"),
+        Seq("node"), "left")
       .select($"node", coalesce($"rl", $"node").as("lbl"))
       .localCheckpoint(true)
     val edges = und.filter($"u" < $"v")
     val ein = edges
-      .join(refined.select($"node".as("u"), $"lbl".as("cu")), Seq("u"))
-      .join(refined.select($"node".as("v"), $"lbl".as("cv")), Seq("v"))
+      .join(refined.select($"node".as("u"), $"lbl".as("cu"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(refined.select($"node".as("v"), $"lbl".as("cv"))
+        .hint("shuffle_hash"), Seq("v"))
       .filter($"cu" === $"cv")
       .groupBy($"cu".as("community")).agg(count(lit(1)).as("e_in"))
-    refined.join(deg, Seq("node"))
+    refined.join(deg.hint("shuffle_hash"), Seq("node"))
       .groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_members"), min($"node").as("min_node"),
         sum($"deg").as("d_tot"))
-      .join(ein, Seq("community"), "left")
+      .join(ein.hint("shuffle_hash"), Seq("community"), "left")
       .select($"community", $"n_members", $"min_node",
         coalesce($"e_in", lit(0L)).as("e_in"), $"d_tot")
       .orderBy($"community".asc_nulls_first)
