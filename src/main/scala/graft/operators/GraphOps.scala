@@ -122,17 +122,30 @@ object GraphOps extends QueryPack {
   private[graft] def hotSplitWedges(und: DataFrame, hotB: DataFrame,
                                     s: Int): DataFrame = {
     import und.sparkSession.implicits._
+    // Passthrough contract (optimization round 19, second pass): every
+    // non-key input column rides along — the probe side keeps its name,
+    // the build side gets a "2" suffix — so callers can CARRY per-endpoint
+    // payload (e.g. the endpoint degree) through the wedge shuffle instead
+    // of re-joining it onto the (much larger) pair table afterwards
+    // (guide §2.3 "shuffle keys and metadata instead of payloads",
+    // inverted: attach the few-bytes metadata where the shuffle is small).
+    // With a plain (u, v) input the output is (u, u2), exactly the old
+    // contract (Round19PerfSpec pins the multiset equivalence).
+    val keep = und.columns.filterNot(_ == "v")
+    val out = (keep ++ keep.map(_ + "2")).map(col(_))
+    def ren(df: DataFrame): DataFrame =
+      keep.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "2"))
     val undCold = und.join(hotB, Seq("v"), "left_anti")
     val undHot = und.join(hotB, Seq("v"), "left_semi")
     val wedgeCold = undCold.hint("shuffle_hash")
-      .join(undCold.select($"u".as("u2"), $"v"), Seq("v"))
-      .select($"u", $"u2")
-    val probe = undHot.select($"u", $"v",
-      pmod(xxhash64($"u"), lit(s.toLong)).as("salt"))
-    val build = undHot.select($"u".as("u2"), $"v",
-      explode(array((0 until s).map(i => lit(i.toLong)): _*)).as("salt"))
+      .join(ren(undCold), Seq("v"))
+      .select(out: _*)
+    val probe = undHot.withColumn("salt",
+      pmod(xxhash64($"u"), lit(s.toLong)))
+    val build = ren(undHot).withColumn("salt",
+      explode(array((0 until s).map(i => lit(i.toLong)): _*)))
     val wedgeHot = probe.hint("shuffle_hash").join(build, Seq("v", "salt"))
-      .select($"u", $"u2")
+      .select(out: _*)
     wedgeCold.unionByName(wedgeHot)
   }
 
@@ -676,29 +689,38 @@ object GraphOps extends QueryPack {
     val edges = und.filter($"u" < $"v")
       .select($"u".as("a"), $"v".as("b"))
     val hotB = graft.Dsl.gatedBroadcast(saltHotDeg(spark, sfDir, S))
-    val wedges = hotSplitWedges(und, hotB, S)
+    // Carry each endpoint's degree THROUGH the wedge shuffle (optimization
+    // round 19, second pass, guide §2.3/§2.4): the old shape re-joined the
+    // |V|-row degree table onto the pair table AFTER the aggregate — two
+    // extra exchanges of the multi-million-row candidate frame (once on a,
+    // once on b) to attach 8 bytes each. Attaching deg on the |E|-row edge
+    // frame first costs one small exchange (reusing the degree aggregate's
+    // own partitioning on u) and widens the wedge rows by 16 bytes; the
+    // degrees then fall out of the pair aggregate as min() (deg is
+    // functionally dependent on the node id, so min = the value).
+    val undD = und
+      .join(deg.select($"node".as("u"), $"deg".as("du"))
+        .hint("shuffle_hash"), Seq("u"))
+      .select($"u", $"v", $"du")
+    val wedges = hotSplitWedges(undD, hotB, S)
       .filter($"u" < $"u2")
-      .select($"u".as("a"), $"u2".as("b"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
-    // shuffle_hash hints on the |E|/|V|-sized build sides, NOT broadcast
-    // (round 12 — the round-11 verdict's one structural weak): the leaf is
-    // a checkpoint RDD scan with no size statistics, so the planner's
-    // unhinted fallback is a sort-merge join that re-sorts the
-    // multi-million-row candidate table three times (measured: the SMJ
-    // form was the suite's slowest query at sf0.1), while a forced
-    // broadcast of the FULL edge list is exactly what cannot happen at
-    // 100× — a 100-TB graph's edge set does not fit one executor. The
-    // shuffled hash join is the scale-true middle: the anti-join reuses
-    // the wedge aggregation's (a, b) hash partitioning (zero extra
-    // exchange on the big side), the degree joins shuffle candidates on
-    // a/b with no sort, and each build side ships |E|/|V| rows through a
-    // hash exchange instead of to every executor.
+      .select($"u".as("a"), $"u2".as("b"), $"du".as("da"), $"du2".as("db"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common"),
+        min($"da").as("deg_a"), min($"db").as("deg_b"))
+    // shuffle_hash hint on the |E|-sized anti-join build side, NOT
+    // broadcast (round 12 — the round-11 verdict's one structural weak):
+    // the leaf is a checkpoint RDD scan with no size statistics, so the
+    // planner's unhinted fallback is a sort-merge join that re-sorts the
+    // multi-million-row candidate table (measured: the SMJ form was the
+    // suite's slowest query at sf0.1), while a forced broadcast of the
+    // FULL edge list is exactly what cannot happen at 100× — a 100-TB
+    // graph's edge set does not fit one executor. The shuffled hash join
+    // is the scale-true middle: the anti-join reuses the wedge
+    // aggregation's (a, b) hash partitioning (zero extra exchange on the
+    // big side) and ships |E| rows through a hash exchange instead of to
+    // every executor.
     wedges
       .join(edges.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
-      .join(deg.select($"node".as("a"), $"deg".as("deg_a"))
-        .hint("shuffle_hash"), Seq("a"))
-      .join(deg.select($"node".as("b"), $"deg".as("deg_b"))
-        .hint("shuffle_hash"), Seq("b"))
       .select($"a", $"b", $"common", $"deg_a", $"deg_b",
         expr("(common * 1000000) div (deg_a + deg_b - common)")
           .as("jaccard_ppm"))
@@ -761,17 +783,23 @@ object GraphOps extends QueryPack {
     val keepV = deg.crossJoin(broadcast(cap))
       .filter($"deg" <= $"k").select($"node".as("v"))
     val undCap = und.join(keepV.hint("shuffle_hash"), Seq("v"), "left_semi")
-    val wedges = undCap.select($"u", $"v").as("e1")
-      .join(undCap.select($"u".as("u2"), $"v").as("e2"), Seq("v"))
+    // Carry the (FULL) endpoint degree through the wedge shuffle instead
+    // of re-joining it onto the pair table after the aggregate — the
+    // [[commonNeighbors]] second-pass shape: one small |E|-row attach
+    // join replaces two candidate-table exchanges. Reported degrees stay
+    // the full degrees (deg is built from the uncapped leaf).
+    val undCapD = undCap
+      .join(deg.select($"node".as("u"), $"deg".as("du"))
+        .hint("shuffle_hash"), Seq("u"))
+    val wedges = undCapD.select($"u", $"v", $"du").as("e1")
+      .join(undCapD.select($"u".as("u2"), $"v", $"du".as("du2")).as("e2"),
+        Seq("v"))
       .filter($"u" < $"u2")
-      .select($"u".as("a"), $"u2".as("b"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+      .select($"u".as("a"), $"u2".as("b"), $"du".as("da"), $"du2".as("db"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common"),
+        min($"da").as("deg_a"), min($"db").as("deg_b"))
     wedges
       .join(edges.hint("shuffle_hash"), Seq("a", "b"), "left_anti")
-      .join(deg.select($"node".as("a"), $"deg".as("deg_a"))
-        .hint("shuffle_hash"), Seq("a"))
-      .join(deg.select($"node".as("b"), $"deg".as("deg_b"))
-        .hint("shuffle_hash"), Seq("b"))
       .select($"a", $"b", $"common", $"deg_a", $"deg_b",
         expr("(common * 1000000) div (deg_a + deg_b - common)")
           .as("jaccard_ppm"))
